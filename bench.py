@@ -1,0 +1,80 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed as the driver would: build the DataFrame, force
+full materialization (count of the collected result), wall-clock it.
+A warmup query runs first so JVM/codegen startup isn't billed to q1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spark_fuse_spark.catalog import load_all  # noqa: E402
+from spark_fuse_spark.session import create_session  # noqa: E402
+
+# Headline set: scan-agg, multi-join, window, dedup (shuffle-heavy),
+# minhash (expression-heavy), vector search, session windows.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_top_revenue_orders",
+    "q05_region_revenue",
+    "q_window_running_total",
+    "q_topk_per_group",
+    "d_dedup_exact",
+    "d_minhash_lsh",
+    "v_ann_bruteforce",
+    "e_session_window",
+    "e_tumbling_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = create_session(
+        app_name="spark-fuse-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_all()
+
+    # warmup: JVM + codegen + parquet footer caches
+    registry["q01_pricing_summary"].spark(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = registry[name]
+        t0 = time.perf_counter()
+        df = spec.spark(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,316 @@
+"""Text-analysis and deduplication query suite over ``documents``.
+
+The probabilistic dedup strategies (MinHash-LSH, SimHash) are still
+oracle-checked: the hash primitives in ``functions.hashing`` are
+engine-portable (md5-based), so the DuckDB oracle replays the identical
+hash/band pipeline in SQL — generated programmatically below from the
+same coefficient family the Spark side uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MERSENNE_P, minhash_coefficients, portable_hash64_sql
+from ..functions.text import (
+    doc_fingerprint,
+    language_id,
+    normalize_whitespace,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    STOPWORDS,
+)
+from ..operators.dedup import (
+    dedup_exact,
+    embedding_neardup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from ..tables import load_table
+from . import register
+
+# ---------------------------------------------------------------- SQL helpers
+# DuckDB twins of functions.text primitives (single-quoted regexes: backslash
+# is literal inside SQL strings, so '\s+' arrives at RE2 as \s+).
+_NORM = "trim(regexp_replace({col}, '\\s+', ' ', 'g'))"
+_TOKS = "regexp_split_to_array(trim(lower(regexp_replace({col}, '\\s+', ' ', 'g'))), ' ')"
+
+
+def _shingle_sql(k: int, toks: str = "t") -> str:
+    """Distinct k-word shingles from a token list column ``toks``."""
+    if k == 1:
+        return f"list_distinct({toks})"
+    parts = ", ".join(f"{toks}[i+{j}]" for j in range(k))
+    return (
+        f"list_distinct(list_transform(generate_series(1, len({toks})-{k - 1}), "
+        f"i -> concat_ws(' ', {parts})))"
+    )
+
+
+def _sw_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"[{words}]"
+
+
+def _jaccard_cte(k: int, threshold: float) -> str:
+    """CTE chain computing exact jaccard pairs ≥ threshold (named ``exact``)."""
+    return f"""
+toks AS (SELECT doc_id, {_TOKS.format(col="text")} AS t FROM documents),
+sh AS (SELECT doc_id, {_shingle_sql(k)} AS sh FROM toks WHERE len(t) >= {k}),
+ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, COUNT(*) AS shared
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4),
+exact AS (
+  SELECT id_a, id_b, ROUND(shared / (na + nb - shared), 6) AS jaccard
+  FROM pairs WHERE shared / (na + nb - shared) >= {threshold})
+"""
+
+
+# -------------------------------------------------------------------- queries
+@register(
+    "t_normalize_tokens",
+    oracle=f"""
+SELECT doc_id,
+       {_NORM.format(col="text")} AS norm_text,
+       CAST(len({_TOKS.format(col="text")}) AS BIGINT) AS n_tokens
+FROM documents
+""",
+    doc="normalize_whitespace (reference F1) + whitespace token count. "
+    "Pure codegen expressions — text scoring at scan speed.",
+)
+def t_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        normalize_whitespace("text").alias("norm_text"),
+        token_count("text").alias("n_tokens"),
+    )
+
+
+@register(
+    "t_quality_score",
+    oracle=f"""
+WITH n AS (
+  SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS len,
+         {_TOKS.format(col="text")} AS toks
+  FROM documents),
+m AS (
+  SELECT doc_id,
+    CASE WHEN len >= 50 AND len <= 20000 THEN 1.0 ELSE least(len / 50.0, 1.0) END AS length_ok,
+    (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) / greatest(length(text), 1)
+      + (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / greatest(length(text), 1)
+      AS noise,
+    len(list_filter(toks, tk -> list_contains({_sw_sql('en')}, tk))) / greatest(len(toks), 1)
+      AS swr
+  FROM n)
+SELECT doc_id,
+       ROUND(length_ok * 0.4 + greatest(0.0, 1.0 - noise * 4) * 0.4
+             + least(swr * 5, 1.0) * 0.2, 6) AS quality
+FROM m
+""",
+    doc="composite quality heuristic (length band, punct/digit noise, "
+    "stopword ratio) — the training-data quality-scoring operator.",
+)
+def t_quality(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", F.round(quality_score("text"), 6).alias("quality"))
+
+
+@register(
+    "t_language_id",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS.format(col="text")} AS t FROM documents),
+hits AS (
+  SELECT doc_id,
+{", ".join(f"    len(list_filter(t, tk -> list_contains({_sw_sql(code)}, tk))) AS h_{code}"
+           for code in sorted(STOPWORDS))}
+  FROM toks),
+best AS (
+  SELECT doc_id,
+         greatest({", ".join(f"h_{c}" for c in sorted(STOPWORDS))}) AS mx,
+{chr(10).join(f"         h_{c}," for c in sorted(STOPWORDS))}
+         1 AS _dummy
+  FROM hits)
+SELECT doc_id,
+       CASE WHEN mx <= 0 THEN 'und'
+{chr(10).join(f"            WHEN h_{c} = mx THEN '{c}'" for c in sorted(STOPWORDS))}
+       END AS lang_pred
+FROM best
+""",
+    doc="heuristic language ID: per-language stopword hit counts, argmax "
+    "with deterministic tie-break (language-code order).",
+)
+def t_langid(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", language_id("text").alias("lang_pred"))
+
+
+@register(
+    "t_stopword_punct",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, text, {_TOKS.format(col="text")} AS t FROM documents)
+SELECT doc_id,
+  ROUND(len(list_filter(t, tk -> list_contains({_sw_sql('en')}, tk)))
+        / greatest(len(t), 1), 6) AS stopword_ratio,
+  ROUND((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+        / greatest(length(text), 1), 6) AS punct_ratio
+FROM toks
+""",
+    doc="per-document stopword and punctuation ratios.",
+)
+def t_ratios(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.round(stopword_ratio("text", "en"), 6).alias("stopword_ratio"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+    )
+
+
+@register(
+    "t_doc_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       {portable_hash64_sql(_NORM.format(col="lower(text)"))} AS fingerprint
+FROM documents
+""",
+    doc="portable 60-bit content fingerprint (md5-derived; identical "
+    "across engines).",
+)
+def t_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+@register(
+    "d_dedup_exact",
+    oracle=f"""
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+FROM (SELECT doc_id, {portable_hash64_sql(_NORM.format(col="lower(text)"))} AS fp
+      FROM documents)
+GROUP BY fp
+""",
+    doc="exact dedup: hash-groupBy on the content fingerprint, keep lowest "
+    "id. One fixed-width-key shuffle regardless of document size.",
+)
+def d_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup_exact(load_table(spark, sf, "documents"))
+
+
+@register(
+    "d_ngram_jaccard",
+    oracle=f"WITH {_jaccard_cte(3, 0.5)} SELECT id_a, id_b, jaccard FROM exact",
+    doc="EXACT 3-shingle Jaccard pairs ≥ 0.5 via inverted-index self-join "
+    "— documents only meet when they share a shingle.",
+)
+def d_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return ngram_jaccard_pairs(load_table(spark, sf, "documents"), k=3, threshold=0.5)
+
+
+def _minhash_oracle(k: int, num_hashes: int, bands: int, threshold: float, seed: int) -> str:
+    coeffs = minhash_coefficients(num_hashes, seed)
+    r = num_hashes // bands
+    mins = ",\n".join(
+        f"  MIN(CAST((CAST(h AS HUGEINT) * {a} + {b}) % {MERSENNE_P} AS BIGINT)) AS m{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {i} AS band, sha256(concat_ws(',', "
+        + ", ".join(f"CAST(m{i * r + j} AS VARCHAR)" for j in range(r))
+        + ")) AS bh FROM sig"
+        for i in range(bands)
+    )
+    return f"""
+WITH {_jaccard_cte(k, threshold)},
+hs AS (SELECT doc_id, {portable_hash64_sql('s')} AS h
+       FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+sig AS (SELECT doc_id,
+{mins}
+FROM hs GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                                   AND a.doc_id < b.doc_id)
+SELECT c.id_a, c.id_b, e.jaccard
+FROM cand c JOIN exact e ON c.id_a = e.id_a AND c.id_b = e.id_b
+"""
+
+
+@register(
+    "d_minhash_lsh",
+    oracle=_minhash_oracle(k=3, num_hashes=32, bands=8, threshold=0.5, seed=42),
+    doc="MinHash(32) + LSH(8 bands × 4 rows) candidates, verified with "
+    "exact Jaccard ≥ 0.5. Oracle replays the identical portable-hash "
+    "pipeline in SQL, so even the probabilistic stage is hash-checked. "
+    "Scale: shuffle is O(docs × bands), never O(n²).",
+)
+def d_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        load_table(spark, sf, "documents"), k=3, num_hashes=32, bands=8, threshold=0.5, seed=42
+    )
+
+
+def _simhash_oracle(k: int, max_hamming: int) -> str:
+    blocks = max_hamming + 1
+    width = 60 // blocks
+    votes = ",\n".join(
+        f"  SUM(CASE WHEN (h >> {bit}) & 1 = 1 THEN 1 ELSE -1 END) AS v{bit}"
+        for bit in range(60)
+    )
+    sh_sum = " + ".join(f"(CASE WHEN v{bit} > 0 THEN {1 << bit} ELSE 0 END)" for bit in range(60))
+    block_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {i} AS blk, (simhash >> {i * width}) & {(1 << width) - 1} AS bv "
+        "FROM sims"
+        for i in range(blocks)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS.format(col="text")} AS t FROM documents),
+sh AS (SELECT doc_id, {_shingle_sql(k)} AS sh FROM toks WHERE len(t) >= {k}),
+hs AS (SELECT doc_id, {portable_hash64_sql('s')} AS h
+       FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+bits AS (SELECT doc_id,
+{votes}
+FROM hs GROUP BY doc_id),
+sims AS (SELECT doc_id, CAST({sh_sum} AS BIGINT) AS simhash FROM bits),
+blk AS ({block_selects})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM blk a JOIN blk b ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+@register(
+    "d_simhash",
+    oracle=_simhash_oracle(k=1, max_hamming=8),
+    doc="SimHash(60-bit) near-dup pairs, Hamming ≤ 8, candidates via "
+    "pigeonhole block join (agree on ≥1 of 9... blocks), verified with "
+    "bit_count(xor). Oracle replays the identical bit-vote construction.",
+)
+def d_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    out = simhash_pairs(load_table(spark, sf, "documents"), k=1, max_hamming=8)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@register(
+    "d_embedding_neardup",
+    oracle="""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.9
+""",
+    doc="embedding near-dup: exact cosine-threshold pairs (the verification "
+    "baseline for ANN candidates). JVM-side zip_with/aggregate math.",
+)
+def d_embed_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    return embedding_neardup_pairs(
+        load_table(spark, sf, "embeddings"), vec_col="embedding", id_col="vec_id", threshold=0.9
+    )

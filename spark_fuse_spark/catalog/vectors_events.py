@@ -1,0 +1,298 @@
+"""Vector-search, event/streaming-shaped, SCD, and multimodal queries.
+
+Event queries run the streaming operators' *batch twins*: Spark executes
+``F.window`` / ``F.session_window`` identically over batch and stream
+inputs, so the oracle-checked batch results certify the streaming
+semantics (the actual ``readStream`` wiring lives in
+``spark_fuse_spark.streaming`` and is exercised in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import attach_binary_payload, binary_metadata
+from ..operators.similarity import brute_force_topk
+from ..tables import load_table
+from . import register
+
+_TS = "yyyy-MM-dd HH:mm:ss"
+_TS_SQL = "%Y-%m-%d %H:%M:%S"
+
+
+# ------------------------------------------------------------------ vectors
+@register(
+    "v_ann_bruteforce",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_cosine_similarity(cv, qv), 6) AS cosine
+  FROM c CROSS JOIN q)
+SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored)
+WHERE rk <= 5
+""",
+    doc="exact cosine top-5 per query vector. Queries broadcast; corpus "
+    "scanned once with zero corpus shuffle. Ranking uses the ROUNDED "
+    "cosine + id tie-break so ordering is engine-deterministic.",
+)
+def v_ann(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return brute_force_topk(emb, queries, k=5, corpus_id="vec_id", corpus_vec="embedding")
+
+
+@register(
+    "v_ivf_topk",
+    oracle=None,  # centroids come from MLlib KMeans — engine-specific
+    doc="IVF approximate top-k (coarse KMeans centroids, nprobe=3). "
+    "Rows-only driver check; recall vs the exact baseline is asserted in "
+    "tests/test_similarity.py.",
+)
+def v_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk, train_ivf_centroids
+
+    emb = load_table(spark, sf, "embeddings")
+    centroids = train_ivf_centroids(emb, k=8, vec_col="embedding", seed=42)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(emb, queries, centroids, k=5, nprobe=3,
+                    corpus_id="vec_id", corpus_vec="embedding")
+
+
+@register(
+    "v_lsh_buckets",
+    oracle=None,  # bucket histogram; plane generation is library-internal
+    doc="random-hyperplane LSH bucket histogram (12 planes → ≤4096 "
+    "buckets). Rows-only check; bucket determinism asserted in tests.",
+)
+def v_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.similarity import hyperplane_lsh_bucket
+
+    emb = load_table(spark, sf, "embeddings")
+    bucketed = hyperplane_lsh_bucket(emb, "embedding", num_planes=12, dims=64, seed=42)
+    return bucketed.groupBy("lsh_bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "v_vector_norms",
+    oracle="""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT vec_id,
+       ROUND(sqrt(list_sum(list_transform(e, x -> x * x))), 6) AS l2,
+       ROUND(list_sum(e), 6) AS comp_sum,
+       CAST(len(e) AS INT) AS dims
+FROM v
+""",
+    doc="vector math sanity surface: L2 norm, component sum, dims — all "
+    "higher-order-function expressions (no UDF, no VectorUDT boxing).",
+)
+def v_norms(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.vectors import l2_norm
+
+    emb = load_table(spark, sf, "embeddings")
+    arr = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.round(l2_norm("embedding"), 6).alias("l2"),
+        F.round(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x), 6).alias("comp_sum"),
+        F.size("embedding").cast("int").alias("dims"),
+    )
+
+
+# ------------------------------------------------------------------- events
+@register(
+    "e_tumbling_window",
+    oracle=f"""
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '{_TS_SQL}') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="tumbling 1-hour window aggregate — batch twin of the streaming "
+    "windowed count (streaming/windows.py wires the same expression after "
+    "readStream + withWatermark).",
+)
+def e_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", _TS).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "e_sliding_window",
+    oracle=f"""
+WITH buckets AS (
+  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS window_start,
+         event_type, value
+  FROM events)
+SELECT strftime(window_start, '{_TS_SQL}') AS window_start, event_type,
+       COUNT(*) AS n_events, ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
+FROM buckets
+GROUP BY 1, 2
+""",
+    doc="sliding window (1h length, 30m slide): each event lands in 2 "
+    "windows. Oracle replays Spark's bucket-expansion semantics.",
+)
+def e_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", _TS).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "e_session_window",
+    oracle=f"""
+WITH gaps AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+grp AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS g
+  FROM gaps)
+SELECT user_id,
+       strftime(MIN(ts), '{_TS_SQL}') AS session_start,
+       strftime(MAX(ts) + INTERVAL 10 MINUTE, '{_TS_SQL}') AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
+FROM grp
+GROUP BY user_id, g
+""",
+    doc="session windows (10-minute gap) — batch twin of the streaming "
+    "session_window; oracle is the classic gaps-and-islands rewrite. "
+    "Session end = last event + gap (Spark semantics).",
+)
+def e_session(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", _TS).alias("session_start"),
+            F.date_format("w.end", _TS).alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "e_first_event_dedup",
+    oracle="""
+SELECT user_id, event_type, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) = 1
+""",
+    doc="deterministic dedup (first event per user×type) — batch twin of "
+    "dropDuplicatesWithinWatermark; ranking window instead of arbitrary-row "
+    "dropDuplicates so results are engine-stable.",
+)
+def e_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.topk import keep_latest
+
+    e = load_table(spark, sf, "events")
+    first = keep_latest(e, ["user_id", "event_type"], ["ts", "event_id"], descending=False)
+    return first.select(
+        "user_id", "event_type", "event_id", F.date_format("ts", _TS).alias("first_ts")
+    )
+
+
+@register(
+    "e_json_props",
+    oracle="""
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+FROM events
+""",
+    doc="JSON extraction from the props column (reference F10 upgraded "
+    "from Python-side json.loads to Catalyst get_json_object).",
+)
+def e_json(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k")
+    )
+
+
+# ---------------------------------------------------------------------- SCD
+@register(
+    "c_scd2_snapshot",
+    oracle="""
+SELECT o_custkey AS business_key, o_orderkey AS payload_key,
+       CAST(o_orderdate AS DATE) AS effective_start,
+       CAST(lead(o_orderdate) OVER w AS DATE) AS effective_end,
+       lead(o_orderdate) OVER w IS NULL AS is_current,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    doc="SCD Type-2 effective-range snapshot expressed declaratively "
+    "(lead/row_number windows) — the read-side twin of the Delta MERGE "
+    "write protocol in operators/scd.py (reference C2 semantics: every "
+    "intermediate version preserved, oldest→newest).",
+)
+def c_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        F.col("o_custkey").alias("business_key"),
+        F.col("o_orderkey").alias("payload_key"),
+        F.col("o_orderdate").cast("date").alias("effective_start"),
+        F.lead("o_orderdate").over(w).cast("date").alias("effective_end"),
+        F.lead("o_orderdate").over(w).isNull().alias("is_current"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+    )
+
+
+# --------------------------------------------------------------- multimodal
+@register(
+    "m_binary_metadata",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS content_sha256
+FROM documents
+""",
+    doc="multimodal plumbing: opaque binary payload column → Arrow-batched "
+    "mapInPandas metadata extraction (byte count + content hash). The "
+    "decode stage itself is stubbed (no codecs in container); schema/"
+    "partitioning/batching are real.",
+)
+def m_binary_meta(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    with_payload = attach_binary_payload(d, "text", "payload")
+    return binary_metadata(with_payload, "doc_id", "payload")

@@ -1,0 +1,155 @@
+"""Text analysis built entirely from Catalyst expressions.
+
+Covers the reference's ``normalize_whitespace``
+(``/root/reference/src/spark_fuse/utils/transformations.py:119-156``)
+plus the training-data-pipeline text suite: tokenization, n-gram
+shingling, token counting, quality scoring, language ID, and document
+fingerprinting.
+
+Design stance for 100 TB: every function here returns a *Column*
+expression built from ``pyspark.sql.functions`` — no Python UDFs — so
+text scoring runs inside WholeStageCodegen at scan speed and column
+pruning still reaches parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .hashing import portable_hash64
+
+__all__ = [
+    "normalize_whitespace",
+    "tokens",
+    "token_count",
+    "char_ngrams",
+    "word_shingles",
+    "punct_ratio",
+    "digit_ratio",
+    "stopword_ratio",
+    "quality_score",
+    "language_id",
+    "doc_fingerprint",
+    "STOPWORDS",
+]
+
+
+def _c(col: "str | Column") -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize_whitespace(col: "str | Column") -> Column:
+    """Collapse runs of whitespace to single spaces and trim."""
+    return F.trim(F.regexp_replace(_c(col), r"\s+", " "))
+
+
+def tokens(col: "str | Column", lowercase: bool = True) -> Column:
+    """Whitespace tokenization → array<string> (empty array for blank text)."""
+    base = normalize_whitespace(col)
+    if lowercase:
+        base = F.lower(base)
+    return F.when(base == "", F.array().cast("array<string>")).otherwise(F.split(base, " "))
+
+
+def token_count(col: "str | Column") -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def char_ngrams(col: "str | Column", n: int = 5) -> Column:
+    """Distinct character n-grams of the normalized text (array<string>).
+
+    Pure-SQL construction: substring at every offset via ``sequence`` +
+    ``transform`` — stays JVM-side.
+    """
+    s = F.lower(normalize_whitespace(col))
+    length = F.length(s)
+    offsets = F.sequence(F.lit(1), F.greatest(length - F.lit(n - 1), F.lit(0)))
+    grams = F.transform(offsets, lambda i: s.substr(i, F.lit(n)))
+    return F.array_distinct(grams)
+
+
+def word_shingles(col: "str | Column", k: int = 3) -> Column:
+    """Distinct k-word shingles (array<string>), the MinHash unit."""
+    toks = tokens(col)
+    n_tok = F.size(toks)
+    offsets = F.sequence(F.lit(0), F.greatest(n_tok - F.lit(k), F.lit(-1)))
+    gram = F.transform(
+        offsets, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )
+    return F.when(n_tok < k, F.array().cast("array<string>")).otherwise(F.array_distinct(gram))
+
+
+def _count_matches(col: Column, pattern: str) -> Column:
+    """Number of chars matching a regex class, via length-difference."""
+    return (F.length(col) - F.length(F.regexp_replace(col, pattern, ""))).cast("bigint")
+
+
+def punct_ratio(col: "str | Column") -> Column:
+    c = _c(col)
+    return _count_matches(c, r"[\p{Punct}]") / F.greatest(F.length(c), F.lit(1))
+
+
+def digit_ratio(col: "str | Column") -> Column:
+    c = _c(col)
+    return _count_matches(c, r"[0-9]") / F.greatest(F.length(c), F.lit(1))
+
+
+# Tiny embedded stopword lists — deterministic, offline, good enough for a
+# coarse heuristic language ID + quality scoring signal.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on", "with", "as"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "auf", "zu", "den"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "pas", "avec", "pour", "dans", "des"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "no", "con", "para", "por"),
+    "zh": ("的", "是", "不", "了", "在", "有", "我", "他", "这", "中", "大", "上"),
+}
+
+
+def stopword_ratio(col: "str | Column", lang: str = "en") -> Column:
+    toks = tokens(col)
+    sw = F.array([F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: "str | Column") -> Column:
+    """Composite [0,1] quality heuristic: length band + low punct/digit noise
+    + presence of stopwords. Deterministic, engine-portable arithmetic."""
+    c = _c(col)
+    n = F.length(c).cast("double")
+    length_ok = F.when((n >= 50) & (n <= 20000), F.lit(1.0)).otherwise(
+        F.least(n / F.lit(50.0), F.lit(1.0))
+    )
+    noise = punct_ratio(c) + digit_ratio(c)
+    noise_ok = F.greatest(F.lit(0.0), F.lit(1.0) - noise * 4)
+    sw_ok = F.least(stopword_ratio(c, "en") * 5, F.lit(1.0))
+    return (length_ok * 0.4 + noise_ok * 0.4 + sw_ok * 0.2).cast("double")
+
+
+def language_id(col: "str | Column") -> Column:
+    """Heuristic language ID: per-language stopword hit counts, argmax.
+
+    Ties break by language code order (deterministic).  Expressible in
+    plain SQL for differential testing.
+    """
+    toks = tokens(col)
+    best_lang = F.lit("und")
+    best_hits = F.lit(-1).cast("bigint")
+    # iterate in fixed order; strictly-greater keeps earlier lang on ties
+    for code in sorted(STOPWORDS):
+        sw = F.array([F.lit(w) for w in STOPWORDS[code]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("bigint")
+        is_better = hits > best_hits
+        best_lang = F.when(is_better, F.lit(code)).otherwise(best_lang)
+        best_hits = F.when(is_better, hits).otherwise(best_hits)
+    return F.when(best_hits <= 0, F.lit("und")).otherwise(best_lang)
+
+
+def doc_fingerprint(col: "str | Column") -> Column:
+    """Content fingerprint: portable 60-bit hash of the normalized text.
+
+    Near-dup-insensitive fingerprints come from MinHash/SimHash in
+    ``operators.dedup``; this is the exact-content identity key.
+    """
+    return portable_hash64(F.lower(normalize_whitespace(col)))

@@ -1,0 +1,353 @@
+"""Document deduplication at training-data scale.
+
+Five strategies, all shuffle-architected for 100 TB:
+
+* :func:`dedup_exact` — content-hash groupBy; one shuffle on a 60-bit
+  fingerprint, map-side partial aggregation.
+* :func:`ngram_jaccard_pairs` — EXACT n-gram Jaccard via inverted-index
+  self-join: explode distinct shingles, join on shingle (only documents
+  sharing ≥1 shingle ever meet — the classic prefix-free pruning of the
+  O(n²) pair space), count co-occurrences, Jaccard from per-doc distinct
+  counts.
+* :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — MinHash + LSH
+  banding: candidate generation is a groupBy on (band, band-hash) so the
+  shuffle volume is O(docs × bands), never O(n²); candidates are then
+  verified with exact Jaccard.
+* :func:`simhash_pairs` — 64-bit SimHash with block-permutation
+  candidate generation (Hamming ≤ k via (k+1)-block pigeonhole), then
+  exact ``bit_count(xor)`` verification.
+* :func:`embedding_neardup_pairs` — exact cosine-threshold pairs over an
+  embedding column (see ``operators.similarity`` for the ANN variants).
+
+Every hash is the *portable* md5-based hash from ``functions.hashing``,
+so all five strategies are differential-testable against a SQL oracle —
+including the probabilistic ones, because given identical hash values
+MinHash/SimHash are deterministic.
+
+No Python UDFs anywhere: shingling/hashing/banding are higher-order
+Catalyst expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import minhash_permutations, portable_hash64
+from ..functions.text import doc_fingerprint, word_shingles
+
+__all__ = [
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_signatures",
+    "simhash_pairs",
+    "embedding_neardup_pairs",
+]
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative of each exact (normalized) text.
+
+    Single hash-aggregate shuffle on the fingerprint; the fingerprint is
+    60 bits so group keys stay fixed-width regardless of document size.
+    """
+    return (
+        df.withColumn("__fp", doc_fingerprint(text_col))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("__fp")
+    )
+
+
+def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(id, shingle_hash, n_shingles) — one row per distinct doc-shingle.
+
+    Shingles are hashed to 60-bit ints *before* the explode+shuffle so the
+    join key is 8 bytes, not a k-word string.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"), word_shingles(text_col, k).alias("__sh")
+    ).filter(F.size("__sh") > 0)
+    return sh.select(
+        "__id",
+        F.size("__sh").alias("__n"),
+        F.explode(F.transform("__sh", lambda s: portable_hash64(s))).alias("__h"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT Jaccard-over-k-shingles pairs with similarity ≥ threshold.
+
+    Plan: explode → self-join on shingle hash → count shared → Jaccard.
+    The join is an equi-join on the hash so Spark uses a shuffled hash /
+    sort-merge join partitioned by shingle — documents never meet unless
+    they share a shingle.  Output: (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    e = _exploded_shingles(df, text_col, id_col, k)
+    a = e.select(
+        F.col("__id").alias("id_a"), F.col("__n").alias("na"), F.col("__h").alias("__h")
+    )
+    b = e.select(
+        F.col("__id").alias("id_b"), F.col("__n").alias("nb"), F.col("__h").alias("__h")
+    )
+    shared = (
+        a.join(b, "__h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        shared.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig array<long>[num_hashes]) MinHash signatures.
+
+    The permutation family is applied to each shingle hash inside a
+    single ``transform``; the per-doc min is ``array_min`` — zero
+    shuffles beyond the scan when signatures are computed inline, or one
+    narrow projection per document.
+    """
+    sh = df.select(
+        F.col(id_col), word_shingles(text_col, k).alias("__sh")
+    ).filter(F.size("__sh") > 0)
+    # materialize base hashes ONCE — referencing the transform expression
+    # from each of the num_hashes permutations would re-run md5 per
+    # permutation (32× the scan cost; measured 60s→~8s at sf0.1)
+    hashed = sh.select(
+        F.col(id_col), F.transform("__sh", lambda s: portable_hash64(s)).alias("__h")
+    )
+    base = F.col("__h")
+    sig_cols = [
+        F.array_min(perm_over_array(base, i, num_hashes, seed)).alias(f"__m{i}")
+        for i in range(num_hashes)
+    ]
+    return hashed.select(F.col(id_col), F.array(*[c for c in sig_cols]).alias("sig"))
+
+
+def perm_over_array(base_arr, index: int, num_hashes: int, seed: int):
+    """Apply the index-th universal hash to every element of an array of
+    base hashes (exact decimal arithmetic, then back to bigint)."""
+    from ..functions.hashing import MERSENNE_P, minhash_coefficients
+
+    a, b = minhash_coefficients(num_hashes, seed)[index]
+    return F.transform(
+        base_arr,
+        lambda h: F.pmod(h.cast("decimal(38,0)") * F.lit(a) + F.lit(b), F.lit(MERSENNE_P)).cast(
+            "long"
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs.
+
+    ``num_hashes`` must divide into ``bands`` equal rows-per-band.  Docs
+    whose signature agrees on ALL rows of ≥1 band become candidates
+    (probability 1-(1-s^r)^b); candidates are verified with exact
+    Jaccard ≥ threshold when ``verify``.
+
+    Scale shape: candidates come from a groupBy on (band_index,
+    band_hash) — shuffle O(docs × bands); the O(n²) blow-up can only
+    happen inside a single bucket, which LSH keeps small by design.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes, seed)
+
+    band_rows = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.sha2(
+                            F.concat_ws(
+                                ",", *[F.col("sig")[i * r + j].cast("string") for j in range(r)]
+                            ),
+                            256,
+                        ).alias("bh"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(F.col(id_col), F.col("b.band"), F.col("b.bh"))
+
+    left = band_rows.select(F.col(id_col).alias("id_a"), "band", "bh")
+    right = band_rows.select(F.col(id_col).alias("id_b"), "band", "bh")
+    candidates = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if not verify:
+        return candidates
+    # Verify with exact Jaccard computed over the CANDIDATE SET ONLY —
+    # the point of LSH is to never pay the all-pairs cost. Restricting
+    # the inverted-index join to ids appearing in candidates keeps the
+    # verify stage O(|candidates|), and the result is identical to
+    # candidates ∩ {exact pairs ≥ threshold} (non-candidate pairs are
+    # dropped either way; candidate pairs get their true Jaccard).
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("__cid"))
+        .union(candidates.select(F.col("id_b").alias("__cid")))
+        .distinct()
+    )
+    e = _exploded_shingles(df, text_col, id_col, k).join(
+        F.broadcast(cand_ids), F.col("__id") == F.col("__cid"), "left_semi"
+    )
+    a = e.select(F.col("__id").alias("id_a"), F.col("__n").alias("na"), "__h")
+    b = e.select(F.col("__id").alias("id_b"), F.col("__n").alias("nb"), "__h")
+    shared = (
+        a.join(b, "__h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .join(F.broadcast(candidates), ["id_a", "id_b"], "left_semi")
+    )
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        shared.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 1
+) -> DataFrame:
+    """64-bit SimHash over k-word shingles → (id, simhash bigint).
+
+    Classic bit-vote construction: for each of 64 bits, sum +1/-1 votes
+    over token hashes, bit set iff the vote is positive.  Expressed as a
+    single ``aggregate`` over the shingle array (zero extra shuffles).
+    We use 60 bits (the portable hash width) — plenty for banding.
+    """
+    sh = df.select(
+        F.col(id_col), word_shingles(text_col, k).alias("__sh")
+    ).filter(F.size("__sh") > 0).select(
+        F.col(id_col), F.transform("__sh", lambda s: portable_hash64(s)).alias("__hs")
+    )
+    hashes = F.col("__hs")  # hash once; 60 bit-vote folds reuse the array
+    bit_cols = []
+    for bit in range(60):
+        votes = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+        bit_cols.append(F.when(votes > 0, F.lit(1 << bit).cast("long")).otherwise(F.lit(0)))
+    total = bit_cols[0]
+    for c in bit_cols[1:]:
+        total = total + c
+    return sh.select(F.col(id_col), total.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 1,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with Hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole banding: split 60 bits into (max_hamming+1) blocks; any
+    pair within distance ≤ max_hamming agrees exactly on ≥1 block, so an
+    equi-join per block finds all candidates; verify with
+    ``bit_count(xor)``.  Same O(docs × blocks) shuffle shape as LSH.
+    """
+    blocks = max_hamming + 1
+    width = 60 // blocks
+    sigs = simhash_signatures(df, text_col, id_col, k)
+    block_rows = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bv"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select(F.col(id_col), "simhash", F.col("b.blk"), F.col("b.bv"))
+
+    left = block_rows.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sa"), "blk", "bv")
+    right = block_rows.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sb"), "blk", "bv")
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        left.join(right, ["blk", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact cosine-threshold pairs (id_a < id_b, cosine ≥ threshold).
+
+    Brute-force O(n²) — correct baseline and the verification stage for
+    ANN candidates.  At scale, feed candidates from
+    ``operators.similarity.lsh_ann_candidates`` instead of the cross
+    join.
+    """
+    from ..functions.vectors import cosine_similarity
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    sim = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", sim)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

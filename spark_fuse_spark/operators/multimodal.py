@@ -1,0 +1,125 @@
+"""Multimodal (binary) column plumbing.
+
+Treats image/audio/video payloads as opaque ``binary`` columns with
+typed metadata, processed through Arrow-batched ``mapInPandas`` — the
+Spark-idiomatic shape for Python-side media work: each task receives
+pandas DataFrame batches (zero-copy via Arrow), so per-row Python
+overhead is amortized across the batch.
+
+The actual media codecs are NOT in this container, so the decode step is
+STUBBED: :func:`decode_media` raises ``NotImplementedError`` unless the
+deterministic fake decoder is requested.  Everything around it — schema,
+batch iteration, partitioning, UDF signatures — is real and tested.
+
+At 100 TB: binary payloads dominate row size, so (a) metadata extraction
+selects ONLY the binary column + key (column pruning keeps other columns
+out of the Arrow exchange), and (b) ``spark.sql.files.maxPartitionBytes``
+governs batch memory, not row counts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["attach_binary_payload", "binary_metadata", "decode_media", "fake_decode_frames"]
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text",
+                          payload_col: str = "payload") -> DataFrame:
+    """Materialize a binary column (UTF-8 bytes of ``text_col``) — the
+    stand-in for reading real media bytes; production swaps this for
+    ``spark.read.format('binaryFile')`` or a blob-store reader."""
+    return df.withColumn(payload_col, F.encode(F.col(text_col), "UTF-8"))
+
+
+_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_sha256", StringType()),
+    ]
+)
+
+
+def binary_metadata(df: DataFrame, id_col: str = "doc_id",
+                    payload_col: str = "payload") -> DataFrame:
+    """Per-payload metadata via Arrow-batched ``mapInPandas``.
+
+    Selects only (id, payload) before the exchange so Arrow never ships
+    unused columns.
+    """
+    pruned = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "content_sha256": payloads.map(
+                        lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                    ),
+                }
+            )
+
+    return pruned.mapInPandas(extract, schema=_META_SCHEMA)
+
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_index", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def decode_media(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
+                 codec: str = "image", use_fake: bool = False,
+                 frames_per_doc: int = 4) -> DataFrame:
+    """Decode media payloads into frames (1→N rows via ``mapInPandas``).
+
+    Real codecs (PIL/ffmpeg/librosa) are unavailable in this container →
+    raises ``NotImplementedError`` unless ``use_fake=True``, which runs
+    :func:`fake_decode_frames` — a deterministic splitter that exercises
+    the exact same schema/batch/explode shape a real decoder would.
+    """
+    if not use_fake:
+        raise NotImplementedError(
+            f"media codec {codec!r} not available in this environment; "
+            "pass use_fake=True for the deterministic stub decoder"
+        )
+    pruned = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i, chunk in enumerate(fake_decode_frames(bytes(payload), frames_per_doc)):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(chunk)
+            yield pd.DataFrame({"doc_id": ids, "frame_index": idxs, "frame": frames})
+
+    return pruned.mapInPandas(decode, schema=_FRAME_SCHEMA)
+
+
+def fake_decode_frames(payload: bytes, frames: int) -> list[bytes]:
+    """Deterministic stand-in for frame extraction: equal byte slices."""
+    if not payload:
+        return []
+    step = max(1, len(payload) // frames)
+    return [payload[i : i + step] for i in range(0, min(len(payload), frames * step), step)]

@@ -1,0 +1,296 @@
+"""Similarity search & clustering pipeline.
+
+Covers the reference's similarity package
+(``/root/reference/src/spark_fuse/similarity/`` — embedding generators,
+metric prep, KMeans/AutoKMeans partitioners, representative choice,
+pipeline composition) plus the scale-path extensions a training-data
+pipeline needs: brute-force cosine top-k (exact baseline) and
+IVF/random-hyperplane-LSH approximate variants.
+
+Architecture for 100 TB:
+* Query vectors are always the SMALL side → ``F.broadcast`` them; the
+  big corpus streams through a broadcast-nested-loop with no corpus
+  shuffle at all.
+* IVF: k-means-style coarse centroids (deterministically seeded sample),
+  corpus bucketed once by nearest centroid (one narrow shuffle, reusable
+  across queries), queries probe ``nprobe`` buckets → candidate set is
+  |corpus|/k × nprobe per query instead of |corpus|.
+* Hyperplane LSH: sign-bit bucketing with deterministic pseudo-random
+  planes derived from the portable hash — no RNG state to ship.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity, dot, l2_normalize
+
+__all__ = [
+    "identity_embedding",
+    "hash_embedding",
+    "prepare_cosine",
+    "kmeans_partition",
+    "auto_kmeans_partition",
+    "select_representatives",
+    "SimilarityPipeline",
+    "brute_force_topk",
+    "ivf_assign",
+    "ivf_topk",
+    "hyperplane_lsh_bucket",
+]
+
+
+# ---------------------------------------------------------------- embeddings
+def identity_embedding(df: DataFrame, source_col: str, output_col: str = "embedding",
+                       drop_source: bool = False) -> DataFrame:
+    """Reference ``IdentityEmbeddingGenerator`` (``similarity/embedding.py:97-121``)."""
+    out = df.withColumn(output_col, F.col(source_col).cast("array<float>"))
+    return out.drop(source_col) if drop_source and source_col != output_col else out
+
+
+def hash_embedding(df: DataFrame, text_col: str, output_col: str = "embedding",
+                   dims: int = 16) -> DataFrame:
+    """Deterministic hash-stub embedding (reference ``embedding.py:25-65``):
+    sha256-seeded unit vector per text.  Offline-safe stand-in for model
+    encoders; real encoders plug in as pandas UDFs (see ``ai`` docs) with
+    the same (text → array<float>) contract."""
+    h = F.sha2(F.col(text_col), 256)
+    comps = []
+    for i in range(dims):
+        byte = F.conv(F.substring(h, i * 4 + 1, 4), 16, 10).cast("double")
+        comps.append(byte - 32767.5)  # center the 16-bit chunk
+    vec = F.array(*comps)
+    return df.withColumn(output_col, l2_normalize(vec).cast("array<float>"))
+
+
+def prepare_cosine(df: DataFrame, vec_col: str = "embedding",
+                   output_col: str = "embedding_unit") -> DataFrame:
+    """Reference ``CosineSimilarity.prepare`` (``similarity/metrics.py:78-92``):
+    L2-normalize so Euclidean machinery ≈ cosine.  Array-native (no
+    VectorUDT boxing)."""
+    return df.withColumn(output_col, l2_normalize(vec_col).cast("array<float>"))
+
+
+# ---------------------------------------------------------------- clustering
+def kmeans_partition(df: DataFrame, vec_col: str = "embedding", k: int = 8,
+                     max_iter: int = 20, seed: int = 42,
+                     prediction_col: str = "cluster_id") -> DataFrame:
+    """MLlib KMeans fit+transform (reference ``partitioners.py:52-86``).
+
+    Arrays are converted to MLlib vectors only at the ML boundary.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = df.withColumn("__features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=k, maxIter=max_iter, seed=seed, featuresCol="__features",
+                   predictionCol=prediction_col).fit(feat)
+    return model.transform(feat).drop("__features")
+
+
+def auto_kmeans_partition(df: DataFrame, vec_col: str = "embedding",
+                          target_partition_size: int = 5000, min_k: int = 2,
+                          max_k: int = 64, seed: int = 42,
+                          prediction_col: str = "cluster_id") -> DataFrame:
+    """Reference ``AutoKMeansPartitioner`` (``partitioners.py:89-152``):
+    k = clamp(ceil(count / target_partition_size), min_k, max_k)."""
+    n = df.count()
+    k = max(min_k, min(max_k, math.ceil(n / max(target_partition_size, 1))))
+    return kmeans_partition(df, vec_col, k=k, seed=seed, prediction_col=prediction_col)
+
+
+def select_representatives(df: DataFrame, cluster_col: str = "cluster_id",
+                           strategy: str = "first", order_col: str | None = None) -> DataFrame:
+    """Reference choice functions (``similarity/choices.py:29-70``)."""
+    from .topk import first_per_group, max_by_per_group
+
+    if strategy == "first":
+        if order_col is None:
+            raise ValueError("strategy='first' requires order_col")
+        return first_per_group(df, [cluster_col], [order_col])
+    if strategy == "max":
+        if order_col is None:
+            raise ValueError("strategy='max' requires order_col")
+        return max_by_per_group(df, [cluster_col], order_col)
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+class SimilarityPipeline:
+    """Compose embed → prepare → partition → choose (reference
+    ``similarity/pipeline.py:19-67``), DataFrame-in/DataFrame-out."""
+
+    def __init__(self, embed=None, prepare=prepare_cosine, partition=kmeans_partition,
+                 choose=None):
+        self.embed, self.prepare, self.partition, self.choose = embed, prepare, partition, choose
+
+    def run(self, df: DataFrame) -> DataFrame:
+        out = df
+        if self.embed is not None:
+            out = self.embed(out)
+        if self.prepare is not None:
+            out = self.prepare(out)
+        if self.partition is not None:
+            out = self.partition(out)
+        return out
+
+    def select_representatives(self, df: DataFrame) -> DataFrame:
+        if self.choose is None:
+            raise ValueError("no choice function configured")
+        return self.choose(self.run(df))
+
+
+# ------------------------------------------------------------------- search
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    The query side is broadcast — the corpus is scanned exactly once with
+    NO shuffle of corpus rows; only the (|Q|·k)-sized ranked result
+    shuffles.  Ties broken by neighbor id for cross-engine determinism.
+    """
+    q = F.broadcast(queries.select(F.col(query_id), F.col(query_vec)))
+    sim = cosine_similarity(F.col(corpus_vec), F.col(query_vec))
+    scored = (
+        corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec))
+        .crossJoin(q)
+        .select(
+            F.col(query_id),
+            F.col("neighbor_id"),
+            F.round(sim, 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    list_col: str = "ivf_list",
+) -> DataFrame:
+    """Assign each row to its nearest (cosine) centroid — the IVF bucketing
+    pass.  Centroids are a driver-side list (they are k × dims floats —
+    tiny), inlined as literals so assignment is pure codegen."""
+    unit = l2_normalize(vec_col)
+    best_id = F.lit(centroids[0][0])
+    best_sim = dot(unit, F.array(*[F.lit(float(x)) for x in _unit(centroids[0][1])]))
+    for cid, cvec in centroids[1:]:
+        s = dot(unit, F.array(*[F.lit(float(x)) for x in _unit(cvec)]))
+        better = s > best_sim
+        best_id = F.when(better, F.lit(cid)).otherwise(best_id)
+        best_sim = F.when(better, s).otherwise(best_sim)
+    return corpus.withColumn(list_col, best_id)
+
+
+def _unit(v: list[float]) -> list[float]:
+    n = math.sqrt(sum(x * x for x in v)) or 1.0
+    return [x / n for x in v]
+
+
+def train_ivf_centroids(
+    corpus: DataFrame, k: int, vec_col: str = "embedding", seed: int = 42,
+    sample_rows: int = 10_000,
+) -> list[tuple[int, list[float]]]:
+    """Coarse quantizer training: deterministic sample → MLlib KMeans on
+    the driver-capped sample (sample is tiny; the full corpus is never
+    collected)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    frac_df = corpus.select(F.col(vec_col)).orderBy(F.rand(seed)).limit(sample_rows)
+    feat = frac_df.withColumn("__f", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=k, seed=seed, featuresCol="__f", predictionCol="__p").fit(feat)
+    return [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` nearest centroid lists.
+
+    Corpus is bucketed once (reusable across query batches); each query
+    joins only its probed buckets, cutting scanned rows by ~k/nprobe.
+    """
+    bucketed = ivf_assign(corpus, centroids, corpus_vec, "ivf_list")
+
+    # rank centroid lists per query, keep nprobe
+    q = queries.select(F.col(query_id), F.col(query_vec))
+    probes = None
+    for cid, cvec in centroids:
+        s = dot(l2_normalize(query_vec), F.array(*[F.lit(float(x)) for x in _unit(cvec)]))
+        row = q.select(F.col(query_id), F.col(query_vec), F.lit(cid).alias("ivf_list"),
+                       s.alias("__csim"))
+        probes = row if probes is None else probes.unionByName(row)
+    w = Window.partitionBy(query_id).orderBy(F.col("__csim").desc(), F.col("ivf_list").asc())
+    probed = (
+        probes.withColumn("__pr", F.row_number().over(w))
+        .filter(F.col("__pr") <= nprobe)
+        .select(query_id, query_vec, "ivf_list")
+    )
+
+    sim = cosine_similarity(F.col(corpus_vec), F.col(query_vec))
+    scored = (
+        bucketed.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec), "ivf_list")
+        .join(F.broadcast(probed), "ivf_list")
+        .select(F.col(query_id), F.col("neighbor_id"), F.round(sim, 6).alias("cosine"))
+    )
+    w2 = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_lsh_bucket(
+    df: DataFrame, vec_col: str = "embedding", num_planes: int = 12,
+    bucket_col: str = "lsh_bucket", dims: int | None = None, seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id (sign pattern of ``num_planes``
+    projections).  Planes are deterministic pseudo-random unit vectors
+    derived from an LCG — identical across runs/engines, nothing to
+    broadcast."""
+    if dims is None:
+        dims = len(df.select(vec_col).first()[0])
+    planes = _pseudo_planes(num_planes, dims, seed)
+    unit = l2_normalize(vec_col)
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        proj = dot(unit, F.array(*[F.lit(x) for x in p]))
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return df.withColumn(bucket_col, bucket)
+
+
+def _pseudo_planes(num_planes: int, dims: int, seed: int) -> list[list[float]]:
+    state = seed % 2147483647 or 1
+    planes = []
+    for _ in range(num_planes):
+        comps = []
+        for _ in range(dims):
+            state = (state * 48271) % 2147483647
+            comps.append(state / 2147483647.0 - 0.5)
+        planes.append(_unit(comps))
+    return planes

@@ -1,0 +1,144 @@
+"""Dedup + similarity operator semantics tests: LSH candidate recall vs
+exact baselines, simhash hamming guarantee, ANN recall, multimodal
+plumbing — the self-consistency checks the SQL oracle can't express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_fuse_spark.operators.dedup import (
+    dedup_exact,
+    embedding_neardup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_signatures,
+)
+from spark_fuse_spark.operators.similarity import (
+    brute_force_topk,
+    hyperplane_lsh_bucket,
+    ivf_topk,
+    train_ivf_centroids,
+)
+from spark_fuse_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup
+        (3, base.replace("today", "tomorrow")),  # near dup
+        (4, "completely different text about spark query engines and shuffles"),
+        (5, "another unrelated document mentioning vectors and embeddings only"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact_groups(near_dup_docs):
+    out = {r.doc_id: r.dup_count for r in dedup_exact(near_dup_docs).collect()}
+    assert out[1] == 2  # docs 1+2 collapse, lowest id kept
+    assert 2 not in out
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_jaccard_finds_near_dup(near_dup_docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             ngram_jaccard_pairs(near_dup_docs, k=3, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_small):
+    """Every verified LSH pair must be an exact-jaccard pair; at these
+    parameters (32 hashes / 8 bands, thr 0.5) recall on the testdata is
+    complete — asserted exactly."""
+    docs = load_table(spark, sf_small, "documents")
+    exact = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()}
+    lsh = {(r.id_a, r.id_b) for r in
+           minhash_lsh_pairs(docs, k=3, num_hashes=32, bands=8, threshold=0.5).collect()}
+    assert lsh <= exact
+    assert lsh == exact  # full recall at s>=0.5 with b=8,r=4 on this corpus
+
+
+def test_simhash_identical_texts_distance_zero(near_dup_docs):
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(near_dup_docs, k=1).collect()}
+    assert sigs[1] == sigs[2]
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             simhash_pairs(near_dup_docs, k=1, max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+def test_embedding_neardup_symmetric_clusters(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r.id_a, r.id_b) for r in
+             embedding_neardup_pairs(df, threshold=0.95).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_ann_bruteforce_self_is_top1(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = brute_force_topk(emb, queries, k=3).collect()
+    rank1 = {r.query_id: r.neighbor_id for r in top if r.rank == 1}
+    assert rank1 == {i: i for i in range(5)}  # self-match always wins
+
+
+def test_ivf_recall(spark, sf_small):
+    """IVF invariants: probing ALL lists equals brute force exactly;
+    partial probe trades recall for scan volume but stays useful."""
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, queries, k=5).collect()}
+    centroids = train_ivf_centroids(emb, k=8, seed=42)
+    full_probe = {(r.query_id, r.neighbor_id)
+                  for r in ivf_topk(emb, queries, centroids, k=5, nprobe=8).collect()}
+    assert full_probe == exact  # nprobe = #lists → identical to full scan
+    partial = {(r.query_id, r.neighbor_id)
+               for r in ivf_topk(emb, queries, centroids, k=5, nprobe=4).collect()}
+    recall = len(exact & partial) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.2f}"
+
+
+def test_lsh_bucket_deterministic(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    a = {r.vec_id: r.lsh_bucket for r in
+         hyperplane_lsh_bucket(emb, "embedding", 8, dims=64, seed=7).collect()}
+    b = {r.vec_id: r.lsh_bucket for r in
+         hyperplane_lsh_bucket(emb, "embedding", 8, dims=64, seed=7).collect()}
+    assert a == b
+    assert all(0 <= v < 256 for v in a.values())
+
+
+def test_multimodal_plumbing(spark):
+    from spark_fuse_spark.operators.multimodal import (
+        attach_binary_payload,
+        binary_metadata,
+        decode_media,
+    )
+
+    docs = spark.createDataFrame([(1, "abcdefgh"), (2, "xy")], "doc_id long, text string")
+    with_payload = attach_binary_payload(docs)
+    meta = {r.doc_id: r for r in binary_metadata(with_payload).collect()}
+    assert meta[1].n_bytes == 8 and meta[2].n_bytes == 2
+    import hashlib
+
+    assert meta[1].content_sha256 == hashlib.sha256(b"abcdefgh").hexdigest()
+
+    with pytest.raises(NotImplementedError):
+        decode_media(with_payload).collect()
+    frames = decode_media(with_payload, use_fake=True, frames_per_doc=4).collect()
+    doc1 = sorted((r.frame_index, bytes(r.frame)) for r in frames if r.doc_id == 1)
+    assert b"".join(f for _, f in doc1) == b"abcdefgh"
