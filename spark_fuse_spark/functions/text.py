@@ -39,6 +39,20 @@ def _c(col: "str | Column") -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _bind(col: Column, fn) -> Column:
+    """Let-binding for expression trees: evaluate ``col`` ONCE per row and
+    pass the bound value to ``fn``.
+
+    Implemented as ``transform`` over a one-element array — the lambda
+    variable is a cheap variable read, so an expensive subtree (e.g.
+    ``split(regexp_replace(...))``) isn't re-evaluated at every reference
+    inside ``fn``.  Without this, an expression like shingling that
+    references the token array once per offset re-runs the tokenizer per
+    shingle — quadratic per document (measured 20s → <2s on 5k docs).
+    """
+    return F.get(F.transform(F.array(col), fn), 0)
+
+
 def normalize_whitespace(col: "str | Column") -> Column:
     """Collapse runs of whitespace to single spaces and trim."""
     return F.trim(F.regexp_replace(_c(col), r"\s+", " "))
@@ -62,22 +76,23 @@ def char_ngrams(col: "str | Column", n: int = 5) -> Column:
     Pure-SQL construction: substring at every offset via ``sequence`` +
     ``transform`` — stays JVM-side.
     """
-    s = F.lower(normalize_whitespace(col))
-    length = F.length(s)
-    offsets = F.sequence(F.lit(1), F.greatest(length - F.lit(n - 1), F.lit(0)))
-    grams = F.transform(offsets, lambda i: s.substr(i, F.lit(n)))
-    return F.array_distinct(grams)
+    def grams(s: Column) -> Column:
+        offsets = F.sequence(F.lit(1), F.greatest(F.length(s) - F.lit(n - 1), F.lit(0)))
+        return F.array_distinct(F.transform(offsets, lambda i: s.substr(i, F.lit(n))))
+
+    return _bind(F.lower(normalize_whitespace(col)), grams)
 
 
 def word_shingles(col: "str | Column", k: int = 3) -> Column:
     """Distinct k-word shingles (array<string>), the MinHash unit."""
-    toks = tokens(col)
-    n_tok = F.size(toks)
-    offsets = F.sequence(F.lit(0), F.greatest(n_tok - F.lit(k), F.lit(-1)))
-    gram = F.transform(
-        offsets, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
-    )
-    return F.when(n_tok < k, F.array().cast("array<string>")).otherwise(F.array_distinct(gram))
+    def shingle(toks: Column) -> Column:
+        offsets = F.sequence(F.lit(0), F.greatest(F.size(toks) - F.lit(k), F.lit(-1)))
+        gram = F.transform(offsets, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+        return F.when(F.size(toks) < k, F.array().cast("array<string>")).otherwise(
+            F.array_distinct(gram)
+        )
+
+    return _bind(tokens(col), shingle)
 
 
 def _count_matches(col: Column, pattern: str) -> Column:
@@ -107,10 +122,13 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 
 
 def stopword_ratio(col: "str | Column", lang: str = "en") -> Column:
-    toks = tokens(col)
     sw = F.array([F.lit(w) for w in STOPWORDS[lang]])
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    return hits / F.greatest(F.size(toks), F.lit(1))
+
+    def ratio(toks: Column) -> Column:
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        return hits / F.greatest(F.size(toks), F.lit(1))
+
+    return _bind(tokens(col), ratio)
 
 
 def quality_score(col: "str | Column") -> Column:
@@ -133,17 +151,19 @@ def language_id(col: "str | Column") -> Column:
     Ties break by language code order (deterministic).  Expressible in
     plain SQL for differential testing.
     """
-    toks = tokens(col)
-    best_lang = F.lit("und")
-    best_hits = F.lit(-1).cast("bigint")
-    # iterate in fixed order; strictly-greater keeps earlier lang on ties
-    for code in sorted(STOPWORDS):
-        sw = F.array([F.lit(w) for w in STOPWORDS[code]])
-        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("bigint")
-        is_better = hits > best_hits
-        best_lang = F.when(is_better, F.lit(code)).otherwise(best_lang)
-        best_hits = F.when(is_better, hits).otherwise(best_hits)
-    return F.when(best_hits <= 0, F.lit("und")).otherwise(best_lang)
+    def argmax(toks: Column) -> Column:
+        best_lang = F.lit("und")
+        best_hits = F.lit(-1).cast("bigint")
+        # iterate in fixed order; strictly-greater keeps earlier lang on ties
+        for code in sorted(STOPWORDS):
+            sw = F.array([F.lit(w) for w in STOPWORDS[code]])
+            hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("bigint")
+            is_better = hits > best_hits
+            best_lang = F.when(is_better, F.lit(code)).otherwise(best_lang)
+            best_hits = F.when(is_better, hits).otherwise(best_hits)
+        return F.when(best_hits <= 0, F.lit("und")).otherwise(best_lang)
+
+    return _bind(tokens(col), argmax)
 
 
 def doc_fingerprint(col: "str | Column") -> Column:
