@@ -1,0 +1,36 @@
+"""Change tracking (SCD Type 1 / Type 2) write protocols.
+
+Re-expresses the reference's Delta-backed change tracking
+(``/root/reference/src/spark_fuse/utils/change_tracking.py``) Spark-first:
+
+* the hash recipe, null-safe key matching, dedup-keep-latest, and
+  intra-batch sequencing semantics are preserved exactly;
+* storage goes through a small :class:`~spark_fuse_spark.cdc.store.TableStore`
+  seam — Delta ``MERGE`` when delta-spark is importable, otherwise a
+  parquet staged-swap rewrite (correct, atomic-per-table; on a real
+  cluster you run the Delta backend and the merge becomes a file-pruned
+  ``MERGE INTO``);
+* the fluent accessor is explicit (``change_tracking_writer(df)``), not
+  monkey-patched onto DataFrame at import time (reference
+  ``change_tracking.py:165-191`` patches classes as an import side effect).
+"""
+
+from spark_fuse_spark.cdc.scd import (
+    ChangeTrackingMode,
+    apply_change_tracking,
+    change_tracking_writer,
+    current_only_upsert,
+    track_history_upsert,
+)
+from spark_fuse_spark.cdc.store import ParquetStore, TableStore, get_store
+
+__all__ = [
+    "ChangeTrackingMode",
+    "apply_change_tracking",
+    "change_tracking_writer",
+    "current_only_upsert",
+    "track_history_upsert",
+    "TableStore",
+    "ParquetStore",
+    "get_store",
+]

@@ -43,6 +43,11 @@ def default_sf_dir() -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS); without this conf any session that
+        # didn't come from create_session() fails the scan outright
+        # (PARQUET_TYPE_ILLEGAL).  Runtime-settable, so set it here too.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = _normalize_event_timestamps(df)

@@ -1,0 +1,166 @@
+"""Change-tracking protocol tests (reference scenarios:
+``/root/reference/tests/utils/test_change_tracking.py:23-273`` — bootstrap,
+update-vs-unchanged, SCD2 version history, intra-batch sequencing, null-key
+policies, dispatcher aliases)."""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_fuse_spark.cdc import (
+    apply_change_tracking,
+    change_tracking_writer,
+    current_only_upsert,
+    track_history_upsert,
+)
+from spark_fuse_spark.cdc.scd import ChangeTrackingMode, resolve_mode
+
+TS1 = "to_timestamp('2024-01-01 00:00:00')"
+TS2 = "to_timestamp('2024-02-01 00:00:00')"
+TS3 = "to_timestamp('2024-03-01 00:00:00')"
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(data, ["id", "name", "city"])
+
+
+def _read(spark, path):
+    return {r["id"]: r.asDict() for r in spark.read.parquet(path).collect()}
+
+
+# ---------------------------------------------------------------- SCD1
+
+
+def test_scd1_bootstrap_update_insert_unchanged(spark, tmp_path):
+    target = str(tmp_path / "t1")
+    batch1 = _rows(spark, [(1, "ann", "berlin"), (2, "bob", "paris")])
+    current_only_upsert(spark, batch1, target, ["id"], load_ts_expr=TS1)
+    out = _read(spark, target)
+    assert len(out) == 2 and out[1]["city"] == "berlin"
+    ts_bob_1 = out[2]["load_ts"]
+
+    # batch2: ann moves, bob unchanged, carol new
+    batch2 = _rows(spark, [(1, "ann", "madrid"), (2, "bob", "paris"), (3, "carol", "rome")])
+    current_only_upsert(spark, batch2, target, ["id"], load_ts_expr=TS2)
+    out = _read(spark, target)
+    assert len(out) == 3
+    assert out[1]["city"] == "madrid"
+    assert str(out[1]["load_ts"]).startswith("2024-02-01")
+    # unchanged row keeps its original load_ts (hash-gated update)
+    assert out[2]["load_ts"] == ts_bob_1
+    assert out[3]["city"] == "rome"
+
+
+def test_scd1_dedup_keep_latest(spark, tmp_path):
+    target = str(tmp_path / "t2")
+    df = spark.createDataFrame(
+        [(1, "ann", "berlin", 10), (1, "ann", "madrid", 20)],
+        ["id", "name", "city", "seq"],
+    )
+    current_only_upsert(spark, df, target, ["id"], order_by="seq", load_ts_expr=TS1)
+    out = _read(spark, target)
+    assert len(out) == 1 and out[1]["city"] == "madrid"
+
+
+def test_scd1_null_key_policies(spark, tmp_path):
+    df = _rows(spark, [(None, "x", "y"), (1, "ann", "berlin")])
+    with pytest.raises(ValueError, match="null business key"):
+        current_only_upsert(spark, df, str(tmp_path / "t3"), ["id"], load_ts_expr=TS1)
+    target = str(tmp_path / "t4")
+    current_only_upsert(
+        spark, df, target, ["id"], null_key_policy="drop", load_ts_expr=TS1
+    )
+    assert len(_read(spark, target)) == 1
+
+
+# ---------------------------------------------------------------- SCD2
+
+
+def test_scd2_versions_and_close(spark, tmp_path):
+    target = str(tmp_path / "h1")
+    track_history_upsert(
+        spark, _rows(spark, [(1, "ann", "berlin")]), target, ["id"], load_ts_expr=TS1
+    )
+    track_history_upsert(
+        spark, _rows(spark, [(1, "ann", "madrid")]), target, ["id"], load_ts_expr=TS2
+    )
+    # unchanged re-send: no new version
+    track_history_upsert(
+        spark, _rows(spark, [(1, "ann", "madrid")]), target, ["id"], load_ts_expr=TS3
+    )
+    rows = sorted(
+        (r.asDict() for r in spark.read.parquet(target).collect()),
+        key=lambda r: r["version"],
+    )
+    assert [r["version"] for r in rows] == [1, 2]
+    v1, v2 = rows
+    assert v1["city"] == "berlin" and v1["is_current"] is False
+    assert str(v1["effective_end_ts"]).startswith("2024-02-01")
+    assert v2["city"] == "madrid" and v2["is_current"] is True
+    assert v2["effective_end_ts"] is None
+
+
+def test_scd2_intra_batch_sequencing(spark, tmp_path):
+    """Two versions of one key in a single batch → both preserved in order
+    (reference ``tests/utils/test_change_tracking.py:133-159``)."""
+    target = str(tmp_path / "h2")
+    df = spark.createDataFrame(
+        [(1, "ann", "berlin", 10), (1, "ann", "madrid", 20), (2, "bob", "paris", 5)],
+        ["id", "name", "city", "seq"],
+    )
+    track_history_upsert(spark, df, target, ["id"], order_by="seq", load_ts_expr=TS1)
+    rows = spark.read.parquet(target).collect()
+    ann = sorted((r.asDict() for r in rows if r["id"] == 1), key=lambda r: r["version"])
+    assert [(r["city"], r["version"], r["is_current"]) for r in ann] == [
+        ("berlin", 1, False),
+        ("madrid", 2, True),
+    ]
+    bob = [r.asDict() for r in rows if r["id"] == 2]
+    assert len(bob) == 1 and bob[0]["is_current"] is True
+
+
+def test_scd2_new_key_does_not_close_others(spark, tmp_path):
+    target = str(tmp_path / "h3")
+    track_history_upsert(
+        spark, _rows(spark, [(1, "ann", "berlin")]), target, ["id"], load_ts_expr=TS1
+    )
+    track_history_upsert(
+        spark, _rows(spark, [(2, "bob", "paris")]), target, ["id"], load_ts_expr=TS2
+    )
+    rows = {r["id"]: r.asDict() for r in spark.read.parquet(target).collect()}
+    assert rows[1]["is_current"] is True and rows[2]["is_current"] is True
+
+
+# ------------------------------------------------------- dispatch / builder
+
+
+def test_mode_aliases():
+    for alias in ("1", "current", "scd1", "type1", 1):
+        assert resolve_mode(alias) is ChangeTrackingMode.CURRENT_ONLY
+    for alias in ("2", "history", "scd2", "type2", 2):
+        assert resolve_mode(alias) is ChangeTrackingMode.TRACK_HISTORY
+    with pytest.raises(ValueError):
+        resolve_mode("nope")
+
+
+def test_writer_builder(spark, tmp_path):
+    target = str(tmp_path / "b1")
+    df = _rows(spark, [(1, "ann", "berlin")])
+    change_tracking_writer(df).options(
+        {"change_tracking_mode": "scd2", "business_keys": "id", "load_ts_expr": TS1}
+    ).table(target)
+    out = spark.read.parquet(target).collect()
+    assert len(out) == 1 and out[0]["version"] == 1
+
+
+def test_dispatcher(spark, tmp_path):
+    target = str(tmp_path / "d1")
+    apply_change_tracking(
+        spark,
+        _rows(spark, [(1, "ann", "berlin")]),
+        target,
+        ["id"],
+        mode="current",
+        load_ts_expr=TS1,
+    )
+    assert len(_read(spark, target)) == 1
