@@ -1,0 +1,419 @@
+"""Qdrant vector-store read/write data source (PySpark Python Data Source API).
+
+Capability parity with the reference connector
+(``/root/reference/src/spark_fuse/io/qdrant/reader.py:219-325`` scroll
+read, ``writer.py:388-509`` batched upsert write, ``writer.py:162-199``
+collection auto-create, ``writer.py:26-72`` vector normalization):
+
+* read: scroll-API pagination (``POST /collections/{c}/points/scroll``
+  with ``next_page_offset`` cursor), ``with_payload``/``with_vectors``
+  projection, server-side ``filter`` JSON, ``limit``/``page_size``/
+  ``max_pages``, ``api-key`` header auth;
+* write: batched point upserts (``PUT /collections/{c}/points``) with a
+  legacy flat-batch fallback, optional collection auto-create with the
+  vector schema derived from the first record, id/vector/payload column
+  mapping, strict numeric vector coercion (incl. MLlib DenseVector and
+  numpy arrays).
+
+Scale fixes over the reference (SURVEY.md §4.3):
+
+* the reference reads in ONE partition (``reader.py:317-318``) and
+  re-scrolls the entire collection for schema inference.  Here schema
+  inference samples a single capped page, and reads can be sharded
+  across executors via ``partition_filters`` — a list of Qdrant filter
+  objects (e.g. payload-field ranges or ``group_id`` matches), one scroll
+  per partition, each merged with the base filter.  Cursor pagination is
+  inherently serial per shard, so user-declared shards are the honest
+  parallelism contract at 100 TB.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterator, Mapping, Sequence
+
+from pyspark.sql import SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import Row, StructType, _infer_schema, _merge_type
+
+from .http import HttpClient, validate_http_url
+
+__all__ = [
+    "QdrantDataSource",
+    "register",
+    "build_qdrant_read_config",
+    "build_qdrant_write_config",
+    "FORMAT_NAME",
+    "CONFIG_OPTION",
+]
+
+FORMAT_NAME = "fuse-qdrant"
+CONFIG_OPTION = "fuse.qdrant.config"
+SCHEMA_OPTION = "fuse.qdrant.schema"
+_REGISTERED: set[str] = set()
+
+
+def register(spark: SparkSession) -> None:
+    app_id = spark.sparkContext.applicationId
+    if app_id not in _REGISTERED:
+        spark.dataSource.register(QdrantDataSource)
+        _REGISTERED.add(app_id)
+
+
+# ----------------------------------------------------------------- config
+
+
+def build_qdrant_read_config(
+    endpoint: str,
+    collection: str,
+    *,
+    api_key: "str | None" = None,
+    headers: "Mapping[str, str] | None" = None,
+    with_payload: Any = True,
+    with_vectors: Any = False,
+    filter: "Mapping[str, Any] | None" = None,  # noqa: A002 - Qdrant's own name
+    partition_filters: "Sequence[Mapping[str, Any]] | None" = None,
+    limit: "int | None" = None,
+    page_size: int = 128,
+    max_pages: "int | None" = None,
+    timeout: float = 30.0,
+    max_retries: int = 3,
+    backoff_factor: float = 0.5,
+    infer_schema: bool = True,
+    infer_sample_records: int = 100,
+) -> str:
+    """Validate + serialize a scroll-read config for the ``fuse-qdrant`` format."""
+    validate_http_url(endpoint)
+    if not collection.strip():
+        raise ValueError("collection must be non-empty")
+    if page_size <= 0:
+        raise ValueError("page_size must be positive")
+    if limit is not None and limit <= 0:
+        raise ValueError("limit must be positive when provided")
+    if max_pages is not None and max_pages <= 0:
+        raise ValueError("max_pages must be positive when provided")
+    cfg = {
+        "mode": "read",
+        "endpoint": endpoint.rstrip("/"),
+        "collection": collection.strip(),
+        "api_key": api_key,
+        "headers": dict(headers or {}),
+        "with_payload": with_payload,
+        "with_vectors": with_vectors,
+        "filter": filter,
+        "partition_filters": [dict(f) for f in partition_filters] if partition_filters else None,
+        "limit": limit,
+        "page_size": min(page_size, limit) if limit else page_size,
+        "max_pages": max_pages,
+        "timeout": timeout,
+        "max_retries": max_retries,
+        "backoff_factor": backoff_factor,
+        "infer_schema": infer_schema,
+        "infer_sample_records": infer_sample_records,
+    }
+    return json.dumps(cfg)
+
+
+def build_qdrant_write_config(
+    endpoint: str,
+    collection: str,
+    *,
+    api_key: "str | None" = None,
+    headers: "Mapping[str, str] | None" = None,
+    id_column: str = "id",
+    vector_column: str = "vector",
+    payload_columns: "Sequence[str] | None" = None,
+    batch_size: int = 128,
+    create_collection: bool = False,
+    distance: str = "Cosine",
+    wait: bool = True,
+    timeout: float = 30.0,
+    max_retries: int = 3,
+    backoff_factor: float = 0.5,
+) -> str:
+    """Validate + serialize an upsert-write config for the ``fuse-qdrant`` format."""
+    validate_http_url(endpoint)
+    if not collection.strip():
+        raise ValueError("collection must be non-empty")
+    if batch_size <= 0:
+        raise ValueError("batch_size must be positive")
+    cfg = {
+        "mode": "write",
+        "endpoint": endpoint.rstrip("/"),
+        "collection": collection.strip(),
+        "api_key": api_key,
+        "headers": dict(headers or {}),
+        "id_column": id_column,
+        "vector_column": vector_column,
+        "payload_columns": list(payload_columns) if payload_columns is not None else None,
+        "batch_size": batch_size,
+        "create_collection": create_collection,
+        "distance": distance,
+        "wait": wait,
+        "timeout": timeout,
+        "max_retries": max_retries,
+        "backoff_factor": backoff_factor,
+    }
+    return json.dumps(cfg)
+
+
+def _client(cfg: Mapping[str, Any]) -> HttpClient:
+    headers = dict(cfg.get("headers") or {})
+    if cfg.get("api_key"):
+        headers.setdefault("api-key", str(cfg["api_key"]))
+    return HttpClient(
+        timeout=cfg.get("timeout", 30.0),
+        max_retries=cfg.get("max_retries", 3),
+        backoff_factor=cfg.get("backoff_factor", 0.5),
+        headers=headers,
+    )
+
+
+# ----------------------------------------------------------------- read
+
+
+def _merged_filter(base: "Mapping | None", shard: "Mapping | None") -> "dict | None":
+    if base and shard:
+        return {"must": [dict(base), dict(shard)]}
+    chosen = base or shard
+    return dict(chosen) if chosen else None
+
+
+def _scroll_points(
+    cfg: Mapping[str, Any],
+    shard_filter: "Mapping[str, Any] | None",
+    record_cap: "int | None" = None,
+) -> Iterator[dict]:
+    """Yield normalized point dicts: id, vector?, payload-dict flattened in."""
+    client = _client(cfg)
+    url = f"{cfg['endpoint']}/collections/{cfg['collection']}/points/scroll"
+    scroll_filter = _merged_filter(cfg.get("filter"), shard_filter)
+    include_vectors = bool(cfg.get("with_vectors"))
+    include_payload = cfg.get("with_payload") is not False
+
+    remaining = cfg.get("limit")
+    if record_cap is not None:
+        remaining = min(remaining, record_cap) if remaining else record_cap
+    offset, pages = None, 0
+    while True:
+        body: dict[str, Any] = {
+            "limit": min(cfg["page_size"], remaining) if remaining else cfg["page_size"],
+            "with_payload": cfg.get("with_payload", True),
+            "with_vectors": cfg.get("with_vectors", False),
+        }
+        if scroll_filter is not None:
+            body["filter"] = scroll_filter
+        if offset is not None:
+            body["offset"] = offset
+        resp = client.request_json(url, method="POST", json_body=body)
+        if resp is None:
+            raise RuntimeError(f"Qdrant scroll failed after retries: {url}")
+        if str(resp.get("status", "ok")).lower() != "ok":
+            raise RuntimeError(f"Qdrant returned non-ok status: {resp.get('status')}")
+        result = resp.get("result") or {}
+        for point in result.get("points") or []:
+            yield _normalize_point(point, include_payload, include_vectors)
+            if remaining is not None:
+                remaining -= 1
+                if remaining <= 0:
+                    return
+        offset = result.get("next_page_offset")
+        pages += 1
+        if offset is None or (cfg.get("max_pages") and pages >= cfg["max_pages"]):
+            return
+
+
+def _normalize_point(point: Any, include_payload: bool, include_vectors: bool) -> dict:
+    if not isinstance(point, Mapping):
+        return {"value": point}
+    row: dict[str, Any] = {}
+    for key, value in point.items():
+        if key == "payload" and not include_payload:
+            continue
+        if key == "vector" and not include_vectors:
+            continue
+        row[str(key)] = value
+    return row
+
+
+class _QdrantPartition(InputPartition):
+    def __init__(self, shard_json: "str | None"):
+        self.shard_json = shard_json
+
+
+class _QdrantReader(DataSourceReader):
+    def __init__(self, cfg: dict, schema: StructType):
+        self.cfg = cfg
+        self.schema = schema
+
+    def partitions(self) -> list[InputPartition]:
+        shards = self.cfg.get("partition_filters")
+        if shards:
+            return [_QdrantPartition(json.dumps(s)) for s in shards]
+        return [_QdrantPartition(None)]
+
+    def read(self, partition: _QdrantPartition) -> Iterator[tuple]:
+        shard = json.loads(partition.shard_json) if partition.shard_json else None
+        names = self.schema.fieldNames()
+        for record in _scroll_points(self.cfg, shard):
+            yield tuple(record.get(n) for n in names)
+
+
+# ----------------------------------------------------------------- write
+
+
+def _coerce_vector(value: Any) -> Any:
+    """Strict numeric coercion: floats list, named-vector map, MLlib/numpy.
+
+    Mirrors reference semantics (``writer.py:26-72``) — Decimal/str become
+    float, unknown types raise.
+    """
+    if value is None:
+        return None
+    if hasattr(value, "toArray"):  # pyspark.ml.linalg.{Dense,Sparse}Vector
+        value = value.toArray()
+    if hasattr(value, "tolist"):  # numpy
+        value = value.tolist()
+    if isinstance(value, Mapping):
+        return {str(k): _coerce_vector(v) for k, v in value.items()}
+    if isinstance(value, (list, tuple)):
+        return [float(v) for v in value]
+    raise TypeError(f"cannot coerce vector value of type {type(value).__name__}")
+
+
+def _row_to_point(row: Mapping[str, Any], cfg: Mapping[str, Any]) -> dict:
+    id_col, vec_col = cfg["id_column"], cfg["vector_column"]
+    payload_cols = cfg.get("payload_columns")
+    if payload_cols is None:
+        payload = {k: v for k, v in row.items() if k not in (id_col, vec_col)}
+    else:
+        payload = {k: row[k] for k in payload_cols if k in row}
+    point = {"id": row.get(id_col), "vector": _coerce_vector(row.get(vec_col))}
+    if payload:
+        point["payload"] = payload
+    return point
+
+
+class _QdrantCommit(WriterCommitMessage):
+    pass
+
+
+class _QdrantWriter(DataSourceWriter):
+    """Per-partition batched upserts; global commit/abort are no-ops
+    (reference ``writer.py:505-509`` — Qdrant upserts are idempotent by
+    point id, so task retries converge)."""
+
+    def __init__(self, cfg: dict):
+        self.cfg = cfg
+
+    def write(self, iterator: Iterator[Row]) -> WriterCommitMessage:
+        cfg = self.cfg
+        client = _client(cfg)
+        url = f"{cfg['endpoint']}/collections/{cfg['collection']}/points"
+        if cfg.get("wait", True):
+            url += "?wait=true"
+        batch: list[dict] = []
+        ensured = not cfg.get("create_collection", False)
+        for row in iterator:
+            point = _row_to_point(row.asDict(recursive=True), cfg)
+            batch.append(point)
+            if not ensured:
+                self._ensure_collection(client, point)
+                ensured = True
+            if len(batch) >= cfg["batch_size"]:
+                self._flush(client, url, batch)
+                batch = []
+        if batch:
+            self._flush(client, url, batch)
+        return _QdrantCommit()
+
+    def _ensure_collection(self, client: HttpClient, sample: Mapping[str, Any]) -> None:
+        cfg = self.cfg
+        url = f"{cfg['endpoint']}/collections/{cfg['collection']}"
+        if client.request_json(url, method="GET") is not None:
+            return
+        vector = sample.get("vector")
+        if isinstance(vector, Mapping):  # named vectors
+            vectors = {
+                name: {"size": len(v), "distance": cfg["distance"]}
+                for name, v in vector.items()
+            }
+        else:
+            vectors = {"size": len(vector or []), "distance": cfg["distance"]}
+        if client.request_json(url, method="PUT", json_body={"vectors": vectors}) is None:
+            raise RuntimeError(f"failed to create Qdrant collection {cfg['collection']!r}")
+
+    def _flush(self, client: HttpClient, url: str, batch: list[dict]) -> None:
+        # modern points-list payload first; legacy flat-batch as fallback
+        # (reference negotiates points/batch/flat-batch × PUT/POST,
+        # writer.py:388-467 — two formats cover current + legacy servers)
+        resp = client.request_json(url, method="PUT", json_body={"points": batch})
+        if resp is not None:
+            return
+        flat = {
+            "ids": [p.get("id") for p in batch],
+            "vectors": [p.get("vector") for p in batch],
+        }
+        if any("payload" in p for p in batch):
+            flat["payloads"] = [p.get("payload") for p in batch]
+        resp = client.request_json(url, method="POST", json_body=flat)
+        if resp is None:
+            raise RuntimeError(f"Qdrant upsert failed after retries for {len(batch)} points")
+
+    def commit(self, messages) -> None:
+        return None
+
+    def abort(self, messages) -> None:
+        return None
+
+
+# ----------------------------------------------------------------- source
+
+
+class QdrantDataSource(DataSource):
+    """``spark.read/write.format("fuse-qdrant")`` with one JSON config option."""
+
+    def __init__(self, options: dict):
+        super().__init__(options)
+        raw = options.get(CONFIG_OPTION) or options.get(CONFIG_OPTION.lower())
+        if not raw:
+            raise ValueError(f"missing required option {CONFIG_OPTION!r}")
+        self.cfg = json.loads(raw)
+        schema_json = options.get(SCHEMA_OPTION) or options.get(SCHEMA_OPTION.lower())
+        self.user_schema = (
+            StructType.fromJson(json.loads(schema_json)) if schema_json else None
+        )
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> StructType:
+        if self.user_schema is not None:
+            return self.user_schema
+        if not self.cfg.get("infer_schema", True):
+            raise ValueError(
+                f"infer_schema is disabled: supply {SCHEMA_OPTION!r} (StructType JSON)"
+            )
+        cap = int(self.cfg.get("infer_sample_records", 100))
+        merged = None
+        for i, record in enumerate(_scroll_points(self.cfg, None, record_cap=cap)):
+            inferred = _infer_schema(record, infer_dict_as_struct=True)
+            merged = inferred if merged is None else _merge_type(merged, inferred)
+            if i + 1 >= cap:
+                break
+        if merged is None:
+            raise ValueError("no points sampled for schema; supply an explicit schema")
+        return merged
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _QdrantReader(self.cfg, schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return _QdrantWriter(self.cfg)
