@@ -1,0 +1,40 @@
+"""Structured Streaming operators over the ``events`` stream.
+
+The reference has no streaming surface (SURVEY.md §2.9 — verified: no
+``readStream``/``writeStream`` anywhere under ``/root/reference/src``);
+this module is the net-new coverage SURVEY.md §7 milestone 6 calls for,
+built entirely on Spark's native streaming engine:
+
+* watermarked tumbling/sliding window aggregates (``F.window``),
+* session windows (``F.session_window``),
+* late-data dedup (``dropDuplicatesWithinWatermark``),
+* ``foreachBatch`` sink into the SCD change-tracking protocols,
+* a custom stateful operator (``applyInPandasWithState``) for
+  gap-based sessionization with event-time timeouts.
+
+Every transformation takes/returns DataFrames and works identically on a
+batch frame (for differential testing — the ``e_*`` catalog queries are
+the batch twins) and a streaming frame.
+"""
+
+from spark_fuse_spark.streaming.ops import (
+    EVENT_SCHEMA,
+    dedup_within_watermark,
+    read_event_stream,
+    session_event_rollup,
+    sessionize_with_state,
+    sliding_event_counts,
+    stream_to_scd,
+    tumbling_event_counts,
+)
+
+__all__ = [
+    "EVENT_SCHEMA",
+    "read_event_stream",
+    "tumbling_event_counts",
+    "sliding_event_counts",
+    "session_event_rollup",
+    "dedup_within_watermark",
+    "stream_to_scd",
+    "sessionize_with_state",
+]

@@ -1,0 +1,282 @@
+"""Streaming transformations (batch/stream polymorphic where possible).
+
+Scale notes (100 TB / real cluster):
+
+* every aggregate here is keyed → state lives in the state store,
+  partitioned by grouping key; watermarks bound state size, so each
+  operator REQUIRES a watermark before a streaming aggregation (Spark
+  enforces this in append mode).
+* ``foreachBatch`` into the SCD protocols gives effectively-once
+  semantics: the row-hash gate makes re-applied micro-batches no-ops,
+  so replays after failure converge (same property Delta MERGE gives
+  the reference's batch path).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+__all__ = [
+    "EVENT_SCHEMA",
+    "read_event_stream",
+    "tumbling_event_counts",
+    "sliding_event_counts",
+    "session_event_rollup",
+    "dedup_within_watermark",
+    "stream_to_scd",
+    "sessionize_with_state",
+]
+
+# events.parquet schema with ts at micros precision (see tables.py for the
+# NANOS normalization on the batch path; a streaming file source needs the
+# schema declared up front).
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    directory: str,
+    schema: StructType = EVENT_SCHEMA,
+    max_files_per_trigger: "int | None" = None,
+) -> DataFrame:
+    """File-based event stream: new parquet files in ``directory`` become
+    micro-batches.  On a real deployment the same pipeline reads Kafka —
+    only this function changes."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(directory)
+
+
+def tumbling_event_counts(
+    df: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    keys: Sequence[str] = ("event_type",),
+) -> DataFrame:
+    """Watermarked tumbling-window counts + value sum per key."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), *keys)
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_event_counts(
+    df: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    keys: Sequence[str] = ("event_type",),
+) -> DataFrame:
+    """Watermarked sliding-window counts (overlapping windows)."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("win"), *keys)
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *keys,
+            "n_events",
+        )
+    )
+
+
+def session_event_rollup(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key: str = "user_id",
+) -> DataFrame:
+    """Per-user session windows (dynamic gap-close) with activity rollup."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("sess"), key)
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            key,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    keys: Sequence[str] = ("event_id",),
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Drop duplicate events arriving within the watermark horizon —
+    bounded-state streaming dedup (state expires with the watermark;
+    plain ``dropDuplicates`` on a stream would grow state forever)."""
+    deduped = df.withWatermark(ts_col, watermark)
+    if hasattr(deduped, "dropDuplicatesWithinWatermark"):
+        return deduped.dropDuplicatesWithinWatermark(list(keys))
+    return deduped.dropDuplicates(list(keys))
+
+
+def stream_to_scd(
+    stream: DataFrame,
+    target: str,
+    business_keys: Sequence[str],
+    mode: str = "scd1",
+    checkpoint: "str | None" = None,
+    **scd_kwargs,
+):
+    """``foreachBatch`` sink applying each micro-batch through the SCD
+    protocols (cdc module).  Hash-gated updates make replayed batches
+    idempotent, so failure/retry converges to the same table."""
+    from spark_fuse_spark.cdc import apply_change_tracking
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_change_tracking(
+            batch_df.sparkSession, batch_df, target, business_keys, mode=mode, **scd_kwargs
+        )
+
+    writer = stream.writeStream.foreachBatch(apply_batch).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("session_start", TimestampType()),
+        StructField("last_ts", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+
+def sessionize_with_state(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState``.
+
+    Unlike ``session_window`` this emits a row the moment a session
+    CLOSES (gap observed in-batch, or event-time timeout once the
+    watermark passes ``last_ts + gap``), carries running aggregates in
+    state, and demonstrates the arbitrary-stateful-operator pattern the
+    built-in windows can't express (e.g. per-session custom logic).
+
+    State per key: (session_start, last_ts, n_events, sum_value) — O(1)
+    per active user, expired by event-time timeout, so state is bounded
+    by the number of concurrently-active users.
+    """
+    gap = pd.Timedelta(seconds=gap_seconds)
+
+    def update(
+        key: Tuple[int], batch_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [start],
+                    "session_end": [last],
+                    "n_events": [n],
+                    "sum_value": [total],
+                }
+            )
+            return
+
+        events = pd.concat(list(batch_iter), ignore_index=True).sort_values("ts")
+        if state.exists:
+            start, last, n, total = state.get
+        else:
+            start = last = None
+            n, total = 0, 0.0
+
+        closed: list[tuple] = []
+        for ts, value in zip(events["ts"], events["value"]):
+            if last is not None and (ts - last) > gap:
+                closed.append((user_id, start, last, n, total))
+                start, n, total = ts, 0, 0.0
+            if start is None:
+                start = ts
+            last = ts
+            n += 1
+            total += float(value or 0.0)
+
+        state.update((start, last, n, total))
+        # event-time timeout: fire once the watermark passes last_ts + gap
+        state.setTimeoutTimestamp(int(last.timestamp() * 1000) + gap_seconds * 1000)
+        if closed:
+            frame = pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end", "n_events", "sum_value"],
+            )
+            yield frame
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1,0 +1,134 @@
+"""Structured Streaming tests: file-source micro-batches, availableNow
+trigger, memory sink; batch-vs-stream parity for windowed aggregates."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_fuse_spark import streaming as st
+from spark_fuse_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    """events at sf0.001 rewritten as micros-precision parquet (the raw
+    files are TIMESTAMP(NANOS) which a schema-declared stream can't read)."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, "/root/testdata/sf0.001", "events").coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def _run_stream(df, name: str, output_mode: str):
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    return query
+
+
+def test_tumbling_counts_stream_equals_batch(spark, event_dir):
+    stream = st.read_event_stream(spark, event_dir)
+    q = _run_stream(st.tumbling_event_counts(stream), "t_tumbling", "complete")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from t_tumbling").collect()
+    }
+    batch = st.tumbling_event_counts(spark.read.parquet(event_dir))
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in batch.collect()
+    }
+    assert got == want and len(want) > 0
+    q.stop()
+
+
+def test_session_rollup_stream_equals_batch(spark, event_dir):
+    stream = st.read_event_stream(spark, event_dir)
+    q = _run_stream(st.session_event_rollup(stream, gap="30 minutes"), "t_sess", "complete")
+    got = sorted(
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.sql("select * from t_sess").collect()
+    )
+    want = sorted(
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in st.session_event_rollup(spark.read.parquet(event_dir), gap="30 minutes").collect()
+    )
+    assert got == want and len(want) > 0
+    q.stop()
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    src = str(tmp_path / "dup_events")
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, base, 7, "click", 1.0, None),
+        (1, base + dt.timedelta(seconds=5), 7, "click", 1.0, None),  # dup id
+        (2, base + dt.timedelta(minutes=1), 7, "view", 2.0, None),
+    ]
+    spark.createDataFrame(rows, st.EVENT_SCHEMA).coalesce(1).write.parquet(src)
+    q = _run_stream(
+        st.dedup_within_watermark(st.read_event_stream(spark, src)), "t_dedup", "append"
+    )
+    ids = sorted(r["event_id"] for r in spark.sql("select * from t_dedup").collect())
+    assert ids == [1, 2]
+    q.stop()
+
+
+def test_stream_to_scd_sink(spark, tmp_path):
+    src = str(tmp_path / "scd_events")
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, base, 7, "signup", 1.0, None),
+        (2, base + dt.timedelta(minutes=1), 8, "signup", 2.0, None),
+    ]
+    spark.createDataFrame(rows, st.EVENT_SCHEMA).coalesce(1).write.parquet(src)
+    target = str(tmp_path / "scd_target")
+    writer = st.stream_to_scd(
+        st.read_event_stream(spark, src),
+        target,
+        ["event_id"],
+        mode="scd1",
+        checkpoint=str(tmp_path / "ckpt"),
+        load_ts_expr="to_timestamp('2024-01-01 00:00:00')",
+    )
+    query = writer.trigger(availableNow=True).start()
+    query.awaitTermination(120)
+    out = {r["event_id"]: r["event_type"] for r in spark.read.parquet(target).collect()}
+    assert out == {1: "signup", 2: "signup"}
+    query.stop()
+
+
+def test_sessionize_with_state_gap_close(spark, tmp_path):
+    """An in-batch gap larger than gap_seconds closes and emits the first
+    session; the trailing open session stays in state (timeout-driven
+    emission needs later micro-batches to advance the watermark)."""
+    src = str(tmp_path / "state_events")
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, base, 7, "click", 1.0, None),
+        (2, base + dt.timedelta(seconds=10), 7, "click", 2.0, None),
+        # > 30 min gap → session closes in-batch
+        (3, base + dt.timedelta(hours=1), 7, "click", 4.0, None),
+        (4, base + dt.timedelta(minutes=5), 9, "view", 8.0, None),
+    ]
+    spark.createDataFrame(rows, st.EVENT_SCHEMA).coalesce(1).write.parquet(src)
+    q = _run_stream(
+        st.sessionize_with_state(st.read_event_stream(spark, src), gap_seconds=1800),
+        "t_state",
+        "append",
+    )
+    out = [r.asDict() for r in spark.sql("select * from t_state").collect()]
+    assert any(
+        r["user_id"] == 7 and r["n_events"] == 2 and r["sum_value"] == pytest.approx(3.0)
+        for r in out
+    ), out
+    q.stop()
