@@ -1,0 +1,129 @@
+"""AI-layer and change-tracking queries for the driver's differential gate.
+
+* ``a_map_column_closed_set`` — the distinct-first LLM mapping pipeline
+  exercised through its deterministic offline path.  ``documents.source``
+  values map onto a closed label set; the normalized-exact stage is pure
+  SQL, and the fuzzy stub is token-overlap (single-token values → overlap
+  is 0 or 1), so the whole mapping is oracle-expressible.
+* ``a_hash_embeddings`` — pandas-UDF embedding column over documents
+  (sha256-derived vectors; byte→float math is not SQL-portable → rows-only).
+* ``c_scd1_two_batch`` — two-batch SCD Type-1 upsert into a scratch
+  parquet target: batch 2 mutates a subset, the hash gate must update
+  ONLY those rows (unchanged rows keep batch-1 load_ts).  Fully
+  reproducible in SQL with CASE expressions.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from . import register
+
+_TS = "yyyy-MM-dd HH:mm:ss"
+
+_MAP_TARGETS = ["crawl", "wiki", "news", "books"]
+
+
+@register(
+    "a_map_column_closed_set",
+    oracle="""
+SELECT source,
+       CASE trim(regexp_replace(lower(source), '[^a-z0-9]+', ' ', 'g'))
+            WHEN 'crawl' THEN 'crawl'
+            WHEN 'wiki'  THEN 'wiki'
+            WHEN 'news'  THEN 'news'
+            WHEN 'books' THEN 'books'
+            ELSE NULL END AS source_mapped,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY 1, 2
+ORDER BY 1
+""",
+    doc="distinct-first closed-set mapping of documents.source (exact "
+    "stage resolves known labels, unknowns → null), aggregated per label. "
+    "Provider calls scale with DISTINCT cardinality (5 here), never row "
+    "count — the 100 TB contract of ai/mapping.py.",
+)
+def a_map_column(spark: SparkSession, sf: str) -> DataFrame:
+    from ..ai import map_column_with_llm
+
+    docs = load_table(spark, sf, "documents")
+    mapped = map_column_with_llm(docs, "source", _MAP_TARGETS)
+    return (
+        mapped.groupBy("source", "source_mapped")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("source")
+    )
+
+
+@register(
+    "a_hash_embeddings",
+    oracle=None,  # sha256-byte → float vector math isn't SQL-portable
+    doc="Arrow-batched pandas-UDF embeddings over documents.text "
+    "(deterministic hash provider); returns per-lang count + mean first "
+    "component. Rows-only driver check; value determinism is asserted in "
+    "tests/test_ai.py.",
+)
+def a_hash_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    from ..ai import with_embeddings
+
+    docs = load_table(spark, sf, "documents")
+    emb = with_embeddings(docs, "text")
+    return (
+        emb.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg(F.element_at("embedding", 1)), 6).alias("avg_dim0"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "c_scd1_two_batch",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_custkey % 10 = 0 THEN 'PROMO' ELSE c_mktsegment END AS segment,
+       strftime(CASE WHEN c_custkey % 10 = 0
+                     THEN TIMESTAMP '2024-02-01 00:00:00'
+                     ELSE TIMESTAMP '2024-01-01 00:00:00' END,
+                '%Y-%m-%d %H:%M:%S') AS load_ts_s
+FROM customer
+ORDER BY c_custkey
+""",
+    doc="SCD Type-1 across two batches on a scratch parquet target: "
+    "batch 2 flips segment to PROMO for custkey % 10 = 0; the sha2 hash "
+    "gate updates only those rows, so everyone else keeps the batch-1 "
+    "load_ts. cdc/scd.py current_only_upsert end-to-end.",
+)
+def c_scd1_two_batch(spark: SparkSession, sf: str) -> DataFrame:
+    from ..cdc import current_only_upsert
+
+    customer = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    batch1 = customer.withColumnRenamed("c_mktsegment", "segment")
+    batch2 = batch1.withColumn(
+        "segment",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("PROMO")).otherwise(F.col("segment")),
+    )
+    target = tempfile.mkdtemp(prefix="scd1_q_") + "/t"
+    current_only_upsert(
+        spark, batch1, target, ["c_custkey"],
+        load_ts_expr="to_timestamp('2024-01-01 00:00:00')",
+    )
+    current_only_upsert(
+        spark, batch2, target, ["c_custkey"],
+        load_ts_expr="to_timestamp('2024-02-01 00:00:00')",
+    )
+    return (
+        spark.read.parquet(target)
+        .select(
+            "c_custkey",
+            "segment",
+            F.date_format("load_ts", _TS).alias("load_ts_s"),
+        )
+        .orderBy("c_custkey")
+    )
