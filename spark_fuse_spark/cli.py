@@ -1,0 +1,125 @@
+"""Command-line interface (reference parity:
+``/root/reference/src/spark_fuse/tools/cli.py:49-113`` — list data
+sources, read-and-show through a connector).  Built on argparse (this
+container ships no typer/rich) and extended with catalog commands:
+
+* ``datasources`` — list the registered Python Data Source formats;
+* ``read --format rest|sparql|qdrant --config '<json>' [--show N]``;
+* ``queries`` — list the analytic query catalog;
+* ``run --query NAME [--sf DIR]`` — execute a catalog query and show it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+__all__ = ["main", "build_parser"]
+
+_DATA_SOURCES = {
+    "rest": "paginated JSON REST API reader (fuse-rest)",
+    "sparql": "SPARQL endpoint reader (fuse-sparql)",
+    "qdrant": "Qdrant vector-store reader/writer (fuse-qdrant)",
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="spark-fuse-spark", description="PySpark analytics engine CLI"
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    sub.add_parser("datasources", help="list available data source formats")
+
+    read = sub.add_parser("read", help="read through a connector and show rows")
+    read.add_argument("--format", required=True, choices=sorted(_DATA_SOURCES))
+    read.add_argument("--config", required=True, help="connector config JSON (string or @file)")
+    read.add_argument("--show", type=int, default=10)
+
+    sub.add_parser("queries", help="list the analytic query catalog")
+
+    run = sub.add_parser("run", help="run a catalog query")
+    run.add_argument("--query", required=True)
+    run.add_argument("--sf", default=None, help="scale-factor directory (default $SPARK_GRAFT_SF_DIR)")
+    run.add_argument("--show", type=int, default=20)
+    run.add_argument("--explain", action="store_true", help="print the formatted physical plan")
+    return parser
+
+
+def _config_blob(value: str) -> str:
+    if value.startswith("@"):
+        with open(value[1:], encoding="utf-8") as fh:
+            value = fh.read()
+    json.loads(value)  # validate early, fail with a parse error not a Spark error
+    return value
+
+
+def _cmd_datasources() -> int:
+    width = max(len(n) for n in _DATA_SOURCES)
+    for name, desc in sorted(_DATA_SOURCES.items()):
+        print(f"{name:<{width}}  {desc}")
+    return 0
+
+
+def _cmd_read(args: argparse.Namespace) -> int:
+    from spark_fuse_spark.session import create_session
+    from spark_fuse_spark.sources import qdrant, rest, sparql
+
+    modules = {"rest": rest, "sparql": sparql, "qdrant": qdrant}
+    mod = modules[args.format]
+    spark = create_session(app_name=f"cli-read-{args.format}")
+    mod.register(spark)
+    df = (
+        spark.read.format(mod.FORMAT_NAME)
+        .option(mod.CONFIG_OPTION, _config_blob(args.config))
+        .load()
+    )
+    df.show(args.show, truncate=False)
+    return 0
+
+
+def _cmd_queries() -> int:
+    from spark_fuse_spark.catalog import load_all
+
+    registry = load_all()
+    width = max(len(n) for n in registry)
+    for name, spec in sorted(registry.items()):
+        oracle = "oracle" if spec.oracle else "rows-only"
+        doc = " ".join((spec.doc or "").split())[:80]
+        print(f"{name:<{width}}  [{oracle}]  {doc}")
+    return 0
+
+
+def _cmd_run(args: argparse.Namespace) -> int:
+    from spark_fuse_spark.catalog import load_all
+    from spark_fuse_spark.session import create_session
+    from spark_fuse_spark.tables import default_sf_dir
+
+    registry = load_all()
+    if args.query not in registry:
+        print(f"unknown query {args.query!r}; `queries` lists the catalog", file=sys.stderr)
+        return 2
+    spark = create_session(app_name=f"cli-run-{args.query}")
+    df = registry[args.query].spark(spark, args.sf or default_sf_dir())
+    if args.explain:
+        df.explain("formatted")
+    df.show(args.show, truncate=False)
+    return 0
+
+
+def main(argv: "list[str] | None" = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.command == "datasources":
+        return _cmd_datasources()
+    if args.command == "read":
+        return _cmd_read(args)
+    if args.command == "queries":
+        return _cmd_queries()
+    if args.command == "run":
+        return _cmd_run(args)
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

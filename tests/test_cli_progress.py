@@ -1,0 +1,68 @@
+"""CLI + progress-module tests."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from spark_fuse_spark.cli import build_parser, main
+from spark_fuse_spark.progress import (
+    ConsoleEventSink,
+    LogEventRecord,
+    ProgressTracker,
+    TableEventSink,
+)
+
+
+def test_cli_datasources(capsys):
+    assert main(["datasources"]) == 0
+    out = capsys.readouterr().out
+    assert "rest" in out and "sparql" in out and "qdrant" in out
+
+
+def test_cli_queries_lists_catalog(capsys):
+    assert main(["queries"]) == 0
+    out = capsys.readouterr().out
+    assert "q01_pricing_summary" in out and "a_map_column_closed_set" in out
+    assert "[oracle]" in out and "[rows-only]" in out
+
+
+def test_cli_read_requires_valid_json():
+    with pytest.raises(json.JSONDecodeError):
+        main(["read", "--format", "rest", "--config", "not json"])
+
+
+def test_cli_unknown_query_exit_code(capsys):
+    parser = build_parser()
+    args = parser.parse_args(["run", "--query", "nope"])
+    assert args.query == "nope"
+    assert main(["run", "--query", "nope"]) == 2
+
+
+def test_record_validation():
+    with pytest.raises(ValueError):
+        LogEventRecord(event="").validate()
+    with pytest.raises(ValueError):
+        LogEventRecord(event="x", status="bogus").validate()
+    assert LogEventRecord(event="x").validate().status == "info"
+
+
+def test_console_sink_and_tracker(capsys):
+    with ProgressTracker(ConsoleEventSink(stream=None)) as tracker:
+        tracker.log("load", status="start", rows=10)
+    err = capsys.readouterr().err
+    payload = json.loads(err.strip().splitlines()[-1])
+    assert payload["event"] == "load" and payload["metrics"] == {"rows": 10}
+
+
+def test_table_sink_flush(spark, tmp_path):
+    target = str(tmp_path / "events_log")
+    sink = TableEventSink(spark, target, flush_every=2)
+    tracker = ProgressTracker(sink)
+    tracker.log("a")
+    tracker.log("b")  # triggers flush
+    tracker.log("c")
+    tracker.close()  # flushes the remainder
+    rows = spark.read.parquet(target).collect()
+    assert sorted(r["event"] for r in rows) == ["a", "b", "c"]
