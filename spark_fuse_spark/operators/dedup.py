@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.hashing import minhash_permutations, portable_hash64  # noqa: F401
 from ..functions.text import doc_fingerprint, word_shingles
@@ -173,8 +174,21 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes, seed)
+    # the exploded shingles feed the signature aggregate AND both sides of
+    # the verify self-join; without a persist Spark recomputes the
+    # tokenize+md5 subtree once per consumer (measured 4× at sf0.1)
+    e = _exploded_shingles(df, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    perms = minhash_permutations(F.col("__h"), num_hashes, seed)
+    sigs = (
+        e.withColumnRenamed("__id", id_col)
+        .groupBy(id_col)
+        .agg(*[F.min(p).alias(f"__m{i}") for i, p in enumerate(perms)])
+    )
 
+    # bucket key = the band's raw min-tuple.  Hashing the tuple (the
+    # oracle uses sha256) only relabels buckets — equality of the tuple
+    # IS equality of the hash — so the Spark side skips the array
+    # assembly + sha2 chain entirely.
     band_rows = sigs.select(
         F.col(id_col),
         F.explode(
@@ -182,29 +196,43 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.sha2(
-                            F.concat_ws(
-                                ",", *[F.col("sig")[i * r + j].cast("string") for j in range(r)]
-                            ),
-                            256,
-                        ).alias("bh"),
+                        *[F.col(f"__m{i * r + j}").alias(f"v{j}") for j in range(r)],
                     )
                     for i in range(bands)
                 ]
             )
         ).alias("b"),
-    ).select(F.col(id_col), F.col("b.band"), F.col("b.bh"))
+    ).select(F.col(id_col), "b.*")
 
-    left = band_rows.select(F.col(id_col).alias("id_a"), "band", "bh")
-    right = band_rows.select(F.col(id_col).alias("id_b"), "band", "bh")
+    # pair generation by bucket groupBy, not a self-join: the signature
+    # subtree is evaluated ONCE, and the quadratic step is confined to
+    # within-bucket id lists (small by LSH design)
+    ids = F.array_sort(F.collect_list(F.col(id_col)))
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("__ids"),
+                lambda x: F.transform(
+                    F.col("__ids"),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        ),
+        lambda s: s.id_a < s.id_b,
+    )
     candidates = (
-        left.join(right, ["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        band_rows.groupBy("band", *[f"v{j}" for j in range(r)])
+        .agg(ids.alias("__ids"))
+        .filter(F.size("__ids") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
     if not verify:
-        return candidates
+        out = candidates.localCheckpoint(eager=True)
+        e.unpersist()
+        return out
+    candidates = candidates.persist(StorageLevel.MEMORY_AND_DISK)
     # Verify with exact Jaccard computed over the CANDIDATE SET ONLY —
     # the point of LSH is to never pay the all-pairs cost. Restricting
     # the inverted-index join to ids appearing in candidates keeps the
@@ -216,11 +244,9 @@ def minhash_lsh_pairs(
         .union(candidates.select(F.col("id_b").alias("__cid")))
         .distinct()
     )
-    e = _exploded_shingles(df, text_col, id_col, k).join(
-        F.broadcast(cand_ids), F.col("__id") == F.col("__cid"), "left_semi"
-    )
-    a = e.select(F.col("__id").alias("id_a"), F.col("__n").alias("na"), "__h")
-    b = e.select(F.col("__id").alias("id_b"), F.col("__n").alias("nb"), "__h")
+    ce = e.join(F.broadcast(cand_ids), F.col("__id") == F.col("__cid"), "left_semi")
+    a = ce.select(F.col("__id").alias("id_a"), F.col("__n").alias("na"), "__h")
+    b = ce.select(F.col("__id").alias("id_b"), F.col("__n").alias("nb"), "__h")
     shared = (
         a.join(b, "__h")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -229,11 +255,17 @@ def minhash_lsh_pairs(
         .join(F.broadcast(candidates), ["id_a", "id_b"], "left_semi")
     )
     jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
-    return (
+    result = (
         shared.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    # materialize (lineage-truncated) so the persisted inputs can be
+    # released eagerly instead of leaking for the session lifetime
+    out = result.localCheckpoint(eager=True)
+    e.unpersist()
+    candidates.unpersist()
+    return out
 
 
 def simhash_signatures(
