@@ -47,6 +47,6 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every catalog module (idempotent) and return the registry."""
-    from . import ai_cdc, relational, text_dedup, vectors_events  # noqa: F401
+    from . import ai_cdc, relational, text_dedup, tpch_extra, vectors_events  # noqa: F401
 
     return REGISTRY
