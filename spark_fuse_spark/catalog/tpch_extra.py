@@ -283,6 +283,47 @@ def q18(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "x_salted_agg",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       CAST(COUNT(l_extendedprice) AS BIGINT) AS n_items,
+       ROUND(MIN(l_extendedprice), 2) AS min_price,
+       ROUND(MAX(l_extendedprice), 2) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    doc="skew-mitigation rewrite: two-phase salted aggregation over "
+    "(l_returnflag, salt) then l_returnflag — the hot-key groupBy shape "
+    "AQE cannot split. The oracle is the PLAIN aggregate, asserting the "
+    "rewrite is result-identical (operators/skew.py).",
+)
+def x_salted(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.skew import salted_agg
+
+    l = load_table(spark, sf, "lineitem")
+    out = salted_agg(
+        l,
+        ["l_returnflag"],
+        {
+            "sum_price": ("l_extendedprice", "sum"),
+            "n_items": ("l_extendedprice", "count"),
+            "min_price": ("l_extendedprice", "min"),
+            "max_price": ("l_extendedprice", "max"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_price", 2).alias("sum_price"),
+        F.col("n_items").cast("long").alias("n_items"),
+        F.round("min_price", 2).alias("min_price"),
+        F.round("max_price", 2).alias("max_price"),
+    ).orderBy("l_returnflag")
+
+
+@register(
     "q22_idle_customers",
     oracle="""
 SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,

@@ -1,0 +1,102 @@
+"""Skew mitigation: salted aggregation and salted broadcast-replicate join.
+
+AQE's skew-join splitting (on in ``session.py``) handles most skew at
+shuffle-join time, but two shapes still need manual salting at 100 TB:
+
+* a ``groupBy`` where one key holds a double-digit percentage of all rows
+  (AQE cannot split a hash-aggregate bucket) → :func:`salted_agg`:
+  two-phase aggregation over ``(keys, salt)`` then ``keys``.  Exact for
+  the algebraic aggregates exposed here (sum/count/min/max — the partial
+  results compose associatively).
+* a join whose build side is small enough to replicate but whose probe
+  side has hot keys hashed to one task → :func:`salted_join`: the probe
+  side gets a deterministic per-row salt, the build side is exploded
+  ``n_salts`` times, and the join key becomes ``(key, salt)`` so a hot
+  key spreads over ``n_salts`` tasks.
+
+Both rewrites are *plan-level only*: results are identical to the naive
+form, which is exactly what the differential oracle asserts
+(``catalog x_salted_agg`` runs the salted plan against the plain SQL).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["salted_agg", "salted_join"]
+
+_SALT = "__salt"
+
+_PARTIAL = {
+    "sum": F.sum,
+    "count": F.count,
+    "min": F.min,
+    "max": F.max,
+}
+# how to merge per-salt partials into the final value
+_FINAL = {
+    "sum": F.sum,
+    "count": F.sum,  # counts add
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Mapping[str, tuple[str, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation: ``groupBy(keys + salt)`` partials, then
+    ``groupBy(keys)`` finals.
+
+    ``aggs`` maps output alias → (column, fn) with fn in
+    sum/count/min/max.  The salt is a deterministic hash of the full row
+    id via ``spark_partition_id``+``monotonically_increasing_id`` — evenly
+    spread, stable within a task, and never shuffled before phase 1, so
+    phase 1 is map-side local to the scan.
+    """
+    for alias, (_, fn) in aggs.items():
+        if fn not in _PARTIAL:
+            raise ValueError(f"{alias}: unsupported aggregate {fn!r} (exact salting "
+                             "needs an algebraic fn: sum/count/min/max)")
+    salted = df.withColumn(
+        _SALT, F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    )
+    partial = salted.groupBy(*keys, _SALT).agg(
+        *[_PARTIAL[fn](col).alias(alias) for alias, (col, fn) in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[_FINAL[fn](alias).alias(alias) for alias, (_, fn) in aggs.items()]
+    )
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Join with the build side replicated across ``n_salts`` salt values.
+
+    Use when the build side is broadcastable-small but the probe side has
+    keys hot enough that even a broadcast join's downstream aggregation
+    skews — or when the build side is slightly over the broadcast
+    threshold and a shuffled join would hot-spot.  Only probe-preserving
+    joins are allowed (inner/left): under replication a build-preserving
+    join would duplicate unmatched build rows per salt.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (probe-preserving) joins")
+    salted_probe = probe.withColumn(
+        _SALT, F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    )
+    replicated = build.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn(_SALT, F.col(_SALT).cast("long"))
+    return salted_probe.join(replicated, [*on, _SALT], how).drop(_SALT)
