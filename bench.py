@@ -27,6 +27,9 @@ HEADLINE = [
     "q01_pricing_summary",
     "q03_top_revenue_orders",
     "q05_region_revenue",
+    "q07_nation_volume",
+    "q13_custdist",
+    "q18_large_orders",
     "q_window_running_total",
     "q_topk_per_group",
     "d_dedup_exact",
@@ -34,6 +37,9 @@ HEADLINE = [
     "v_ann_bruteforce",
     "e_session_window",
     "e_tumbling_window",
+    "a_map_column_closed_set",
+    "c_scd1_two_batch",
+    "x_salted_agg",
 ]
 
 
