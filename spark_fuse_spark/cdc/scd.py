@@ -192,6 +192,9 @@ def current_only_upsert(
         store.overwrite(src, target)
         return
 
+    if _delta_merge_scd1(spark, src, target, business_keys, store):
+        return
+
     tgt = store.read(spark, target)
     s, t = src.alias("s"), tgt.alias("t")
     cond = _nullsafe_cond(s, t, business_keys)
@@ -206,6 +209,39 @@ def current_only_upsert(
     # allowMissingColumns gives append-style schema evolution (reference
     # mergeSchema on append, change_tracking.py:237-245)
     store.overwrite(survivors.unionByName(upserts, allowMissingColumns=True), target)
+
+
+def _delta_merge_scd1(
+    spark: SparkSession,
+    src: DataFrame,
+    target: str,
+    business_keys: Sequence[str],
+    store: TableStore,
+) -> bool:
+    """Delta fast path: hash-gated ``MERGE INTO`` (reference
+    ``change_tracking.py:463,483-496``) — rewrites only files containing
+    matched keys instead of the whole table.  Returns False when the
+    store isn't Delta, so the generic rewrite runs instead."""
+    from spark_fuse_spark.cdc.store import DeltaStore
+
+    if not isinstance(store, DeltaStore):
+        return False
+    from delta.tables import DeltaTable
+
+    dt = (
+        DeltaTable.forPath(spark, target)
+        if DeltaStore._is_path(target)
+        else DeltaTable.forName(spark, target)
+    )
+    cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in business_keys)
+    (
+        dt.alias("t")
+        .merge(src.alias("s"), cond)
+        .whenMatchedUpdateAll(condition=f"NOT (t.`{HASH_COL}` <=> s.`{HASH_COL}`)")
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    return True
 
 
 # --------------------------------------------------------------------------
@@ -282,6 +318,9 @@ def _apply_scd2_batch(
         store.overwrite(_stamp_insert(batch, F.lit(1)).select(out_cols), target)
         return
 
+    if _delta_scd2_batch(spark, batch, target, business_keys, store, load_ts, out_cols):
+        return
+
     tgt = store.read(spark, target)
     b = batch.alias("b")
     c = (
@@ -324,6 +363,63 @@ def _apply_scd2_batch(
         .unionByName(inserts.select(tgt.columns))
     )
     store.overwrite(result, target)
+
+
+def _delta_scd2_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    target: str,
+    business_keys: Sequence[str],
+    store: TableStore,
+    load_ts: Column,
+    out_cols: list[str],
+) -> bool:
+    """Delta fast path for one SCD2 mini-batch (reference flow,
+    ``change_tracking.py:318-366``): (1) MERGE closes changed current
+    rows (file-pruned); (2) left-join-isNull against the re-read current
+    set finds new/changed rows; (3) grouped-max version join; (4) append.
+    Returns False on non-Delta stores."""
+    from spark_fuse_spark.cdc.store import DeltaStore
+
+    if not isinstance(store, DeltaStore):
+        return False
+    from delta.tables import DeltaTable
+
+    dt = (
+        DeltaTable.forPath(spark, target)
+        if DeltaStore._is_path(target)
+        else DeltaTable.forName(spark, target)
+    )
+    keys_cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in business_keys)
+    (
+        dt.alias("t")
+        .merge(batch.alias("s"), f"({keys_cond}) AND t.`{CURRENT_COL}` = true")
+        .whenMatchedUpdate(
+            condition=f"NOT (t.`{HASH_COL}` <=> s.`{HASH_COL}`)",
+            set={END_COL: f"s.`{LOAD_TS_COL}`", CURRENT_COL: "false"},
+        )
+        .execute()
+    )
+    tgt = store.read(spark, target)
+    b = batch.alias("b")
+    cur_keys = (
+        tgt.where(F.col(CURRENT_COL))
+        .select(*business_keys, F.lit(True).alias("__cur"))
+        .alias("c")
+    )
+    to_insert = (
+        b.join(cur_keys, _nullsafe_cond(b, cur_keys, business_keys), "left")
+        .where(F.col("__cur").isNull())
+        .select([b[x] for x in batch.columns])
+    )
+    max_ver = tgt.groupBy(*business_keys).agg(F.max(VERSION_COL).alias("__max_ver"))
+    i, m = to_insert.alias("i"), max_ver.alias("m")
+    versioned = i.join(m, _nullsafe_cond(i, m, business_keys), "left").select(
+        [i[x] for x in batch.columns]
+        + [(F.coalesce(F.col("__max_ver"), F.lit(0)) + F.lit(1)).alias(VERSION_COL)]
+    )
+    store.append(_stamp_insert(versioned, F.col(VERSION_COL)).select(out_cols), target)
+    return True
 
 
 # --------------------------------------------------------------------------

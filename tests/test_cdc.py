@@ -153,6 +153,43 @@ def test_writer_builder(spark, tmp_path):
     assert len(out) == 1 and out[0]["version"] == 1
 
 
+def test_delta_merge_fast_path(spark, tmp_path):
+    """Runs only where delta-spark is installed (reference gates the same
+    way, ``tests/utils/test_change_tracking.py:9``); exercises the MERGE
+    fast paths instead of the parquet staged-swap rewrite."""
+    pytest.importorskip("delta")
+    from spark_fuse_spark.cdc.store import DeltaStore
+
+    store = DeltaStore()
+    target = str(tmp_path / "delta_t1")
+    current_only_upsert(
+        spark, _rows(spark, [(1, "ann", "berlin")]), target, ["id"],
+        load_ts_expr=TS1, store=store,
+    )
+    current_only_upsert(
+        spark, _rows(spark, [(1, "ann", "madrid"), (2, "bob", "rome")]), target, ["id"],
+        load_ts_expr=TS2, store=store,
+    )
+    out = {r["id"]: r.asDict() for r in store.read(spark, target).collect()}
+    assert out[1]["city"] == "madrid" and out[2]["city"] == "rome"
+
+    h_target = str(tmp_path / "delta_h1")
+    track_history_upsert(
+        spark, _rows(spark, [(1, "ann", "berlin")]), h_target, ["id"],
+        load_ts_expr=TS1, store=store,
+    )
+    track_history_upsert(
+        spark, _rows(spark, [(1, "ann", "madrid")]), h_target, ["id"],
+        load_ts_expr=TS2, store=store,
+    )
+    rows = sorted(
+        (r.asDict() for r in store.read(spark, h_target).collect()),
+        key=lambda r: r["version"],
+    )
+    assert [r["is_current"] for r in rows] == [False, True]
+    assert rows[1]["city"] == "madrid" and rows[1]["version"] == 2
+
+
 def test_dispatcher(spark, tmp_path):
     target = str(tmp_path / "d1")
     apply_change_tracking(
