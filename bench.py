@@ -54,8 +54,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()
 
-    # warmup: JVM + codegen + parquet footer caches
+    # warmup: JVM + codegen + parquet footer caches, plus one trivial
+    # Arrow exchange so Python-worker pool spin-up isn't billed to the
+    # first pandas-UDF query
     registry["q01_pricing_summary"].spark(spark, sf_dir).collect()
+    spark.range(2).mapInPandas(lambda it: it, "id long").collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
