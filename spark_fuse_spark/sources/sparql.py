@@ -287,7 +287,9 @@ class SparqlDataSource(DataSource):
         query = self.cfg["queries"][0]
         limit = int(self.cfg.get("infer_sample_limit", 100))
         sample_q = query
-        if "limit" not in query.lower():
+        # ASK returns one boolean — a LIMIT clause is invalid SPARQL there
+        is_ask = query.lstrip().lower().startswith("ask")
+        if not is_ask and "limit" not in query.lower():
             sample_q = f"{query.rstrip()} LIMIT {limit}"
         payload = _execute(client, self.cfg, sample_q)
         if payload is None:

@@ -31,6 +31,7 @@ class MockServer:
     def __init__(self):
         self.routes: dict[tuple[str, str], list] = {}
         self.requests: list[tuple[str, str, object]] = []
+        self.auth_log: list[tuple[str, "str | None"]] = []
         self.lock = threading.Lock()
         outer = self
 
@@ -48,6 +49,7 @@ class MockServer:
                 path = self.path.split("?")[0]
                 with outer.lock:
                     outer.requests.append((method, self.path, body))
+                    outer.auth_log.append((path, self.headers.get("Authorization")))
                     queue = outer.routes.get((method, path))
                 if queue is None:
                     self.send_response(404)
@@ -194,6 +196,29 @@ def test_sparql_metadata_columns(spark, mock_server):
     assert "name__type" in df.columns and "age__datatype" in df.columns
     by_name = {r["name"]: r for r in df.collect()}
     assert by_name["http://x/bob"]["name__type"] == "uri"
+
+
+def test_sparql_basic_auth_and_raw_mode(spark, mock_server):
+    mock_server.route("POST", "/auth", {"head": {}, "boolean": False})
+    sq.register(spark)
+    cfg = sq.build_sparql_config(
+        f"{mock_server.url}/auth",
+        "ASK WHERE {}",
+        username="alice",
+        password="s3cret",
+        payload_mode="raw",
+    )
+    df = spark.read.format(sq.FORMAT_NAME).option(sq.CONFIG_OPTION, cfg).load()
+    assert df.collect()[0]["boolean"] is False
+    # raw mode posts the query text itself, not a form encoding
+    bodies = [b for m, p, b in mock_server.requests if p == "/auth"]
+    assert bodies and all(b == "ASK WHERE {}" for b in bodies)
+    # basic auth reached the endpoint
+    import base64
+
+    expected = "Basic " + base64.b64encode(b"alice:s3cret").decode()
+    auths = [a for p, a in mock_server.auth_log if p == "/auth"]
+    assert auths and all(a == expected for a in auths)
 
 
 # ------------------------------------------------------------------ Qdrant
