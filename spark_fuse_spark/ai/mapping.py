@@ -77,11 +77,19 @@ def map_column_with_llm(
     output_col: "str | None" = None,
     exact_match_first: bool = True,
     batch_size: int = 64,
+    driver_map_threshold: int = 10_000,
 ) -> DataFrame:
     """Add ``<column>_mapped``: each value normalized onto ``target_values``.
 
     Unmappable values yield null (reference leaves them null and counts
     them via accumulators, ``llm.py:551-559``).
+
+    When the unresolved distinct count is ≤ ``driver_map_threshold`` the
+    provider runs once on the driver (a handful of label strings does not
+    need a distributed stage — this skips the Python-worker exchange
+    entirely); above it, the provider fans out Arrow-batched via
+    ``mapInPandas``.  Both paths produce the same tiny mapping frame that
+    broadcast-joins back.
     """
     output_col = output_col or f"{column}_mapped"
     targets = list(dict.fromkeys(target_values))
@@ -107,22 +115,37 @@ def map_column_with_llm(
     else:
         distinct = distinct.withColumn("__exact", F.lit(None).cast("string"))
 
-    # stage 3: provider maps only the unresolved distincts, Arrow-batched
+    # stage 3: provider maps only the unresolved distincts
     schema = StructType(
         [StructField("__value", StringType()), StructField("__mapped", StringType())]
     )
-
-    def run_provider(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        provider = _cached_provider(factory)
-        for batch in batches:
-            values = batch["__value"].fillna("").tolist()
-            mapped: list[str | None] = []
-            for i in range(0, len(values), batch_size):
-                mapped.extend(provider.map_values(values[i : i + batch_size], targets))
-            yield pd.DataFrame({"__value": batch["__value"], "__mapped": mapped})
-
     unresolved = distinct.where(F.col("__exact").isNull()).select("__value")
-    provided = unresolved.mapInPandas(run_provider, schema)
+
+    head = unresolved.limit(driver_map_threshold + 1).collect()
+    if len(head) <= driver_map_threshold:
+        # small cardinality: one driver-side provider call, no Python stage
+        provider = _cached_provider(factory)
+        values = [r["__value"] for r in head]
+        mapped: list[str | None] = []
+        for i in range(0, len(values), batch_size):
+            mapped.extend(
+                provider.map_values([v or "" for v in values[i : i + batch_size]], targets)
+            )
+        provided = spark.createDataFrame(list(zip(values, mapped)), schema)
+    else:
+
+        def run_provider(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            provider = _cached_provider(factory)
+            for batch in batches:
+                values = batch["__value"].fillna("").tolist()
+                mapped: list[str | None] = []
+                for i in range(0, len(values), batch_size):
+                    mapped.extend(
+                        provider.map_values(values[i : i + batch_size], targets)
+                    )
+                yield pd.DataFrame({"__value": batch["__value"], "__mapped": mapped})
+
+        provided = unresolved.mapInPandas(run_provider, schema)
 
     mapping = (
         distinct.where(F.col("__exact").isNotNull())

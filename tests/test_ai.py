@@ -70,8 +70,10 @@ def test_map_column_distinct_first_call_count(spark):
             return super().map_values(values, targets)
 
     df = spark.createDataFrame([("aa bb",)] * 50 + [("cc dd",)] * 50, ["v"]).repartition(4)
+    # threshold 0 forces the distributed mapInPandas path
     out = map_column_with_llm(
-        df, "v", ["aa bb zz", "cc dd zz"], provider_factory=RecordingMatcher
+        df, "v", ["aa bb zz", "cc dd zz"], provider_factory=RecordingMatcher,
+        driver_map_threshold=0,
     )
     assert out.count() == 100
     # RecordingMatcher runs inside executor worker processes in general;
