@@ -34,12 +34,63 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# Queries whose natural output order is tie-ambiguous (grouped/windowed/
+# set-op results with no inherent total order).  Values hash-match DuckDB
+# but ROW ORDER can vary with partitioning, so if the driver's comparison
+# is order-sensitive they would flap.  Both sides get a total order over
+# every output column: Spark `orderBy(all cols, nulls first)`, DuckDB
+# `ORDER BY ALL NULLS FIRST` — column precedence is identical because the
+# unsorted column lists match by catalog convention (verified in CI).
+_FORCE_TOTAL_ORDER = frozenset(
+    {
+        # tie-ambiguous natural order observed at sf0.01 (grouped/windowed/
+        # set-op results)
+        "c_scd2_snapshot", "d_dedup_exact", "d_minhash_lsh", "d_ngram_jaccard",
+        "d_simhash", "e_first_event_dedup", "e_session_window",
+        "e_sliding_window", "e_tumbling_window", "q_asof_join",
+        "q_count_distinct", "q_cube", "q_dedup_keep_latest", "q_except",
+        "q_grouping_sets", "q_intersect", "q_left_join_nullfill",
+        "q_percentiles", "q_pivot", "q_range_join", "q_rollup", "q_semi_join",
+        "q_topk_per_group", "q_window_dense_rank", "q_window_rolling_avg",
+        "q_window_running_total", "v_ann_bruteforce",
+        # no top-level Sort in the logical plan — order was incidental
+        "d_embedding_neardup", "e_json_props", "m_binary_metadata",
+        "q06_forecast_revenue", "q14_promo_revenue", "q17_small_qty_revenue",
+        "q_anti_join", "q_calendar_dim", "q_case_when_bands",
+        "q_column_toolkit", "q_cross_join_small", "q_full_outer_join",
+        "q_in_subquery", "q_multi_format_dates", "q_row_hash",
+        "q_scalar_subquery", "q_time_dim", "q_union_by_name",
+        "t_doc_fingerprint", "t_language_id", "t_normalize_tokens",
+        "t_quality_score", "t_stopword_punct", "v_vector_norms",
+    }
+)
+
+
+def _totally_ordered(fn: Callable[[SparkSession, str], DataFrame]):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        df = fn(spark, sf_dir)
+        return df.orderBy(*[F.col(c).asc_nulls_first() for c in df.columns])
+
+    wrapped.__doc__ = fn.__doc__
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    return wrapped
+
 
 def register(name: str, oracle: str | None = None, doc: str = ""):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QuerySpec(name=name, spark=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        spark_fn, oracle_sql = fn, oracle
+        if name in _FORCE_TOTAL_ORDER:
+            if oracle_sql is None:
+                raise ValueError(f"{name}: total-order wrap requires an oracle")
+            spark_fn = _totally_ordered(fn)
+            oracle_sql = f"SELECT * FROM (\n{oracle_sql}\n) __t ORDER BY ALL NULLS FIRST"
+        REGISTRY[name] = QuerySpec(
+            name=name, spark=spark_fn, oracle=oracle_sql, doc=doc or (fn.__doc__ or "")
+        )
         return fn
 
     return deco

@@ -28,7 +28,10 @@ from pyspark.sql import functions as F
 from ..tables import load_table
 from . import register
 
-_REV = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume")
+def _rev():
+    # built lazily: classic PySpark Column construction needs an active
+    # SparkContext, and catalog modules import during pytest collection
+    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume")
 
 
 @register(
@@ -82,7 +85,7 @@ def q07(spark: SparkSession, sf: str) -> DataFrame:
             "supp_nation",
             "cust_nation",
             F.year("l_shipdate").cast("int").alias("l_year"),
-            _REV,
+            _rev(),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(F.round(F.sum("volume"), 2).alias("revenue"))
@@ -137,7 +140,7 @@ def q08(spark: SparkSession, sf: str) -> DataFrame:
         .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(supp_n), s.s_nationkey == F.col("sn_key"))
         .where(F.year("o_orderdate").isin(1996, 1997))
-        .select(F.year("o_orderdate").cast("int").alias("o_year"), _REV, "nation")
+        .select(F.year("o_orderdate").cast("int").alias("o_year"), _rev(), "nation")
         .groupBy("o_year")
         .agg(
             F.round(
