@@ -1,0 +1,107 @@
+"""Property-based SCD tests: random batch sequences vs a dict reference model.
+
+hypothesis drives small random upsert histories through the real Spark
+protocols; a pure-Python model computes the expected end state.  Catches
+ordering, null-key, and hash-gating edge cases example tests miss.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from spark_fuse_spark.cdc import current_only_upsert, track_history_upsert
+
+KEYS = [1, 2, 3]
+VALUES = ["a", "b", "c"]
+
+# a batch: per-key at most one row (dedup is covered by example tests);
+# value None means "key absent from this batch"
+batch_strategy = st.fixed_dictionaries({k: st.sampled_from(VALUES + [None]) for k in KEYS})
+history_strategy = st.lists(batch_strategy, min_size=1, max_size=4)
+
+_counter = 0
+
+
+def _fresh_target(tmp_path_factory) -> str:
+    global _counter
+    _counter += 1
+    return str(tmp_path_factory.mktemp("prop") / f"t{_counter}")
+
+
+@pytest.fixture(scope="module")
+def tpf(tmp_path_factory):
+    return tmp_path_factory
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(history=history_strategy)
+def test_scd1_matches_model(spark, tpf, history):
+    target = _fresh_target(tpf)
+    model: dict[int, tuple[str, int]] = {}  # key -> (value, batch_idx of last CHANGE)
+    applied = False
+    for i, batch in enumerate(history):
+        rows = [(k, v) for k, v in batch.items() if v is not None]
+        if not rows:
+            continue
+        ts = f"to_timestamp('2024-01-0{i + 1} 00:00:00')"
+        current_only_upsert(
+            spark,
+            spark.createDataFrame(rows, ["id", "val"]),
+            target,
+            ["id"],
+            load_ts_expr=ts,
+        )
+        applied = True
+        for k, v in rows:
+            if k not in model or model[k][0] != v:
+                model[k] = (v, i)  # insert or hash-gated update
+    if not applied:
+        return
+    out = {
+        r["id"]: (r["val"], int(str(r["load_ts"])[9]) - 1)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert out == model
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(history=history_strategy)
+def test_scd2_matches_model(spark, tpf, history):
+    target = _fresh_target(tpf)
+    # model: key -> list of versions (value, closed?)
+    model: dict[int, list[list]] = {}
+    applied = False
+    for i, batch in enumerate(history):
+        rows = [(k, v) for k, v in batch.items() if v is not None]
+        if not rows:
+            continue
+        ts = f"to_timestamp('2024-01-0{i + 1} 00:00:00')"
+        track_history_upsert(
+            spark,
+            spark.createDataFrame(rows, ["id", "val"]),
+            target,
+            ["id"],
+            load_ts_expr=ts,
+        )
+        applied = True
+        for k, v in rows:
+            chain = model.setdefault(k, [])
+            if not chain:
+                chain.append([v, False])
+            elif chain[-1][0] != v:
+                chain[-1][1] = True  # close current
+                chain.append([v, False])
+    if not applied:
+        return
+    rows = [r.asDict() for r in spark.read.parquet(target).collect()]
+    got: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["id"], r["version"])):
+        got.setdefault(r["id"], []).append([r["val"], not r["is_current"]])
+    assert got == model
+    # invariants: exactly one current row per key; versions are 1..n
+    for k, chain in got.items():
+        versions = [r["version"] for r in sorted(rows, key=lambda r: r["version"]) if r["id"] == k]
+        assert versions == list(range(1, len(chain) + 1))
+        assert sum(1 for c in chain if not c[1]) == 1
