@@ -98,6 +98,13 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every catalog module (idempotent) and return the registry."""
-    from . import ai_cdc, relational, text_dedup, tpch_extra, vectors_events  # noqa: F401
+    from . import (  # noqa: F401
+        ai_cdc,
+        relational,
+        text_dedup,
+        tpch_extra,
+        tpch_more,
+        vectors_events,
+    )
 
     return REGISTRY
