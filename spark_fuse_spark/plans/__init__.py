@@ -1,0 +1,205 @@
+"""Physical-plan introspection: make "is this the plan I'd want at 100 TB?"
+a checkable assertion instead of a code-review opinion.
+
+Spark's declarative API means the *logical* plan is what we author and the
+*physical* plan is what actually runs.  These helpers parse
+``EXPLAIN FORMATTED`` output so tests (``tests/test_plans.py``) can pin the
+properties that matter at scale:
+
+* **pushdown** — filters reach the parquet scan (``PushedFilters``);
+* **pruning** — the scan reads only referenced columns (``ReadSchema``);
+* **join strategy** — dimension joins broadcast instead of shuffling the
+  fact table (``BroadcastHashJoin`` vs ``SortMergeJoin``);
+* **shuffle budget** — the number of ``Exchange`` nodes stays what the
+  query semantically requires;
+* **partial aggregation** — grouped aggs have a map-side
+  ``partial_*`` HashAggregate before the exchange;
+* **codegen** — hot operators sit inside WholeStageCodegen spans.
+
+The reference delegates all of this to Catalyst implicitly (SURVEY.md §4.2:
+no custom rules anywhere, ``src/spark_fuse/`` is pure DataFrame-API client
+code); the one explicit physical choice it demonstrates is the broadcast
+hint (``notebooks/tutorials/05_spark_dataframe_joins.ipynb`` cell 12,
+``F.broadcast`` + ``explain(mode='formatted')``) — this module turns that
+notebook practice into an enforced contract.
+
+Works on classic (py4j) PySpark sessions; plan text is taken from
+``QueryExecution.explainString`` so nothing here triggers execution.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "physical_plan",
+    "scan_summaries",
+    "pushed_filter_names",
+    "join_strategies",
+    "exchange_count",
+    "has_partial_aggregate",
+    "codegen_span_count",
+    "PlanExpectation",
+    "check_plan",
+]
+
+
+def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
+    """Return the explain string without printing (modes: simple, extended,
+    codegen, cost, formatted)."""
+    jqe = df._jdf.queryExecution()
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return jqe.explainString(jmode)
+
+
+@dataclass
+class ScanSummary:
+    location: str
+    read_columns: list[str]
+    pushed_filters: list[str]
+
+
+_SCAN_RE = re.compile(r"\(\d+\) Scan parquet ?\n(.*?)(?:\n\n|\Z)", re.DOTALL)
+
+
+def scan_summaries(df: DataFrame) -> list[ScanSummary]:
+    """One summary per parquet scan in the formatted plan."""
+    out = []
+    for block in _SCAN_RE.findall(physical_plan(df)):
+        loc = re.search(r"Location: \S+ \[(.*?)\]", block)
+        schema = re.search(r"ReadSchema: struct<(.*?)>\s*$", block, re.MULTILINE)
+        pushed = re.search(r"PushedFilters: \[(.*?)\]", block)
+        cols = []
+        if schema and schema.group(1):
+            cols = [f.split(":", 1)[0] for f in schema.group(1).split(",") if ":" in f]
+        out.append(
+            ScanSummary(
+                location=loc.group(1) if loc else "",
+                read_columns=cols,
+                pushed_filters=[p.strip() for p in pushed.group(1).split(",") if p.strip()]
+                if pushed and pushed.group(1)
+                else [],
+            )
+        )
+    return out
+
+
+def pushed_filter_names(df: DataFrame, table: str | None = None) -> set[str]:
+    """Column names that appear in any pushed filter (optionally restricted
+    to scans whose file location contains ``table``)."""
+    names: set[str] = set()
+    for scan in scan_summaries(df):
+        if table and table not in scan.location:
+            continue
+        for f in scan.pushed_filters:
+            m = re.search(r"\(([A-Za-z_][A-Za-z0-9_]*)", f)
+            if m:
+                names.add(m.group(1))
+    return names
+
+
+def join_strategies(df: DataFrame) -> dict[str, int]:
+    """Count physical join nodes by strategy, e.g.
+    ``{"BroadcastHashJoin": 4, "SortMergeJoin": 1}``."""
+    plan = physical_plan(df)
+    counts: dict[str, int] = {}
+    for kind in (
+        "BroadcastHashJoin",
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    ):
+        n = len(re.findall(rf"\(\d+\) {kind}", plan))
+        if n:
+            counts[kind] = n
+    return counts
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle ``Exchange`` nodes (BroadcastExchange excluded —
+    broadcasts move only the small side and are the *goal*, not a cost)."""
+    plan = physical_plan(df)
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+
+def has_partial_aggregate(df: DataFrame) -> bool:
+    """True when at least one HashAggregate runs partial (map-side) functions
+    — the ``partial_sum``/``partial_count`` combine step that keeps grouped
+    aggregation shuffle-light at scale."""
+    return "partial_" in physical_plan(df)
+
+
+def codegen_span_count(df: DataFrame, execute: bool = False) -> int:
+    """Number of WholeStageCodegen subtrees (``EXPLAIN CODEGEN``).
+
+    Under AQE the pre-execution plan is an unfinalized ``AdaptiveSparkPlan``
+    that reports zero subtrees; pass ``execute=True`` to run the query first
+    (intended for tests on small data) so the count reflects the final
+    adaptive plan."""
+    if execute:
+        df.collect()
+    text = physical_plan(df, "codegen")
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", text)
+    return int(m.group(1)) if m else len(re.findall(r"WholeStageCodegen", text))
+
+
+@dataclass
+class PlanExpectation:
+    """Declarative plan contract, checked by :func:`check_plan`.
+
+    Only set the fields you want enforced; ``None`` means "don't care".
+    """
+
+    min_broadcast_joins: int | None = None
+    max_shuffle_joins: int | None = None  # SortMerge + ShuffledHash
+    max_exchanges: int | None = None
+    pushed_filters_include: dict[str, set[str]] = field(default_factory=dict)
+    # table -> columns that must NOT be read (pruning proof)
+    pruned_columns: dict[str, set[str]] = field(default_factory=dict)
+    require_partial_agg: bool = False
+
+
+def check_plan(df: DataFrame, exp: PlanExpectation) -> list[str]:
+    """Return a list of violations (empty = plan meets the contract)."""
+    problems: list[str] = []
+    joins = join_strategies(df)
+    if exp.min_broadcast_joins is not None:
+        got = joins.get("BroadcastHashJoin", 0)
+        if got < exp.min_broadcast_joins:
+            problems.append(
+                f"expected >= {exp.min_broadcast_joins} BroadcastHashJoin, got {got} ({joins})"
+            )
+    if exp.max_shuffle_joins is not None:
+        got = joins.get("SortMergeJoin", 0) + joins.get("ShuffledHashJoin", 0)
+        if got > exp.max_shuffle_joins:
+            problems.append(
+                f"expected <= {exp.max_shuffle_joins} shuffle joins, got {got} ({joins})"
+            )
+    if exp.max_exchanges is not None:
+        got = exchange_count(df)
+        if got > exp.max_exchanges:
+            problems.append(f"expected <= {exp.max_exchanges} Exchange nodes, got {got}")
+    for table, cols in exp.pushed_filters_include.items():
+        got_names = pushed_filter_names(df, table)
+        missing = cols - got_names
+        if missing:
+            problems.append(
+                f"filters on {sorted(missing)} not pushed to {table} scan (pushed: {sorted(got_names)})"
+            )
+    for table, cols in exp.pruned_columns.items():
+        for scan in scan_summaries(df):
+            if table not in scan.location:
+                continue
+            leaked = cols & set(scan.read_columns)
+            if leaked:
+                problems.append(
+                    f"{table} scan reads {sorted(leaked)} — should be pruned "
+                    f"(ReadSchema: {scan.read_columns})"
+                )
+    if exp.require_partial_agg and not has_partial_aggregate(df):
+        problems.append("no partial (map-side) aggregate in plan")
+    return problems

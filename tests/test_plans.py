@@ -1,0 +1,117 @@
+"""Plan-shape contracts: pin the physical properties that matter at 100 TB.
+
+Plan *shape* is scale-independent for the pinned properties — a broadcast
+hint, a pushed filter, or a map-side partial aggregate appears in the
+sf0.001 plan iff it appears in the sf0.1 plan (hints and pushdown don't
+depend on statistics; only UNhinted join selection does, which is why the
+contracts assert minimum broadcast counts on the HINTED dimension joins and
+upper bounds elsewhere).  Nothing here executes a job: all assertions read
+``EXPLAIN FORMATTED`` text.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_fuse_spark.catalog import load_all
+from spark_fuse_spark.plans import (
+    PlanExpectation,
+    check_plan,
+    codegen_span_count,
+    exchange_count,
+    join_strategies,
+    physical_plan,
+    pushed_filter_names,
+    scan_summaries,
+)
+
+# query name -> contract.  Bounds are the plan we WANT, not the first plan
+# that passed: dims broadcast, filters pushed, unused fact columns pruned,
+# grouped aggs partial first.
+CONTRACTS = {
+    # scan-heavy agg: date filter must reach parquet; join-key columns of
+    # lineitem are dead here and must be pruned from the scan
+    "q01_pricing_summary": PlanExpectation(
+        pushed_filters_include={"lineitem": {"l_shipdate"}},
+        pruned_columns={"lineitem": {"l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"}},
+        require_partial_agg=True,
+        max_exchanges=2,  # one hash for the groupBy, one range for the orderBy
+    ),
+    # 6-way star join: every dimension hop is hinted broadcast — the only
+    # shuffles the query NEEDS are the fact-fact join and the final agg
+    "q05_region_revenue": PlanExpectation(
+        min_broadcast_joins=4,
+        require_partial_agg=True,
+    ),
+    "q07_nation_volume": PlanExpectation(
+        min_broadcast_joins=2,  # the two hinted nation-dim joins
+        pushed_filters_include={"orders": {"o_orderkey"}, "lineitem": {"l_orderkey"}},
+        require_partial_agg=True,
+    ),
+    "q09_profit_by_nation_year": PlanExpectation(
+        min_broadcast_joins=3,  # part, supplier, nation all hinted
+        pushed_filters_include={"part": {"p_name"}},
+        require_partial_agg=True,
+    ),
+    "q16_supplier_cnt": PlanExpectation(
+        min_broadcast_joins=2,  # anti-probe (bad suppliers) + part dim
+        pushed_filters_include={"part": {"p_brand", "p_type", "p_size"}},
+        require_partial_agg=True,
+    ),
+    "q21_waiting_suppliers": PlanExpectation(
+        min_broadcast_joins=3,  # supplier, nation, region
+        pushed_filters_include={"orders": {"o_orderstatus"}},
+    ),
+    # salted two-phase agg exists precisely to add ONE pre-shuffle on the
+    # salted key before the final combine — partial aggs on both phases
+    "x_salted_agg": PlanExpectation(require_partial_agg=True),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CONTRACTS))
+def test_plan_contract(spark, sf_small, name):
+    df = load_all()[name].spark(spark, sf_small)
+    problems = check_plan(df, CONTRACTS[name])
+    assert not problems, f"{name}:\n" + "\n".join(problems) + "\n\n" + physical_plan(df)
+
+
+def test_scan_summaries_parse(spark, sf_small):
+    df = load_all()["q01_pricing_summary"].spark(spark, sf_small)
+    scans = scan_summaries(df)
+    assert len(scans) == 1
+    scan = scans[0]
+    assert "lineitem.parquet" in scan.location
+    assert "l_returnflag" in scan.read_columns
+    assert any("l_shipdate" in f for f in scan.pushed_filters)
+
+
+def test_join_strategy_counts(spark, sf_small):
+    df = load_all()["q05_region_revenue"].spark(spark, sf_small)
+    joins = join_strategies(df)
+    assert sum(joins.values()) == 5  # six tables, five joins
+    assert joins.get("BroadcastHashJoin", 0) >= 4
+
+
+def test_exchange_count_monotone(spark, sf_small):
+    """A plain global agg needs strictly fewer exchanges than agg+sort."""
+    from pyspark.sql import functions as F
+
+    from spark_fuse_spark.tables import load_table
+
+    li = load_table(spark, sf_small, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
+    assert exchange_count(agg) == 1
+    assert exchange_count(agg.orderBy("q")) == 2
+
+
+def test_codegen_spans_present(spark, sf_small):
+    df = load_all()["q01_pricing_summary"].spark(spark, sf_small)
+    assert codegen_span_count(df, execute=True) >= 1
+
+
+def test_pushed_filter_names_scoped_by_table(spark, sf_small):
+    df = load_all()["q07_nation_volume"].spark(spark, sf_small)
+    # lineitem scan gets the join-key IsNotNull pushdown at minimum
+    assert "l_orderkey" in pushed_filter_names(df, "lineitem")
+    # scoping: nation-scan filters are not attributed to lineitem
+    assert "n_nationkey" not in pushed_filter_names(df, "lineitem")
