@@ -20,7 +20,9 @@ from ..functions.text import (
     punct_ratio,
     quality_score,
     stopword_ratio,
+    subword_token_count,
     token_count,
+    BPE_SPLIT_PATTERN,
     STOPWORDS,
 )
 from ..operators.dedup import (
@@ -91,6 +93,41 @@ def t_normalize(spark: SparkSession, sf: str) -> DataFrame:
         normalize_whitespace("text").alias("norm_text"),
         token_count("text").alias("n_tokens"),
     )
+
+
+_BPE_SQL = BPE_SPLIT_PATTERN.replace("'", "''")
+
+
+@register(
+    "t_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS BIGINT)
+         AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT) AS subword_tokens,
+       ROUND(CAST(length(text) AS DOUBLE)
+             / NULLIF(len(regexp_extract_all(text, '{_BPE_SQL}')), 0), 6)
+         AS chars_per_subword
+FROM documents
+ORDER BY doc_id
+""",
+    doc="Token counting two ways (brief: 'whitespace + a BPE-ish regex'): "
+    "whitespace tokens and GPT-2-style pre-tokenizer matches via "
+    "regexp_count — both pure codegen, one scan, no Python.  The "
+    "chars-per-subword ratio is the standard tokens-from-bytes estimator "
+    "for training-data budgeting.",
+)
+def t_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    sub = subword_token_count("text")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        sub.alias("subword_tokens"),
+        F.round(
+            F.length("text").cast("double") / F.nullif(sub, F.lit(0)), 6
+        ).alias("chars_per_subword"),
+    ).orderBy("doc_id")
 
 
 @register(

@@ -23,6 +23,8 @@ __all__ = [
     "normalize_whitespace",
     "tokens",
     "token_count",
+    "subword_token_count",
+    "BPE_SPLIT_PATTERN",
     "char_ngrams",
     "word_shingles",
     "punct_ratio",
@@ -68,6 +70,24 @@ def tokens(col: "str | Column", lowercase: bool = True) -> Column:
 
 def token_count(col: "str | Column") -> Column:
     return F.size(tokens(col)).cast("bigint")
+
+
+# GPT-2-style pre-tokenizer alternation, restricted to constructs shared by
+# Java regex (Spark) and RE2 (DuckDB/Rust tokenizers): contractions, then
+# space-prefixed letter runs, digit runs, and punctuation runs.  The
+# original GPT-2 pattern's trailing-space lookahead is dropped (RE2 has no
+# lookahead); pure-whitespace runs are not counted as tokens.
+BPE_SPLIT_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+def subword_token_count(col: "str | Column") -> Column:
+    """BPE-ish token count: number of ``BPE_SPLIT_PATTERN`` matches.
+
+    Approximates an LLM tokenizer's pre-tokenization split (the step that
+    dominates token-count estimates) without any vocabulary; stays in
+    codegen via ``regexp_count``, so counting tokens over 100 TB of text
+    is a single scan with no Python in the loop."""
+    return F.regexp_count(_c(col), F.lit(BPE_SPLIT_PATTERN)).cast("bigint")
 
 
 def char_ngrams(col: "str | Column", n: int = 5) -> Column:

@@ -16,8 +16,10 @@ from spark_fuse_spark.functions.dates import (
 from spark_fuse_spark.functions.text import (
     language_id,
     normalize_whitespace,
+    subword_token_count,
     token_count,
     word_shingles,
+    BPE_SPLIT_PATTERN,
 )
 
 FORMATS = ["yyyy-MM-dd", "MM/dd/yyyy", "dd.MM.yyyy"]
@@ -94,3 +96,29 @@ def test_text_functions(spark):
     assert out[1].lang == "en"
     assert out[2].lang == "de"
     assert sorted(out[1].sh) == ["quick brown fox", "the quick brown"]
+
+
+def test_subword_token_count_matches_python_re(spark):
+    """Spark's Java-regex count must agree with Python re on the shared
+    pattern subset (no lookahead), across contractions, digits, unicode
+    whitespace, and punctuation runs."""
+    import re
+
+    samples = [
+        "I'll we've don't it's 2026-08-13",
+        "hello,,, world!!!  multiple   spaces",
+        "key agg row scan slow fast table",
+        "a1b2c3 100% $4.50 (nested [brackets])",
+        "",
+        "   ",
+        "tabs\tand\nnewlines\r\nmixed",
+    ]
+    expected = [len(re.findall(BPE_SPLIT_PATTERN, s)) for s in samples]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "id int, text string"
+    )
+    got = {
+        r.id: r.n
+        for r in df.select("id", subword_token_count("text").alias("n")).collect()
+    }
+    assert [got[i] for i in range(len(samples))] == expected
