@@ -28,8 +28,10 @@ HEADLINE = [
     "q03_top_revenue_orders",
     "q05_region_revenue",
     "q07_nation_volume",
+    "q09_profit_by_nation_year",
     "q13_custdist",
     "q18_large_orders",
+    "q21_waiting_suppliers",
     "q_window_running_total",
     "q_topk_per_group",
     "d_dedup_exact",
