@@ -312,3 +312,110 @@ def test_qdrant_write_upsert_and_autocreate(spark, mock_server, tmp_path):
     by_id = {pt["id"]: pt for pt in points}
     assert by_id[1]["vector"] == [pytest.approx(0.1), pytest.approx(0.2)]
     assert by_id[1]["payload"] == {"name": "ann"}
+
+
+# ------------------------------------------------------- REST streaming
+
+
+def _stream_route(data):
+    """Offset/limit endpoint over a (mutable) record list."""
+    import urllib.parse as up
+
+    def route(handler, body):
+        q = up.parse_qs(up.urlparse(handler.path).query)
+        off = int(q.get("offset", ["0"])[0])
+        lim = int(q.get("limit", ["0"])[0])
+        return {"total": len(data), "items": data[off : off + lim]}
+
+    return route
+
+
+def _stream_cfg(url, **overrides):
+    stream = {
+        "offset_param": "offset",
+        "limit_param": "limit",
+        "total_field": "total",
+        "page_size": 10,
+    }
+    stream.update(overrides)
+    return rest.build_rest_config(url, records_field="items", stream=stream)
+
+
+def test_rest_stream_reader_protocol(mock_server):
+    """Drive the DataSourceStreamReader contract directly (no Spark):
+    offset probing, page partitioning, deterministic range replay, and
+    the per-trigger cap."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    data = [{"id": i, "v": f"row{i}"} for i in range(25)]
+    mock_server.route("GET", "/stream", _stream_route(data))
+    cfg = json.loads(_stream_cfg(f"{mock_server.url}/stream", max_records_per_batch=8))
+    schema = StructType([StructField("id", LongType()), StructField("v", StringType())])
+    reader = rest._RestStreamReader(cfg, schema)
+
+    assert reader.initialOffset() == {"pos": 0}
+    first = reader.latestOffset()
+    assert first == {"pos": 25}  # first probe takes the whole backlog
+    parts = reader.partitions({"pos": 0}, first)
+    assert [(p.start, p.end) for p in parts] == [(0, 10), (10, 20), (20, 25)]
+    got = [row for p in parts for row in reader.read(p)]
+    assert got == [(i, f"row{i}") for i in range(25)]
+    # deterministic replay of a committed range
+    assert list(reader.read(parts[1])) == [(i, f"row{i}") for i in range(10, 20)]
+
+    data.extend({"id": i, "v": f"row{i}"} for i in range(25, 60))
+    second = reader.latestOffset()
+    assert second == {"pos": 33}  # growth capped at max_records_per_batch=8
+    third = reader.latestOffset()
+    assert third == {"pos": 41}
+    # endpoint total shrinking must never move offsets backwards
+    del data[50:]
+    assert reader.latestOffset() == {"pos": 49}
+    assert reader.latestOffset() == {"pos": 50}
+    assert reader.latestOffset() == {"pos": 50}
+
+
+def test_rest_stream_end_to_end(spark, mock_server):
+    """readStream → memory sink: microbatches drain the endpoint and pick
+    up appended records on later triggers."""
+    import time
+    import uuid
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    data = [{"id": i, "v": f"row{i}"} for i in range(25)]
+    mock_server.route("GET", "/stream", _stream_route(data))
+    rest.register(spark)
+    cfg = _stream_cfg(f"{mock_server.url}/stream")
+    schema = StructType([StructField("id", LongType()), StructField("v", StringType())])
+    name = f"rest_stream_{uuid.uuid4().hex[:8]}"
+    query = (
+        spark.readStream.format(rest.FORMAT_NAME)
+        .option(rest.CONFIG_OPTION, cfg)
+        .option(rest.SCHEMA_OPTION, json.dumps(schema.jsonValue()))
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        def wait_rows(n, timeout=60.0):
+            deadline = time.time() + timeout
+            while time.time() < deadline:
+                if spark.sql(f"SELECT count(*) c FROM {name}").first().c >= n:
+                    return
+                time.sleep(0.5)
+            raise AssertionError(
+                f"timed out waiting for {n} rows; have "
+                f"{spark.sql(f'SELECT count(*) c FROM {name}').first().c}"
+            )
+
+        wait_rows(25)
+        data.extend({"id": i, "v": f"row{i}"} for i in range(25, 32))
+        wait_rows(32)
+        rows = spark.sql(f"SELECT id, v FROM {name} ORDER BY id").collect()
+        assert [r.id for r in rows] == list(range(32))
+        assert rows[31].v == "row31"
+    finally:
+        query.stop()
