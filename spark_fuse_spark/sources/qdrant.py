@@ -36,6 +36,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -373,6 +374,31 @@ class _QdrantWriter(DataSourceWriter):
         return None
 
 
+class _QdrantStreamWriter(DataSourceStreamWriter):
+    """Micro-batch vector sink: ``df.writeStream.format("fuse-qdrant")``.
+
+    Delegates each partition's rows to the batch writer's upsert loop —
+    Qdrant upserts are idempotent by point id, so a replayed microbatch
+    (failure between write and checkpoint commit) converges to the same
+    state: at-least-once delivery, exactly-once effect.  This is the
+    streaming completion of the reference's batch-only vector sink
+    (``/root/reference/src/spark_fuse/io/qdrant/writer.py:497-509``) and
+    the natural tail of an embedding pipeline: readStream → embed
+    (pandas UDF) → upsert vectors."""
+
+    def __init__(self, cfg: dict):
+        self._delegate = _QdrantWriter(cfg)
+
+    def write(self, iterator: Iterator[Row]) -> WriterCommitMessage:
+        return self._delegate.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        return None
+
+    def abort(self, messages, batchId: int) -> None:
+        return None
+
+
 # ----------------------------------------------------------------- source
 
 
@@ -417,3 +443,6 @@ class QdrantDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         return _QdrantWriter(self.cfg)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> DataSourceStreamWriter:
+        return _QdrantStreamWriter(self.cfg)

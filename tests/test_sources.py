@@ -419,3 +419,63 @@ def test_rest_stream_end_to_end(spark, mock_server):
         assert rows[31].v == "row31"
     finally:
         query.stop()
+
+
+def test_qdrant_stream_writer_end_to_end(spark, mock_server):
+    """Streaming pipeline across both connectors: REST stream source →
+    writeStream into the Qdrant sink; upserted points must cover every
+    source record exactly (idempotent by id)."""
+    import time
+    import uuid
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    data = [{"id": i, "vector": [float(i), 1.0]} for i in range(12)]
+    mock_server.route("GET", "/stream", _stream_route(data))
+    mock_server.route("PUT", "/collections/svecs/points", {"result": {}})
+    rest.register(spark)
+    qd.register(spark)
+    read_cfg = _stream_cfg(f"{mock_server.url}/stream", page_size=5)
+    write_cfg = qd.build_qdrant_write_config(
+        mock_server.url, "svecs", id_column="id", vector_column="vector"
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("vector", ArrayType(DoubleType())),
+        ]
+    )
+    query = (
+        spark.readStream.format(rest.FORMAT_NAME)
+        .option(rest.CONFIG_OPTION, read_cfg)
+        .option(rest.SCHEMA_OPTION, json.dumps(schema.jsonValue()))
+        .load()
+        .writeStream.format(qd.FORMAT_NAME)
+        .option(qd.CONFIG_OPTION, write_cfg)
+        .option("checkpointLocation", f"/tmp/qdrant_stream_{uuid.uuid4().hex[:8]}")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        def upserted_ids():
+            with mock_server.lock:
+                reqs = list(mock_server.requests)
+            ids = set()
+            for method, path, body in reqs:
+                if method == "PUT" and path.startswith("/collections/svecs/points"):
+                    for p in (body or {}).get("points", []):
+                        ids.add(p["id"])
+            return ids
+
+        deadline = time.time() + 60
+        while time.time() < deadline and len(upserted_ids()) < 12:
+            time.sleep(0.5)
+        assert upserted_ids() == set(range(12))
+    finally:
+        query.stop()
