@@ -115,3 +115,31 @@ def test_pushed_filter_names_scoped_by_table(spark, sf_small):
     assert "l_orderkey" in pushed_filter_names(df, "lineitem")
     # scoping: nation-scan filters are not attributed to lineitem
     assert "n_nationkey" not in pushed_filter_names(df, "lineitem")
+
+
+# Queries whose plan legitimately contains a BroadcastNestedLoopJoin —
+# each is either a 1-row broadcast build (scalar subquery pattern) or an
+# intentionally non-equi join.  Everything else in the catalog must join
+# hash- or sort-merge-based; a new entry here needs a reason.
+NESTED_LOOP_OK = {
+    "d_embedding_neardup": "1-row broadcast threshold aggregate",
+    "q11_important_parts": "1-row broadcast global-total threshold",
+    "q22_idle_customers": "1-row broadcast global average",
+    "q_asof_join": "non-equi as-of condition",
+    "q_cross_join_small": "intentional cross join of two tiny dims",
+    "q_range_join": "non-equi range condition",
+    "v_ann_bruteforce": "broadcast query-vector panel x corpus scan",
+}
+
+
+def test_no_accidental_cartesian_or_nested_loop(spark, sf_small):
+    """Catalog-wide scale discipline: no CartesianProduct ever; nested-loop
+    joins only where declared (plan-only — nothing executes)."""
+    problems = []
+    for name, spec in sorted(load_all().items()):
+        joins = join_strategies(spec.spark(spark, sf_small))
+        if joins.get("CartesianProduct"):
+            problems.append(f"{name}: CartesianProduct in plan")
+        if joins.get("BroadcastNestedLoopJoin") and name not in NESTED_LOOP_OK:
+            problems.append(f"{name}: undeclared BroadcastNestedLoopJoin ({joins})")
+    assert not problems, "\n".join(problems)
