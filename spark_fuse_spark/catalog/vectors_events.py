@@ -296,3 +296,21 @@ def m_binary_meta(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     with_payload = attach_binary_payload(d, "text", "payload")
     return binary_metadata(with_payload, "doc_id", "payload")
+
+
+@register(
+    "m_payload_features",
+    oracle=None,  # array<float> histogram features — not SQL-expressible;
+    # determinism is tested instead (tests/test_dedup_similarity.py)
+    doc="multimodal feature extraction: binary payload → normalized "
+    "byte-histogram feature vector (array<float>) via Arrow-batched "
+    "mapInPandas; the real-codec version swaps in a CLIP/audio encoder "
+    "with the identical schema/batch shape.  Output feeds the "
+    "similarity/ANN layer directly.",
+)
+def m_payload_features(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.multimodal import extract_features
+
+    d = load_table(spark, sf, "documents")
+    with_payload = attach_binary_payload(d, "text", "payload")
+    return extract_features(with_payload, "doc_id", "payload", dim=16)

@@ -26,14 +26,23 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    FloatType,
     LongType,
     StringType,
     StructField,
     StructType,
 )
 
-__all__ = ["attach_binary_payload", "binary_metadata", "decode_media", "fake_decode_frames"]
+__all__ = [
+    "attach_binary_payload",
+    "binary_metadata",
+    "decode_media",
+    "extract_features",
+    "resize_frames",
+    "fake_decode_frames",
+]
 
 
 def attach_binary_payload(df: DataFrame, text_col: str = "text",
@@ -115,6 +124,97 @@ def decode_media(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payl
             yield pd.DataFrame({"doc_id": ids, "frame_index": idxs, "frame": frames})
 
     return pruned.mapInPandas(decode, schema=_FRAME_SCHEMA)
+
+
+_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id",
+                     payload_col: str = "payload", dim: int = 16) -> DataFrame:
+    """Fixed-dimension feature vector per payload (``array<float>``).
+
+    Unlike :func:`decode_media` this needs no stub: the features are a
+    normalized byte-value histogram folded into ``dim`` buckets — a real
+    (if crude) content signature, directly consumable by the similarity
+    layer (`operators/similarity.py` ANN / near-dup over the ``features``
+    column).  A production pipeline swaps the histogram for a CLIP/audio
+    embedding inside the SAME ``mapInPandas`` shape — schema, pruning,
+    and batching are identical.
+    """
+    import numpy as np
+
+    pruned = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if arr.size == 0:
+                    feats.append([0.0] * dim)
+                    continue
+                hist = np.bincount(arr % dim, minlength=dim).astype("float64")
+                norm = float(np.linalg.norm(hist))
+                feats.append((hist / norm if norm else hist).astype("float32").tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return pruned.mapInPandas(featurize, schema=_FEATURE_SCHEMA)
+
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_index", LongType()),
+        StructField("frame", BinaryType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+
+def resize_frames(df: DataFrame, width: int, height: int,
+                  id_col: str = "doc_id", index_col: str = "frame_index",
+                  frame_col: str = "frame", use_fake: bool = False) -> DataFrame:
+    """Resize decoded frames to ``width x height`` (1→1 via ``mapInPandas``).
+
+    Image libraries are unavailable in this container → raises
+    ``NotImplementedError`` unless ``use_fake=True``, which deterministically
+    truncates/zero-pads each frame to ``width*height`` bytes — same schema,
+    batch shape, and output contract a PIL/opencv resize would have.
+    """
+    if not use_fake:
+        raise NotImplementedError(
+            "image resize backend not available in this environment; "
+            "pass use_fake=True for the deterministic stub"
+        )
+    target = width * height
+    pruned = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(index_col).alias("frame_index"),
+        F.col(frame_col).alias("frame"),
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = [
+                bytes(b)[:target].ljust(target, b"\0") for b in pdf["frame"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_index": pdf["frame_index"],
+                    "frame": frames,
+                    "width": [width] * len(frames),
+                    "height": [height] * len(frames),
+                }
+            )
+
+    return pruned.mapInPandas(resize, schema=_RESIZE_SCHEMA)
 
 
 def fake_decode_frames(payload: bytes, frames: int) -> list[bytes]:

@@ -142,3 +142,36 @@ def test_multimodal_plumbing(spark):
     frames = decode_media(with_payload, use_fake=True, frames_per_doc=4).collect()
     doc1 = sorted((r.frame_index, bytes(r.frame)) for r in frames if r.doc_id == 1)
     assert b"".join(f for _, f in doc1) == b"abcdefgh"
+
+
+def test_multimodal_features_and_resize(spark):
+    import math
+
+    from spark_fuse_spark.operators.multimodal import (
+        attach_binary_payload,
+        decode_media,
+        extract_features,
+        resize_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "xy"), (3, "")], "doc_id long, text string"
+    )
+    with_payload = attach_binary_payload(docs)
+
+    feats = {r.doc_id: r.features for r in extract_features(with_payload, dim=8).collect()}
+    assert len(feats[1]) == 8
+    assert math.isclose(sum(v * v for v in feats[1]), 1.0, rel_tol=1e-5)  # unit norm
+    assert feats[3] == [0.0] * 8  # empty payload -> zero vector
+    # deterministic: same payload bytes -> same vector
+    again = {r.doc_id: r.features for r in extract_features(with_payload, dim=8).collect()}
+    assert feats == again
+
+    frames = decode_media(with_payload, use_fake=True, frames_per_doc=2)
+    with pytest.raises(NotImplementedError):
+        resize_frames(frames, 4, 2).collect()
+    resized = resize_frames(frames, 4, 2, use_fake=True).collect()
+    assert all(len(bytes(r.frame)) == 8 for r in resized)
+    assert all((r.width, r.height) == (4, 2) for r in resized)
+    doc1 = [bytes(r.frame) for r in resized if r.doc_id == 1]
+    assert doc1 and doc1[0].startswith(b"abcd")
