@@ -131,6 +131,43 @@ def t_token_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "t_stratified_sample",
+    oracle="""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's42'), 1, 15) AS BIGINT)
+      % 1000000
+      < CASE WHEN lang = 'en' THEN 500000
+             WHEN lang = 'de' THEN 250000
+             ELSE 100000 END
+GROUP BY lang
+ORDER BY lang
+""",
+    doc="deterministic stratified sampling: per-language keep rates via a "
+    "portable hash gate (en 50%, de 25%, others 10%) — reproducible "
+    "across engines/partitionings/re-runs, unlike RNG sampleBy; the "
+    "oracle replays the exact same md5 decision per row.  No shuffle: "
+    "the gate is a per-row predicate pushed into the scan's filter stage.",
+)
+def t_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.sampling import stratified_hash_sample
+
+    d = load_table(spark, sf, "documents")
+    sampled = stratified_hash_sample(
+        d, "doc_id", "lang", {"en": 0.5, "de": 0.25}, default_fraction=0.1, salt="s42"
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("sampled_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "t_quality_score",
     oracle=f"""
 WITH n AS (

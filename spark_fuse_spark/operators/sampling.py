@@ -1,0 +1,91 @@
+"""Deterministic hash-based sampling for training-data pipelines.
+
+RNG sampling (``df.sample``/``sampleBy``) is irreproducible across engines,
+Spark versions, and partitionings — three properties a 100 TB corpus build
+cannot give up (re-running a stage must select the SAME documents, and an
+audit engine must agree).  Hash-gate sampling fixes all three: a row is
+kept iff ``portable_hash64(key || salt) % buckets < fraction * buckets``.
+
+* deterministic — same key+salt → same decision, forever, everywhere;
+* engine-portable — the md5-derived hash has an exact DuckDB twin
+  (``functions/hashing.py``), so sampling decisions are oracle-checkable;
+* partition-independent — the decision is per-row, no coordination, no
+  shuffle; it composes with any scan and pushes NOTHING extra over the
+  wire;
+* salt-addressable — a new salt draws an independent sample; the same
+  salt with a larger fraction yields a SUPERSET (nested samples for
+  scaling-law runs, since the kept region ``[0, t)`` only grows).
+
+The reference has no sampling surface; this extends the engine per the
+training-pipeline brief alongside dedup/quality/token ops.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64
+
+__all__ = ["sample_gate", "hash_sample", "stratified_hash_sample", "train_holdout_split"]
+
+BUCKETS = 1_000_000
+
+
+def sample_gate(key_col: "str | Column", fraction: float, salt: str = "") -> Column:
+    """Boolean keep/drop Column for deterministic sampling by ``key_col``.
+
+    ``fraction`` is quantized to millionths (``BUCKETS``); the same
+    quantization applies in any SQL twin, keeping decisions bit-identical.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    h = portable_hash64(F.concat(key.cast("string"), F.lit(salt)))
+    return (h % BUCKETS) < int(fraction * BUCKETS)
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float, salt: str = "") -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows, decided by ``key_col``."""
+    return df.where(sample_gate(key_col, fraction, salt))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. per-language rates).
+
+    The hash gate is shared across strata; only the threshold varies, so
+    changing one stratum's rate never reshuffles another's selection.
+    """
+    for frac in (*fractions.values(), default_fraction):
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError("fractions must be in [0, 1]")
+    key = F.col(key_col)
+    h = portable_hash64(F.concat(key.cast("string"), F.lit(salt)))
+    threshold = F.lit(int(default_fraction * BUCKETS))
+    for value, frac in sorted(fractions.items()):
+        threshold = F.when(
+            F.col(strata_col) == value, F.lit(int(frac * BUCKETS))
+        ).otherwise(threshold)
+    return df.where((h % BUCKETS) < threshold)
+
+
+def train_holdout_split(
+    df: DataFrame, key_col: str, holdout_fraction: float, salt: str = "split"
+) -> "tuple[DataFrame, DataFrame]":
+    """Disjoint, exhaustive (train, holdout) split by hash gate.
+
+    Every row lands in exactly one side — including future rows with the
+    same keys, which makes the holdout leak-proof across pipeline re-runs
+    (an RNG split re-drawn on new data would contaminate it).
+    """
+    gate = sample_gate(key_col, holdout_fraction, salt)
+    return df.where(~gate), df.where(gate)

@@ -175,3 +175,44 @@ def test_multimodal_features_and_resize(spark):
     assert all((r.width, r.height) == (4, 2) for r in resized)
     doc1 = [bytes(r.frame) for r in resized if r.doc_id == 1]
     assert doc1 and doc1[0].startswith(b"abcd")
+
+
+def test_hash_sampling_properties(spark):
+    from spark_fuse_spark.operators.sampling import (
+        hash_sample,
+        stratified_hash_sample,
+        train_holdout_split,
+    )
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "key")
+
+    s30 = hash_sample(df, "key", 0.30, salt="a")
+    n30 = s30.count()
+    assert abs(n30 / 2000 - 0.30) < 0.05  # close to nominal rate
+    # deterministic: identical selection on re-run
+    assert sorted(r.key for r in s30.collect()) == sorted(
+        r.key for r in hash_sample(df, "key", 0.30, salt="a").collect()
+    )
+    # nested: smaller fraction with same salt is a subset
+    keys10 = {r.key for r in hash_sample(df, "key", 0.10, salt="a").collect()}
+    keys30 = {r.key for r in s30.collect()}
+    assert keys10 <= keys30
+    # different salt draws a different sample
+    keys30b = {r.key for r in hash_sample(df, "key", 0.30, salt="b").collect()}
+    assert keys30 != keys30b
+
+    train, hold = train_holdout_split(df, "key", 0.2, salt="v1")
+    tk = {r.key for r in train.collect()}
+    hk = {r.key for r in hold.collect()}
+    assert tk.isdisjoint(hk) and len(tk) + len(hk) == 2000
+
+    strat = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(2000)], "key long, lang string"
+    )
+    out = stratified_hash_sample(strat, "key", "lang", {"en": 0.5}, 0.05, salt="x")
+    rates = {
+        r.lang: r.n
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(rates["en"] / 1000 - 0.5) < 0.08
+    assert rates.get("de", 0) / 1000 < 0.12
