@@ -1,0 +1,83 @@
+"""Bucketed co-located joins: the write-once-shuffle-never layout.
+
+Asserts the actual scale property via plan introspection: an equi-join of
+two tables bucketed on their join keys (same bucket count) compiles to a
+SortMergeJoin with NO shuffle Exchange on either side, while the identical
+join of unbucketed inputs exchanges both sides.  Auto-broadcast is
+disabled in these tests because at real scale neither fact table fits a
+broadcast — the local default would otherwise mask the property.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_fuse_spark.operators.bucketing import (
+    bucket_spec,
+    is_bucketed_like,
+    write_bucketed,
+)
+from spark_fuse_spark.plans import exchange_count, join_strategies
+from spark_fuse_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, sf_small):
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    assert warehouse  # saveAsTable target exists for the test session
+    li = load_table(spark, sf_small, "lineitem")
+    o = load_table(spark, sf_small, "orders")
+    write_bucketed(li, "li_bucketed", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    write_bucketed(o, "o_bucketed", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    yield li, o
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucket_metadata_and_compatibility(spark, bucketed):
+    assert bucket_spec(spark, "li_bucketed") == (["l_orderkey"], 8)
+    assert bucket_spec(spark, "o_bucketed") == (["o_orderkey"], 8)
+    assert is_bucketed_like(
+        spark, "li_bucketed", "o_bucketed", on=[("l_orderkey", "o_orderkey")]
+    )
+    # wrong join-key mapping -> not co-locatable
+    assert not is_bucketed_like(
+        spark, "li_bucketed", "o_bucketed", on=[("l_partkey", "o_orderkey")]
+    )
+
+
+def test_bucketed_join_is_shuffle_free(spark, bucketed, no_broadcast):
+    li, o = bucketed
+    lb, ob = spark.table("li_bucketed"), spark.table("o_bucketed")
+
+    joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+    assert join_strategies(joined) == {"SortMergeJoin": 1}
+    assert exchange_count(joined) == 0  # the whole point
+
+    plain = li.join(o, li.l_orderkey == o.o_orderkey)
+    assert exchange_count(plain) == 2  # both sides exchange without buckets
+
+    # same rows either way
+    cols = ["l_orderkey", "l_linenumber", "o_orderstatus"]
+    assert sorted(map(tuple, joined.select(cols).collect())) == sorted(
+        map(tuple, plain.select(cols).collect())
+    )
+
+
+def test_bucketed_aggregation_skips_exchange(spark, bucketed, no_broadcast):
+    lb = spark.table("li_bucketed")
+    agg = lb.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+    assert exchange_count(agg) == 0  # grouping key == bucket key
+    other = lb.groupBy("l_suppkey").agg(F.sum("l_quantity").alias("q"))
+    assert exchange_count(other) == 1  # non-bucket key still shuffles
