@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["write_bucketed", "is_bucketed_like", "bucket_spec"]
+__all__ = ["write_bucketed", "is_bucketed_like", "bucket_spec", "write_date_partitioned"]
 
 
 def write_bucketed(
@@ -54,6 +54,40 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def write_date_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    granularity: str = "month",
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> str:
+    """Write ``df`` hive-partitioned by a derived date bucket of ``ts_col``.
+
+    Adds a ``p_<granularity>`` string column (``year`` → ``"1997"``,
+    ``month`` → ``"1997-03"``, ``day`` → ``"1997-03-15"``) and writes
+    ``partitionBy`` on it, so time-range scans prune whole directories —
+    the dominant access pattern for event/fact data at 100 TB.  Returns
+    the partition column name; filter on it (or let Catalyst derive the
+    filter from ``ts_col`` predicates you re-apply) to get
+    ``PartitionFilters`` in the scan.
+    """
+    from pyspark.sql import functions as F
+
+    fmt = {"year": "yyyy", "month": "yyyy-MM", "day": "yyyy-MM-dd"}.get(granularity)
+    if fmt is None:
+        raise ValueError("granularity must be year|month|day")
+    pcol = f"p_{granularity}"
+    (
+        df.withColumn(pcol, F.date_format(F.col(ts_col), fmt))
+        .write.format(format)
+        .mode(mode)
+        .partitionBy(pcol)
+        .save(path)
+    )
+    return pcol
 
 
 def bucket_spec(spark: SparkSession, table: str) -> "tuple[list[str], int] | None":

@@ -60,6 +60,7 @@ class ScanSummary:
     location: str
     read_columns: list[str]
     pushed_filters: list[str]
+    partition_filters: list[str] = field(default_factory=list)
 
 
 _SCAN_RE = re.compile(r"\(\d+\) Scan parquet ?\n(.*?)(?:\n\n|\Z)", re.DOTALL)
@@ -72,6 +73,7 @@ def scan_summaries(df: DataFrame) -> list[ScanSummary]:
         loc = re.search(r"Location: \S+ \[(.*?)\]", block)
         schema = re.search(r"ReadSchema: struct<(.*?)>\s*$", block, re.MULTILINE)
         pushed = re.search(r"PushedFilters: \[(.*?)\]", block)
+        part = re.search(r"PartitionFilters: \[(.*?)\]", block)
         cols = []
         if schema and schema.group(1):
             cols = [f.split(":", 1)[0] for f in schema.group(1).split(",") if ":" in f]
@@ -81,6 +83,9 @@ def scan_summaries(df: DataFrame) -> list[ScanSummary]:
                 read_columns=cols,
                 pushed_filters=[p.strip() for p in pushed.group(1).split(",") if p.strip()]
                 if pushed and pushed.group(1)
+                else [],
+                partition_filters=[p.strip() for p in part.group(1).split(",") if p.strip()]
+                if part and part.group(1)
                 else [],
             )
         )

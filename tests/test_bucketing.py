@@ -81,3 +81,25 @@ def test_bucketed_aggregation_skips_exchange(spark, bucketed, no_broadcast):
     assert exchange_count(agg) == 0  # grouping key == bucket key
     other = lb.groupBy("l_suppkey").agg(F.sum("l_quantity").alias("q"))
     assert exchange_count(other) == 1  # non-bucket key still shuffles
+
+
+def test_date_partitioned_write_prunes(spark, sf_small, tmp_path_factory):
+    from spark_fuse_spark.operators.bucketing import write_date_partitioned
+    from spark_fuse_spark.plans import scan_summaries
+
+    path = str(tmp_path_factory.mktemp("events_part"))
+    ev = load_table(spark, sf_small, "events")
+    pcol = write_date_partitioned(ev, path, "ts", granularity="day")
+    assert pcol == "p_day"
+
+    back = spark.read.parquet(path)
+    one_day = back.where(F.col(pcol) == "2024-01-15")
+    scans = scan_summaries(one_day)
+    assert len(scans) == 1
+    # the partition predicate must prune directories, not filter rows:
+    assert any("p_day" in f for f in scans[0].partition_filters)
+    assert not any("p_day" in f for f in scans[0].pushed_filters)
+    # pruned scan returns exactly the rows whose ts falls in that month
+    expected = ev.where(F.date_format("ts", "yyyy-MM-dd") == "2024-01-15").count()
+    assert expected > 0  # events span January 2024 at every SF
+    assert one_day.count() == expected
