@@ -18,9 +18,9 @@ import sys
 __all__ = ["main", "build_parser"]
 
 _DATA_SOURCES = {
-    "rest": "paginated JSON REST API reader (fuse-rest)",
+    "rest": "paginated JSON REST API reader + offset-paginated stream reader (fuse-rest)",
     "sparql": "SPARQL endpoint reader (fuse-sparql)",
-    "qdrant": "Qdrant vector-store reader/writer (fuse-qdrant)",
+    "qdrant": "Qdrant vector-store reader/writer + streaming sink (fuse-qdrant)",
 }
 
 
