@@ -103,3 +103,25 @@ def test_date_partitioned_write_prunes(spark, sf_small, tmp_path_factory):
     expected = ev.where(F.date_format("ts", "yyyy-MM-dd") == "2024-01-15").count()
     assert expected > 0  # events span January 2024 at every SF
     assert one_day.count() == expected
+
+
+def test_size_aware_compaction(spark, sf_small, tmp_path_factory):
+    import glob
+
+    from spark_fuse_spark.operators.layout import estimated_size_bytes, write_compacted
+
+    li = load_table(spark, sf_small, "lineitem")
+    size = estimated_size_bytes(li)
+    assert size > 0
+    # pruning a projection shrinks the estimate (Catalyst accounts for it)
+    assert estimated_size_bytes(li.select("l_orderkey")) < size
+
+    out = str(tmp_path_factory.mktemp("compact"))
+    n = write_compacted(li, out, target_file_bytes=max(1, size // 4))
+    files = glob.glob(f"{out}/part-*")
+    assert n == len(files) >= 3  # ~4 target-size files requested
+    assert spark.read.parquet(out).count() == li.count()
+
+    out_one = str(tmp_path_factory.mktemp("compact_one"))
+    assert write_compacted(li, out_one, num_files=1) == 1
+    assert len(glob.glob(f"{out_one}/part-*")) == 1
