@@ -168,6 +168,78 @@ def t_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "t_corpus_build",
+    oracle=f"""
+WITH n AS (
+  SELECT doc_id, text, lang, CAST(length(text) AS DOUBLE) AS len,
+         {_TOKS.format(col="text")} AS toks
+  FROM documents),
+m AS (
+  SELECT doc_id, text, lang,
+    CASE WHEN len >= 50 AND len <= 20000 THEN 1.0 ELSE least(len / 50.0, 1.0) END AS length_ok,
+    (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) / greatest(length(text), 1)
+      + (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / greatest(length(text), 1)
+      AS noise,
+    len(list_filter(toks, tk -> list_contains({_sw_sql('en')}, tk))) / greatest(len(toks), 1)
+      AS swr
+  FROM n),
+q AS (
+  SELECT doc_id, text, lang
+  FROM m
+  WHERE ROUND(length_ok * 0.4 + greatest(0.0, 1.0 - noise * 4) * 0.4
+              + least(swr * 5, 1.0) * 0.2, 6) >= 0.45),
+dd AS (
+  SELECT doc_id, text, lang,
+         MIN(doc_id) OVER (PARTITION BY {portable_hash64_sql(_NORM.format(col="lower(text)"))})
+           AS keeper
+  FROM q),
+s AS (
+  SELECT doc_id, text, lang FROM dd
+  WHERE doc_id = keeper
+    AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'cb'), 1, 15) AS BIGINT)
+        % 1000000
+        < CASE WHEN lang = 'en' THEN 500000
+               WHEN lang = 'de' THEN 250000
+               ELSE 100000 END)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '{_BPE_SQL}'))) AS BIGINT) AS total_tokens
+FROM s
+GROUP BY lang
+ORDER BY lang
+""",
+    doc="end-to-end corpus build: quality gate (>= 0.45) -> exact dedup "
+    "(keep lowest doc_id per content fingerprint) -> deterministic "
+    "stratified sampling (en 50% / de 25% / 10%) -> per-language doc and "
+    "BPE-ish token budget.  Every stage is the catalog operator itself, "
+    "composed; the oracle replays the full pipeline in SQL.  Scale shape: "
+    "one scan, codegen scoring, ONE fingerprint shuffle (the dedup "
+    "window), then a per-row sample gate and a partial-agg rollup.",
+)
+def t_corpus_build(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.sampling import stratified_hash_sample
+
+    d = load_table(spark, sf, "documents")
+    q = d.where(F.round(quality_score("text"), 6) >= 0.45)
+    dd = q.withColumn(
+        "keeper",
+        F.min("doc_id").over(Window.partitionBy(doc_fingerprint("text"))),
+    ).where(F.col("doc_id") == F.col("keeper"))
+    s = stratified_hash_sample(
+        dd, "doc_id", "lang", {"en": 0.5, "de": 0.25}, default_fraction=0.1, salt="cb"
+    )
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(subword_token_count("text")).cast("long").alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "t_quality_score",
     oracle=f"""
 WITH n AS (
