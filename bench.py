@@ -56,11 +56,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()
 
-    # warmup: JVM + codegen + parquet footer caches, plus one trivial
-    # Arrow exchange so Python-worker pool spin-up isn't billed to the
-    # first pandas-UDF query
-    registry["q01_pricing_summary"].spark(spark, sf_dir).collect()
+    # warmup: JVM + parquet footer caches, one trivial Arrow exchange so
+    # Python-worker pool spin-up isn't billed to the first pandas-UDF
+    # query, then one UNTIMED pass of every headline query at the bench
+    # SF so Janino whole-stage-codegen compilation isn't billed either.
+    # The warm pass must run at the SAME scale factor: AQE picks
+    # different physical plans (broadcast vs merge) at tiny SFs, so a
+    # tiny-SF warmup compiles the wrong codegen classes.  Measured:
+    # d_minhash_lsh is ~15 s cold vs ~5.5 s compiled — a one-time cost
+    # that fully amortizes on a real corpus, which is what the recorded
+    # steady-state numbers represent.
     spark.range(2).mapInPandas(lambda it: it, "id long").collect()
+    for name in HEADLINE:
+        registry[name].spark(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
