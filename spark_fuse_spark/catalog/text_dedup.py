@@ -27,7 +27,6 @@ from ..functions.text import (
 )
 from ..operators.dedup import (
     dedup_exact,
-    embedding_neardup_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
@@ -397,9 +396,12 @@ FROM cand c JOIN exact e ON c.id_a = e.id_a AND c.id_b = e.id_b
     "Scale: shuffle is O(docs × bands), never O(n²).",
 )
 def d_minhash(spark: SparkSession, sf: str) -> DataFrame:
-    return minhash_lsh_pairs(
-        load_table(spark, sf, "documents"), k=3, num_hashes=32, bands=8, threshold=0.5, seed=42
-    )
+    # the sf* documents table is ONE small parquet file → Spark reads it
+    # as a single partition; the interpreted shingle/hash expressions are
+    # CPU-bound, so spread them across cores (at scale the scan already
+    # has thousands of splits and this repartition would be omitted)
+    docs = load_table(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
+    return minhash_lsh_pairs(docs, k=3, num_hashes=32, bands=8, threshold=0.5, seed=42)
 
 
 def _simhash_oracle(k: int, max_hamming: int) -> str:
@@ -440,23 +442,66 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     "bit_count(xor). Oracle replays the identical bit-vote construction.",
 )
 def d_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    out = simhash_pairs(load_table(spark, sf, "documents"), k=1, max_hamming=8)
+    # single-file input → repartition for CPU parallelism (see d_minhash_lsh)
+    docs = load_table(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
+    out = simhash_pairs(docs, k=1, max_hamming=8)
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _embedding_lsh_oracle(
+    dims: int, threshold: float, tables: int, planes_per_table: int, seed: int
+) -> str:
+    """DuckDB twin of ``embedding_lsh_pairs``: replays the identical plane
+    literals (LCG-deterministic), bucket assembly, within-bucket candidate
+    join, and exact-cosine verify."""
+    from ..operators.similarity import _pseudo_planes
+
+    table_selects = []
+    for t in range(tables):
+        planes = _pseudo_planes(planes_per_table, dims, seed + t)
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product(e, CAST([{', '.join(repr(x) for x in plane)}] AS DOUBLE[])) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(planes)
+        )
+        table_selects.append(f"SELECT vec_id, {t} AS t, CAST({terms} AS BIGINT) AS bkt FROM v")
+    buckets = "\nUNION ALL\n".join(table_selects)
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+b AS ({buckets}),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+         FROM b a JOIN b c ON a.t = c.t AND a.bkt = c.bkt AND a.vec_id < c.vec_id)
+SELECT cand.id_a, cand.id_b,
+       ROUND(list_cosine_similarity(va.e, vb.e), 6) AS cosine
+FROM cand
+JOIN v va ON cand.id_a = va.vec_id
+JOIN v vb ON cand.id_b = vb.vec_id
+WHERE list_cosine_similarity(va.e, vb.e) >= {threshold}
+"""
 
 
 @register(
     "d_embedding_neardup",
-    oracle="""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine
-FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.e, b.e) >= 0.9
-""",
-    doc="embedding near-dup: exact cosine-threshold pairs (the verification "
-    "baseline for ANN candidates). JVM-side zip_with/aggregate math.",
+    oracle=_embedding_lsh_oracle(dims=64, threshold=0.4, tables=12, planes_per_table=4, seed=42),
+    doc="embedding near-dup via multi-table hyperplane LSH candidates + "
+    "exact cosine verify (candidates ∩ {cosine ≥ 0.4}). No cross join "
+    "anywhere: buckets come from deterministic sign-bit hashing, pairs "
+    "from within-bucket groupBy expansion — shuffle O(rows × tables). "
+    "The brute-force baseline remains available as "
+    "operators.dedup.embedding_neardup_pairs.",
 )
 def d_embed_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    return embedding_neardup_pairs(
-        load_table(spark, sf, "embeddings"), vec_col="embedding", id_col="vec_id", threshold=0.9
+    from ..operators.dedup import embedding_lsh_pairs
+
+    return embedding_lsh_pairs(
+        load_table(spark, sf, "embeddings"),
+        dims=64,
+        vec_col="embedding",
+        id_col="vec_id",
+        threshold=0.4,
+        tables=12,
+        planes_per_table=4,
+        seed=42,
+        # single-file input → spread the CPU-heavy projection/verify
+        parallelism=spark.sparkContext.defaultParallelism,
     )

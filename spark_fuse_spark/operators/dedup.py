@@ -45,6 +45,7 @@ __all__ = [
     "simhash_signatures",
     "simhash_pairs",
     "embedding_neardup_pairs",
+    "embedding_lsh_pairs",
 ]
 
 
@@ -283,22 +284,25 @@ def simhash_signatures(
     ).filter(F.size("__sh") > 0).select(
         F.col(id_col), F.transform("__sh", lambda s: portable_hash64(s)).alias("__hs")
     )
-    hashes = F.col("__hs")  # hash once; 60 bit-vote folds reuse the array
-    bit_cols = []
-    for bit in range(60):
-        votes = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            ),
-        )
-        bit_cols.append(F.when(votes > 0, F.lit(1 << bit).cast("long")).otherwise(F.lit(0)))
-    total = bit_cols[0]
-    for c in bit_cols[1:]:
-        total = total + c
-    return sh.select(F.col(id_col), total.alias("simhash"))
+    # Single pass over the shingle array: each hash expands to its 60
+    # ±1 bit-votes once, and ONE fold accumulates the 60-element vote
+    # vector (the previous shape ran 60 separate aggregate folds — 60
+    # interpreted traversals of the array per row).  Built as one parsed
+    # SQL string: the equivalent Column-API tree costs thousands of py4j
+    # round-trips of driver time.
+    bit_votes = "transform(__hs, h -> array(" + ", ".join(
+        f"IF((shiftright(h, {bit}) & 1) = 1, 1L, -1L)" for bit in range(60)
+    ) + "))"
+    votes = (
+        f"aggregate({bit_votes}, array_repeat(0L, 60), "
+        "(acc, ba) -> zip_with(acc, ba, (a, b) -> a + b))"
+    )
+    weights = "array(" + ", ".join(f"{1 << bit}L" for bit in range(60)) + ")"
+    simhash = (
+        f"aggregate(zip_with({votes}, {weights}, (v, w) -> IF(v > 0, w, 0L)), "
+        "0L, (acc, w) -> acc + w)"
+    )
+    return sh.select(F.col(id_col), F.expr(simhash).alias("simhash"))
 
 
 def simhash_pairs(
@@ -370,6 +374,112 @@ def embedding_neardup_pairs(
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", sim)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def embedding_lsh_pairs(
+    df: DataFrame,
+    dims: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    tables: int = 12,
+    planes_per_table: int = 4,
+    seed: int = 42,
+    parallelism: "int | None" = None,
+) -> DataFrame:
+    """Embedding near-dup pairs via multi-table hyperplane LSH + exact verify.
+
+    The scale path for :func:`embedding_neardup_pairs`: ``tables``
+    independent random-hyperplane hash tables (``planes_per_table`` sign
+    bits each, deterministic LCG planes shared with
+    ``operators.similarity``) bucket each vector; within-bucket pairs are
+    expanded by a groupBy — shuffle O(rows × tables), NEVER an all-pairs
+    cross join — then verified with exact cosine ≥ ``threshold``.
+
+    Semantics: **candidates ∩ {cosine ≥ threshold}** — a pair whose
+    vectors agree on no table's full sign pattern is never considered
+    (recall 1-(1-p^r)^b with p = 1 - θ/π).  Raw projections (not
+    normalized) decide the sign bits: the sign is normalization-invariant
+    and both engines of the differential oracle evaluate the identical
+    plane literals.
+
+    ``parallelism``: optional round-robin repartition of the (tiny-file)
+    input before the CPU-heavy projection/verify stages.  Leave ``None``
+    at scale — a large corpus scan already has thousands of splits and
+    the extra Exchange would be pure cost; set it when the input is a
+    handful of small files that Spark reads as one partition.
+    """
+    from ..functions.vectors import dot as _dot
+    from ..functions.vectors import l2_normalize as _l2n
+    from .similarity import _pseudo_planes
+
+    v = df.select(F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v"))
+    if parallelism:
+        v = v.repartition(parallelism)
+    # The plane matrix is one constant-folded array<array<double>> literal
+    # used inside higher-order functions: Catalyst folds it to a single
+    # Literal and the HOFs evaluate interpreted, so whole-stage codegen
+    # never compiles a (tables × planes × dims)-literal method (measured:
+    # the unrolled form cost ~10 s of janino time on first execution).
+    from .similarity import _array_lit_sql
+
+    planes_flat = []
+    for t in range(tables):
+        planes_flat.extend(_pseudo_planes(planes_per_table, dims, seed + t))
+    planes_sql = "array(" + ", ".join(_array_lit_sql(p) for p in planes_flat) + ")"
+    bkt_sql = (
+        f"transform(sequence(0, {tables - 1}), t -> named_struct("
+        "'t', CAST(t AS INT), "
+        f"'bkt', aggregate(sequence(0, {planes_per_table - 1}), 0L, (acc, i) -> acc + "
+        f"IF(aggregate(zip_with(__v, element_at({planes_sql}, "
+        f"CAST(t * {planes_per_table} + i + 1 AS INT)), (x, y) -> x * y), 0.0D, "
+        "(a, p) -> a + p) >= 0, shiftleft(1L, CAST(i AS INT)), 0L))))"
+    )
+    rows = v.select("__id", F.explode(F.expr(bkt_sql)).alias("b")).select(
+        "__id", F.col("b.t").alias("t"), F.col("b.bkt").alias("bkt")
+    )
+
+    # within-bucket pair expansion by groupBy (same shape as MinHash LSH:
+    # the quadratic step is confined to single buckets)
+    ids = F.array_sort(F.collect_list(F.col("__id")))
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("__ids"),
+                lambda x: F.transform(
+                    F.col("__ids"),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        ),
+        lambda s: s.id_a < s.id_b,
+    )
+    candidates = (
+        rows.groupBy("t", "bkt")
+        .agg(ids.alias("__ids"))
+        .filter(F.size("__ids") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .distinct()
+    )
+
+    # exact-cosine verify restricted to candidates.  Vectors are
+    # L2-normalized ONCE per row (O(corpus)) so the per-pair work is a
+    # single dot fold, not dot + two norms (O(candidates) × 3).
+    # Broadcasting the candidate pairs into the first corpus join keeps
+    # the corpus unshuffled; the second join's left side is
+    # candidate-sized, so AQE picks broadcast vs shuffle at runtime.
+    va = df.select(F.col(id_col).alias("id_a"), _l2n(vec_col).alias("__ua"))
+    vb = df.select(F.col(id_col).alias("id_b"), _l2n(vec_col).alias("__ub"))
+    if parallelism:
+        va = va.repartition(parallelism)
+    return (
+        va.join(F.broadcast(candidates), "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", _dot(F.col("__ua"), F.col("__ub")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )

@@ -177,6 +177,23 @@ def brute_force_topk(
     )
 
 
+def _array_lit_sql(values: "list[float]") -> str:
+    """Spark-SQL double-array literal. Building literal-heavy trees through
+    the Column API costs one py4j round-trip per node (measured: 48
+    64-float arrays = ~4 s of driver time); one parsed SQL string is
+    effectively free and produces the identical expression."""
+    return "array(" + ", ".join(f"{float(x)!r}D" for x in values) + ")"
+
+
+def _dot_lit_sql(vec_sql: str, values: "list[float]") -> str:
+    """SQL for dot(vec_col, literal_vector) — same left-to-right fold as
+    ``functions.vectors.dot`` so results are bit-identical."""
+    return (
+        f"aggregate(zip_with(CAST({vec_sql} AS ARRAY<DOUBLE>), {_array_lit_sql(values)}, "
+        "(x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -184,17 +201,30 @@ def ivf_assign(
     list_col: str = "ivf_list",
 ) -> DataFrame:
     """Assign each row to its nearest (cosine) centroid — the IVF bucketing
-    pass.  Centroids are a driver-side list (they are k × dims floats —
-    tiny), inlined as literals so assignment is pure codegen."""
-    unit = l2_normalize(vec_col)
-    best_id = F.lit(centroids[0][0])
-    best_sim = dot(unit, F.array(*[F.lit(float(x)) for x in _unit(centroids[0][1])]))
-    for cid, cvec in centroids[1:]:
-        s = dot(unit, F.array(*[F.lit(float(x)) for x in _unit(cvec)]))
-        better = s > best_sim
-        best_id = F.when(better, F.lit(cid)).otherwise(best_id)
-        best_sim = F.when(better, s).otherwise(best_sim)
-    return corpus.withColumn(list_col, best_id)
+    pass.  Centroids are a driver-side list (k × dims floats — tiny),
+    inlined as SQL literals.
+
+    Shape: one sims array + first-max ``array_position`` argmax.  (The
+    previous chained ``when(s > best_sim, ...)`` form embedded the
+    running best twice per step — an O(2^k) expression tree that showed
+    up as a 31 MiB task binary and two minutes of planning at k=8.)
+    """
+    sims_sql = "array(" + ", ".join(
+        _dot_lit_sql("__ivf_unit", _unit(cvec)) for _, cvec in centroids
+    ) + ")"
+    ids_sql = "array(" + ", ".join(str(int(cid)) for cid, _ in centroids) + ")"
+    out = (
+        corpus.withColumn("__ivf_unit", l2_normalize(vec_col))
+        .withColumn("__ivf_sims", F.expr(sims_sql))
+        .withColumn(
+            list_col,
+            F.expr(
+                f"element_at({ids_sql}, "
+                "CAST(array_position(__ivf_sims, array_max(__ivf_sims)) AS INT))"
+            ),
+        )
+    )
+    return out.drop("__ivf_unit", "__ivf_sims")
 
 
 def _unit(v: list[float]) -> list[float]:
@@ -204,18 +234,55 @@ def _unit(v: list[float]) -> list[float]:
 
 def train_ivf_centroids(
     corpus: DataFrame, k: int, vec_col: str = "embedding", seed: int = 42,
-    sample_rows: int = 10_000,
+    sample_rows: int = 10_000, sample_fraction: "float | None" = None,
+    id_col: "str | None" = None, max_iter: int = 20,
 ) -> list[tuple[int, list[float]]]:
-    """Coarse quantizer training: deterministic sample → MLlib KMeans on
-    the driver-capped sample (sample is tiny; the full corpus is never
-    collected)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """Coarse quantizer training: narrow sample → driver-side Lloyd's.
 
-    frac_df = corpus.select(F.col(vec_col)).orderBy(F.rand(seed)).limit(sample_rows)
-    feat = frac_df.withColumn("__f", array_to_vector(F.col(vec_col).cast("array<double>")))
-    model = KMeans(k=k, seed=seed, featuresCol="__f", predictionCol="__p").fit(feat)
-    return [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    The sample is taken WITHOUT any corpus-wide sort or shuffle: an
+    optional deterministic hash gate (``operators.sampling.sample_gate``,
+    a per-row filter that composes with the scan) thins the corpus to
+    roughly the wanted size, then ``limit(sample_rows)`` collects the
+    capped sample — a ``CollectLimit`` that stops reading as soon as the
+    cap is met.  At 100 TB pass ``sample_fraction ≈ sample_rows·5/n_rows``
+    with ``id_col`` so the gate (not the limit) does the thinning and the
+    sample draws from all files.
+
+    k-means itself runs in numpy on the driver: the sample is ≤
+    ``sample_rows`` × dims floats (a few MB) and coarse-quantizer
+    training needs no cluster — this replaces an MLlib fit whose
+    per-iteration Spark jobs dominated wall time at every scale tested.
+    Deterministic: seeded init, fixed iteration count, stable tie-break.
+    """
+    import numpy as np
+
+    sample = corpus
+    if sample_fraction is not None:
+        if id_col is None:
+            raise ValueError("sample_fraction requires id_col for the hash gate")
+        from .sampling import sample_gate
+
+        sample = sample.where(sample_gate(id_col, sample_fraction, salt=f"ivf{seed}"))
+    rows = sample.select(F.col(vec_col).cast("array<double>")).limit(sample_rows).collect()
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    if x.ndim != 2 or x.shape[0] == 0:
+        raise ValueError("empty or ragged vector sample; cannot train centroids")
+    k_eff = min(k, x.shape[0])
+    rng = np.random.default_rng(seed)
+    centers = x[rng.choice(x.shape[0], size=k_eff, replace=False)]
+    for _ in range(max_iter):
+        # ||x-c||^2 = ||x||^2 - 2 x·c + ||c||^2 ; argmin over c drops ||x||^2
+        d = -2.0 * (x @ centers.T) + (centers * centers).sum(axis=1)
+        assign = d.argmin(axis=1)
+        new_centers = centers.copy()
+        for j in range(k_eff):
+            members = x[assign == j]
+            if members.shape[0]:
+                new_centers[j] = members.mean(axis=0)
+        if np.allclose(new_centers, centers, rtol=0.0, atol=1e-12):
+            break
+        centers = new_centers
+    return [(i, [float(v) for v in c]) for i, c in enumerate(centers)]
 
 
 def ivf_topk(
@@ -236,17 +303,26 @@ def ivf_topk(
     """
     bucketed = ivf_assign(corpus, centroids, corpus_vec, "ivf_list")
 
-    # rank centroid lists per query, keep nprobe
-    q = queries.select(F.col(query_id), F.col(query_vec))
-    probes = None
-    for cid, cvec in centroids:
-        s = dot(l2_normalize(query_vec), F.array(*[F.lit(float(x)) for x in _unit(cvec)]))
-        row = q.select(F.col(query_id), F.col(query_vec), F.lit(cid).alias("ivf_list"),
-                       s.alias("__csim"))
-        probes = row if probes is None else probes.unionByName(row)
+    # rank centroid lists per query, keep nprobe: one sims array +
+    # posexplode (the previous per-centroid unionByName chain built k
+    # plan branches and k× the py4j traffic)
+    sims_sql = "array(" + ", ".join(
+        _dot_lit_sql("__q_unit", _unit(cvec)) for _, cvec in centroids
+    ) + ")"
+    ids_sql = "array(" + ", ".join(str(int(cid)) for cid, _ in centroids) + ")"
+    q = (
+        queries.select(F.col(query_id), F.col(query_vec))
+        .withColumn("__q_unit", l2_normalize(query_vec))
+        .select(
+            F.col(query_id),
+            F.col(query_vec),
+            F.posexplode(F.expr(sims_sql)).alias("__pos", "__csim"),
+        )
+        .withColumn("ivf_list", F.element_at(F.expr(ids_sql), F.col("__pos") + 1))
+    )
     w = Window.partitionBy(query_id).orderBy(F.col("__csim").desc(), F.col("ivf_list").asc())
     probed = (
-        probes.withColumn("__pr", F.row_number().over(w))
+        q.withColumn("__pr", F.row_number().over(w))
         .filter(F.col("__pr") <= nprobe)
         .select(query_id, query_vec, "ivf_list")
     )
@@ -272,16 +348,23 @@ def hyperplane_lsh_bucket(
     """Random-hyperplane LSH bucket id (sign pattern of ``num_planes``
     projections).  Planes are deterministic pseudo-random unit vectors
     derived from an LCG — identical across runs/engines, nothing to
-    broadcast."""
+    broadcast.
+
+    ``dims`` is required: array columns carry no fixed length in the
+    schema, and inferring it would mean a hidden driver-side action
+    (``.first()`` on the corpus) inside a library default.
+    """
     if dims is None:
-        dims = len(df.select(vec_col).first()[0])
+        raise ValueError(
+            "dims is required (array<float> schemas carry no fixed length; "
+            "pass the embedding dimensionality explicitly)"
+        )
     planes = _pseudo_planes(num_planes, dims, seed)
-    unit = l2_normalize(vec_col)
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        proj = dot(unit, F.array(*[F.lit(x) for x in p]))
-        bucket = bucket + F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
-    return df.withColumn(bucket_col, bucket)
+    out = df.withColumn("__lsh_unit", l2_normalize(vec_col))
+    bucket_sql = " + ".join(
+        f"IF({_dot_lit_sql('__lsh_unit', p)} >= 0, {1 << i}L, 0L)" for i, p in enumerate(planes)
+    )
+    return out.withColumn(bucket_col, F.expr(f"CAST({bucket_sql} AS BIGINT)")).drop("__lsh_unit")
 
 
 def _pseudo_planes(num_planes: int, dims: int, seed: int) -> list[list[float]]:
