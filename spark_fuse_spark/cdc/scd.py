@@ -296,9 +296,7 @@ def track_history_upsert(
         max_seq = src.agg(F.max(_SEQ_COL)).collect()[0][0] or 0
         for seq in range(1, max_seq + 1):
             batch = src.where(F.col(_SEQ_COL) == seq).drop(_SEQ_COL)
-            _apply_scd2_batch(
-                spark, batch, target, business_keys, store, _load_ts(load_ts_expr)
-            )
+            _apply_scd2_batch(spark, batch, target, business_keys, store)
     finally:
         src.unpersist()
 
@@ -309,7 +307,6 @@ def _apply_scd2_batch(
     target: str,
     business_keys: Sequence[str],
     store: TableStore,
-    load_ts: Column,
 ) -> None:
     data_cols = [c for c in batch.columns if c != LOAD_TS_COL and c != HASH_COL]
     out_cols = data_cols + [HASH_COL, LOAD_TS_COL, START_COL, END_COL, CURRENT_COL, VERSION_COL]
@@ -318,7 +315,7 @@ def _apply_scd2_batch(
         store.overwrite(_stamp_insert(batch, F.lit(1)).select(out_cols), target)
         return
 
-    if _delta_scd2_batch(spark, batch, target, business_keys, store, load_ts, out_cols):
+    if _delta_scd2_batch(spark, batch, target, business_keys, store, out_cols):
         return
 
     tgt = store.read(spark, target)
@@ -345,15 +342,24 @@ def _apply_scd2_batch(
     )
     inserts = _stamp_insert(versioned, F.col(VERSION_COL))
 
-    # keys being closed: matched AND hash changed (new-key inserts close nothing)
+    # keys being closed: matched AND hash changed (new-key inserts close
+    # nothing).  The close timestamp is the BATCH's materialized load_ts
+    # (carried from the cached source rows), not a freshly evaluated
+    # expression: with the default current_timestamp() a re-evaluation
+    # would land after the successor's effective_start, leaving
+    # overlapping validity intervals — end_ts of the old version must
+    # equal start_ts of the new one (the Delta path already uses
+    # s.load_ts; this keeps both backends consistent).
     changed_keys = cmp.where(
         F.col("__c_hash").isNotNull() & (F.col("__c_hash") != b[HASH_COL])
-    ).select([b[k] for k in business_keys])
+    ).select([b[k] for k in business_keys] + [b[LOAD_TS_COL].alias("__close_ts")])
     cur, k2 = tgt.where(F.col(CURRENT_COL)).alias("t2"), changed_keys.alias("k2")
     closing = (
-        cur.join(k2, _nullsafe_cond(cur, k2, business_keys), "left_semi")
-        .withColumn(END_COL, load_ts)
+        cur.join(k2, _nullsafe_cond(cur, k2, business_keys), "inner")
+        .select([cur[x] for x in tgt.columns] + [k2["__close_ts"]])
+        .withColumn(END_COL, F.col("__close_ts"))
         .withColumn(CURRENT_COL, F.lit(False))
+        .drop("__close_ts")
     )
     surviving_current = cur.join(k2, _nullsafe_cond(cur, k2, business_keys), "left_anti")
     result = (
@@ -371,7 +377,6 @@ def _delta_scd2_batch(
     target: str,
     business_keys: Sequence[str],
     store: TableStore,
-    load_ts: Column,
     out_cols: list[str],
 ) -> bool:
     """Delta fast path for one SCD2 mini-batch (reference flow,

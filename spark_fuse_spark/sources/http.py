@@ -110,3 +110,55 @@ class HttpClient:
                 if delay > 0:
                     time.sleep(delay)
         return None
+
+    def request_json_status(
+        self,
+        url: str,
+        method: str = "GET",
+        headers: "Mapping[str, str] | None" = None,
+        json_body: Any = None,
+    ) -> "tuple[int | None, Any]":
+        """Status-aware variant: returns ``(status, parsed-body-or-text)``.
+
+        Retries network errors and 5xx with the same backoff as
+        :meth:`request_json`; 4xx responses return IMMEDIATELY (the
+        server decided — retrying cannot change a client error, and the
+        caller needs the status to react: 404-means-missing,
+        409-means-exists, 400-means-rejected).  ``status`` is ``None``
+        when every attempt failed at the network layer.
+        """
+        body = None
+        all_headers = {**self.headers, **(headers or {})}
+        if json_body is not None:
+            body = json.dumps(json_body).encode("utf-8")
+            all_headers.setdefault("Content-Type", "application/json")
+
+        last_status: "int | None" = None
+        last_payload: Any = None
+        attempts = max(self.max_retries, 0) + 1
+        for attempt in range(attempts):
+            req = urllib.request.Request(
+                url, data=body, method=method.upper(), headers=dict(all_headers)
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                    raw = resp.read()
+                    status = resp.status
+            except urllib.error.HTTPError as exc:
+                raw = exc.read()
+                status = exc.code
+            except (urllib.error.URLError, OSError, TimeoutError):
+                status, raw = None, b""
+            if status is not None:
+                try:
+                    payload = json.loads(raw)
+                except ValueError:
+                    payload = raw.decode("utf-8", errors="replace")
+                last_status, last_payload = status, payload
+                if status < 500:
+                    return status, payload
+            if attempt < attempts - 1:
+                delay = self.backoff_factor * (2**attempt)
+                if delay > 0:
+                    time.sleep(delay)
+        return last_status, last_payload

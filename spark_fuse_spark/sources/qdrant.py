@@ -337,8 +337,16 @@ class _QdrantWriter(DataSourceWriter):
     def _ensure_collection(self, client: HttpClient, sample: Mapping[str, Any]) -> None:
         cfg = self.cfg
         url = f"{cfg['endpoint']}/collections/{cfg['collection']}"
-        if client.request_json(url, method="GET") is not None:
+        status, body = client.request_json_status(url, method="GET")
+        if status is not None and 200 <= status < 300:
             return
+        if status != 404:
+            # timeouts / persistent 5xx are NOT "collection missing" —
+            # creating here would mask the outage and race other tasks
+            raise RuntimeError(
+                f"could not determine existence of Qdrant collection "
+                f"{cfg['collection']!r} (status {status}): {body!r}"
+            )
         vector = sample.get("vector")
         if isinstance(vector, Mapping):  # named vectors
             vectors = {
@@ -347,25 +355,47 @@ class _QdrantWriter(DataSourceWriter):
             }
         else:
             vectors = {"size": len(vector or []), "distance": cfg["distance"]}
-        if client.request_json(url, method="PUT", json_body={"vectors": vectors}) is None:
-            raise RuntimeError(f"failed to create Qdrant collection {cfg['collection']!r}")
+        status, body = client.request_json_status(url, method="PUT", json_body={"vectors": vectors})
+        if status is not None and 200 <= status < 300:
+            return
+        # concurrent write partitions race to create: already-exists /
+        # conflict responses mean another task won — that's success
+        if status == 409 or (status == 400 and "exist" in str(body).lower()):
+            return
+        raise RuntimeError(
+            f"failed to create Qdrant collection {cfg['collection']!r} "
+            f"(status {status}): {body!r}"
+        )
 
     def _flush(self, client: HttpClient, url: str, batch: list[dict]) -> None:
         # modern points-list payload first; legacy flat-batch as fallback
         # (reference negotiates points/batch/flat-batch × PUT/POST,
-        # writer.py:388-467 — two formats cover current + legacy servers)
-        resp = client.request_json(url, method="PUT", json_body={"points": batch})
-        if resp is not None:
+        # writer.py:388-467 — two formats cover current + legacy servers).
+        # Fallback only fires on 400/404 (the statuses a legacy server
+        # answers the modern shape with); 5xx/network exhaustion raises
+        # directly, and if the fallback also fails the error carries the
+        # ORIGINAL modern-format status + body so e.g. a wrong vector
+        # dimension isn't reported as a legacy-format problem.
+        status, body = client.request_json_status(url, method="PUT", json_body={"points": batch})
+        if status is not None and 200 <= status < 300:
             return
+        if status not in (400, 404):
+            raise RuntimeError(
+                f"Qdrant upsert failed for {len(batch)} points (status {status}): {body!r}"
+            )
         flat = {
             "ids": [p.get("id") for p in batch],
             "vectors": [p.get("vector") for p in batch],
         }
         if any("payload" in p for p in batch):
             flat["payloads"] = [p.get("payload") for p in batch]
-        resp = client.request_json(url, method="POST", json_body=flat)
-        if resp is None:
-            raise RuntimeError(f"Qdrant upsert failed after retries for {len(batch)} points")
+        status2, body2 = client.request_json_status(url, method="POST", json_body=flat)
+        if status2 is not None and 200 <= status2 < 300:
+            return
+        raise RuntimeError(
+            f"Qdrant upsert failed for {len(batch)} points: modern format "
+            f"(status {status}): {body!r}; legacy fallback (status {status2}): {body2!r}"
+        )
 
     def commit(self, messages) -> None:
         return None

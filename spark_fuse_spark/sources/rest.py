@@ -478,13 +478,14 @@ class _RestStreamReader(DataSourceStreamReader):
         floor = int(self.stream.get("start_offset", 0))
         last = getattr(self, "_last_offset", None)
         if last is None:
-            # first probe of this run: jump straight to the endpoint's
-            # total — a restarted query's checkpoint may be ahead of
-            # start_offset, and an offset that moves backwards would
-            # corrupt batch planning.  The backlog still downloads in
-            # parallel page partitions; the per-trigger cap applies from
-            # the second trigger on.
-            pos = total if total is not None else floor
+            # first probe of this run: admission control applies here too
+            # — a fresh query against a large backlog gets a bounded
+            # first microbatch instead of the whole endpoint in one
+            # trigger.  If a restarted checkpoint is ahead of this
+            # position, the engine plans (checkpoint, latest) with
+            # latest <= checkpoint, i.e. empty batches, until the
+            # tracked position catches up — never a backwards range.
+            pos = floor if total is None else min(total, floor + self.max_per_batch)
         else:
             pos = int(last["pos"])
             if total is not None:

@@ -222,6 +222,19 @@ def sessionize_with_state(
     by the number of concurrently-active users.
     """
     gap = pd.Timedelta(seconds=gap_seconds)
+    # Arrow hands event-time values to pandas as tz-NAIVE timestamps in
+    # the Spark session timezone, but Timestamp.timestamp() interprets
+    # naive values as UTC — correct only when the session runs UTC (as
+    # create_session pins).  Capture the session tz here and localize
+    # before the epoch conversion so a non-UTC session doesn't skew the
+    # timeout by the offset (which could set a timeout below the
+    # watermark and fail the query).
+    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone") or "UTC"
+
+    def _epoch_ms(ts: pd.Timestamp) -> int:
+        if ts.tzinfo is None:
+            ts = ts.tz_localize(session_tz, ambiguous=True, nonexistent="shift_forward")
+        return int(ts.timestamp() * 1000)
 
     def update(
         key: Tuple[int], batch_iter: Iterator[pd.DataFrame], state: GroupState
@@ -261,7 +274,7 @@ def sessionize_with_state(
 
         state.update((start, last, n, total))
         # event-time timeout: fire once the watermark passes last_ts + gap
-        state.setTimeoutTimestamp(int(last.timestamp() * 1000) + gap_seconds * 1000)
+        state.setTimeoutTimestamp(_epoch_ms(last) + gap_seconds * 1000)
         if closed:
             frame = pd.DataFrame(
                 closed,

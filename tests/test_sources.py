@@ -136,6 +136,56 @@ def test_rest_token_pagination_and_post(spark, mock_server):
     assert all(b == {"q": "spark"} for b in posts)
 
 
+def test_rest_link_pagination_follows_next_urls(spark, mock_server):
+    """Response/link mode (reference ``tests/io/test_rest_api.py``
+    response-pagination case): the reader follows each payload's ``next``
+    link — absolute AND relative forms — until a page carries none."""
+
+    def page(links_next, ids):
+        payload = {"data": [{"id": i} for i in ids]}
+        if links_next is not None:
+            payload["links"] = {"next": links_next}
+        return payload
+
+    # page 1 links absolutely, page 2 relatively (resolved against the
+    # page-2 URL), page 3 ends the chain; schema inference + read = 2 walks
+    chain = [
+        page(None, [30]),  # served at /v2/items/p3
+    ]
+    mock_server.route("GET", "/v2/items/p3", *chain)
+    mock_server.route("GET", "/v2/items/p2", page("p3", [20, 21]))
+    mock_server.route("GET", "/v2/items", page(f"{mock_server.url}/v2/items/p2", [10, 11]))
+
+    rest.register(spark)
+    cfg = rest.build_rest_config(
+        f"{mock_server.url}/v2/items",
+        records_field="data",
+        pagination={"mode": "response", "field": "links.next"},
+    )
+    df = spark.read.format(rest.FORMAT_NAME).option(rest.CONFIG_OPTION, cfg).load()
+    assert sorted(r["id"] for r in df.collect()) == [10, 11, 20, 21, 30]
+    # the chain was followed in order: base -> absolute p2 -> relative p3
+    paths = [p for m, p, _ in mock_server.requests if m == "GET"]
+    assert paths[:3] == ["/v2/items", "/v2/items/p2", "/v2/items/p3"]
+
+
+def test_rest_link_pagination_max_pages_cap(spark, mock_server):
+    """A self-linking endpoint must stop at max_pages, not loop forever."""
+
+    def self_link(handler, body):
+        return {"data": [{"id": 1}], "next": f"{mock_server.url}/loop"}
+
+    mock_server.route("GET", "/loop", self_link)
+    rest.register(spark)
+    cfg = rest.build_rest_config(
+        f"{mock_server.url}/loop",
+        records_field="data",
+        pagination={"mode": "response", "field": "next", "max_pages": 3},
+    )
+    df = spark.read.format(rest.FORMAT_NAME).option(rest.CONFIG_OPTION, cfg).load()
+    assert [r["id"] for r in df.collect()] == [1, 1, 1]
+
+
 # ------------------------------------------------------------------ SPARQL
 
 
@@ -355,13 +405,19 @@ def test_rest_stream_reader_protocol(mock_server):
 
     assert reader.initialOffset() == {"pos": 0}
     first = reader.latestOffset()
-    assert first == {"pos": 25}  # first probe takes the whole backlog
+    assert first == {"pos": 8}  # admission control applies to the FIRST probe too
     parts = reader.partitions({"pos": 0}, first)
-    assert [(p.start, p.end) for p in parts] == [(0, 10), (10, 20), (20, 25)]
+    assert [(p.start, p.end) for p in parts] == [(0, 8)]
     got = [row for p in parts for row in reader.read(p)]
-    assert got == [(i, f"row{i}") for i in range(25)]
-    # deterministic replay of a committed range
-    assert list(reader.read(parts[1])) == [(i, f"row{i}") for i in range(10, 20)]
+    assert got == [(i, f"row{i}") for i in range(8)]
+    # subsequent probes drain the backlog cap-by-cap, clamped at total
+    assert reader.latestOffset() == {"pos": 16}
+    assert reader.latestOffset() == {"pos": 24}
+    assert reader.latestOffset() == {"pos": 25}
+    # deterministic replay of an arbitrary committed range (page-split)
+    parts = reader.partitions({"pos": 5}, {"pos": 25})
+    assert [(p.start, p.end) for p in parts] == [(5, 15), (15, 25)]
+    assert list(reader.read(parts[1])) == [(i, f"row{i}") for i in range(15, 25)]
 
     data.extend({"id": i, "v": f"row{i}"} for i in range(25, 60))
     second = reader.latestOffset()
