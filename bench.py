@@ -36,11 +36,16 @@ HEADLINE = [
     "q_topk_per_group",
     "d_dedup_exact",
     "d_minhash_lsh",
+    "d_ngram_jaccard",
+    "d_simhash",
+    "d_embedding_neardup",
     "v_ann_bruteforce",
+    "v_ivf_topk",
     "e_session_window",
     "e_tumbling_window",
     "a_map_column_closed_set",
     "c_scd1_two_batch",
+    "c_scd2_two_batch",
     "x_salted_agg",
 ]
 

@@ -127,3 +127,61 @@ def c_scd1_two_batch(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "c_scd2_two_batch",
+    oracle="""
+WITH base AS (SELECT c_custkey, c_mktsegment AS segment FROM customer),
+v1 AS (
+  SELECT c_custkey, segment, 1 AS version,
+         '2024-01-01 00:00:00' AS start_s,
+         CASE WHEN c_custkey % 10 = 0 THEN '2024-02-01 00:00:00' END AS end_s,
+         c_custkey % 10 <> 0 AS is_current
+  FROM base),
+v2 AS (
+  SELECT c_custkey, 'PROMO' AS segment, 2 AS version,
+         '2024-02-01 00:00:00' AS start_s, CAST(NULL AS VARCHAR) AS end_s,
+         TRUE AS is_current
+  FROM base WHERE c_custkey % 10 = 0)
+SELECT c_custkey, segment, CAST(version AS INT) AS version, start_s, end_s, is_current
+FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+ORDER BY c_custkey, version
+""",
+    doc="SCD Type-2 across two batches on a scratch parquet target: batch "
+    "2 flips segment to PROMO for custkey % 10 = 0, which must CLOSE "
+    "version 1 (end = batch-2 load_ts, is_current = false) and insert a "
+    "current version 2 whose effective_start equals that end — the "
+    "validity intervals must tile exactly. cdc/scd.py "
+    "track_history_upsert end-to-end.",
+)
+def c_scd2_two_batch(spark: SparkSession, sf: str) -> DataFrame:
+    from ..cdc import track_history_upsert
+
+    customer = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    batch1 = customer.withColumnRenamed("c_mktsegment", "segment")
+    batch2 = batch1.withColumn(
+        "segment",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("PROMO")).otherwise(F.col("segment")),
+    )
+    target = tempfile.mkdtemp(prefix="scd2_q_") + "/t"
+    track_history_upsert(
+        spark, batch1, target, ["c_custkey"],
+        load_ts_expr="to_timestamp('2024-01-01 00:00:00')",
+    )
+    track_history_upsert(
+        spark, batch2, target, ["c_custkey"],
+        load_ts_expr="to_timestamp('2024-02-01 00:00:00')",
+    )
+    return (
+        spark.read.parquet(target)
+        .select(
+            "c_custkey",
+            "segment",
+            F.col("version").cast("int").alias("version"),
+            F.date_format("effective_start_ts", _TS).alias("start_s"),
+            F.date_format("effective_end_ts", _TS).alias("end_s"),
+            "is_current",
+        )
+        .orderBy("c_custkey", "version")
+    )

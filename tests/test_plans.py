@@ -65,6 +65,35 @@ CONTRACTS = {
     # salted two-phase agg exists precisely to add ONE pre-shuffle on the
     # salted key before the final combine — partial aggs on both phases
     "x_salted_agg": PlanExpectation(require_partial_agg=True),
+    # ---- dedup family: the quadratic step must stay confined to buckets;
+    # shuffle budgets pin the O(docs)-shaped exchanges (fingerprint agg /
+    # shingle join / band groupBy), and the catalog-wide sweep below pins
+    # "no cartesian" for all of them
+    "d_dedup_exact": PlanExpectation(require_partial_agg=True, max_exchanges=2),
+    "d_ngram_jaccard": PlanExpectation(require_partial_agg=True, max_exchanges=3),
+    "d_simhash": PlanExpectation(max_exchanges=4),
+    # LSH near-dup: candidate pairs are explicitly broadcast into the
+    # verify joins (the corpus must never shuffle for verification)
+    "d_embedding_neardup": PlanExpectation(min_broadcast_joins=1, max_exchanges=5),
+    # ---- vector search: queries broadcast over one corpus scan; only the
+    # (|Q|·k)-sized ranked rows may shuffle
+    "v_ann_bruteforce": PlanExpectation(max_exchanges=2),
+    "v_ivf_topk": PlanExpectation(min_broadcast_joins=1, max_exchanges=2),
+    "v_lsh_buckets": PlanExpectation(require_partial_agg=True, max_exchanges=1),
+    "v_vector_norms": PlanExpectation(max_exchanges=1),
+    # ---- event/batch-twin windows: map-side partial aggregation before
+    # the one window-key shuffle (session windows emit partial_merge)
+    "e_tumbling_window": PlanExpectation(require_partial_agg=True, max_exchanges=2),
+    "e_sliding_window": PlanExpectation(require_partial_agg=True, max_exchanges=2),
+    "e_session_window": PlanExpectation(require_partial_agg=True, max_exchanges=2),
+    "e_first_event_dedup": PlanExpectation(max_exchanges=2),
+    # JSON extraction and the mapInPandas multimodal path add NO shuffle
+    # beyond the deterministic output ordering
+    "e_json_props": PlanExpectation(max_exchanges=1),
+    "m_binary_metadata": PlanExpectation(max_exchanges=1),
+    "c_scd2_snapshot": PlanExpectation(max_exchanges=2),
+    "t_corpus_build": PlanExpectation(require_partial_agg=True, max_exchanges=3),
+    "t_stratified_sample": PlanExpectation(require_partial_agg=True, max_exchanges=2),
 }
 
 
@@ -122,7 +151,6 @@ def test_pushed_filter_names_scoped_by_table(spark, sf_small):
 # intentionally non-equi join.  Everything else in the catalog must join
 # hash- or sort-merge-based; a new entry here needs a reason.
 NESTED_LOOP_OK = {
-    "d_embedding_neardup": "1-row broadcast threshold aggregate",
     "q11_important_parts": "1-row broadcast global-total threshold",
     "q22_idle_customers": "1-row broadcast global average",
     "q_asof_join": "non-equi as-of condition",
