@@ -145,6 +145,7 @@ def load_all() -> dict[str, QuerySpec]:
         text_dedup,
         ai_cdc,
         relational,
+        pipeline,
     )
 
     return REGISTRY

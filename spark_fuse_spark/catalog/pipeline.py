@@ -1,0 +1,328 @@
+"""Training-data pipeline suite: clustering, packing, contamination,
+PII, chunking, repetition — the operations a 100 TB pre-training corpus
+build needs beyond pairwise dedup.
+
+Registered LAST in ``load_all`` so the driver's budgeted walk reaches
+the round-1 backlog first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count
+from ..operators.dedup import ngram_jaccard_pairs
+from ..operators.graph import dedup_clusters
+from ..operators.packing import pack_sequences
+from ..tables import load_table
+from . import register
+from ..functions.hashing import portable_hash64_sql
+from .text_dedup import _jaccard_cte, _shingle_sql, _TOKS
+
+
+@register(
+    "d_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_jaccard_cte(3, 0.5)},
+edges AS (SELECT id_a AS u, id_b AS v FROM exact
+          UNION SELECT id_b, id_a FROM exact),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+labels AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+           FROM reach GROUP BY u),
+assigned AS (
+  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id)
+SELECT doc_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM assigned
+ORDER BY doc_id
+""",
+    doc="near-dup CLUSTERS, not just pairs: exact 3-shingle Jaccard >= 0.5 "
+    "pairs -> alternating large-star/small-star connected components "
+    "(Kiveris et al.) -> full-corpus cluster assignment with canonical "
+    "keeper per component.  filter(is_canonical) IS the deduped corpus. "
+    "Scale: every CC round is two groupBy-on-node-id shuffles; the oracle "
+    "replays the closure with a recursive CTE.",
+)
+def d_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    return dedup_clusters(docs, pairs).orderBy("doc_id")
+
+
+@register(
+    "t_pack_sequences",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_TOKS.format(col="text")}) AS BIGINT) AS n_tokens
+  FROM documents),
+p AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM t)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(start_offset // 512 AS BIGINT) AS seq_first,
+       CAST(CASE WHEN n_tokens <= 0 THEN start_offset // 512
+                 ELSE (start_offset + n_tokens - 1) // 512 END AS BIGINT)
+         AS seq_last,
+       CAST(CASE WHEN n_tokens <= 0 THEN 1
+                 ELSE (start_offset + n_tokens - 1) // 512 - start_offset // 512 + 1
+            END AS BIGINT) AS n_seqs
+FROM p
+ORDER BY doc_id
+""",
+    doc="GPT-style sequence packing: concatenate documents in doc_id order "
+    "and chop the whitespace-token stream into 512-token context windows; "
+    "each doc gets its global start offset and first/last window index. "
+    "The global running offset uses a two-phase distributed prefix sum "
+    "(range partition -> parallel local windows -> bounded per-partition "
+    "offset broadcast) — NO data-sized single-partition window stage; the "
+    "oracle replays it with a plain global window.",
+)
+def t_pack(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    return (
+        pack_sequences(d, "doc_id", "n_tokens", budget=512)
+        .select("doc_id", "n_tokens", "start_offset", "seq_first", "seq_last", "n_seqs")
+        .orderBy("doc_id")
+    )
+
+
+_GATE = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ev'), 1, 15) AS BIGINT) "
+    "% 1000000 < 50000"
+)
+
+
+_CONTAM_ORACLE = (
+    """
+WITH toks AS (SELECT doc_id, __TOKS__ AS t FROM documents),
+sh AS (SELECT doc_id, __SHINGLES__ AS sh FROM toks WHERE len(t) >= 5),
+ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
+h AS (SELECT doc_id, n, __H64__ AS h FROM ex),
+ev AS (SELECT * FROM h WHERE __GATE__),
+tr AS (SELECT * FROM h WHERE NOT (__GATE__)),
+pairs AS (
+  SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id, ev.n AS ne,
+         COUNT(*) AS shared_ngrams
+  FROM tr JOIN ev ON tr.h = ev.h
+  GROUP BY 1, 2, 3)
+SELECT train_id, eval_id, shared_ngrams,
+       ROUND(shared_ngrams / ne, 6) AS overlap_frac
+FROM pairs WHERE shared_ngrams >= 2
+ORDER BY train_id, eval_id
+"""
+    .replace("__TOKS__", _TOKS.format(col="text"))
+    .replace("__SHINGLES__", _shingle_sql(5))
+    .replace("__H64__", portable_hash64_sql("s"))
+    .replace("__GATE__", _GATE)
+)
+
+
+@register(
+    "t_contamination",
+    oracle=_CONTAM_ORACLE,
+    doc="benchmark-contamination check: deterministic 5% hash-gate eval "
+    "split, then distinct 5-shingle overlap between every train and eval "
+    "doc via the inverted-index equi-join with the (small) eval side "
+    "broadcast — the training corpus is never shuffled.  overlap_frac is "
+    "shared / eval-doc shingles, the contamination convention.",
+)
+def t_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.dedup import cross_corpus_overlap
+    from ..operators.sampling import sample_gate
+
+    d = load_table(spark, sf, "documents")
+    gate = sample_gate("doc_id", 0.05, salt="ev")
+    return (
+        cross_corpus_overlap(
+            d.where(~gate), d.where(gate), k=5, min_shared=2
+        )
+        .orderBy("train_id", "eval_id")
+    )
+
+
+@register(
+    "t_pii_redact",
+    oracle="""
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+    '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') AS redacted,
+  CAST(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text,
+    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text,
+    '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn
+FROM documents
+ORDER BY doc_id
+""",
+    doc="PII redaction: email / IPv4 / SSN patterns replaced with "
+    "placeholder tokens plus per-kind match counts — pure codegen "
+    "regexp_replace/regexp_count, scan-speed.  Patterns restricted to "
+    "syntax with identical Java-regex and RE2 semantics so the oracle "
+    "replays them verbatim.",
+)
+def t_pii(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import pii_count, redact_pii
+
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        redact_pii("text").alias("redacted"),
+        pii_count("text", "email").alias("n_email"),
+        pii_count("text", "ipv4").alias("n_ipv4"),
+        pii_count("text", "ssn").alias("n_ssn"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "t_repetition",
+    oracle="""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t FROM documents),
+base AS (SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS nd FROM toks),
+bg AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i + 1])) AS g
+       FROM toks WHERE len(t) >= 2),
+cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+top AS (SELECT doc_id, MAX(c) AS topc, SUM(c) AS total FROM cnt GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(b.n AS BIGINT) AS n_tokens,
+       ROUND(b.nd / greatest(b.n, 1), 6) AS distinct_token_frac,
+       ROUND(COALESCE(t.topc / t.total, 0.0), 6) AS top_bigram_frac
+FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id
+ORDER BY b.doc_id
+""",
+    doc="repetition quality filters (Gopher-style): distinct-token "
+    "fraction and most-frequent-bigram share per document.  Bigram mode "
+    "needs a real distribution, so it shuffles — but keyed by (doc, "
+    "bigram) with map-side partial counts, then a per-doc rollup; both "
+    "shuffles carry one row per DISTINCT doc-bigram, not per token.",
+)
+def t_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf, "documents").select("doc_id", tokens("text").alias("t"))
+    base = d.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct("t")) / F.greatest(F.size("t"), F.lit(1)), 6
+        ).alias("distinct_token_frac"),
+    )
+    bigrams = (
+        d.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.concat(
+                        F.element_at(F.col("t"), i), F.lit(" "), F.element_at(F.col("t"), i + 1)
+                    ),
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("topc"), F.sum("c").alias("total"))
+        .select(
+            "doc_id", F.round(F.col("topc") / F.col("total"), 6).alias("top_bigram_frac")
+        )
+    )
+    return (
+        base.join(bigrams, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "distinct_token_frac",
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "t_chunk_documents",
+    oracle="""
+WITH starts AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(length(text), 1), 150)) AS i
+  FROM documents)
+SELECT doc_id,
+       CAST((i - 1) // 150 AS BIGINT) AS chunk_idx,
+       CAST(i AS BIGINT) AS chunk_start,
+       substr(text, CAST(i AS INT), 200) AS chunk_text
+FROM starts
+ORDER BY doc_id, chunk_idx
+""",
+    doc="RAG-style document chunking: 200-char windows at stride 150 "
+    "(50-char overlap) via sequence+explode+substring — one scan, rows "
+    "multiply by ceil(len/stride) with NO shuffle; chunk provenance "
+    "(doc_id, chunk_idx, chunk_start) kept for citation back-refs.",
+)
+def t_chunk(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(150))
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.floor((F.col("i") - 1) / 150).cast("long").alias("chunk_idx"),
+            F.col("i").cast("long").alias("chunk_start"),
+            F.expr("substring(text, i, 200)").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@register(
+    "q_hll_sketch",
+    oracle=None,  # sketch bytes are engine-specific; rows-only check
+    doc="mergeable distinct-count sketches (Apache DataSketches HLL, "
+    "built into Spark): per-type user sketches built directly AND as a "
+    "union of per-day partial sketches — both estimates stay inside "
+    "HLL's error bound (union is mergeable, though sparse->dense "
+    "promotion means not bit-identical), proving the sketch is safe to "
+    "roll up incrementally (the pattern that replaces exact "
+    "count-distinct at 100 TB).  Estimates are deterministic for a "
+    "fixed dataset; no SQL oracle because the sketch registers are "
+    "engine-specific.",
+)
+def q_hll(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    direct = e.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users")
+    )
+    daily = (
+        e.withColumn("day", F.to_date("ts"))
+        .groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users_merged"))
+    )
+    return (
+        direct.join(daily, "event_type")
+        .select("event_type", "approx_users", "approx_users_merged")
+        .orderBy("event_type")
+    )

@@ -34,6 +34,9 @@ __all__ = [
     "language_id",
     "doc_fingerprint",
     "STOPWORDS",
+    "PII_PATTERNS",
+    "pii_count",
+    "redact_pii",
 ]
 
 
@@ -193,3 +196,32 @@ def doc_fingerprint(col: "str | Column") -> Column:
     ``operators.dedup``; this is the exact-content identity key.
     """
     return portable_hash64(F.lower(normalize_whitespace(col)))
+
+
+# ---------------------------------------------------------------------- PII
+# Patterns use only syntax with identical semantics in Java regex (Spark)
+# and RE2 (DuckDB/Go): character classes, bounded repetition, \b word
+# boundaries — no lookaround, no backreferences — so redaction is
+# differential-testable across engines.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+}
+
+
+def pii_count(col: "str | Column", kind: str) -> Column:
+    """Occurrences of one PII pattern (``email``/``ipv4``/``ssn``) —
+    codegen ``regexp_count``, scan-speed over the corpus."""
+    pattern, _ = PII_PATTERNS[kind]
+    return F.regexp_count(_c(col), F.lit(pattern)).cast("bigint")
+
+
+def redact_pii(col: "str | Column") -> Column:
+    """Replace every PII match with its placeholder token, all kinds, in
+    the fixed ``PII_PATTERNS`` order (email before ipv4: an address
+    inside an email's domain is already consumed by the email match)."""
+    out = _c(col)
+    for pattern, token in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pattern, token)
+    return out

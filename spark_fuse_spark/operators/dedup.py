@@ -46,6 +46,7 @@ __all__ = [
     "simhash_pairs",
     "embedding_neardup_pairs",
     "embedding_lsh_pairs",
+    "cross_corpus_overlap",
 ]
 
 
@@ -482,4 +483,50 @@ def embedding_lsh_pairs(
         .withColumn("cosine", _dot(F.col("__ua"), F.col("__ub")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def cross_corpus_overlap(
+    corpus: DataFrame,
+    probe: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_shared: int = 1,
+    broadcast_probe: bool = True,
+) -> DataFrame:
+    """Benchmark-contamination check: distinct k-shingle overlap between
+    every training (``corpus``) and eval (``probe``) document.
+
+    Output ``(train_id, eval_id, shared_ngrams, overlap_frac)`` for
+    pairs sharing ≥ ``min_shared`` shingles; ``overlap_frac`` is the
+    shared count over the EVAL doc's shingle count (the contamination
+    convention — "how much of the benchmark item appears in training").
+
+    Scale shape: same inverted-index equi-join as
+    :func:`ngram_jaccard_pairs`, but CROSS-corpus, and the probe side
+    (benchmark suites are thousands of items, not billions) is
+    broadcast by default — the 100 TB training side is never shuffled,
+    the check is one scan + map-side hash join + one groupBy keyed by
+    (train, eval) pair.
+    """
+    a = _exploded_shingles(corpus, text_col, id_col, k).select(
+        F.col("__id").alias("train_id"), F.col("__h").alias("__h")
+    )
+    b = _exploded_shingles(probe, text_col, id_col, k).select(
+        F.col("__id").alias("eval_id"), F.col("__n").alias("ne"), F.col("__h").alias("__h")
+    )
+    if broadcast_probe:
+        b = F.broadcast(b)
+    return (
+        a.join(b, "__h")
+        .groupBy("train_id", "eval_id", "ne")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .where(F.col("shared_ngrams") >= min_shared)
+        .select(
+            "train_id",
+            "eval_id",
+            "shared_ngrams",
+            F.round(F.col("shared_ngrams") / F.col("ne"), 6).alias("overlap_frac"),
+        )
     )

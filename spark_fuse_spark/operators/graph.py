@@ -1,0 +1,165 @@
+"""Distributed connected components for duplicate clustering.
+
+Near-dup detection (MinHash-LSH / SimHash / embedding LSH — see
+``operators.dedup``) emits PAIRS, but a dedup pipeline needs CLUSTERS:
+the transitive closure of "is a near-dup of", one canonical document
+per component.  This module closes that gap with the alternating
+large-star / small-star algorithm (Kiveris et al., *Connected
+Components in MapReduce and Beyond*, SoCC'14) — the published
+shuffle-bounded way to do this on a massive edge list:
+
+* every round is two hash-shuffles on node id (``groupBy`` — no
+  driver-side graph, no ``collect``);
+* the edge set contracts monotonically toward star graphs rooted at
+  each component's minimum id, converging in O(log n) rounds (2–3 in
+  practice for dedup graphs, whose components are small and dense);
+* each round is ``localCheckpoint``-ed so the loop does not build an
+  unbounded lineage / replay chain.
+
+Reference parity: the reference engine has no clustering stage at all
+(its ``similarity`` module stops at pairwise scores), so this operator
+is net-new surface built for the training-data pipeline brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+__all__ = ["connected_components", "dedup_clusters"]
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    """Both directions of every edge, self-loops dropped."""
+    fwd = edges.select(F.col("u"), F.col("v"))
+    rev = edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    return fwd.union(rev).where(F.col("u") != F.col("v"))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u}).
+
+    Input must be symmetric.  Output edges are (larger, smaller).
+    """
+    nbrs = edges.groupBy("u").agg(
+        F.collect_set("v").alias("__nv"),
+    )
+    m = F.least(F.col("u"), F.array_min("__nv"))
+    return (
+        nbrs.select(
+            F.explode(F.filter("__nv", lambda v: v > F.col("u"))).alias("u"),
+            m.alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Direct edges high→low, then connect each low neighbor (and u) to
+    the minimum — collapsing chains into stars."""
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    nbrs = directed.groupBy("u").agg(F.collect_set("v").alias("__nv"))
+    m = F.array_min("__nv")  # all neighbors are < u here
+    return (
+        nbrs.select(
+            F.explode(F.array_append("__nv", F.col("u"))).alias("nu"),
+            m.alias("v"),
+        )
+        .where(F.col("nu") != F.col("v"))
+        .select(F.col("nu").alias("u"), "v")
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Component labels for every node appearing in ``pairs``.
+
+    Returns ``(node, component)`` where ``component`` is the MINIMUM
+    node id in the connected component — a deterministic, join-stable
+    canonical label.
+
+    Scale shape: each iteration of large-star + small-star is two
+    ``groupBy("u")`` shuffles over the current edge list; no step ever
+    materializes a neighborhood larger than the true neighborhood, and
+    the edge count shrinks toward one edge per non-root node.
+    Convergence is detected by edge-set fixpoint (``exceptAll`` on a
+    checkpointed, deduped edge list — cheap because late-round edge
+    lists are already near-stars).
+    """
+    edges = (
+        pairs.select(F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        ls = _large_star(_symmetrize(edges))
+        new_edges = _small_star(ls).localCheckpoint(eager=True)
+        # fixpoint when the directed edge sets match: both sides are
+        # deduped, so equal counts + new⊆old ⇒ set equality (one
+        # exceptAll, not two — counts on checkpointed frames are cheap)
+        old_directed = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        converged = (
+            new_edges.count() == old_directed.count()
+            and new_edges.exceptAll(old_directed).limit(1).count() == 0
+        )
+        edges = new_edges
+        if converged:
+            break
+    # at fixpoint every edge points node → component-min; roots label themselves
+    roots = edges.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()
+    return (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .union(roots)
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Full-corpus cluster assignment from near-dup pairs.
+
+    Every document gets a ``cluster_id`` (= minimum doc id in its
+    near-dup component; singletons label themselves), the component
+    size, and an ``is_canonical`` flag (the keeper under a
+    keep-lowest-id policy).  Downstream, ``filter(is_canonical)`` IS
+    the deduplicated corpus.
+
+    Scale shape: one broadcast-able label table (O(non-singleton docs),
+    tiny relative to the corpus) left-joined onto the corpus — the big
+    table shuffles only for the cluster-size window, which partitions
+    on ``cluster_id``; singleton clusters are size-1 groups so skew is
+    bounded by the largest duplicate cluster.
+    """
+    labels = connected_components(pairs, id_a=id_a, id_b=id_b).withColumnRenamed(
+        "node", "__node"
+    )
+    joined = docs.select(F.col(id_col)).join(
+        F.broadcast(labels), F.col(id_col) == F.col("__node"), "left"
+    )
+    w = Window.partitionBy("cluster_id")
+    return (
+        joined.select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+    )

@@ -1,0 +1,105 @@
+"""Token-budget sequence packing for training-data pipelines.
+
+LLM pre-training consumes documents as a CONCATENATED token stream
+chopped into fixed-length context windows ("packing").  Assigning each
+document its window span requires a GLOBAL running token offset — the
+textbook scale trap, because the naive
+``sum().over(Window.orderBy(...))`` plans a single-partition window
+(every row through one task).  :func:`with_prefix_sum` implements the
+classic two-phase distributed prefix sum instead:
+
+1. range-partition by the order column (so partition *i* holds a
+   contiguous, ascending key range);
+2. per-partition running sums (parallel windows, partitioned by the
+   materialized partition id);
+3. per-partition totals → a cumulative offset per partition (a window
+   over *num_partitions* rows — bounded, not data-sized) broadcast-
+   joined back.
+
+The result is identical to the global-window answer for any unique
+order key, at two bounded shuffles instead of a single-task sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["with_prefix_sum", "pack_sequences"]
+
+
+def with_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "prefix_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE global running sum of ``value_col`` in ``order_col``
+    order (i.e. sum of all strictly-earlier rows).
+
+    ``order_col`` must be unique (it is the total order).  Output adds
+    ``out_col``; row order is not guaranteed — sort downstream if
+    needed.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local_w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn(
+        "__local", F.coalesce(F.sum(value_col).over(local_w), F.lit(0))
+    )
+    # per-partition totals: num_partitions rows — the only single-task
+    # window in the plan runs over this bounded set, never the data
+    totals = local.groupBy("__pid").agg(F.sum(value_col).alias("__total"))
+    offset_w = (
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__offset", F.coalesce(F.sum("__total").over(offset_w), F.lit(0))
+    ).select("__pid", "__offset")
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__local") + F.col("__offset")).cast("long"))
+        .drop("__pid", "__local", "__offset")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    order_col: str,
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """GPT-style packing spans: concatenate documents in ``order_col``
+    order and chop the token stream every ``budget`` tokens.
+
+    Adds per-document columns:
+
+    * ``start_offset`` — global token offset where the doc begins;
+    * ``seq_first`` / ``seq_last`` — first/last context-window index the
+      doc lands in (a doc may straddle a boundary);
+    * ``n_seqs`` — number of windows the doc touches.
+
+    Built on :func:`with_prefix_sum`, so the plan has no data-sized
+    single-partition stage.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    out = with_prefix_sum(df, order_col, token_col, out_col="start_offset")
+    end_tok = F.col("start_offset") + F.col(token_col) - 1
+    return (
+        out.withColumn("seq_first", F.floor(F.col("start_offset") / budget).cast("long"))
+        .withColumn(
+            "seq_last",
+            F.when(F.col(token_col) <= 0, F.floor(F.col("start_offset") / budget))
+            .otherwise(F.floor(end_tok / budget))
+            .cast("long"),
+        )
+        .withColumn("n_seqs", (F.col("seq_last") - F.col("seq_first") + 1).cast("long"))
+    )

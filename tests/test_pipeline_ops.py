@@ -1,0 +1,184 @@
+"""Unit tests for the training-pipeline operators: connected components,
+sequence packing, cross-corpus contamination, PII redaction, HLL merge."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------------ graph
+def _cc(spark, edges):
+    from spark_fuse_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {
+        (r.node, r.component)
+        for r in connected_components(pairs).collect()
+    }
+
+
+def test_cc_chain_collapses_to_min(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1)}
+
+
+def test_cc_multiple_components_and_cycles(spark):
+    got = _cc(spark, [(10, 11), (11, 12), (10, 12), (20, 21), (2, 1)])
+    assert got == {
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+        (1, 1), (2, 1),
+    }
+
+
+def test_cc_reversed_and_duplicate_edges(spark):
+    got = _cc(spark, [(5, 3), (3, 5), (3, 1), (5, 1), (5, 3)])
+    assert got == {(1, 1), (3, 1), (5, 1)}
+
+
+def test_cc_long_chain_converges_within_log_rounds(spark):
+    # 33-node path: naive min-propagation needs 32 rounds; star-contraction
+    # must finish inside the default max_iterations=20 (O(log n))
+    edges = [(i, i + 1) for i in range(100, 132)]
+    got = _cc(spark, edges)
+    assert got == {(i, 100) for i in range(100, 133)}
+
+
+def test_dedup_clusters_labels_singletons_and_keepers(spark):
+    from spark_fuse_spark.operators.graph import dedup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 7, 9]], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    rows = {r.doc_id: r for r in dedup_clusters(docs, pairs).collect()}
+    assert rows[1].cluster_id == 1 and rows[1].is_canonical
+    assert rows[2].cluster_id == 1 and not rows[2].is_canonical
+    assert rows[3].cluster_size == 3
+    assert rows[7].cluster_id == 7 and rows[7].cluster_size == 1 and rows[7].is_canonical
+    # dedup = filter(is_canonical) keeps exactly one doc per cluster
+    keep = [d for d, r in rows.items() if r.is_canonical]
+    assert sorted(keep) == [1, 7, 9]
+
+
+def test_cc_empty_pairs(spark):
+    from spark_fuse_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(pairs).count() == 0
+
+
+# ---------------------------------------------------------------- packing
+def test_prefix_sum_matches_global_window(spark):
+    from spark_fuse_spark.operators.packing import with_prefix_sum
+
+    df = spark.range(0, 2000).withColumn("v", (F.col("id") * 7919) % 300 + 1)
+    got = with_prefix_sum(df, "id", "v", out_col="ps", num_partitions=7)
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    ref = df.withColumn("ps", F.coalesce(F.sum("v").over(w), F.lit(0)).cast("long"))
+    assert got.select("id", "ps").exceptAll(ref.select("id", "ps")).count() == 0
+    assert set(got.columns) == {"id", "v", "ps"}  # no helper-column leaks
+
+
+def test_pack_sequences_straddles_budget_boundary(spark):
+    from spark_fuse_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 300), (2, 300), (3, 500), (4, 10)], "doc_id long, tok long"
+    )
+    rows = {
+        r.doc_id: r
+        for r in pack_sequences(df, "doc_id", "tok", budget=512).collect()
+    }
+    assert (rows[1].start_offset, rows[1].seq_first, rows[1].seq_last) == (0, 0, 0)
+    # doc 2 spans tokens 300..599 → windows 0 and 1
+    assert (rows[2].seq_first, rows[2].seq_last, rows[2].n_seqs) == (0, 1, 2)
+    # doc 3 spans 600..1099 → windows 1 and 2
+    assert (rows[3].seq_first, rows[3].seq_last) == (1, 2)
+    assert rows[4].n_seqs == 1
+
+
+def test_pack_sequences_zero_budget_rejected(spark):
+    from spark_fuse_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, tok long")
+    with pytest.raises(ValueError):
+        pack_sequences(df, "doc_id", "tok", budget=0)
+
+
+# ---------------------------------------------------- contamination check
+def test_cross_corpus_overlap_counts_shared_shingles(spark):
+    from spark_fuse_spark.operators.dedup import cross_corpus_overlap
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated text about something else entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog now")],
+        "doc_id long, text string",
+    )
+    rows = cross_corpus_overlap(train, ev, k=3, min_shared=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.train_id, r.eval_id) == (1, 100)
+    # eval doc: 10 tokens → 8 distinct 3-shingles; 7 shared with train doc 1
+    assert r.shared_ngrams == 7
+    assert r.overlap_frac == pytest.approx(7 / 8, abs=1e-6)
+
+
+# -------------------------------------------------------------------- PII
+def test_pii_redact_and_count(spark):
+    from spark_fuse_spark.functions.text import pii_count, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and c.d+x@e-f.org, host 10.0.0.1, ssn 123-45-6789"),
+            (2, "no pii here at all"),
+        ],
+        "id long, text string",
+    )
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            redact_pii("text").alias("red"),
+            pii_count("text", "email").alias("ne"),
+            pii_count("text", "ipv4").alias("ni"),
+            pii_count("text", "ssn").alias("ns"),
+        ).collect()
+    }
+    assert out[1].red == "mail <EMAIL> and <EMAIL>, host <IP>, ssn <SSN>"
+    assert (out[1].ne, out[1].ni, out[1].ns) == (2, 1, 1)
+    assert out[2].red == "no pii here at all"
+    assert (out[2].ne, out[2].ni, out[2].ns) == (0, 0, 0)
+
+
+# -------------------------------------------------------------------- HLL
+def test_hll_union_of_partials_equals_direct_sketch(spark):
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 10).alias("g"),
+        (F.col("id") % 1337).alias("u"),
+        (F.col("id") % 4).alias("part"),
+    )
+    direct = df.groupBy("g").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("u")).alias("est")
+    )
+    merged = (
+        df.groupBy("g", "part")
+        .agg(F.hll_sketch_agg("u").alias("sk"))
+        .groupBy("g")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    d = {r.g: r.est for r in direct.collect()}
+    m = {r.g: r.est for r in merged.collect()}
+    assert set(d) == set(m)
+    # union is mergeable but not bit-identical (sparse→dense promotion);
+    # estimates must agree within HLL's error bound at lgK=12 (~1.6%)
+    for g in d:
+        assert abs(d[g] - m[g]) <= max(0.03 * d[g], 2.0)
+        # and both are near the true cardinality (min(1337, group size))
+        assert abs(d[g] - 500) <= 0.05 * 500

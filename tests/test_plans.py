@@ -94,6 +94,22 @@ CONTRACTS = {
     "c_scd2_snapshot": PlanExpectation(max_exchanges=2),
     "t_corpus_build": PlanExpectation(require_partial_agg=True, max_exchanges=3),
     "t_stratified_sample": PlanExpectation(require_partial_agg=True, max_exchanges=2),
+    # ---- pipeline suite: CC's iterative rounds are lineage-truncated by
+    # localCheckpoint, so the FINAL plan is label-broadcast + one window
+    # partition + sort; the corpus never re-shuffles for labeling
+    "d_dedup_clusters": PlanExpectation(min_broadcast_joins=1, max_exchanges=4),
+    # two-phase prefix sum: range partition + local windows + bounded
+    # offsets broadcast — the contract is that the offsets JOIN is a
+    # broadcast (no data-sized shuffle to attach offsets)
+    "t_pack_sequences": PlanExpectation(min_broadcast_joins=1, max_exchanges=6),
+    # contamination: eval side broadcast, training side never shuffled
+    # before the pair groupBy
+    "t_contamination": PlanExpectation(min_broadcast_joins=1, require_partial_agg=True, max_exchanges=2),
+    # scan-speed text ops: output ordering is the only exchange
+    "t_pii_redact": PlanExpectation(max_exchanges=1),
+    "t_chunk_documents": PlanExpectation(max_exchanges=1),
+    "t_repetition": PlanExpectation(require_partial_agg=True, max_exchanges=3),
+    "q_hll_sketch": PlanExpectation(require_partial_agg=True, max_exchanges=4),
 }
 
 
