@@ -47,6 +47,10 @@ HEADLINE = [
     "c_scd1_two_batch",
     "c_scd2_two_batch",
     "x_salted_agg",
+    "d_dedup_clusters",
+    "t_pack_sequences",
+    "t_contamination",
+    "t_repetition",
 ]
 
 

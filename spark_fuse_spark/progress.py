@@ -21,6 +21,9 @@ __all__ = [
     "EventSink",
     "ConsoleEventSink",
     "TableEventSink",
+    "ProgressBarSink",
+    "HtmlCardSink",
+    "render_status_card",
     "ProgressTracker",
     "enable_spark_logging",
 ]
@@ -93,6 +96,152 @@ class TableEventSink(EventSink):
         )
         get_store().append(df.coalesce(1), self.target)
         self._buffer = []
+
+
+class ProgressBarSink(EventSink):
+    """Terminal progress bar over the event stream (reference
+    ``progress.py:258-276`` drives a tqdm bar per step; same surface
+    here).  Uses tqdm when importable; otherwise a dependency-free
+    carriage-return bar with the same fields (description = STATUS:
+    event, postfix = Δ since last step + total elapsed).
+
+    ``total`` is the number of expected ``advance``-ing events; events
+    with status ``info``/``warning`` refresh without advancing, matching
+    the reference's advance-by-zero refresh behavior.
+    """
+
+    _ADVANCING = ("start", "success", "error")
+
+    def __init__(self, total: int, stream=None, width: int = 30):
+        if total <= 0:
+            raise ValueError("total must be positive")
+        self.total = total
+        self.current = 0
+        self.width = width
+        self.stream = stream or sys.stderr
+        self._t0 = time.perf_counter()
+        self._last = self._t0
+        self._bar = None
+        if stream is None:  # only take over a real terminal with tqdm
+            try:
+                from tqdm.auto import tqdm  # noqa: PLC0415
+
+                self._bar = tqdm(total=total, dynamic_ncols=True)
+            except Exception:
+                self._bar = None
+
+    def _label(self, record: LogEventRecord) -> str:
+        prefix = record.status.upper()
+        return f"{prefix}: {record.event}" if prefix != "INFO" else record.event
+
+    def write(self, record: LogEventRecord) -> None:
+        now = time.perf_counter()
+        advance = 1 if record.status in self._ADVANCING else 0
+        self.current = min(self.total, self.current + advance)
+        postfix = f"+{now - self._last:.2f}s, total {now - self._t0:.2f}s"
+        if advance:
+            self._last = now
+        if self._bar is not None:
+            self._bar.set_description_str(self._label(record))
+            self._bar.set_postfix_str(postfix)
+            self._bar.update(advance) if advance else self._bar.refresh()
+            if self.current >= self.total:
+                self._bar.close()
+                self._bar = None
+            return
+        filled = int(self.width * self.current / self.total)
+        bar = "#" * filled + "-" * (self.width - filled)
+        end = "\n" if self.current >= self.total else ""
+        print(
+            f"\r[{bar}] {self.current}/{self.total} {self._label(record)} ({postfix})",
+            end=end,
+            file=self.stream,
+            flush=True,
+        )
+
+    def flush(self) -> None:
+        if self._bar is not None:
+            self._bar.close()
+            self._bar = None
+
+
+_CARD_STYLES = {
+    # status -> (accent color, icon)
+    "info": ("#1565c0", "i"),
+    "start": ("#6a1b9a", "▶"),
+    "success": ("#2e7d32", "✓"),
+    "warning": ("#e65100", "!"),
+    "error": ("#c62828", "✗"),
+}
+
+
+def render_status_card(record: LogEventRecord, step: "int | None" = None,
+                       total: "int | None" = None) -> str:
+    """Self-contained HTML status card for one event (the reference
+    renders per-event cards via Databricks ``displayHTML``,
+    ``progress.py:132-258``; markup here is original)."""
+    color, icon = _CARD_STYLES.get(record.status, _CARD_STYLES["info"])
+    metrics = ""
+    if record.metrics:
+        cells = "".join(
+            f"<div><strong>{k}:</strong> {v}</div>" for k, v in record.metrics.items()
+        )
+        metrics = f'<div style="font-size:12px">{cells}</div>'
+    steps = (
+        f'<div style="font-size:12px"><strong>Step:</strong> {step} / {total}</div>'
+        if step is not None and total is not None
+        else ""
+    )
+    detail = f'<div style="font-size:12px">{record.detail}</div>' if record.detail else ""
+    return (
+        f'<div style="border-left:4px solid {color};padding:6px 10px;'
+        f'font-family:sans-serif;margin:4px 0">'
+        f'<div style="color:{color};font-weight:bold">{icon} {record.event}'
+        f" [{record.status}]</div>{detail}{steps}{metrics}</div>"
+    )
+
+
+class HtmlCardSink(EventSink):
+    """Render each event as an HTML card in whatever display surface
+    exists: Databricks ``displayHTML`` → IPython ``display(HTML)`` →
+    plain print (the reference's fallback chain,
+    ``progress.py:132-151``).  A ``display`` callable can be injected
+    for testing or custom routing."""
+
+    def __init__(self, display=None, track_steps: "int | None" = None):
+        self._display = display
+        self.total = track_steps
+        self.current = 0
+
+    def _route(self, html: str) -> None:
+        if self._display is not None:
+            self._display(html)
+            return
+        try:  # Databricks notebook global
+            displayHTML(html)  # type: ignore[name-defined]  # noqa: F821
+            return
+        except NameError:
+            pass
+        try:
+            from IPython import get_ipython  # noqa: PLC0415
+            from IPython.display import HTML, display  # noqa: PLC0415
+
+            # only route through IPython inside a real interactive shell;
+            # display() outside one prints a useless repr
+            if get_ipython() is not None:
+                display(HTML(html))
+                return
+        except Exception:
+            pass
+        print(html)
+
+    def write(self, record: LogEventRecord) -> None:
+        step = None
+        if self.total is not None:
+            if record.status in ProgressBarSink._ADVANCING:
+                self.current = min(self.total, self.current + 1)
+            step = self.current
+        self._route(render_status_card(record, step=step, total=self.total))
 
 
 class ProgressTracker:

@@ -66,3 +66,51 @@ def test_table_sink_flush(spark, tmp_path):
     tracker.close()  # flushes the remainder
     rows = spark.read.parquet(target).collect()
     assert sorted(r["event"] for r in rows) == ["a", "b", "c"]
+
+
+def test_progress_bar_sink_plain_stream():
+    import io
+
+    from spark_fuse_spark.progress import ProgressBarSink
+
+    buf = io.StringIO()
+    sink = ProgressBarSink(total=2, stream=buf)
+    tracker = ProgressTracker(sink)
+    tracker.log("extract", status="start")
+    tracker.log("heartbeat", status="info")  # refresh, no advance
+    tracker.log("extract", status="success")
+    out = buf.getvalue()
+    assert "1/2" in out and "2/2" in out
+    assert "SUCCESS: extract" in out
+    assert "total " in out  # elapsed postfix
+    assert out.endswith("\n")  # completion finishes the line
+
+
+def test_progress_bar_sink_rejects_bad_total():
+    from spark_fuse_spark.progress import ProgressBarSink
+
+    with pytest.raises(ValueError):
+        ProgressBarSink(total=0)
+
+
+def test_html_card_sink_renders_and_tracks_steps():
+    from spark_fuse_spark.progress import HtmlCardSink
+
+    cards: list[str] = []
+    sink = HtmlCardSink(display=cards.append, track_steps=3)
+    tracker = ProgressTracker(sink)
+    tracker.log("ingest", status="start", detail="batch 1", rows=42)
+    tracker.log("ingest", status="error")
+    assert len(cards) == 2
+    assert "ingest" in cards[0] and "batch 1" in cards[0]
+    assert "Step:</strong> 1 / 3" in cards[0]
+    assert "rows:</strong> 42" in cards[0]
+    assert "#c62828" in cards[1]  # error accent
+
+
+def test_html_card_sink_falls_back_to_print(capsys):
+    from spark_fuse_spark.progress import HtmlCardSink
+
+    HtmlCardSink().write(LogEventRecord(event="done", status="success"))
+    out = capsys.readouterr().out
+    assert "done" in out and "success" in out

@@ -34,6 +34,11 @@ def _hash_df(pdf) -> str:
     def norm(v):
         if v is None:
             return ""
+        try:
+            if pd.isna(v):  # NaT / nan — Spark returns None, DuckDB NaT
+                return ""
+        except (TypeError, ValueError):
+            pass  # arrays
         if isinstance(v, float):
             return f"{v:.6f}"
         if isinstance(v, pd.Timestamp) or isinstance(v, _dt.datetime):
