@@ -182,3 +182,53 @@ def test_hll_union_of_partials_equals_direct_sketch(spark):
         assert abs(d[g] - m[g]) <= max(0.03 * d[g], 2.0)
         # and both are near the true cardinality (min(1337, group size))
         assert abs(d[g] - 500) <= 0.05 * 500
+
+
+# --------------------------------------------------- CC property testing
+def _union_find_components(edges):
+    """Reference labeling: classic union-find, min id as root label."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so the root IS the minimum id
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
+def test_cc_matches_union_find_on_random_graphs(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from spark_fuse_spark.operators.graph import connected_components
+
+    node = st.integers(min_value=0, max_value=60)
+    edges_strategy = st.lists(
+        st.tuples(node, node).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(edges=edges_strategy)
+    def run(edges):
+        expected = _union_find_components(edges)
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            (r.node, r.component) for r in connected_components(pairs).collect()
+        }
+        assert got == set(expected.items())
+
+    run()
