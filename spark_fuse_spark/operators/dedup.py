@@ -530,3 +530,92 @@ def cross_corpus_overlap(
             F.round(F.col("shared_ngrams") / F.col("ne"), 6).alias("overlap_frac"),
         )
     )
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT Jaccard pairs ≥ threshold via prefix filtering (the
+    AllPairs/PPJoin family, Bayardo et al. WWW'07 / Xiao et al.
+    ICDE'08) — same answer as :func:`ngram_jaccard_pairs`, different
+    scale shape.
+
+    Why: the plain inverted-index join materializes Σ_h df(h)² pair
+    rows — the few very-common shingles dominate and blow up the
+    self-join at corpus scale.  Prefix filtering sorts each document's
+    shingles by ascending global document frequency and keeps only the
+    first ``n - ceil(t·n) + 1`` (the "prefix"): two docs can reach
+    Jaccard ≥ t only if their prefixes intersect, so candidates come
+    from a self-join over the RARE end of the frequency spectrum, and
+    a ``t·|A| ≤ |B| ≤ |A|/t`` length filter prunes further before the
+    verify stage counts true intersections (restricted to candidate
+    ids, exactly like the MinHash verify).
+
+    Extra cost vs the plain join: one global document-frequency
+    aggregate and one per-doc rank window — both O(shingles) shuffles
+    with fixed-width keys; the quadratic join term shrinks from
+    Σ df(h)² to Σ pf(h)² where pf counts only prefix occurrences.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    from pyspark.sql import Window
+
+    e = _exploded_shingles(df, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    freq = e.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    # rank each doc's shingles rarest-first (freq, then hash for a total
+    # deterministic order); prefix keeps the first n - ceil(t*n) + 1
+    w = Window.partitionBy("__id").orderBy("__df", "__h")
+    prefix = (
+        e.join(freq, "__h")
+        .withColumn("__pos", F.row_number().over(w))
+        .where(F.col("__pos") <= F.col("__n") - F.ceil(threshold * F.col("__n")) + 1)
+        .select("__id", "__n", "__h")
+    )
+    pa = prefix.select(
+        F.col("__id").alias("id_a"), F.col("__n").alias("na"), "__h"
+    )
+    pb = prefix.select(
+        F.col("__id").alias("id_b"), F.col("__n").alias("nb"), "__h"
+    )
+    candidates = (
+        pa.join(pb, "__h")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: jaccard >= t forces t*na <= nb <= na/t
+            & (F.col("nb") >= F.ceil(threshold * F.col("na")))
+            & (F.col("nb") <= F.floor(F.col("na") / threshold))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # verify: true intersection counts over candidate ids only
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("__cid"))
+        .union(candidates.select(F.col("id_b").alias("__cid")))
+        .distinct()
+    )
+    ce = e.join(F.broadcast(cand_ids), F.col("__id") == F.col("__cid"), "left_semi")
+    a = ce.select(F.col("__id").alias("id_a"), F.col("__n").alias("na"), "__h")
+    b = ce.select(F.col("__id").alias("id_b"), F.col("__n").alias("nb"), "__h")
+    shared = (
+        a.join(b, "__h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .join(F.broadcast(candidates), ["id_a", "id_b"], "left_semi")
+    )
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    result = (
+        shared.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    out = result.localCheckpoint(eager=True)
+    e.unpersist()
+    candidates.unpersist()
+    return out

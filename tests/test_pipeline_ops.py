@@ -232,3 +232,26 @@ def test_cc_matches_union_find_on_random_graphs(spark):
         assert got == set(expected.items())
 
     run()
+
+
+# ------------------------------------------------------- prefix filtering
+def test_jaccard_prefix_identical_to_plain_inverted_index(spark, sf_small):
+    from spark_fuse_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+    )
+    from spark_fuse_spark.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    for t in (0.3, 0.5, 0.8):
+        plain = ngram_jaccard_pairs(docs, k=3, threshold=t)
+        pp = jaccard_prefix_pairs(docs, k=3, threshold=t)
+        assert plain.exceptAll(pp).union(pp.exceptAll(plain)).count() == 0
+
+
+def test_jaccard_prefix_rejects_bad_threshold(spark):
+    from spark_fuse_spark.operators.dedup import jaccard_prefix_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        jaccard_prefix_pairs(df, threshold=0.0)

@@ -109,6 +109,11 @@ CONTRACTS = {
     "t_pii_redact": PlanExpectation(max_exchanges=1),
     "t_chunk_documents": PlanExpectation(max_exchanges=1),
     "t_repetition": PlanExpectation(require_partial_agg=True, max_exchanges=3),
+    # prefix-filtered exact jaccard: the freq/rank/candidate/verify stages
+    # are lineage-truncated by the eager localCheckpoint (their shape is
+    # pinned by the identity test vs the plain inverted index); the final
+    # plan may only sort the checkpointed pairs
+    "d_jaccard_prefix": PlanExpectation(max_exchanges=1),
     "q_hll_sketch": PlanExpectation(require_partial_agg=True, max_exchanges=4),
 }
 
