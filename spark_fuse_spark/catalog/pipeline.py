@@ -349,3 +349,115 @@ def d_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     return jaccard_prefix_pairs(docs, k=3, threshold=0.5)
+
+
+_INC_ORACLE = """
+WITH f AS (SELECT doc_id, CAST('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15) AS BIGINT) AS fingerprint FROM documents),
+new AS (SELECT * FROM f WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'inc'), 1, 15) AS BIGINT) % 1000000 < 100000),
+old AS (SELECT * FROM f WHERE NOT (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'inc'), 1, 15) AS BIGINT) % 1000000 < 100000))
+SELECT MIN(doc_id) AS doc_id, fingerprint
+FROM new
+WHERE fingerprint NOT IN (SELECT fingerprint FROM old)
+GROUP BY fingerprint
+ORDER BY doc_id
+"""
+
+
+@register(
+    "d_incremental_dedup",
+    oracle=_INC_ORACLE,
+    doc="incremental corpus dedup: a 10% hash-gated slice plays the "
+    "'new crawl batch'; keep only new docs whose content fingerprint is "
+    "absent from the existing corpus AND dedup within the batch "
+    "(keep-lowest-id).  Scale shape: ONE anti-join + ONE group-by, both "
+    "keyed on the 60-bit fingerprint — in production the existing side "
+    "is the pre-built fingerprint index table, so a daily increment "
+    "never rescans the corpus text.",
+)
+def d_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import doc_fingerprint
+    from ..operators.sampling import sample_gate
+
+    d = load_table(spark, sf, "documents").withColumn(
+        "fingerprint", doc_fingerprint("text")
+    )
+    gate = sample_gate("doc_id", 0.10, salt="inc")
+    new, existing = d.where(gate), d.where(~gate)
+    return (
+        new.join(
+            existing.select("fingerprint"), "fingerprint", "left_anti"
+        )
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")
+    )
+
+
+_QUALITY_M_CTE = """
+n AS (
+  SELECT doc_id, source, text, CAST(length(text) AS DOUBLE) AS len,
+         __TOKS__ AS toks
+  FROM documents),
+m AS (
+  SELECT doc_id, source,
+    CASE WHEN len >= 50 AND len <= 20000 THEN 1.0 ELSE least(len / 50.0, 1.0) END AS length_ok,
+    (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) / greatest(length(text), 1)
+      + (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / greatest(length(text), 1)
+      AS noise,
+    len(list_filter(toks, tk -> list_contains(__SW__, tk))) / greatest(len(toks), 1)
+      AS swr,
+    len(regexp_extract_all(text, '__BPE__')) AS subtok
+  FROM n),
+q AS (
+  SELECT doc_id, source, subtok,
+         length_ok * 0.4 + greatest(0.0, 1.0 - noise * 4) * 0.4
+           + least(swr * 5, 1.0) * 0.2 AS quality
+  FROM m)
+""".replace("__TOKS__", _TOKS.format(col="text"))
+
+
+
+
+_SQ_ORACLE = ("""
+WITH __QCTE_PLACEHOLDER__
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(quality), 6) AS mean_quality,
+       ROUND(AVG(CASE WHEN quality >= 0.45 THEN 1.0 ELSE 0.0 END), 6) AS pass_rate,
+       CAST(SUM(subtok) AS BIGINT) AS total_tokens
+FROM q
+GROUP BY source
+ORDER BY source
+"""
+    .replace("__QCTE_PLACEHOLDER__", _QUALITY_M_CTE)
+    .replace("__SW__", "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'for', 'on', 'with', 'as']")
+    .replace("__BPE__", "''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+")
+)
+
+@register(
+    "t_source_quality",
+    oracle=_SQ_ORACLE,
+    doc="per-source corpus triage (the C4-style 'which domains do we "
+    "keep' rollup): doc count, mean quality, share passing the >= 0.45 "
+    "gate, and total BPE-ish token budget per source.  One scan, pure "
+    "codegen scoring, one partial-agg shuffle keyed by source.",
+)
+def t_source_quality(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import quality_score, subword_token_count
+
+    d = load_table(spark, sf, "documents")
+    q = F.col("__q")
+    return (
+        d.withColumn("__q", quality_score("text"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg(q), 6).alias("mean_quality"),
+            F.round(
+                F.avg(F.when(q >= 0.45, F.lit(1.0)).otherwise(F.lit(0.0))), 6
+            ).alias("pass_rate"),
+            F.sum(subword_token_count("text")).cast("long").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )

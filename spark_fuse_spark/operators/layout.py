@@ -24,7 +24,7 @@ import math
 
 from pyspark.sql import DataFrame
 
-__all__ = ["estimated_size_bytes", "write_compacted"]
+__all__ = ["estimated_size_bytes", "write_compacted", "zorder_value", "write_zordered"]
 
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
 
@@ -62,3 +62,80 @@ def write_compacted(
         raise ValueError("num_files must be positive")
     df.repartition(num_files).write.format(format).mode(mode).save(path)
     return num_files
+
+
+def zorder_value(df: DataFrame, cols: "list[str]", bits: int = 16):
+    """Z-order (Morton) key column for multi-column data skipping.
+
+    Each column is min/max-scaled into a ``bits``-bit integer (one tiny
+    stats aggregate, broadcast as literals), then the per-column bits are
+    interleaved into a single long — rows close in Z-value are close in
+    EVERY clustered column, so sorting files by Z-value gives narrow
+    per-file min/max ranges on all of them at once (the Delta/Iceberg
+    ``OPTIMIZE ZORDER`` layout, expressed as a plain Catalyst column).
+
+    Returns ``(df_with_stats_applied, zcol)`` where ``zcol`` is the
+    Column expression; NULLs scale to bucket 0.  ``len(cols) * bits``
+    must fit in 63 bits.
+    """
+    from pyspark.sql import functions as F
+
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if len(cols) * bits > 63:
+        raise ValueError("len(cols) * bits must fit in a long (<= 63)")
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"__mx_{c}") for c in cols],
+    ).first()
+    top = (1 << bits) - 1
+    buckets = []
+    for c in cols:
+        mn, mx = stats[f"__mn_{c}"], stats[f"__mx_{c}"]
+        span = (mx - mn) if (mn is not None and mx is not None and mx > mn) else 1.0
+        scaled = F.floor(
+            (F.coalesce(F.col(c).cast("double"), F.lit(mn or 0.0)) - F.lit(mn or 0.0))
+            / F.lit(span)
+            * top
+        )
+        buckets.append(F.least(F.greatest(scaled, F.lit(0)), F.lit(top)))
+    # interleave: output bit (bit*len + i) takes bit `bit` of column i
+    z = F.lit(0).cast("long")
+    n = len(cols)
+    for bit in range(bits):
+        for i, b in enumerate(buckets):
+            z = z + F.shiftleft(
+                F.shiftright(b.cast("long"), bit).bitwiseAND(F.lit(1)),
+                bit * n + i,
+            )
+    return df, z.alias("__zvalue")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: "list[str]",
+    num_files: int,
+    bits: int = 16,
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> None:
+    """Write ``df`` clustered by Z-value over ``cols``: range-partition on
+    the interleaved key, sort within partitions, drop the helper column.
+
+    Effect on the read side: parquet row-group/file min-max stats become
+    selective for EVERY column in ``cols`` (a plain sort helps only its
+    leading column), so predicate-pushdown skips files for any of them.
+    """
+    from pyspark.sql import functions as F
+
+    df2, z = zorder_value(df, cols, bits=bits)
+    (
+        df2.withColumn("__zvalue", z)
+        .repartitionByRange(num_files, F.col("__zvalue"))
+        .sortWithinPartitions("__zvalue")
+        .drop("__zvalue")
+        .write.format(format)
+        .mode(mode)
+        .save(path)
+    )

@@ -125,3 +125,59 @@ def test_size_aware_compaction(spark, sf_small, tmp_path_factory):
     out_one = str(tmp_path_factory.mktemp("compact_one"))
     assert write_compacted(li, out_one, num_files=1) == 1
     assert len(glob.glob(f"{out_one}/part-*")) == 1
+
+
+def _files_overlapping(path, col, lo, hi):
+    """Count output files whose footer min/max range intersects [lo, hi]."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = glob.glob(path + "/*.parquet")
+    hit = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        fmn = min(
+            md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups)
+        )
+        fmx = max(
+            md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups)
+        )
+        if fmx >= lo and fmn <= hi:
+            hit += 1
+    return hit, len(files)
+
+
+def test_zorder_skips_files_on_every_clustered_column(spark, tmp_path):
+    """Z-order layout: a narrow predicate on EITHER clustered column must
+    skip files (footer min/max pruning), whereas a plain sort only helps
+    its own leading column."""
+    from pyspark.sql import functions as F
+
+    from spark_fuse_spark.operators.layout import write_zordered
+
+    df = spark.range(0, 200_000).select(
+        (F.col("id") % 447).alias("a"), ((F.col("id") * 7919) % 631).alias("b")
+    )
+    zp, sp = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered(df, zp, ["a", "b"], num_files=16)
+    df.repartitionByRange(16, "a").sortWithinPartitions("a").write.parquet(sp)
+
+    for col in ("a", "b"):
+        hit, total = _files_overlapping(zp, col, 100, 110)
+        assert total == 16
+        assert hit <= total * 0.6, f"zorder should skip files on {col}: {hit}/{total}"
+    # the single-column sort cannot skip anything on the other column
+    hit_b, total = _files_overlapping(sp, "b", 100, 110)
+    assert hit_b == total
+
+
+def test_zorder_value_validates_inputs(spark):
+    from spark_fuse_spark.operators.layout import zorder_value
+
+    df = spark.range(4).selectExpr("id a", "id b", "id c", "id d")
+    with pytest.raises(ValueError):
+        zorder_value(df, [])
+    with pytest.raises(ValueError):
+        zorder_value(df, ["a", "b", "c", "d"], bits=16)  # 64 bits > 63

@@ -114,6 +114,9 @@ CONTRACTS = {
     # pinned by the identity test vs the plain inverted index); the final
     # plan may only sort the checkpointed pairs
     "d_jaccard_prefix": PlanExpectation(max_exchanges=1),
+    # incremental dedup: one anti-join + one fingerprint agg, nothing else
+    "d_incremental_dedup": PlanExpectation(require_partial_agg=True, max_exchanges=2),
+    "t_source_quality": PlanExpectation(require_partial_agg=True, max_exchanges=2),
     "q_hll_sketch": PlanExpectation(require_partial_agg=True, max_exchanges=4),
 }
 
