@@ -461,3 +461,122 @@ def t_source_quality(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "e_funnel",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS s1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS s2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.s1 GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS s3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.s2 GROUP BY e.user_id),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       CAST(CASE WHEN s3.s3 IS NOT NULL THEN 3
+                 WHEN s2.s2 IS NOT NULL THEN 2
+                 WHEN s1.s1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS funnel_stage,
+       strftime(s1.s1, '%Y-%m-%d %H:%M:%S') AS first_view,
+       strftime(s2.s2, '%Y-%m-%d %H:%M:%S') AS first_click_after_view,
+       strftime(s3.s3, '%Y-%m-%d %H:%M:%S') AS first_purchase_after_click
+FROM u
+LEFT JOIN s1 ON u.user_id = s1.user_id
+LEFT JOIN s2 ON u.user_id = s2.user_id
+LEFT JOIN s3 ON u.user_id = s3.user_id
+ORDER BY 1
+""",
+    doc="ordered conversion funnel (view -> click -> purchase, strictly "
+    "increasing event times): per-user stage timestamps from THREE "
+    "chained conditional window-mins over ONE user-key partitioning — "
+    "the shuffle happens once and all three stages reuse it (vs the "
+    "oracle's three self-join aggregates).  The classic product-"
+    "analytics operator, expressed at scan+single-shuffle cost.",
+)
+def e_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("user_id")
+    e = load_table(spark, sf, "events")
+    s1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    df = e.withColumn("s1", s1)
+    s2 = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("s1")), F.col("ts"))
+    ).over(w)
+    df = df.withColumn("s2", s2)
+    s3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("s2")), F.col("ts")
+        )
+    ).over(w)
+    df = df.withColumn("s3", s3)
+    return (
+        df.groupBy("user_id")
+        .agg(
+            F.max("s1").alias("s1"), F.max("s2").alias("s2"), F.max("s3").alias("s3")
+        )
+        .select(
+            "user_id",
+            (
+                F.when(F.col("s3").isNotNull(), 3)
+                .when(F.col("s2").isNotNull(), 2)
+                .when(F.col("s1").isNotNull(), 1)
+                .otherwise(0)
+            ).cast("int").alias("funnel_stage"),
+            F.date_format("s1", "yyyy-MM-dd HH:mm:ss").alias("first_view"),
+            F.date_format("s2", "yyyy-MM-dd HH:mm:ss").alias("first_click_after_view"),
+            F.date_format("s3", "yyyy-MM-dd HH:mm:ss").alias("first_purchase_after_click"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "e_retention",
+    oracle="""
+WITH cohort AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT e.user_id, c.cohort_week,
+         date_trunc('week', e.ts) AS activity_week
+  FROM events e JOIN cohort c ON e.user_id = c.user_id)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', cohort_week, activity_week) // 7 AS BIGINT)
+         AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM activity
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    doc="weekly retention cohorts: users bucketed by first-event week, "
+    "counted in each later activity week.  The cohort label rides the "
+    "same user-key window partitioning as the activity dedup — one "
+    "shuffle keyed by user, one rollup keyed by (cohort, offset).",
+)
+def e_retention(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("user_id")
+    e = load_table(spark, sf, "events")
+    df = (
+        e.withColumn("cohort_week", F.date_trunc("week", F.min("ts").over(w)))
+        .select(
+            "user_id",
+            "cohort_week",
+            F.date_trunc("week", "ts").alias("activity_week"),
+        )
+        .distinct()
+    )
+    return (
+        df.groupBy("cohort_week", "activity_week")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(
+                F.datediff("activity_week", "cohort_week") / 7
+            ).cast("long").alias("week_offset"),
+            "n_users",
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

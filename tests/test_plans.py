@@ -117,6 +117,10 @@ CONTRACTS = {
     # incremental dedup: one anti-join + one fingerprint agg, nothing else
     "d_incremental_dedup": PlanExpectation(require_partial_agg=True, max_exchanges=2),
     "t_source_quality": PlanExpectation(require_partial_agg=True, max_exchanges=2),
+    # funnel: three chained conditional window-mins REUSE one user-key
+    # exchange; then the per-user rollup and the output sort
+    "e_funnel": PlanExpectation(require_partial_agg=True, max_exchanges=3),
+    "e_retention": PlanExpectation(require_partial_agg=True, max_exchanges=4),
     "q_hll_sketch": PlanExpectation(require_partial_agg=True, max_exchanges=4),
 }
 
