@@ -52,7 +52,10 @@ ORDER BY doc_id
 def d_clusters(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5)
-    return dedup_clusters(docs, pairs).orderBy("doc_id")
+    # the checkpointed label table carries no size stats, so the planner
+    # can't auto-broadcast it; the dup rate at these SFs is known-small,
+    # which is exactly the case the explicit hint exists for
+    return dedup_clusters(docs, pairs, broadcast_labels=True).orderBy("doc_id")
 
 
 @register(

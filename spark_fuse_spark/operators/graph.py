@@ -133,6 +133,7 @@ def dedup_clusters(
     id_col: str = "doc_id",
     id_a: str = "id_a",
     id_b: str = "id_b",
+    broadcast_labels: bool = False,
 ) -> DataFrame:
     """Full-corpus cluster assignment from near-dup pairs.
 
@@ -142,17 +143,22 @@ def dedup_clusters(
     keep-lowest-id policy).  Downstream, ``filter(is_canonical)`` IS
     the deduplicated corpus.
 
-    Scale shape: one broadcast-able label table (O(non-singleton docs),
-    tiny relative to the corpus) left-joined onto the corpus — the big
-    table shuffles only for the cluster-size window, which partitions
-    on ``cluster_id``; singleton clusters are size-1 groups so skew is
-    bounded by the largest duplicate cluster.
+    Scale shape: the label table is O(non-singleton docs) — usually tiny
+    relative to the corpus, but NOT guaranteed broadcastable (a heavily
+    duplicated crawl can label most of the corpus), so the join is left
+    unhinted by default and AQE/statistics pick broadcast when it fits;
+    pass ``broadcast_labels=True`` to force the hint when the dup rate
+    is known-small.  The big table shuffles only for the cluster-size
+    window, which partitions on ``cluster_id``; singleton clusters are
+    size-1 groups so skew is bounded by the largest duplicate cluster.
     """
     labels = connected_components(pairs, id_a=id_a, id_b=id_b).withColumnRenamed(
         "node", "__node"
     )
+    if broadcast_labels:
+        labels = F.broadcast(labels)
     joined = docs.select(F.col(id_col)).join(
-        F.broadcast(labels), F.col(id_col) == F.col("__node"), "left"
+        labels, F.col(id_col) == F.col("__node"), "left"
     )
     w = Window.partitionBy("cluster_id")
     return (

@@ -64,7 +64,12 @@ def write_compacted(
     return num_files
 
 
-def zorder_value(df: DataFrame, cols: "list[str]", bits: int = 16):
+def zorder_value(
+    df: DataFrame,
+    cols: "list[str]",
+    bits: int = 16,
+    bounds: "dict[str, tuple[float, float]] | None" = None,
+):
     """Z-order (Morton) key column for multi-column data skipping.
 
     Each column is min/max-scaled into a ``bits``-bit integer (one tiny
@@ -77,6 +82,12 @@ def zorder_value(df: DataFrame, cols: "list[str]", bits: int = 16):
     Returns ``(df_with_stats_applied, zcol)`` where ``zcol`` is the
     Column expression; NULLs scale to bucket 0.  ``len(cols) * bits``
     must fit in 63 bits.
+
+    ``bounds`` ({col: (min, max)}) skips the stats pass — pass it when
+    the ranges are already known (catalog/table stats, fixed domains)
+    so no job runs before the write; otherwise one single-row min/max
+    aggregate executes here (same cost class as the broadcast planner's
+    size estimate).
     """
     from pyspark.sql import functions as F
 
@@ -84,10 +95,14 @@ def zorder_value(df: DataFrame, cols: "list[str]", bits: int = 16):
         raise ValueError("cols must be non-empty")
     if len(cols) * bits > 63:
         raise ValueError("len(cols) * bits must fit in a long (<= 63)")
-    stats = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"__mn_{c}") for c in cols],
-        *[F.max(F.col(c).cast("double")).alias(f"__mx_{c}") for c in cols],
-    ).first()
+    if bounds is not None and set(bounds) >= set(cols):
+        stats = {f"__mn_{c}": bounds[c][0] for c in cols}
+        stats.update({f"__mx_{c}": bounds[c][1] for c in cols})
+    else:
+        stats = df.agg(
+            *[F.min(F.col(c).cast("double")).alias(f"__mn_{c}") for c in cols],
+            *[F.max(F.col(c).cast("double")).alias(f"__mx_{c}") for c in cols],
+        ).first()
     top = (1 << bits) - 1
     buckets = []
     for c in cols:

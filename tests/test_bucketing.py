@@ -181,3 +181,19 @@ def test_zorder_value_validates_inputs(spark):
         zorder_value(df, [])
     with pytest.raises(ValueError):
         zorder_value(df, ["a", "b", "c", "d"], bits=16)  # 64 bits > 63
+
+
+def test_zorder_value_accepts_precomputed_bounds(spark):
+    """With bounds supplied, no stats job runs and the key matches the
+    computed-stats key."""
+    from spark_fuse_spark.operators.layout import zorder_value
+
+    df = spark.range(0, 1000).selectExpr("id % 31 a", "id % 17 b")
+    _, z_auto = zorder_value(df, ["a", "b"], bits=8)
+    _, z_given = zorder_value(df, ["a", "b"], bits=8, bounds={"a": (0, 30), "b": (0, 16)})
+    mism = (
+        df.select((z_auto).alias("x"))
+        .exceptAll(df.select((z_given).alias("x")))
+        .count()
+    )
+    assert mism == 0
