@@ -18,7 +18,7 @@ from ..operators.packing import pack_sequences
 from ..tables import load_table
 from . import register
 from ..functions.hashing import portable_hash64_sql
-from .text_dedup import _jaccard_cte, _shingle_sql, _TOKS
+from .text_dedup import _BPE_SQL, _jaccard_cte, _NORM, _shingle_sql, _sw_sql, _TOKS
 
 
 @register(
@@ -195,7 +195,7 @@ def t_pii(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "t_repetition",
     oracle="""
-WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t FROM documents),
+WITH toks AS (SELECT doc_id, __TOKS__ AS t FROM documents),
 base AS (SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS nd FROM toks),
 bg AS (SELECT doc_id,
               unnest(list_transform(generate_series(1, len(t) - 1),
@@ -209,7 +209,7 @@ SELECT b.doc_id,
        ROUND(COALESCE(t.topc / t.total, 0.0), 6) AS top_bigram_frac
 FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id
 ORDER BY b.doc_id
-""",
+""".replace("__TOKS__", _TOKS.format(col="text")),
     doc="repetition quality filters (Gopher-style): distinct-token "
     "fraction and most-frequent-bigram share per document.  Bigram mode "
     "needs a real distribution, so it shuffles — but keyed by (doc, "
@@ -354,16 +354,28 @@ def d_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
     return jaccard_prefix_pairs(docs, k=3, threshold=0.5)
 
 
-_INC_ORACLE = """
-WITH f AS (SELECT doc_id, CAST('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15) AS BIGINT) AS fingerprint FROM documents),
-new AS (SELECT * FROM f WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'inc'), 1, 15) AS BIGINT) % 1000000 < 100000),
-old AS (SELECT * FROM f WHERE NOT (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'inc'), 1, 15) AS BIGINT) % 1000000 < 100000))
+# built from the SAME SQL-twin helpers the Spark-side functions pair
+# with (fingerprint = portable hash of the normalized lowered text, the
+# gate = the sampling hash gate), so edits to those helpers propagate;
+# NOT EXISTS rather than NOT IN because anti-join is null-safe
+_INC_GATE_SQL = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'inc'), 1, 15) AS BIGINT) "
+    "% 1000000 < 100000"
+)
+_INC_ORACLE = (
+    """
+WITH f AS (SELECT doc_id, __FP__ AS fingerprint FROM documents),
+new AS (SELECT * FROM f WHERE __GATE__),
+old AS (SELECT * FROM f WHERE NOT (__GATE__))
 SELECT MIN(doc_id) AS doc_id, fingerprint
 FROM new
-WHERE fingerprint NOT IN (SELECT fingerprint FROM old)
+WHERE NOT EXISTS (SELECT 1 FROM old WHERE old.fingerprint = new.fingerprint)
 GROUP BY fingerprint
 ORDER BY doc_id
 """
+    .replace("__FP__", portable_hash64_sql(_NORM.format(col="lower(text)")))
+    .replace("__GATE__", _INC_GATE_SQL)
+)
 
 
 @register(
@@ -397,6 +409,9 @@ def d_incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# NOTE: this CTE restates the quality formula from functions.text
+# quality_score; the canonical SQL twins live in catalog/text_dedup.py
+# (t_quality_score / t_corpus_build) — keep all three in lockstep.
 _QUALITY_M_CTE = """
 n AS (
   SELECT doc_id, source, text, CAST(length(text) AS DOUBLE) AS len,
@@ -434,8 +449,8 @@ GROUP BY source
 ORDER BY source
 """
     .replace("__QCTE_PLACEHOLDER__", _QUALITY_M_CTE)
-    .replace("__SW__", "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'for', 'on', 'with', 'as']")
-    .replace("__BPE__", "''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+")
+    .replace("__SW__", _sw_sql("en"))
+    .replace("__BPE__", _BPE_SQL)
 )
 
 @register(

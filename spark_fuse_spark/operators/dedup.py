@@ -235,12 +235,22 @@ def minhash_lsh_pairs(
         e.unpersist()
         return out
     candidates = candidates.persist(StorageLevel.MEMORY_AND_DISK)
-    # Verify with exact Jaccard computed over the CANDIDATE SET ONLY —
-    # the point of LSH is to never pay the all-pairs cost. Restricting
-    # the inverted-index join to ids appearing in candidates keeps the
-    # verify stage O(|candidates|), and the result is identical to
-    # candidates ∩ {exact pairs ≥ threshold} (non-candidate pairs are
-    # dropped either way; candidate pairs get their true Jaccard).
+    return _verify_candidate_pairs(e, candidates, threshold)
+
+
+def _verify_candidate_pairs(e: DataFrame, candidates: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification over the CANDIDATE SET ONLY — the point
+    of candidate generation (LSH bands, prefixes) is to never pay the
+    all-pairs cost.  Restricting the inverted-index join to ids appearing
+    in ``candidates`` keeps this stage O(|candidates|), and the result is
+    identical to candidates ∩ {exact pairs ≥ threshold} (non-candidate
+    pairs are dropped either way; candidate pairs get their true
+    Jaccard).
+
+    ``e`` is the persisted exploded-shingle frame (``__id/__n/__h``);
+    ``candidates`` is a persisted ``(id_a, id_b)`` frame.  Both are
+    unpersisted after the checkpointed result materializes.
+    """
     cand_ids = (
         candidates.select(F.col("id_a").alias("__cid"))
         .union(candidates.select(F.col("id_b").alias("__cid")))
@@ -593,29 +603,6 @@ def jaccard_prefix_pairs(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # verify: true intersection counts over candidate ids only
-    cand_ids = (
-        candidates.select(F.col("id_a").alias("__cid"))
-        .union(candidates.select(F.col("id_b").alias("__cid")))
-        .distinct()
-    )
-    ce = e.join(F.broadcast(cand_ids), F.col("__id") == F.col("__cid"), "left_semi")
-    a = ce.select(F.col("__id").alias("id_a"), F.col("__n").alias("na"), "__h")
-    b = ce.select(F.col("__id").alias("id_b"), F.col("__n").alias("nb"), "__h")
-    shared = (
-        a.join(b, "__h")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .join(F.broadcast(candidates), ["id_a", "id_b"], "left_semi")
-    )
-    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
-    result = (
-        shared.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-    )
-    out = result.localCheckpoint(eager=True)
-    e.unpersist()
-    candidates.unpersist()
-    return out
+    # verify: true intersection counts over candidate ids only (shared
+    # with the MinHash-LSH path)
+    return _verify_candidate_pairs(e, candidates, threshold)

@@ -41,16 +41,22 @@ def _large_star(edges: DataFrame) -> DataFrame:
     """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u}).
 
     Input must be symmetric.  Output edges are (larger, smaller).
+
+    Shape: per-node min via hash aggregate, then a join back onto the
+    edge list — NEVER a ``collect_set`` of the neighborhood, so a
+    10M-document boilerplate clique costs a 10M-row group-min and a
+    10M-row join probe instead of a 10M-element array in one
+    aggregation buffer (the streaming formulation of the paper).
     """
-    nbrs = edges.groupBy("u").agg(
-        F.collect_set("v").alias("__nv"),
+    m = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("__mv"))
+        .select("u", F.least("u", "__mv").alias("__m"))
     )
-    m = F.least(F.col("u"), F.array_min("__nv"))
     return (
-        nbrs.select(
-            F.explode(F.filter("__nv", lambda v: v > F.col("u"))).alias("u"),
-            m.alias("v"),
-        )
+        edges.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("__m").alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
@@ -58,19 +64,20 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Direct edges high→low, then connect each low neighbor (and u) to
-    the minimum — collapsing chains into stars."""
+    the minimum — collapsing chains into stars.  Same join-back shape
+    as :func:`_large_star` (no neighborhood arrays)."""
     directed = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).where(F.col("u") != F.col("v"))
-    nbrs = directed.groupBy("u").agg(F.collect_set("v").alias("__nv"))
-    m = F.array_min("__nv")  # all neighbors are < u here
+    m = directed.groupBy("u").agg(F.min("v").alias("__m"))  # all v < u
+    neighbor_links = (
+        directed.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+    )
+    self_links = m.select("u", F.col("__m").alias("v"))
     return (
-        nbrs.select(
-            F.explode(F.array_append("__nv", F.col("u"))).alias("nu"),
-            m.alias("v"),
-        )
-        .where(F.col("nu") != F.col("v"))
-        .select(F.col("nu").alias("u"), "v")
+        neighbor_links.union(self_links)
+        .where(F.col("u") != F.col("v"))
         .distinct()
     )
 
@@ -101,6 +108,7 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iterations):
         ls = _large_star(_symmetrize(edges))
         new_edges = _small_star(ls).localCheckpoint(eager=True)
@@ -117,6 +125,17 @@ def connected_components(
         edges = new_edges
         if converged:
             break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: no fixpoint after {max_iterations} "
+            "iterations (star-contraction needs O(log n) rounds — this "
+            "graph is pathological or max_iterations is too low); labels "
+            "may merge further on another pass",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # at fixpoint every edge points node → component-min; roots label themselves
     roots = edges.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()
     return (

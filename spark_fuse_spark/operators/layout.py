@@ -95,9 +95,15 @@ def zorder_value(
         raise ValueError("cols must be non-empty")
     if len(cols) * bits > 63:
         raise ValueError("len(cols) * bits must fit in a long (<= 63)")
-    if bounds is not None and set(bounds) >= set(cols):
-        stats = {f"__mn_{c}": bounds[c][0] for c in cols}
-        stats.update({f"__mx_{c}": bounds[c][1] for c in cols})
+    if bounds is not None:
+        missing = set(cols) - set(bounds)
+        if missing:
+            raise ValueError(
+                f"bounds missing clustered columns {sorted(missing)} — "
+                "supply every column or omit bounds to compute stats"
+            )
+        stats = {f"__mn_{c}": float(bounds[c][0]) for c in cols}
+        stats.update({f"__mx_{c}": float(bounds[c][1]) for c in cols})
     else:
         stats = df.agg(
             *[F.min(F.col(c).cast("double")).alias(f"__mn_{c}") for c in cols],
@@ -132,11 +138,14 @@ def write_zordered(
     cols: "list[str]",
     num_files: int,
     bits: int = 16,
+    bounds: "dict[str, tuple[float, float]] | None" = None,
     mode: str = "overwrite",
     format: str = "parquet",
 ) -> None:
     """Write ``df`` clustered by Z-value over ``cols``: range-partition on
     the interleaved key, sort within partitions, drop the helper column.
+    ``bounds`` is forwarded to :func:`zorder_value` so known column
+    ranges skip the pre-write stats job.
 
     Effect on the read side: parquet row-group/file min-max stats become
     selective for EVERY column in ``cols`` (a plain sort helps only its
@@ -144,7 +153,7 @@ def write_zordered(
     """
     from pyspark.sql import functions as F
 
-    df2, z = zorder_value(df, cols, bits=bits)
+    df2, z = zorder_value(df, cols, bits=bits, bounds=bounds)
     (
         df2.withColumn("__zvalue", z)
         .repartitionByRange(num_files, F.col("__zvalue"))

@@ -180,11 +180,14 @@ def render_status_card(record: LogEventRecord, step: "int | None" = None,
     """Self-contained HTML status card for one event (the reference
     renders per-event cards via Databricks ``displayHTML``,
     ``progress.py:132-258``; markup here is original)."""
+    from html import escape
+
     color, icon = _CARD_STYLES.get(record.status, _CARD_STYLES["info"])
     metrics = ""
     if record.metrics:
         cells = "".join(
-            f"<div><strong>{k}:</strong> {v}</div>" for k, v in record.metrics.items()
+            f"<div><strong>{escape(str(k))}:</strong> {escape(str(v))}</div>"
+            for k, v in record.metrics.items()
         )
         metrics = f'<div style="font-size:12px">{cells}</div>'
     steps = (
@@ -192,12 +195,16 @@ def render_status_card(record: LogEventRecord, step: "int | None" = None,
         if step is not None and total is not None
         else ""
     )
-    detail = f'<div style="font-size:12px">{record.detail}</div>' if record.detail else ""
+    detail = (
+        f'<div style="font-size:12px">{escape(record.detail)}</div>'
+        if record.detail
+        else ""
+    )
     return (
         f'<div style="border-left:4px solid {color};padding:6px 10px;'
         f'font-family:sans-serif;margin:4px 0">'
-        f'<div style="color:{color};font-weight:bold">{icon} {record.event}'
-        f" [{record.status}]</div>{detail}{steps}{metrics}</div>"
+        f'<div style="color:{color};font-weight:bold">{icon} {escape(record.event)}'
+        f" [{escape(record.status)}]</div>{detail}{steps}{metrics}</div>"
     )
 
 
