@@ -598,3 +598,53 @@ def e_retention(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def _lex_sql(kind: str) -> str:
+    from ..functions.text import SENTIMENT_LEXICON
+
+    return "[" + ", ".join(f"'{w}'" for w in SENTIMENT_LEXICON[kind]) + "]"
+
+
+@register(
+    "t_sentiment",
+    oracle="""
+WITH toks AS (SELECT doc_id, __TOKS__ AS t FROM documents),
+hits AS (
+  SELECT doc_id,
+         len(list_filter(t, tk -> list_contains(__POS__, tk))) AS p,
+         len(list_filter(t, tk -> list_contains(__NEG__, tk))) AS n
+  FROM toks)
+SELECT doc_id,
+       CAST(p AS BIGINT) AS pos_hits,
+       CAST(n AS BIGINT) AS neg_hits,
+       ROUND(CASE WHEN p + n > 0 THEN CAST(p - n AS DOUBLE) / (p + n)
+                  ELSE 0.0 END, 6) AS sentiment
+FROM hits
+ORDER BY doc_id
+"""
+    .replace("__TOKS__", _TOKS.format(col="text"))
+    .replace("__POS__", _lex_sql("positive"))
+    .replace("__NEG__", _lex_sql("negative")),
+    doc="lexicon sentiment scoring (SURVEY 7.1 milestone-5 north star "
+    "'sentiment via UDF', re-expressed WITHOUT a UDF): polarity-word "
+    "hit counts and a [-1,1] valence score as pure Catalyst "
+    "filter-counts — one scan, codegen, SQL-replayable.",
+)
+def t_sentiment(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import SENTIMENT_LEXICON, sentiment_score, tokens
+
+    d = load_table(spark, sf, "documents")
+
+    def hits(kind: str) -> F.Column:
+        lex = F.array(*[F.lit(w) for w in SENTIMENT_LEXICON[kind]])
+        return F.size(
+            F.filter(tokens("text"), lambda t: F.array_contains(lex, t))
+        ).cast("long")
+
+    return d.select(
+        "doc_id",
+        hits("positive").alias("pos_hits"),
+        hits("negative").alias("neg_hits"),
+        F.round(sentiment_score("text"), 6).alias("sentiment"),
+    ).orderBy("doc_id")

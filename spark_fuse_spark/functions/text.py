@@ -37,6 +37,8 @@ __all__ = [
     "PII_PATTERNS",
     "pii_count",
     "redact_pii",
+    "SENTIMENT_LEXICON",
+    "sentiment_score",
 ]
 
 
@@ -225,3 +227,36 @@ def redact_pii(col: "str | Column") -> Column:
     for pattern, token in PII_PATTERNS.values():
         out = F.regexp_replace(out, pattern, token)
     return out
+
+
+# ---------------------------------------------------------------- sentiment
+# Minimal valence lexicon (common English polarity words; public-domain
+# vocabulary).  The reference's north-star list names "sentiment via UDF"
+# (SURVEY §7.1 milestone 5); this re-expression is a pure Catalyst
+# filter-count — no UDF, scan-speed, and exactly replayable in SQL.
+SENTIMENT_LEXICON: dict[str, tuple[str, ...]] = {
+    "positive": (
+        "good", "great", "excellent", "amazing", "wonderful", "best",
+        "love", "happy", "fantastic", "awesome", "nice", "perfect",
+        "brilliant", "enjoy", "helpful", "positive", "success", "win",
+    ),
+    "negative": (
+        "bad", "terrible", "awful", "horrible", "worst", "hate",
+        "sad", "poor", "disappointing", "broken", "fail", "negative",
+        "wrong", "problem", "error", "slow", "ugly", "lose",
+    ),
+}
+
+
+def sentiment_score(col: "str | Column") -> Column:
+    """Lexicon sentiment in [-1, 1]: (positive hits − negative hits) over
+    total polarity hits; 0.0 when no polarity word appears."""
+    pos = F.array([F.lit(w) for w in SENTIMENT_LEXICON["positive"]])
+    neg = F.array([F.lit(w) for w in SENTIMENT_LEXICON["negative"]])
+
+    def score(toks: Column) -> Column:
+        p = F.size(F.filter(toks, lambda t: F.array_contains(pos, t)))
+        n = F.size(F.filter(toks, lambda t: F.array_contains(neg, t)))
+        return F.when(p + n > 0, (p - n) / (p + n)).otherwise(F.lit(0.0))
+
+    return _bind(tokens(col), score)

@@ -255,3 +255,23 @@ def test_jaccard_prefix_rejects_bad_threshold(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError):
         jaccard_prefix_pairs(df, threshold=0.0)
+
+
+# -------------------------------------------------------------- sentiment
+def test_sentiment_score_direction_and_bounds(spark):
+    from spark_fuse_spark.functions.text import sentiment_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "this is a great wonderful amazing thing i love"),
+            (2, "terrible awful horrible broken mess"),
+            (3, "good but also bad"),
+            (4, "neutral text with no polarity words"),
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r.s for r in df.select("id", sentiment_score("text").alias("s")).collect()}
+    assert out[1] == 1.0
+    assert out[2] == -1.0
+    assert out[3] == 0.0  # one good, one bad
+    assert out[4] == 0.0  # no hits

@@ -121,6 +121,7 @@ CONTRACTS = {
     # exchange; then the per-user rollup and the output sort
     "e_funnel": PlanExpectation(require_partial_agg=True, max_exchanges=3),
     "e_retention": PlanExpectation(require_partial_agg=True, max_exchanges=4),
+    "t_sentiment": PlanExpectation(max_exchanges=1),
     "q_hll_sketch": PlanExpectation(require_partial_agg=True, max_exchanges=4),
 }
 
