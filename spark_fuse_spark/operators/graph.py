@@ -25,7 +25,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 __all__ = ["connected_components", "dedup_clusters"]
 
