@@ -9,8 +9,9 @@ built entirely on Spark's native streaming engine:
 * session windows (``F.session_window``),
 * late-data dedup (``dropDuplicatesWithinWatermark``),
 * ``foreachBatch`` sink into the SCD change-tracking protocols,
-* a custom stateful operator (``applyInPandasWithState``) for
-  gap-based sessionization with event-time timeouts.
+* custom stateful operators (``applyInPandasWithState``): gap-based
+  sessionization and an ordered conversion-funnel tracker, both with
+  event-time timeouts and O(1) state per active key.
 
 Every transformation takes/returns DataFrames and works identically on a
 batch frame (for differential testing — the ``e_*`` catalog queries are
@@ -20,6 +21,7 @@ the batch twins) and a streaming frame.
 from spark_fuse_spark.streaming.ops import (
     EVENT_SCHEMA,
     dedup_within_watermark,
+    funnel_with_state,
     read_event_stream,
     session_event_rollup,
     sessionize_with_state,
@@ -37,4 +39,5 @@ __all__ = [
     "dedup_within_watermark",
     "stream_to_scd",
     "sessionize_with_state",
+    "funnel_with_state",
 ]

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -38,6 +39,7 @@ __all__ = [
     "dedup_within_watermark",
     "stream_to_scd",
     "sessionize_with_state",
+    "funnel_with_state",
 ]
 
 # events.parquet schema with ts at micros precision (see tables.py for the
@@ -289,6 +291,120 @@ def sessionize_with_state(
             update,
             outputStructType=SESSION_OUTPUT_SCHEMA,
             stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("converted", BooleanType()),
+        StructField("stage_reached", LongType()),
+        StructField("started", TimestampType()),
+        StructField("ended", TimestampType()),
+    ]
+)
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("stage", LongType()),
+        StructField("first_ts", TimestampType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+
+def funnel_with_state(
+    df: DataFrame,
+    steps: Sequence[str] = ("view", "click", "purchase"),
+    window_seconds: int = 86400,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming conversion funnel via ``applyInPandasWithState`` — the
+    streaming twin of catalog ``e_funnel``.
+
+    Tracks each user's progress through ``steps`` in strict event-time
+    order: an event advances the funnel iff it matches the next step and
+    is later than the previous step's time.  Emits the moment a user
+    COMPLETES the funnel (converted=True; state removed, so a repeat
+    journey starts a fresh funnel), or when the conversion window
+    expires after the first step (converted=False with the stage
+    reached, via event-time timeout once the watermark passes
+    ``first_ts + window``).
+
+    State per key: (stage, first_ts, last_ts) — O(1) per in-flight
+    funnel, expired by timeout, so state is bounded by users currently
+    inside a conversion window (same bounding argument as
+    :func:`sessionize_with_state`).
+    """
+    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone") or "UTC"
+    n_steps = len(steps)
+    if n_steps == 0:
+        raise ValueError("steps must be non-empty")
+
+    def _epoch_ms(ts: pd.Timestamp) -> int:
+        if ts.tzinfo is None:
+            ts = ts.tz_localize(session_tz, ambiguous=True, nonexistent="shift_forward")
+        return int(ts.timestamp() * 1000)
+
+    def update(
+        key: Tuple[int], batch_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            stage, first_ts, last_ts = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "converted": [False],
+                    "stage_reached": [stage],
+                    "started": [first_ts],
+                    "ended": [last_ts],
+                }
+            )
+            return
+
+        events = pd.concat(list(batch_iter), ignore_index=True).sort_values("ts")
+        if state.exists:
+            stage, first_ts, last_ts = state.get
+        else:
+            stage, first_ts, last_ts = 0, None, None
+
+        out: list[tuple] = []
+        for ts, etype in zip(events["ts"], events["event_type"]):
+            if etype != steps[stage]:
+                continue
+            if stage > 0 and not ts > last_ts:
+                continue
+            if stage == 0:
+                first_ts = ts
+            last_ts = ts
+            stage += 1
+            if stage == n_steps:
+                out.append((user_id, True, stage, first_ts, last_ts))
+                stage, first_ts, last_ts = 0, None, None
+        if stage > 0:
+            state.update((stage, first_ts, last_ts))
+            state.setTimeoutTimestamp(_epoch_ms(first_ts) + window_seconds * 1000)
+        elif state.exists:
+            state.remove()
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "converted", "stage_reached", "started", "ended"],
+            )
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )

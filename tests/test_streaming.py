@@ -132,3 +132,50 @@ def test_sessionize_with_state_gap_close(spark, tmp_path):
         for r in out
     ), out
     q.stop()
+
+
+def test_funnel_with_state_converts_in_batch(spark, tmp_path):
+    """A user completing view->click->purchase in ts order converts and is
+    emitted in-batch; out-of-order or partial journeys don't convert (the
+    partial stays in state awaiting timeout)."""
+    src = str(tmp_path / "funnel_events")
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    s = dt.timedelta
+    rows = [
+        # user 1: full ordered funnel (with a distractor event between)
+        (1, base, 1, "view", 1.0, None),
+        (2, base + s(minutes=1), 1, "error", 0.0, None),
+        (3, base + s(minutes=2), 1, "click", 1.0, None),
+        (4, base + s(minutes=3), 1, "purchase", 9.0, None),
+        # user 2: purchase BEFORE click — must not convert
+        (5, base, 2, "view", 1.0, None),
+        (6, base + s(minutes=1), 2, "purchase", 9.0, None),
+        (7, base + s(minutes=2), 2, "click", 1.0, None),
+        # user 3: converts twice (state resets after first conversion)
+        (8, base, 3, "view", 1.0, None),
+        (9, base + s(minutes=1), 3, "click", 1.0, None),
+        (10, base + s(minutes=2), 3, "purchase", 9.0, None),
+        (11, base + s(minutes=3), 3, "view", 1.0, None),
+        (12, base + s(minutes=4), 3, "click", 1.0, None),
+        (13, base + s(minutes=5), 3, "purchase", 9.0, None),
+    ]
+    spark.createDataFrame(rows, st.EVENT_SCHEMA).coalesce(1).write.parquet(src)
+    q = _run_stream(
+        st.funnel_with_state(st.read_event_stream(spark, src)),
+        "t_funnel",
+        "append",
+    )
+    out = [r.asDict() for r in spark.sql("select * from t_funnel").collect()]
+    u1 = [r for r in out if r["user_id"] == 1]
+    assert len(u1) == 1 and u1[0]["converted"] and u1[0]["stage_reached"] == 3
+    assert u1[0]["started"] == base and u1[0]["ended"] == base + s(minutes=3)
+    assert not [r for r in out if r["user_id"] == 2]  # partial, still in state
+    assert len([r for r in out if r["user_id"] == 3 and r["converted"]]) == 2
+    q.stop()
+
+
+def test_funnel_with_state_rejects_empty_steps(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        st.funnel_with_state(spark.range(1), steps=())
