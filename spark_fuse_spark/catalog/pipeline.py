@@ -648,3 +648,58 @@ def t_sentiment(spark: SparkSession, sf: str) -> DataFrame:
         hits("negative").alias("neg_hits"),
         F.round(sentiment_score("text"), 6).alias("sentiment"),
     ).orderBy("doc_id")
+
+
+@register(
+    "t_mix_resample",
+    oracle="""
+WITH r AS (
+  SELECT doc_id, lang,
+         CASE WHEN lang = 'en' THEN 1.5
+              WHEN lang = 'de' THEN 0.5
+              ELSE 0.25 END AS rate,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 15) AS BIGINT)
+           AS h
+  FROM documents),
+c AS (
+  SELECT doc_id, lang,
+         CAST(floor(rate) AS INT)
+           + CASE WHEN (h % 1000000) < CAST((rate - floor(rate)) * 1000000 AS BIGINT)
+                  THEN 1 ELSE 0 END AS n
+  FROM r),
+o AS (
+  SELECT doc_id, lang, unnest(generate_series(1, n)) AS copy_id
+  FROM c WHERE n >= 1)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_rows_out,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(MAX(copy_id) AS BIGINT) AS max_copies
+FROM o
+GROUP BY lang
+ORDER BY lang
+""",
+    doc="training-mix resampling: per-language target rates (en 1.5x "
+    "upsample, de 0.5x, others 0.25x) applied with the deterministic "
+    "md5 gate — floor(rate) copies plus a fractional-gate extra, so "
+    "expected output = sum(rate) exactly, reproducibly, with no RNG "
+    "and no shuffle before the rollup; copy_id keeps provenance.",
+)
+def t_mix(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.sampling import resample_weighted
+
+    d = load_table(spark, sf, "documents").withColumn(
+        "rate",
+        F.when(F.col("lang") == "en", F.lit(1.5))
+        .when(F.col("lang") == "de", F.lit(0.5))
+        .otherwise(F.lit(0.25)),
+    )
+    out = resample_weighted(d, "doc_id", "rate", salt="mix")
+    return (
+        out.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows_out"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.max("copy_id").cast("long").alias("max_copies"),
+        )
+        .orderBy("lang")
+    )

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash64
 
-__all__ = ["sample_gate", "hash_sample", "stratified_hash_sample", "train_holdout_split"]
+__all__ = ["sample_gate", "hash_sample", "stratified_hash_sample", "train_holdout_split", "resample_weighted"]
 
 BUCKETS = 1_000_000
 
@@ -89,3 +89,39 @@ def train_holdout_split(
     """
     gate = sample_gate(key_col, holdout_fraction, salt)
     return df.where(~gate), df.where(gate)
+
+
+def resample_weighted(
+    df: DataFrame,
+    key_col: str,
+    rate_col: "str | Column",
+    salt: str = "mix",
+    copy_col: str = "copy_id",
+) -> DataFrame:
+    """Deterministic up/down-sampling to a per-row target RATE — the
+    training-data MIXING operator (replay a source at 1.5×, keep 25% of
+    another, drop a third).
+
+    ``rate_col`` ≥ 0 is the expected output multiplicity of the row:
+    every row emits ``floor(rate)`` copies plus one more iff its hash
+    gate clears the fractional part — so expected output count is
+    exactly ``sum(rate)``, and the decision is the same md5 gate as
+    :func:`sample_gate` (deterministic, engine-portable, salt-
+    addressable).  ``copy_col`` numbers the copies (1..n) for
+    provenance / downstream shuffling.
+
+    Scale shape: pure per-row expressions + one explode — no shuffle,
+    no RNG; the gate quantizes fractions to millionths exactly like
+    ``sample_gate`` so SQL twins stay bit-identical.
+    """
+    rate = F.col(rate_col) if isinstance(rate_col, str) else rate_col
+    key = F.col(key_col)
+    h = portable_hash64(F.concat(key.cast("string"), F.lit(salt)))
+    base = F.floor(rate).cast("int")
+    frac = rate - F.floor(rate)
+    extra = ((h % BUCKETS) < (frac * BUCKETS).cast("long")).cast("int")
+    n_copies = base + extra
+    copies = F.when(
+        n_copies >= 1, F.sequence(F.lit(1), n_copies)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.withColumn(copy_col, F.explode(copies))

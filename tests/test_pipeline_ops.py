@@ -275,3 +275,32 @@ def test_sentiment_score_direction_and_bounds(spark):
     assert out[2] == -1.0
     assert out[3] == 0.0  # one good, one bad
     assert out[4] == 0.0  # no hits
+
+
+# ------------------------------------------------------------ mix resample
+def test_resample_weighted_multiplicities(spark):
+    from spark_fuse_spark.operators.sampling import resample_weighted
+
+    df = spark.range(0, 4000).select(
+        F.col("id"),
+        F.when(F.col("id") % 4 == 0, F.lit(2.0))     # exact 2x
+        .when(F.col("id") % 4 == 1, F.lit(0.0))      # dropped
+        .when(F.col("id") % 4 == 2, F.lit(1.0))      # kept once
+        .otherwise(F.lit(0.5))                        # ~half kept
+        .alias("rate"),
+    )
+    out = resample_weighted(df, "id", "rate").cache()
+    per_id = {r.id: r.n for r in out.groupBy("id").agg(F.count("*").alias("n")).collect()}
+    # integer rates are exact per row
+    assert all(per_id.get(i, 0) == 2 for i in range(0, 4000, 4))
+    assert all(i not in per_id for i in range(1, 4000, 4))
+    assert all(per_id.get(i, 0) == 1 for i in range(2, 4000, 4))
+    # fractional rate: deterministic, and close to expectation in aggregate
+    half_kept = sum(per_id.get(i, 0) for i in range(3, 4000, 4))
+    assert 400 <= half_kept <= 600  # 1000 candidates at 0.5
+    # copy ids number 1..n
+    assert out.where(F.col("copy_id") < 1).count() == 0
+    # deterministic: second run identical
+    out2 = resample_weighted(df, "id", "rate")
+    assert out.exceptAll(out2).count() == 0
+    out.unpersist()

@@ -122,6 +122,8 @@ CONTRACTS = {
     "e_funnel": PlanExpectation(require_partial_agg=True, max_exchanges=3),
     "e_retention": PlanExpectation(require_partial_agg=True, max_exchanges=4),
     "t_sentiment": PlanExpectation(max_exchanges=1),
+    # mixing: per-row gate + explode, then one partial-agg rollup
+    "t_mix_resample": PlanExpectation(require_partial_agg=True, max_exchanges=3),
     "q_hll_sketch": PlanExpectation(require_partial_agg=True, max_exchanges=4),
 }
 
