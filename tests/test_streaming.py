@@ -179,3 +179,27 @@ def test_funnel_with_state_rejects_empty_steps(spark):
 
     with _pytest.raises(ValueError):
         st.funnel_with_state(spark.range(1), steps=())
+
+
+def test_funnel_stream_matches_batch_converted_users(spark, event_dir):
+    """Batch/stream parity on the fixture events: the set of users the
+    streaming funnel converts (first conversion) equals the users the
+    batch e_funnel catalog query reports at stage 3."""
+    from spark_fuse_spark.catalog import load_all
+
+    q = _run_stream(
+        st.funnel_with_state(st.read_event_stream(spark, event_dir)),
+        "t_funnel_parity",
+        "append",
+    )
+    stream_users = {
+        r.user_id
+        for r in spark.sql(
+            "select distinct user_id from t_funnel_parity where converted"
+        ).collect()
+    }
+    batch = load_all()["e_funnel"].spark(spark, "/root/testdata/sf0.001")
+    batch_users = {r.user_id for r in batch.collect() if r.funnel_stage == 3}
+    assert stream_users == batch_users
+    assert stream_users  # non-trivial: at least one conversion in fixture
+    q.stop()
