@@ -703,3 +703,49 @@ def t_mix(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "t_unigram_surprisal",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(__TOKS__) AS tok FROM documents),
+f AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT SUM(c) AS s FROM f),
+sc AS (
+  SELECT t.doc_id, -ln(f.c / tot.s) AS lp
+  FROM toks t JOIN f ON t.tok = f.tok CROSS JOIN tot)
+SELECT doc_id,
+       ROUND(AVG(lp), 6) AS avg_surprisal,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM sc
+GROUP BY doc_id
+ORDER BY doc_id
+""".replace("__TOKS__", _TOKS.format(col="text")),
+    doc="corpus-statistics LM quality signal (the CCNet-style perplexity "
+    "filter, re-expressed without a model): per-document mean unigram "
+    "surprisal -ln(count/total) against the corpus's own token "
+    "distribution.  Two-pass shape: a vocab-sized frequency table "
+    "(broadcast back onto the exploded tokens — the corpus shuffles "
+    "once, by token, for the frequency agg) then a per-doc rollup.  "
+    "Low surprisal = repetitive/boilerplate, high = noise; both tails "
+    "get filtered in a real pipeline.",
+)
+def t_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").alias("s"))
+    lp = -F.log(F.col("c") / F.col("s"))
+    return (
+        toks.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(lp), 6).alias("avg_surprisal"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )

@@ -124,6 +124,13 @@ CONTRACTS = {
     "t_sentiment": PlanExpectation(max_exchanges=1),
     # mixing: per-row gate + explode, then one partial-agg rollup
     "t_mix_resample": PlanExpectation(require_partial_agg=True, max_exchanges=3),
+    # two-pass corpus statistics: token-freq agg shuffle, broadcast-back,
+    # per-doc rollup, output sort
+    # 5 exchanges: token-freq agg, the 1-row total agg, per-doc rollup,
+    # output sort, plus the broadcast exchange for the freq table
+    "t_unigram_surprisal": PlanExpectation(
+        min_broadcast_joins=1, require_partial_agg=True, max_exchanges=5
+    ),
     "q_hll_sketch": PlanExpectation(require_partial_agg=True, max_exchanges=4),
 }
 
@@ -188,6 +195,7 @@ NESTED_LOOP_OK = {
     "q_cross_join_small": "intentional cross join of two tiny dims",
     "q_range_join": "non-equi range condition",
     "v_ann_bruteforce": "broadcast query-vector panel x corpus scan",
+    "t_unigram_surprisal": "1-row broadcast corpus-total for the surprisal denominator",
 }
 
 
