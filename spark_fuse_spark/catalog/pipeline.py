@@ -749,3 +749,52 @@ def t_surprisal(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "t_tfidf_keywords",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(__TOKS__) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, tok, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rn
+  FROM scored)
+SELECT doc_id, CAST(rn AS INT) AS rank, tok, ROUND(tfidf, 6) AS tfidf
+FROM ranked WHERE rn <= 3
+ORDER BY doc_id, rank
+""".replace("__TOKS__", _TOKS.format(col="text")),
+    doc="TF-IDF keyword extraction: top-3 terms per document (ties broken "
+    "by token, total order).  Corpus pass shapes: per-(doc,token) tf "
+    "agg, vocab-sized df agg broadcast back, 1-row doc-count broadcast, "
+    "then a per-doc rank window — the fact rows shuffle by (doc,token) "
+    "then by doc, never by anything data-sized twice.",
+)
+def t_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_t), "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf", F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", F.col("rank").cast("int"), "tok", F.round("tfidf", 6).alias("tfidf"))
+        .orderBy("doc_id", "rank")
+    )

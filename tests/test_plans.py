@@ -196,6 +196,7 @@ NESTED_LOOP_OK = {
     "q_range_join": "non-equi range condition",
     "v_ann_bruteforce": "broadcast query-vector panel x corpus scan",
     "t_unigram_surprisal": "1-row broadcast corpus-total for the surprisal denominator",
+    "t_tfidf_keywords": "1-row broadcast doc-count for the idf numerator",
 }
 
 
