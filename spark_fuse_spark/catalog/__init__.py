@@ -147,6 +147,7 @@ def load_all() -> dict[str, QuerySpec]:
         ai_cdc,
         relational,
         pipeline,
+        curation,
     )
 
     return REGISTRY

@@ -1,0 +1,491 @@
+"""Round-3 curation suite: profiling, imputation, span-level dedup,
+record linkage, interval analytics, and embedding outliers.
+
+These widen the training-data-pipeline surface beyond round 2's
+clustering/packing/contamination set: the operations a data engineer
+runs BEFORE committing a 100 TB corpus to training — profile the
+columns, impute gaps, find verbatim repeated spans (Lee et al. 2022
+exact-substring dedup, n-gram formulation), link entities across
+tables, bucket by length for batch shaping, and drop embedding
+outliers.
+
+Registered after ``pipeline`` in ``load_all`` so the driver's budgeted
+walk reaches older queries first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64, portable_hash64_sql
+from ..functions.text import token_count, tokens
+from ..tables import load_table
+from . import register
+
+_TS_SQL = "%Y-%m-%d %H:%M:%S"
+_TS_SPARK = "yyyy-MM-dd HH:mm:ss"
+
+
+# ------------------------------------------------------------- profiling
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _profile_col_sql(c: str) -> str:
+    return f"""
+SELECT '{c}' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       ROUND(CAST(MIN({c}) AS DOUBLE), 4) AS min_val,
+       ROUND(CAST(MAX({c}) AS DOUBLE), 4) AS max_val,
+       ROUND(CAST(SUM(CAST({c} AS DECIMAL(28,6))) / COUNT({c}) AS DOUBLE), 4)
+         AS avg_val
+FROM lineitem"""
+
+
+@register(
+    "q_profile_stats",
+    oracle=" UNION ALL ".join(_profile_col_sql(c) for c in _PROFILE_COLS)
+    + "\nORDER BY col_name",
+    doc="one-pass column profiler (rows / nulls / distinct / min / max / "
+    "avg) over the lineitem measures, long format — the `DESCRIBE "
+    "EXTENDED`-style summary a corpus audit starts with.  All metrics for "
+    "all columns come from a SINGLE aggregate over ONE scan (Catalyst "
+    "plans the multi-distinct via Expand), then unpivot via stack.  The "
+    "mean sums exact decimals so partial-agg order can't wiggle the "
+    "rounding.  Scale: one shuffle; at 100 TB swap COUNT(DISTINCT) for "
+    "approx_count_distinct to drop the Expand multiplier — the exact "
+    "variant here is what the oracle can replay.",
+)
+def q_profile(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        col = F.col(c)
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(col)).alias(f"{c}__nulls"),
+            F.countDistinct(col).alias(f"{c}__distinct"),
+            F.round(F.min(col).cast("double"), 4).alias(f"{c}__min"),
+            F.round(F.max(col).cast("double"), 4).alias(f"{c}__max"),
+            F.round(
+                (F.sum(col.cast("decimal(28,6)")) / F.count(col)).cast("double"), 4
+            ).alias(f"{c}__avg"),
+        ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max, {c}__avg"
+        for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+            "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val, avg_val)"
+        )
+    ).orderBy("col_name")
+
+
+# ------------------------------------------------------------ forward fill
+@register(
+    "q_forward_fill",
+    oracle=f"""
+SELECT event_id, user_id,
+       ROUND(CASE WHEN event_type <> 'error' THEN value END, 2) AS raw_value,
+       ROUND(LAST_VALUE(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS filled_value
+FROM events
+ORDER BY event_id
+""",
+    doc="forward-fill imputation: error readings are masked to NULL and "
+    "repaired with the user's last good value in event-time order — "
+    "`last(..., ignorenulls=True)` over a running row frame, the standard "
+    "gap-repair before feature extraction.  Scale: one hash-partition "
+    "shuffle on user_id, in-partition sort, no Python.",
+)
+def q_ffill(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    masked = F.when(F.col("event_type") != "error", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(masked, 2).alias("raw_value"),
+        F.round(F.last(masked, ignorenulls=True).over(w), 2).alias("filled_value"),
+    ).orderBy("event_id")
+
+
+# -------------------------------------------------------- duplicate spans
+@register(
+    "d_duplicate_spans",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
+           AS t
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t)-7),
+                i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                                    t[i+4], t[i+5], t[i+6], t[i+7]))) AS gram
+  FROM toks WHERE len(t) >= 8),
+h AS (SELECT doc_id, {portable_hash64_sql("gram")} AS gram_hash FROM g)
+SELECT gram_hash,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM h
+GROUP BY gram_hash
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY gram_hash
+""",
+    doc="exact-substring (span) dedup, n-gram formulation of Lee et al. "
+    "2022: every 8-token window is hashed and windows occurring in >= 2 "
+    "distinct documents are reported with document and occurrence counts "
+    "— the curation step that finds boilerplate/licence blocks verbatim-"
+    "repeated across a corpus (pair-level MinHash can't see spans).  "
+    "Scale: explode is O(total tokens) rows but each carries only "
+    "(doc_id, 8-byte hash); one hash-partition shuffle on the gram hash "
+    "with map-side partial aggregation — the same shape as the MinHash "
+    "shingle stage, no self-join.",
+)
+def d_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    t = docs.select("doc_id", tokens("text").alias("t")).where(F.size("t") >= 8)
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t)-7), i -> concat_ws(' ', slice(t, i, 8)))"
+            )
+        ).alias("gram"),
+    )
+    return (
+        grams.select("doc_id", portable_hash64("gram").alias("gram_hash"))
+        .groupBy("gram_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy("gram_hash")
+    )
+
+
+# -------------------------------------------------------- record linkage
+@register(
+    "d_record_linkage",
+    oracle="""
+SELECT c.c_custkey, s.s_suppkey,
+       CAST(levenshtein(right(c.c_name, 9), right(s.s_name, 9)) AS INT)
+         AS name_dist
+FROM customer c
+JOIN supplier s
+  ON c.c_nationkey = s.s_nationkey
+WHERE levenshtein(right(c.c_name, 9), right(s.s_name, 9)) <= 1
+ORDER BY c_custkey, s_suppkey
+""",
+    doc="blocked record linkage (entity resolution): candidate pairs are "
+    "generated ONLY within a blocking key (nation), then scored with "
+    "edit distance on the entity-id suffix and kept at distance <= 1.  "
+    "Blocking is what makes fuzzy matching feasible at scale: the join "
+    "is a plain equi-join on the block key (small side broadcast), with "
+    "levenshtein as a post-join filter — never an all-pairs cross join.  "
+    "Swap the block key for soundex/prefix buckets on real names.",
+)
+def d_linkage(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    dist = F.levenshtein(F.expr("right(c_name, 9)"), F.expr("right(s_name, 9)"))
+    return (
+        c.join(F.broadcast(s), c.c_nationkey == s.s_nationkey)
+        .where(dist <= 1)
+        .select("c_custkey", "s_suppkey", dist.cast("int").alias("name_dist"))
+        .orderBy("c_custkey", "s_suppkey")
+    )
+
+
+# -------------------------------------------------------- length buckets
+_CUTS = [i / 10.0 for i in range(1, 10)]
+
+
+@register(
+    "t_length_buckets",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT)
+           AS n_tokens
+  FROM documents),
+q AS (SELECT quantile_cont(n_tokens, {_CUTS}) AS cuts FROM t),
+b AS (
+  SELECT t.doc_id, t.n_tokens,
+         CAST(1 + len(list_filter(q.cuts, c -> CAST(t.n_tokens AS DOUBLE) > c)) AS INT)
+           AS bucket
+  FROM t, q)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM b
+GROUP BY bucket
+ORDER BY bucket
+""",
+    doc="decile length-bucketing for batch shaping: exact token-count "
+    "deciles (percentile with linear interpolation, identical to "
+    "quantile_cont) become cutoffs; each document lands in the bucket of "
+    "cutoffs it exceeds; per-bucket count/min/max/token-mass comes out.  "
+    "Deliberately NOT ntile() — a global ntile window collapses to a "
+    "single partition at scale, while this is one aggregate for the "
+    "cutoffs, a broadcast of 9 doubles back over the corpus, and one "
+    "grouped aggregate: all narrow or map-side-combinable.",
+)
+def t_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    cuts = d.agg(
+        F.expr(
+            f"percentile(n_tokens, array({', '.join(str(c) for c in _CUTS)}))"
+        ).alias("cuts")
+    )
+    bucketed = d.crossJoin(F.broadcast(cuts)).select(
+        "n_tokens",
+        (
+            F.lit(1)
+            + F.aggregate(
+                F.col("cuts"),
+                F.lit(0),
+                lambda acc, c: acc
+                + F.when(F.col("n_tokens").cast("double") > c, 1).otherwise(0),
+            )
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# -------------------------------------------------------- interval join
+@register(
+    "e_interval_join",
+    oracle=f"""
+SELECT c.event_id, c.user_id,
+       CAST(COUNT(v.event_id) AS BIGINT) AS n_prior_views,
+       strftime(MAX(v.ts), '{_TS_SQL}') AS last_view
+FROM events c
+LEFT JOIN events v
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view'
+ AND v.ts <= c.ts
+ AND v.ts >= c.ts - INTERVAL 5 MINUTE
+WHERE c.event_type = 'click'
+GROUP BY c.event_id, c.user_id
+ORDER BY c.event_id
+""",
+    doc="time-bounded interval join (attribution): each click is joined "
+    "to the same user's views in the preceding 5 minutes — the batch "
+    "twin of a Structured Streaming stream-stream join with a time-range "
+    "condition (streaming/ops.py interval_join_stream carries the same "
+    "predicate after withWatermark on both sides).  Scale: equi-join on "
+    "user_id carries the shuffle; the range predicate is a post-join "
+    "filter, so no all-pairs blowup beyond a user's own events.",
+)
+def e_ijoin(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    c = ev.where(F.col("event_type") == "click").alias("c")
+    v = ev.where(F.col("event_type") == "view").alias("v")
+    joined = c.join(
+        v,
+        (F.col("v.user_id") == F.col("c.user_id"))
+        & (F.col("v.ts") <= F.col("c.ts"))
+        & (F.col("v.ts") >= F.col("c.ts") - F.expr("INTERVAL 5 MINUTES")),
+        "left",
+    )
+    return (
+        joined.groupBy(F.col("c.event_id").alias("event_id"), F.col("c.user_id").alias("user_id"))
+        .agg(
+            F.count(F.col("v.event_id")).alias("n_prior_views"),
+            F.date_format(F.max(F.col("v.ts")), _TS_SPARK).alias("last_view"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------- winsorization
+@register(
+    "t_winsorize",
+    oracle="""
+WITH q AS (
+  SELECT source,
+         quantile_cont(n_chars, 0.05) AS p05,
+         quantile_cont(n_chars, 0.95) AS p95
+  FROM documents GROUP BY source)
+SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
+       ROUND(q.p05, 2) AS p05, ROUND(q.p95, 2) AS p95,
+       ROUND(LEAST(GREATEST(CAST(d.n_chars AS DOUBLE), q.p05), q.p95), 2)
+         AS winsorized
+FROM documents d JOIN q ON d.source = q.source
+ORDER BY doc_id
+""",
+    doc="per-source winsorization: clamp document lengths to each "
+    "source's exact [p05, p95] band — outlier taming before length "
+    "features enter a quality model.  Spark `percentile` and DuckDB "
+    "quantile_cont share linear interpolation, so the band is bit-"
+    "comparable.  Scale: one grouped aggregate over sources (small "
+    "cardinality) broadcast back onto the fact scan — no second shuffle "
+    "of the corpus.",
+)
+def t_winsor(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    q = d.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("p05"),
+        F.expr("percentile(n_chars, 0.95)").alias("p95"),
+    )
+    j = d.join(F.broadcast(q), "source")
+    clamped = F.least(
+        F.greatest(F.col("n_chars").cast("double"), F.col("p05")), F.col("p95")
+    )
+    return j.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.round("p05", 2).alias("p05"),
+        F.round("p95", 2).alias("p95"),
+        F.round(clamped, 2).alias("winsorized"),
+    ).orderBy("doc_id")
+
+
+# ------------------------------------------------------ gap sessionization
+@register(
+    "e_sessionize_gap",
+    oracle=f"""
+WITH o AS (
+  SELECT user_id, ts, value,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM o)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       strftime(MIN(ts), '{_TS_SQL}') AS session_start,
+       strftime(MAX(ts), '{_TS_SQL}') AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
+FROM s
+GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+""",
+    doc="gap-based sessionization in batch: a session breaks when a user "
+    "is idle > 30 minutes; the classic lag-flag-cumsum construction "
+    "(two windows over ONE user_id partition sort) assigns session ids, "
+    "then a grouped rollup summarizes each session.  Gaps compare exact "
+    "integer microseconds so both engines draw identical boundaries.  "
+    "This is the batch twin of sessionize_with_state "
+    "(streaming/ops.py) and the F.session_window variant "
+    "(e_session_window) — three routes to the same semantics.  Scale: "
+    "one shuffle on user_id; both windows and the final groupBy reuse "
+    "that partitioning.",
+)
+def e_sess_gap(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    # ts is TIMESTAMP_NTZ: subtraction yields an exact day-time interval on
+    # both engines, so the 30-minute boundary is bit-identical.
+    gap_breaks = F.col("ts") - prev_ts > F.expr("INTERVAL 30 MINUTES")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.when(prev_ts.isNull() | gap_breaks, 1).otherwise(0).alias("new_s"),
+    ).select(
+        "user_id", "ts", "value", F.sum("new_s").over(run).alias("session_idx")
+    )
+    return (
+        flagged.groupBy("user_id", F.col("session_idx").cast("bigint").alias("session_idx"))
+        .agg(
+            F.date_format(F.min("ts"), _TS_SPARK).alias("session_start"),
+            F.date_format(F.max("ts"), _TS_SPARK).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+# ---------------------------------------------------- embedding outliers
+@register(
+    "v_centroid_outliers",
+    oracle="""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ex AS (SELECT vec_id, label, unnest(v) AS x,
+              unnest(generate_series(1, len(v))) AS pos
+       FROM e),
+cent AS (SELECT label, pos, AVG(x) AS c FROM ex GROUP BY label, pos),
+d AS (SELECT ex.vec_id, ex.label,
+             ROUND(sqrt(SUM((ex.x - cent.c) * (ex.x - cent.c))), 6) AS dist
+      FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+      GROUP BY ex.vec_id, ex.label),
+r AS (SELECT vec_id, label, dist,
+             CAST(ROW_NUMBER() OVER (PARTITION BY label ORDER BY dist DESC, vec_id)
+                  AS INT) AS rk
+      FROM d)
+SELECT label, vec_id, dist, rk FROM r WHERE rk <= 5
+ORDER BY label, rk
+""",
+    doc="embedding outlier detection: per-class centroid (component-wise "
+    "mean), euclidean distance of every vector to its class centroid, "
+    "top-5 farthest per class — the mislabeled-example / contamination "
+    "sweep run before embeddings feed retrieval or training.  Scale: "
+    "posexplode is O(n x dims) skinny rows; centroid is a grouped "
+    "aggregate with map-side combine; the distance join is co-"
+    "partitioned on (label, pos) against a dims x classes (tiny, "
+    "broadcast) centroid table; top-k per class is the standard "
+    "row_number window.  No driver-side vectors, no UDF.",
+)
+def v_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ex = emb.select("vec_id", "label", F.posexplode("v").alias("pos", "x"))
+    cent = ex.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+    d = (
+        ex.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.round(F.sqrt(F.sum((F.col("x") - F.col("c")) ** 2)), 6).alias("dist"))
+    )
+    w = Window.partitionBy("label").orderBy(F.col("dist").desc(), "vec_id")
+    return (
+        d.select("label", "vec_id", "dist", F.row_number().over(w).cast("int").alias("rk"))
+        .where(F.col("rk") <= 5)
+        .orderBy("label", "rk")
+    )

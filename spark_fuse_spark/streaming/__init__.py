@@ -22,6 +22,7 @@ from spark_fuse_spark.streaming.ops import (
     EVENT_SCHEMA,
     dedup_within_watermark,
     funnel_with_state,
+    interval_join_stream,
     read_event_stream,
     session_event_rollup,
     sessionize_with_state,
@@ -40,4 +41,5 @@ __all__ = [
     "stream_to_scd",
     "sessionize_with_state",
     "funnel_with_state",
+    "interval_join_stream",
 ]

@@ -40,6 +40,7 @@ __all__ = [
     "stream_to_scd",
     "sessionize_with_state",
     "funnel_with_state",
+    "interval_join_stream",
 ]
 
 # events.parquet schema with ts at micros precision (see tables.py for the
@@ -116,6 +117,46 @@ def sliding_event_counts(
             *keys,
             "n_events",
         )
+    )
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    lookback: str = "5 minutes",
+    watermark: str = "2 hours",
+    key: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-stream interval join: pair each left event with the same
+    key's right events from the preceding ``lookback`` window.
+
+    The canonical click↔view attribution join.  Both inputs get a
+    watermark and the join condition carries BOTH the equi-key and a
+    two-sided time bound — that combination is what lets Spark compute a
+    state-eviction horizon for each side instead of buffering streams
+    forever (Structured Streaming requires it for stream-stream joins in
+    append mode).  Batch DataFrames flow through the same expression
+    (watermark is a no-op on batch), so ``e_interval_join`` in the
+    catalog is the oracle-checked twin of this exact predicate.
+
+    Scale: state is partitioned by the equi-key; per-key state is
+    bounded by ``lookback`` + watermark delay.  The output keeps the
+    left row plus the matching right timestamp; aggregate downstream.
+    """
+    l = left.withWatermark(ts_col, watermark).alias("l")
+    r = right.withWatermark(ts_col, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}"))
+        & (F.col(f"r.{ts_col}") >= F.col(f"l.{ts_col}") - F.expr(f"INTERVAL {lookback}"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("l.event_id").alias("event_id"),
+        F.col(f"l.{key}").alias(key),
+        F.col(f"l.{ts_col}").alias("ts"),
+        F.col("r.event_id").alias("matched_event_id"),
+        F.col(f"r.{ts_col}").alias("matched_ts"),
     )
 
 

@@ -203,3 +203,31 @@ def test_funnel_stream_matches_batch_converted_users(spark, event_dir):
     assert stream_users == batch_users
     assert stream_users  # non-trivial: at least one conversion in fixture
     q.stop()
+
+
+def test_interval_join_stream_equals_batch(spark, event_dir):
+    """Stream-stream interval join (clicks x prior 5-min views) yields the
+    same matched pairs as the identical predicate run in batch."""
+    stream = st.read_event_stream(spark, event_dir)
+    clicks = stream.where(F.col("event_type") == "click")
+    views = stream.where(F.col("event_type") == "view")
+    q = _run_stream(
+        st.interval_join_stream(clicks, views, lookback="5 minutes"),
+        "t_ijoin",
+        "append",
+    )
+    got = sorted(
+        (r["event_id"], r["matched_event_id"])
+        for r in spark.sql("select * from t_ijoin").collect()
+    )
+    batch_ev = spark.read.parquet(event_dir)
+    want = sorted(
+        (r["event_id"], r["matched_event_id"])
+        for r in st.interval_join_stream(
+            batch_ev.where(F.col("event_type") == "click"),
+            batch_ev.where(F.col("event_type") == "view"),
+            lookback="5 minutes",
+        ).collect()
+    )
+    assert got == want and len(want) > 0
+    q.stop()
