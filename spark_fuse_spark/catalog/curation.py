@@ -489,3 +489,186 @@ def v_outliers(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("rk") <= 5)
         .orderBy("label", "rk")
     )
+
+
+# ------------------------------------------------------- vocab coverage
+_TOKS_SQL = (
+    "regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+)
+
+
+@register(
+    "t_vocab_coverage",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+f AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM f),
+r AS (SELECT tok, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rn FROM f)
+SELECT v.k,
+       CAST(COUNT(*) AS BIGINT) AS vocab_words,
+       CAST(SUM(cnt) AS BIGINT) AS covered_tokens,
+       (SELECT total FROM tot) AS total_tokens,
+       ROUND(SUM(cnt) / (SELECT CAST(total AS DOUBLE) FROM tot), 6) AS coverage
+FROM r CROSS JOIN (VALUES (100), (1000)) v(k)
+WHERE r.rn <= v.k
+GROUP BY v.k
+ORDER BY k
+""",
+    doc="tokenizer-budget planning: what fraction of the corpus token "
+    "mass does a top-K word vocabulary cover?  One corpus shuffle builds "
+    "the frequency table; each K is then a distributed top-K "
+    "(TakeOrdered, deterministic count-desc/token-asc tie-break) over "
+    "the VOCAB-sized table — never a global sort of the corpus, and no "
+    "single-partition window: the rank cutoff is equivalent to "
+    "orderBy().limit(K), which Spark executes as per-partition top-K + "
+    "driver merge of K rows.",
+)
+def t_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("tok"))
+    # total token mass needs no per-token table: a narrow count, no shuffle
+    tot = toks.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # one distributed top-K over the vocab table; the top-100 cutoff is a
+    # prefix of the same ordering, so both K values read this ONE result.
+    # The row_number window runs over max(K)=1000 rows — bounded by the
+    # constant K, never by vocab size.
+    top = freq.orderBy(F.col("cnt").desc(), F.col("tok").asc()).limit(1000)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    ranked = top.select(
+        "cnt",
+        F.row_number().over(w).alias("rn"),
+        F.explode(F.array(F.lit(100), F.lit(1000))).alias("k"),
+    )
+    cov = (
+        ranked.where(F.col("rn") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_words"),
+            F.sum("cnt").cast("long").alias("covered_tokens"),
+        )
+    )
+    return (
+        cov.crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "vocab_words",
+            "covered_tokens",
+            F.col("total").alias("total_tokens"),
+            F.round(
+                F.col("covered_tokens").cast("double") / F.col("total").cast("double"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------- bigram LM surprisal
+@register(
+    "t_bigram_surprisal",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+uni AS (SELECT tok, COUNT(*) AS cw
+        FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+        FROM toks WHERE len(t) >= 2),
+bg AS (SELECT doc_id, t[i] AS w1, concat_ws(' ', t[i], t[i+1]) AS b FROM idx),
+cb AS (SELECT b, COUNT(*) AS cnt FROM bg GROUP BY b),
+sc AS (SELECT bg.doc_id, -ln(cb.cnt / CAST(uni.cw AS DOUBLE)) AS lp
+       FROM bg JOIN cb ON bg.b = cb.b JOIN uni ON bg.w1 = uni.tok)
+SELECT doc_id,
+       ROUND(AVG(lp), 6) AS avg_bigram_surprisal,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams
+FROM sc
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    doc="bigram conditional surprisal -ln(c(w1 w2)/c(w1)) averaged per "
+    "document — one order up from t_unigram_surprisal: catches texts "
+    "whose words are common but whose TRANSITIONS are not (shuffled or "
+    "machine-mangled text scores high while keyword-stuffed boilerplate "
+    "scores low).  c(w1) is the plain unigram count (documented "
+    "convention, same on both engines).  Scale: two corpus-shuffled "
+    "frequency tables (bigram, unigram) joined back onto the exploded "
+    "bigram stream, then a per-doc rollup — every join key is an 8-ish "
+    "byte token/bigram string, no self-joins.",
+)
+def t_bigram(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    t = d.select("doc_id", tokens("text").alias("t")).where(F.size("t") >= 2)
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t)-1), "
+                "i -> struct(element_at(t, i) AS w1, "
+                "concat_ws(' ', slice(t, i, 2)) AS b))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.b")
+    uni = (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    cb = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))
+    lp = -F.log(F.col("cnt") / F.col("cw").cast("double"))
+    return (
+        bg.join(F.broadcast(cb), "b")
+        .join(F.broadcast(uni), bg.w1 == uni.tok)
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(lp), 6).alias("avg_bigram_surprisal"),
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------- robust anomaly (MAD)
+@register(
+    "e_anomaly_mad",
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type),
+mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m ON e.event_type = m.event_type
+  GROUP BY e.event_type)
+SELECT e.event_id, e.event_type, ROUND(e.value, 2) AS value,
+       ROUND(m.med, 4) AS med, ROUND(d.mad, 4) AS mad
+FROM events e
+JOIN med m ON e.event_type = m.event_type
+JOIN mad d ON e.event_type = d.event_type
+WHERE abs(e.value - m.med) > 3 * 1.4826 * d.mad
+ORDER BY event_id
+""",
+    doc="robust anomaly detection: median absolute deviation per event "
+    "type, flag values beyond 3 robust sigmas (1.4826*MAD ~ sigma for "
+    "normal data) — the outlier sweep that survives heavy tails where "
+    "mean/stddev z-scores drown.  Exact medians (percentile / "
+    "quantile_cont share linear interpolation) keep both engines bit-"
+    "comparable.  Scale: two grouped aggregates over a handful of event "
+    "types, each broadcast back onto the fact scan — the corpus never "
+    "shuffles.",
+)
+def e_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    j = ev.join(F.broadcast(med), "event_type")
+    mad = j.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad")
+    )
+    j2 = j.join(F.broadcast(mad), "event_type")
+    return (
+        j2.where(F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+        )
+        .orderBy("event_id")
+    )

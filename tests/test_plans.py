@@ -198,6 +198,7 @@ NESTED_LOOP_OK = {
     "t_unigram_surprisal": "1-row broadcast corpus-total for the surprisal denominator",
     "t_tfidf_keywords": "1-row broadcast doc-count for the idf numerator",
     "t_length_buckets": "1-row broadcast decile-cutoff panel",
+    "t_vocab_coverage": "1-row broadcast corpus token total",
 }
 
 
