@@ -51,6 +51,10 @@ HEADLINE = [
     "t_pack_sequences",
     "t_contamination",
     "t_repetition",
+    "d_duplicate_spans",
+    "t_bigram_surprisal",
+    "e_interval_join",
+    "v_centroid_outliers",
 ]
 
 
