@@ -132,6 +132,35 @@ CONTRACTS = {
         min_broadcast_joins=1, require_partial_agg=True, max_exchanges=5
     ),
     "q_hll_sketch": PlanExpectation(require_partial_agg=True, max_exchanges=4),
+    # --- round-3 curation suite: every join broadcast, no shuffle joins ---
+    # single scan, one multi-distinct agg (Expand), output sort
+    "q_profile_stats": PlanExpectation(require_partial_agg=True, max_exchanges=2),
+    # one user_id window shuffle + output sort
+    "q_forward_fill": PlanExpectation(max_exchanges=2),
+    # gram explode → hash groupBy (partial-agg'd) → output sort
+    "d_duplicate_spans": PlanExpectation(require_partial_agg=True, max_exchanges=3),
+    # blocked linkage: ONE broadcast join, no shuffle join, one sort
+    "d_record_linkage": PlanExpectation(min_broadcast_joins=1, max_exchanges=1),
+    # cutoff agg, 1-row broadcast-back, bucket rollup (declared NLJ)
+    "t_length_buckets": PlanExpectation(require_partial_agg=True, max_exchanges=3),
+    # clicks⋈views broadcast on user_id+range, per-click rollup, sort
+    "e_interval_join": PlanExpectation(min_broadcast_joins=1, max_exchanges=2),
+    # per-source percentile agg broadcast back onto the scan, sort
+    "t_winsorize": PlanExpectation(min_broadcast_joins=1, max_exchanges=2),
+    # lag + cumsum + rollup all REUSE one user_id exchange; output sort
+    "e_sessionize_gap": PlanExpectation(require_partial_agg=True, max_exchanges=2),
+    # posexplode → centroid agg → broadcast-back distance join → top-k
+    "v_centroid_outliers": PlanExpectation(
+        min_broadcast_joins=1, require_partial_agg=True, max_exchanges=4
+    ),
+    # narrow token count + vocab-table TakeOrdered (declared 1-row NLJ)
+    "t_vocab_coverage": PlanExpectation(require_partial_agg=True, max_exchanges=2),
+    # bigram + unigram freq tables broadcast back over the bigram stream
+    "t_bigram_surprisal": PlanExpectation(
+        min_broadcast_joins=2, require_partial_agg=True, max_exchanges=4
+    ),
+    # two tiny grouped aggs broadcast back; the events table never shuffles
+    "e_anomaly_mad": PlanExpectation(min_broadcast_joins=3, max_exchanges=4),
 }
 
 
