@@ -672,3 +672,31 @@ def e_anomaly(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ------------------------------------------------------- key-skew profile
+@register(
+    "x_key_skew_profile",
+    oracle="""
+WITH c AS (SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY o_custkey),
+t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys FROM c),
+r AS (SELECT key, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rn FROM c)
+SELECT CAST(rn AS INT) AS rank, key, CAST(cnt AS BIGINT) AS cnt,
+       ROUND(cnt / (SELECT CAST(total_rows AS DOUBLE) FROM t), 6) AS share,
+       ROUND(cnt * (SELECT CAST(n_keys AS DOUBLE) FROM t)
+                 / (SELECT CAST(total_rows AS DOUBLE) FROM t), 6) AS skew_ratio
+FROM r WHERE rn <= 10
+ORDER BY rank
+""",
+    doc="join-key skew diagnostic: the 10 heaviest o_custkey values with "
+    "row share and skew ratio (x hotter than a uniform key) — the "
+    "measurement that decides between a plain shuffle, AQE skew-join, "
+    "and the salted rewrites (operators/skew.py).  Scale notes in "
+    "key_skew_profile: count agg + 1-row stats + distributed top-N; the "
+    "rank window is bounded by N.",
+)
+def x_skew_profile(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.skew import key_skew_profile
+
+    return key_skew_profile(load_table(spark, sf, "orders"), "o_custkey", top_n=10)

@@ -26,7 +26,7 @@ from typing import Mapping, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_agg", "salted_join"]
+__all__ = ["salted_agg", "salted_join", "key_skew_profile"]
 
 _SALT = "__salt"
 
@@ -100,3 +100,45 @@ def salted_join(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn(_SALT, F.col(_SALT).cast("long"))
     return salted_probe.join(replicated, [*on, _SALT], how).drop(_SALT)
+
+
+def key_skew_profile(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
+    """Per-key frequency profile of a prospective join/groupBy key: the
+    ``top_n`` heaviest keys with their row share and skew ratio
+    (``cnt / average-key-count`` — how many times hotter than a uniform
+    key; >10 on a double-digit-share key is the signal to reach for
+    :func:`salted_agg` / :func:`salted_join` or AQE skew-join).
+
+    This is the DIAGNOSTIC half of the skew toolkit: run it on the key
+    you are about to shuffle on, read ``skew_ratio``, then pick the
+    mitigation.  Scale: one map-side-combined count aggregate over the
+    key, a 1-row stats aggregate, and a distributed top-N
+    (``orderBy().limit()`` = per-partition top-N + driver merge of N
+    rows); the ranking window runs over ``top_n`` rows, never over the
+    key space.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key).alias("key")).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.agg(
+        F.sum("cnt").cast("long").alias("total_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(top_n)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    return (
+        top.select("key", "cnt", F.row_number().over(w).cast("int").alias("rank"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "rank",
+            "key",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(F.col("cnt") / F.col("total_rows").cast("double"), 6).alias("share"),
+            F.round(
+                F.col("cnt") * F.col("n_keys").cast("double")
+                / F.col("total_rows").cast("double"),
+                6,
+            ).alias("skew_ratio"),
+        )
+        .orderBy("rank")
+    )

@@ -161,6 +161,8 @@ CONTRACTS = {
     ),
     # two tiny grouped aggs broadcast back; the events table never shuffles
     "e_anomaly_mad": PlanExpectation(min_broadcast_joins=3, max_exchanges=4),
+    # key-count agg + 1-row stats + bounded top-N (declared 1-row NLJ)
+    "x_key_skew_profile": PlanExpectation(require_partial_agg=True, max_exchanges=3),
 }
 
 
@@ -228,6 +230,7 @@ NESTED_LOOP_OK = {
     "t_tfidf_keywords": "1-row broadcast doc-count for the idf numerator",
     "t_length_buckets": "1-row broadcast decile-cutoff panel",
     "t_vocab_coverage": "1-row broadcast corpus token total",
+    "x_key_skew_profile": "1-row broadcast total/n_keys stats panel",
 }
 
 
