@@ -281,3 +281,33 @@ def enable_spark_logging(spark: SparkSession, level: str = "WARN") -> None:
     Log4j categories through the JVM gateway; ``setLogLevel`` covers the
     supported public surface)."""
     spark.sparkContext.setLogLevel(level)
+
+
+def observe_rows(
+    df: "DataFrame",
+    name: str,
+    *extra_metrics: "Column",
+) -> "tuple[DataFrame, Observation]":
+    """Attach a named :class:`~pyspark.sql.Observation` to a DataFrame:
+    row count plus any extra aggregate expressions, collected as a side
+    effect of whatever action the caller runs — NO extra job, NO second
+    scan (this is the executor-accumulator mechanism underneath, the
+    idiomatic Spark replacement for the reference's hand-rolled counter
+    accumulators, ``utils/progress.py`` SURVEY §2.13 A8/E4).
+
+    Returns ``(observed_df, observation)``; read ``observation.get``
+    AFTER an action has materialized the observed frame::
+
+        df, obs = observe_rows(result, "final", F.sum("revenue").alias("rev"))
+        df.write.parquet(...)
+        tracker.log("wrote final", **obs.get)
+
+    Works on batch frames; for streams use the StreamingQueryListener
+    path (observations surface per micro-batch in ``progress.observedMetrics``).
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation(name)
+    metrics = (F.count(F.lit(1)).alias("n_rows"), *extra_metrics)
+    return df.observe(obs, *metrics), obs

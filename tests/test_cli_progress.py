@@ -114,3 +114,16 @@ def test_html_card_sink_falls_back_to_print(capsys):
     HtmlCardSink().write(LogEventRecord(event="done", status="success"))
     out = capsys.readouterr().out
     assert "done" in out and "success" in out
+
+
+def test_observe_rows_collects_metrics_without_extra_job(spark):
+    from pyspark.sql import functions as F
+
+    from spark_fuse_spark.progress import observe_rows
+
+    base = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    df, obs = observe_rows(base, "obs1", F.sum("v").alias("sum_v"))
+    assert df.count() == 100  # the action that materializes the observation
+    got = obs.get
+    assert got["n_rows"] == 100
+    assert got["sum_v"] == sum(i * 2 for i in range(100))
