@@ -24,6 +24,7 @@ from spark_fuse_spark.streaming.ops import (
     funnel_with_state,
     interval_join_stream,
     read_event_stream,
+    running_totals_with_state,
     session_event_rollup,
     sessionize_with_state,
     sliding_event_counts,
@@ -42,4 +43,5 @@ __all__ = [
     "sessionize_with_state",
     "funnel_with_state",
     "interval_join_stream",
+    "running_totals_with_state",
 ]

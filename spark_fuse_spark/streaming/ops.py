@@ -41,6 +41,7 @@ __all__ = [
     "sessionize_with_state",
     "funnel_with_state",
     "interval_join_stream",
+    "running_totals_with_state",
 ]
 
 # events.parquet schema with ts at micros precision (see tables.py for the
@@ -449,4 +450,71 @@ def funnel_with_state(
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+RUNNING_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def running_totals_with_state(df: DataFrame) -> DataFrame:
+    """Per-user lifetime counters on ``transformWithStateInPandas`` —
+    Spark 4's arbitrary-stateful API (the successor to
+    ``applyInPandasWithState``; typed per-key state handles, explicit
+    timers, state TTL).  Emits the updated (count, value-sum) for every
+    user touched by each micro-batch.
+
+    This is the third stateful-API generation exposed by this module —
+    ``sessionize_with_state``/``funnel_with_state`` use
+    applyInPandasWithState, the windowed aggregates use the declarative
+    watermark path — so a deployment can pick per Spark version.
+
+    Scale: state is one (long, double) pair per user partitioned by the
+    grouping key in the state store; batch frames can't use this API, so
+    the differential test compares against the plain groupBy twin.
+
+    Requires ``google.protobuf`` at runtime (the transformWithState
+    state-server protocol is protobuf-framed); environments without it
+    should use the ``applyInPandasWithState`` operators instead — the
+    parity test import-skips accordingly.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", StructType(
+                    [
+                        StructField("n", LongType()),
+                        StructField("total", DoubleType()),
+                    ]
+                )
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            if self._totals.exists():
+                n, total = self._totals.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += int(len(pdf))
+                total += float(pdf["value"].fillna(0.0).sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotals(),
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )

@@ -231,3 +231,37 @@ def test_interval_join_stream_equals_batch(spark, event_dir):
     )
     assert got == want and len(want) > 0
     q.stop()
+
+
+def test_running_totals_with_state_equals_batch(spark, event_dir):
+    """transformWithStateInPandas running totals: the LAST update emitted
+    per user equals the plain batch groupBy count/sum.
+
+    The API's state-server protocol speaks protobuf; skipped where
+    google.protobuf isn't installed (same gating style as the delta-spark
+    MERGE tests)."""
+    pytest.importorskip("google.protobuf")
+    q = _run_stream(
+        st.running_totals_with_state(st.read_event_stream(spark, event_dir)),
+        "t_totals",
+        "update",
+    )
+    # update mode re-emits a user's row every batch that touches them; the
+    # final (max-count) row per user is the lifetime total
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 2))
+        for r in spark.sql(
+            """select user_id, n_events, total_value from (
+                 select *, row_number() over (partition by user_id
+                          order by n_events desc) rn from t_totals) where rn = 1"""
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 2))
+        for r in spark.read.parquet(event_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want and len(want) > 0
+    q.stop()
