@@ -798,3 +798,77 @@ def t_tfidf(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", F.col("rank").cast("int"), "tok", F.round("tfidf", 6).alias("tfidf"))
         .orderBy("doc_id", "rank")
     )
+
+
+_DECONTAM_ORACLE = (
+    """
+WITH toks AS (SELECT doc_id, __TOKS__ AS t FROM documents),
+sh AS (SELECT doc_id, __SHINGLES__ AS sh FROM toks WHERE len(t) >= 5),
+ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
+h AS (SELECT doc_id, n, __H64__ AS h FROM ex),
+ev AS (SELECT * FROM h WHERE __GATE__),
+tr AS (SELECT * FROM h WHERE NOT (__GATE__)),
+pairs AS (
+  SELECT tr.doc_id AS train_id, ev.n AS ne, COUNT(*) AS shared_ngrams
+  FROM tr JOIN ev ON tr.h = ev.h
+  GROUP BY tr.doc_id, ev.doc_id, ev.n),
+flagged AS (
+  SELECT DISTINCT train_id FROM pairs
+  WHERE shared_ngrams >= 2 AND ROUND(shared_ngrams / ne, 6) >= 0.3),
+j AS (
+  SELECT d.source, d.n_chars, f.train_id IS NOT NULL AS dropped
+  FROM documents d LEFT JOIN flagged f ON d.doc_id = f.train_id
+  WHERE NOT (__GATE__))
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_train,
+       CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN dropped THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN dropped THEN 0 ELSE n_chars END) AS BIGINT) AS kept_chars
+FROM j
+GROUP BY source
+ORDER BY source
+"""
+    .replace("__TOKS__", _TOKS.format(col="text"))
+    .replace("__SHINGLES__", _shingle_sql(5))
+    .replace("__H64__", portable_hash64_sql("s"))
+    .replace("__GATE__", _GATE)
+)
+
+
+@register(
+    "t_decontaminate",
+    oracle=_DECONTAM_ORACLE,
+    doc="acts on the t_contamination report: train docs whose overlap "
+    "with ANY eval item reaches 30% of that item's shingles are dropped "
+    "via a left-anti-style join, and the per-source before/after (docs "
+    "dropped, docs kept, character mass kept) comes back as the audit "
+    "summary.  Scale: the flagged-id set is duplicate-rate-small and "
+    "broadcast; the training corpus is scanned once and never shuffled "
+    "except the final per-source rollup.",
+)
+def t_decontam(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.dedup import cross_corpus_overlap
+    from ..operators.sampling import sample_gate
+
+    d = load_table(spark, sf, "documents")
+    gate = sample_gate("doc_id", 0.05, salt="ev")
+    train = d.where(~gate)
+    flagged = (
+        cross_corpus_overlap(train, d.where(gate), k=5, min_shared=2)
+        .where(F.col("overlap_frac") >= 0.3)
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+        .withColumn("__drop", F.lit(1))
+    )
+    j = train.join(F.broadcast(flagged), "doc_id", "left")
+    dropped = F.col("__drop").isNotNull()
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(F.when(dropped, 1).otherwise(0)).cast("long").alias("n_dropped"),
+            F.sum(F.when(dropped, 0).otherwise(1)).cast("long").alias("n_kept"),
+            F.sum(F.when(dropped, 0).otherwise(F.col("n_chars"))).cast("long").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )

@@ -163,6 +163,11 @@ CONTRACTS = {
     "e_anomaly_mad": PlanExpectation(min_broadcast_joins=3, max_exchanges=4),
     # key-count agg + 1-row stats + bounded top-N (declared 1-row NLJ)
     "x_key_skew_profile": PlanExpectation(require_partial_agg=True, max_exchanges=3),
+    # contamination join (eval broadcast) -> flagged-id broadcast anti ->
+    # per-source rollup; the training scan itself never shuffles
+    "t_decontaminate": PlanExpectation(
+        min_broadcast_joins=2, require_partial_agg=True, max_exchanges=4
+    ),
 }
 
 
