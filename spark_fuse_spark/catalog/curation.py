@@ -700,3 +700,66 @@ def x_skew_profile(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.skew import key_skew_profile
 
     return key_skew_profile(load_table(spark, sf, "orders"), "o_custkey", top_n=10)
+
+
+# ------------------------------------------------------- trending deltas
+@register(
+    "e_top_k_trending",
+    oracle=f"""
+WITH hourly AS (
+  SELECT strftime(date_trunc('hour', ts), '{_TS_SQL}') AS hour,
+         event_type, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2),
+d AS (
+  SELECT hour, event_type, cnt,
+         LAG(cnt) OVER (PARTITION BY event_type ORDER BY hour) AS prev_cnt
+  FROM hourly),
+r AS (
+  SELECT hour, event_type, CAST(cnt AS BIGINT) AS cnt,
+         CAST(prev_cnt AS BIGINT) AS prev_cnt,
+         CAST(cnt - prev_cnt AS BIGINT) AS delta,
+         CAST(ROW_NUMBER() OVER (PARTITION BY hour
+              ORDER BY cnt - prev_cnt DESC, event_type) AS INT) AS rk
+  FROM d WHERE prev_cnt IS NOT NULL)
+SELECT hour, event_type, cnt, prev_cnt, delta, rk
+FROM r WHERE rk <= 3
+ORDER BY hour, rk
+""",
+    doc="hour-over-hour trending detector: per-type hourly counts, the "
+    "lag delta against the previous hour, and the top-3 risers per hour "
+    "— the windowed-delta shape behind every 'what is spiking right "
+    "now' dashboard.  Scale: one grouped aggregate to hourly counts "
+    "(map-side combined), then two windows over the SMALL (hours x "
+    "types) rollup, not the raw events.",
+)
+def e_trending(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    hourly = (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), _TS_SPARK).alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_lag = Window.partitionBy("event_type").orderBy("hour")
+    d = hourly.select(
+        "hour",
+        "event_type",
+        "cnt",
+        F.lag("cnt").over(w_lag).alias("prev_cnt"),
+    ).where(F.col("prev_cnt").isNotNull())
+    w_rank = Window.partitionBy("hour").orderBy(
+        (F.col("cnt") - F.col("prev_cnt")).desc(), F.col("event_type").asc()
+    )
+    return (
+        d.select(
+            "hour",
+            "event_type",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("prev_cnt").cast("long").alias("prev_cnt"),
+            (F.col("cnt") - F.col("prev_cnt")).cast("long").alias("delta"),
+            F.row_number().over(w_rank).cast("int").alias("rk"),
+        )
+        .where(F.col("rk") <= 3)
+        .orderBy("hour", "rk")
+    )

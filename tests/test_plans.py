@@ -168,6 +168,9 @@ CONTRACTS = {
     "t_decontaminate": PlanExpectation(
         min_broadcast_joins=2, require_partial_agg=True, max_exchanges=4
     ),
+    # hourly rollup (partial-agg'd), then two windows over the tiny
+    # (hours x types) table + output sort
+    "e_top_k_trending": PlanExpectation(require_partial_agg=True, max_exchanges=4),
 }
 
 
