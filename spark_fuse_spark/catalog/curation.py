@@ -763,3 +763,126 @@ def e_trending(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .orderBy("hour", "rk")
     )
+
+
+# ------------------------------------------------------------- unpivot
+@register(
+    "q_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, measure, ROUND(val, 2) AS val
+FROM (
+  SELECT l_orderkey, l_linenumber,
+         unnest(['quantity', 'extendedprice', 'discount']) AS measure,
+         unnest([l_quantity, l_extendedprice, l_discount]) AS val
+  FROM lineitem WHERE l_orderkey < 100)
+ORDER BY l_orderkey, l_linenumber, measure
+""",
+    doc="wide-to-long reshape via the DataFrame ``unpivot``/``melt`` API "
+    "(Spark 3.4+; the relational UNPIVOT) — three measure columns become "
+    "(measure, value) rows keyed by the line item.  Narrow, zero-shuffle "
+    "until the output sort; the filter is pushed to the scan.",
+)
+def q_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").where(F.col("l_orderkey") < 100)
+    return (
+        li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "measure",
+            "val",
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.regexp_replace("measure", "^l_", "").alias("measure"),
+            F.round("val", 2).alias("val"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    )
+
+
+# --------------------------------------------------------- lateral top-k
+@register(
+    "q_lateral_topk",
+    oracle="""
+SELECT n.n_name, t.o_orderkey, ROUND(t.o_totalprice, 2) AS totalprice
+FROM nation n, LATERAL (
+  SELECT o.o_orderkey, o.o_totalprice
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY o.o_totalprice DESC, o.o_orderkey
+  LIMIT 2) t
+ORDER BY n_name, totalprice DESC, o_orderkey
+""",
+    doc="correlated LATERAL subquery through plain SQL: the 2 largest "
+    "orders per nation, expressed as a per-nation dependent subquery — "
+    "the ANSI shape Spark decorrelates into the same window/top-k plan a "
+    "DataFrame author writes by hand (q_topk_per_group is the window "
+    "twin).  Registered through ``spark.sql`` over temp views to prove "
+    "the engine's SQL front door end-to-end.",
+)
+def q_lateral(spark: SparkSession, sf: str) -> DataFrame:
+    for t in ("nation", "orders", "customer"):
+        load_table(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+SELECT n.n_name, t.o_orderkey, ROUND(t.o_totalprice, 2) AS totalprice
+FROM nation n, LATERAL (
+  SELECT o.o_orderkey, o.o_totalprice
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY o.o_totalprice DESC, o.o_orderkey
+  LIMIT 2) t
+ORDER BY n_name, totalprice DESC, o_orderkey
+"""
+    )
+
+
+# --------------------------------------------------------- dataset card
+@register(
+    "t_dataset_card",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, source, n_chars,
+         len(regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
+           AS n_tokens
+  FROM documents)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       arg_max(lang, printf('%015d|%s', cnt_lang, lang)) AS top_lang,
+       ROUND(MAX(cnt_lang) / CAST(COUNT(*) AS DOUBLE), 6) AS top_lang_share
+FROM (
+  SELECT *, COUNT(*) OVER (PARTITION BY lang) AS cnt_lang FROM t)
+""",
+    doc="one-row dataset card: corpus size, token/char mass, language "
+    "and source cardinality, dominant language and its share — the "
+    "summary block of a dataset datasheet, via max_by/arg_max "
+    "(argmax aggregate, identical semantics both engines with the "
+    "deterministic per-lang count as the ordering value).  Scale: one "
+    "aggregate; the per-lang counts ride a window over the lang "
+    "partition (bounded cardinality).",
+)
+def t_card(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "source", "n_chars", token_count("text").alias("n_tokens")
+    )
+    w = Window.partitionBy("lang")
+    t = d.select("*", F.count(F.lit(1)).over(w).alias("cnt_lang"))
+    return t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        # zero-padded (count, lang) composite so equal counts break the
+        # argmax tie identically on both engines (lexicographically-last)
+        F.expr("max_by(lang, format_string('%015d|%s', cnt_lang, lang))").alias(
+            "top_lang"
+        ),
+        F.round(F.max("cnt_lang") / F.count(F.lit(1)).cast("double"), 6).alias(
+            "top_lang_share"
+        ),
+    )

@@ -171,6 +171,14 @@ CONTRACTS = {
     # hourly rollup (partial-agg'd), then two windows over the tiny
     # (hours x types) table + output sort
     "e_top_k_trending": PlanExpectation(require_partial_agg=True, max_exchanges=4),
+    # narrow reshape; pushdown carries the orderkey filter, sort only
+    "q_unpivot": PlanExpectation(
+        pushed_filters_include={"lineitem": {"l_orderkey"}}, max_exchanges=1
+    ),
+    # LATERAL decorrelates to broadcast joins + window top-k, no shuffle join
+    "q_lateral_topk": PlanExpectation(min_broadcast_joins=2, max_exchanges=2),
+    # lang-partition window + single global aggregate
+    "t_dataset_card": PlanExpectation(require_partial_agg=True, max_exchanges=3),
 }
 
 
