@@ -185,3 +185,59 @@ def c_scd2_two_batch(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("c_custkey", "version")
     )
+
+
+@register(
+    "c_scd2_point_in_time",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_custkey % 10 = 0 THEN 'PROMO' ELSE c_mktsegment END AS segment,
+       CAST(CASE WHEN c_custkey % 10 = 0 THEN 2 ELSE 1 END AS INT) AS version
+FROM customer
+ORDER BY c_custkey
+""",
+    doc="temporal AS-OF read over a three-batch SCD2 history: Jan seeds "
+    "every key, Feb flips custkey%10 to PROMO, Mar flips custkey%7 to "
+    "VIP; the query reconstructs the table AS OF Feb 15 — after the "
+    "PROMO wave, before the VIP wave — via the interval predicate "
+    "start <= T < coalesce(end, inf).  The oracle derives the same "
+    "snapshot from first principles, so it fails if any upsert leaves "
+    "overlapping or gapped validity intervals (the Mar batch CLOSES "
+    "rows with end = Mar 1, which must still be visible at Feb 15).  "
+    "Scale: the history scan filters on two columns — on a date-"
+    "partitioned/Z-ordered history table this prunes to the files "
+    "overlapping T.",
+)
+def c_scd2_pit(spark: SparkSession, sf: str) -> DataFrame:
+    from ..cdc import track_history_upsert
+
+    customer = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    batch1 = customer.withColumnRenamed("c_mktsegment", "segment")
+    batch2 = batch1.withColumn(
+        "segment",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("PROMO")).otherwise(F.col("segment")),
+    )
+    batch3 = batch2.withColumn(
+        "segment",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("VIP")).otherwise(F.col("segment")),
+    )
+    target = tempfile.mkdtemp(prefix="scd2_pit_") + "/t"
+    for batch, ts in (
+        (batch1, "2024-01-01 00:00:00"),
+        (batch2, "2024-02-01 00:00:00"),
+        (batch3, "2024-03-01 00:00:00"),
+    ):
+        track_history_upsert(
+            spark, batch, target, ["c_custkey"],
+            load_ts_expr=f"to_timestamp('{ts}')",
+        )
+    asof = F.to_timestamp(F.lit("2024-02-15 00:00:00"))
+    hist = spark.read.parquet(target)
+    return (
+        hist.where(
+            (F.col("effective_start_ts") <= asof)
+            & (F.col("effective_end_ts").isNull() | (F.col("effective_end_ts") > asof))
+        )
+        .select("c_custkey", "segment", F.col("version").cast("int").alias("version"))
+        .orderBy("c_custkey")
+    )
