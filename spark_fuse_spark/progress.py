@@ -311,3 +311,46 @@ def observe_rows(
     obs = Observation(name)
     metrics = (F.count(F.lit(1)).alias("n_rows"), *extra_metrics)
     return df.observe(obs, *metrics), obs
+
+
+def streaming_progress_listener(tracker: "ProgressTracker"):
+    """Bridge Structured Streaming progress into the event-sink fan-out:
+    a :class:`~pyspark.sql.streaming.StreamingQueryListener` that logs
+    one record per micro-batch (rows/sec, batch rows, batch id) and one
+    on termination, through whatever sinks the tracker carries (console,
+    table, progress bar, HTML cards).
+
+    Attach with ``spark.streams.addListener(listener)``; detach with
+    ``removeListener``.  Observed metrics attached via
+    :func:`observe_rows` surface per micro-batch in
+    ``progress.observedMetrics`` and are folded into the record.
+    """
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _TrackerListener(StreamingQueryListener):
+        def onQueryStarted(self, event) -> None:
+            tracker.log(f"stream {event.name or event.id} started", status="info")
+
+        def onQueryProgress(self, event) -> None:
+            p = event.progress
+            metrics: dict = {
+                "batch_id": float(p.batchId),
+                "input_rows": float(p.numInputRows),
+            }
+            if p.inputRowsPerSecond is not None:
+                metrics["rows_per_sec"] = float(p.inputRowsPerSecond)
+            for name, row in (p.observedMetrics or {}).items():
+                for k, v in row.asDict().items():
+                    if isinstance(v, (int, float)):
+                        metrics[f"{name}.{k}"] = float(v)
+            tracker.log(f"stream {p.name or p.id} progress", status="info", **metrics)
+
+        def onQueryIdle(self, event) -> None:
+            pass
+
+        def onQueryTerminated(self, event) -> None:
+            status = "error" if event.exception else "done"
+            tracker.log(f"stream {event.id} terminated", status=status,
+                        detail=event.exception)
+
+    return _TrackerListener()

@@ -4,6 +4,7 @@ trigger, memory sink; batch-vs-stream parity for windowed aggregates."""
 from __future__ import annotations
 
 import datetime as dt
+import json
 
 import pytest
 from pyspark.sql import functions as F
@@ -265,3 +266,47 @@ def test_running_totals_with_state_equals_batch(spark, event_dir):
     }
     assert got == want and len(want) > 0
     q.stop()
+
+
+def test_streaming_progress_listener_captures_batches(spark, event_dir):
+    """The StreamingQueryListener bridge logs per-micro-batch records with
+    row counts through the ProgressTracker sinks.  Listener delivery is
+    asynchronous, so the assertion polls."""
+    import time
+
+    from spark_fuse_spark.progress import (
+        EventSink,
+        ProgressTracker,
+        streaming_progress_listener,
+    )
+
+    class _ListSink(EventSink):
+        def __init__(self):
+            self.records = []
+
+        def write(self, record):
+            self.records.append(record)
+
+        def flush(self):
+            pass
+
+    sink = _ListSink()
+    listener = streaming_progress_listener(ProgressTracker(sink))
+    spark.streams.addListener(listener)
+    try:
+        q = _run_stream(
+            st.tumbling_event_counts(st.read_event_stream(spark, event_dir)),
+            "t_listener",
+            "complete",
+        )
+        deadline = time.time() + 30
+        while time.time() < deadline and not any(
+            "progress" in r.event for r in sink.records
+        ):
+            time.sleep(0.5)
+        q.stop()
+    finally:
+        spark.streams.removeListener(listener)
+    prog = [r for r in sink.records if "progress" in r.event]
+    assert prog, [r.event for r in sink.records]
+    assert sum(r.metrics.get("input_rows", 0) for r in prog) > 0
