@@ -1,0 +1,131 @@
+"""Edge-case tests for the round-3 curation operators (the oracle gate
+covers the happy path on real tables; these pin the boundary semantics
+on tiny constructed frames)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_duplicate_spans_ignores_short_docs(spark):
+    """Documents with < 8 tokens contribute no 8-gram spans."""
+    from spark_fuse_spark.catalog import load_all  # noqa: F401  (registers)
+    from spark_fuse_spark.functions.hashing import portable_hash64
+    from spark_fuse_spark.functions.text import tokens
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven"),  # 7 tokens: no gram
+            (2, "a b c d e f g h i"),  # 9 tokens: 2 grams
+            (3, "a b c d e f g h i"),  # identical: shared grams
+        ],
+        "doc_id long, text string",
+    )
+    t = docs.select("doc_id", tokens("text").alias("t")).where(F.size("t") >= 8)
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t)-7), i -> concat_ws(' ', slice(t, i, 8)))"
+            )
+        ).alias("gram"),
+    )
+    shared = (
+        grams.select("doc_id", portable_hash64("gram").alias("h"))
+        .groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+    )
+    assert shared.count() == 2  # the two 8-gram windows of docs 2 and 3
+    assert grams.where(F.col("doc_id") == 1).count() == 0
+
+
+def test_forward_fill_leading_nulls_stay_null(spark):
+    """A user whose first readings are masked has no prior good value —
+    filled_value stays NULL until the first good reading."""
+    from pyspark.sql import Window
+
+    rows = [
+        (1, 10, "error", 5.0),
+        (2, 10, "click", 1.0),
+        (3, 10, "error", 9.0),
+        (4, 10, "view", 2.0),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, event_type string, value double")
+    masked = F.when(F.col("event_type") != "error", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = {
+        r["event_id"]: r["filled"]
+        for r in ev.select(
+            "event_id", F.last(masked, ignorenulls=True).over(w).alias("filled")
+        ).collect()
+    }
+    assert out == {1: None, 2: 1.0, 3: 1.0, 4: 2.0}
+
+
+def test_key_skew_profile_values(spark):
+    """share and skew_ratio on a constructed skewed key distribution."""
+    from spark_fuse_spark.operators.skew import key_skew_profile
+
+    df = spark.createDataFrame(
+        [("hot",)] * 8 + [("warm",)] * 3 + [("cold",)] * 1, "k string"
+    )
+    prof = {r["key"]: r for r in key_skew_profile(df, "k", top_n=2).collect()}
+    assert set(prof) == {"hot", "warm"}
+    assert prof["hot"]["rank"] == 1 and prof["hot"]["cnt"] == 8
+    assert prof["hot"]["share"] == pytest.approx(8 / 12, abs=1e-6)
+    # 3 distinct keys, 12 rows → uniform key = 4 rows; hot is 2× that
+    assert prof["hot"]["skew_ratio"] == pytest.approx(2.0, abs=1e-6)
+
+
+def test_interval_join_stream_batch_semantics(spark):
+    """Batch path of the stream-stream join: only views within the
+    5-minute lookback (inclusive both ends) match."""
+    import datetime as dt
+
+    from spark_fuse_spark import streaming as st
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = dt.timedelta
+    mk = lambda eid, ts, et: (eid, ts, 1, et, 1.0, None)
+    ev = spark.createDataFrame(
+        [
+            mk(1, base, "view"),  # 10 min before click: outside
+            mk(2, base + s(minutes=6), "view"),  # 4 min before: inside
+            mk(3, base + s(minutes=10), "click"),
+            mk(4, base + s(minutes=11), "view"),  # after click: outside
+        ],
+        st.EVENT_SCHEMA,
+    )
+    out = st.interval_join_stream(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "view"),
+        lookback="5 minutes",
+    ).collect()
+    assert [(r["event_id"], r["matched_event_id"]) for r in out] == [(3, 2)]
+
+
+def test_dataset_card_argmax_tie_is_deterministic(spark):
+    """Equal language counts break lexicographically-last via the
+    zero-padded composite ordering key."""
+    df = spark.createDataFrame(
+        [("en",), ("en",), ("fr",), ("fr",)], "lang string"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang")
+    top = (
+        df.select("lang", F.count(F.lit(1)).over(w).alias("cnt_lang"))
+        .agg(
+            F.expr("max_by(lang, format_string('%015d|%s', cnt_lang, lang))").alias(
+                "top_lang"
+            )
+        )
+        .collect()[0]["top_lang"]
+    )
+    assert top == "fr"  # tie on count → lexicographically last wins
