@@ -886,3 +886,46 @@ def t_card(spark: SparkSession, sf: str) -> DataFrame:
             "top_lang_share"
         ),
     )
+
+
+# ------------------------------------------------- matryoshka truncation
+@register(
+    "v_matryoshka_truncate",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (SELECT vec_id, v, v[1:16] AS pre FROM e),
+n AS (SELECT vec_id, v, pre,
+             sqrt(list_sum(list_transform(pre, x -> x * x))) AS pn FROM p)
+SELECT vec_id,
+       ROUND(sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS l2_full,
+       ROUND(pn, 6) AS l2_prefix,
+       ROUND(CASE WHEN pn > 0 THEN pre[1] / pn END, 6) AS c0_renormed,
+       CAST(16 AS INT) AS dims_kept
+FROM n
+ORDER BY vec_id
+""",
+    doc="Matryoshka-style embedding compression probe: truncate 64-dim "
+    "vectors to their 16-dim prefix and L2-renormalize "
+    "(functions/vectors.py truncate_renormalize) — the 4x storage/ANN-"
+    "cost reduction MRL-trained encoders support.  Output carries full "
+    "and prefix norms plus the first renormalized component so the "
+    "oracle checks the slice+fold+divide arithmetic end-to-end.  Scale: "
+    "pure codegen expressions, one scan, the only exchange is the "
+    "output sort.",
+)
+def v_matryoshka(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.vectors import l2_norm, truncate_renormalize
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    trunc = truncate_renormalize("v", 16)
+    pre = F.slice(F.col("v"), 1, 16)
+    pn = F.sqrt(F.aggregate(pre, F.lit(0.0), lambda a, x: a + x * x))
+    return emb.select(
+        "vec_id",
+        F.round(l2_norm("v"), 6).alias("l2_full"),
+        F.round(pn, 6).alias("l2_prefix"),
+        F.round(F.element_at(trunc, 1), 6).alias("c0_renormed"),
+        F.lit(16).cast("int").alias("dims_kept"),
+    ).orderBy("vec_id")

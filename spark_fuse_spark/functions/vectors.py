@@ -17,7 +17,14 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["dot", "l2_norm", "l2_normalize", "cosine_similarity", "euclidean_distance"]
+__all__ = [
+    "dot",
+    "l2_norm",
+    "l2_normalize",
+    "cosine_similarity",
+    "euclidean_distance",
+    "truncate_renormalize",
+]
 
 
 def _d(col: "str | Column") -> Column:
@@ -51,3 +58,16 @@ def cosine_similarity(a: "str | Column", b: "str | Column") -> Column:
 def euclidean_distance(a: "str | Column", b: "str | Column") -> Column:
     diffs = F.zip_with(_d(a), _d(b), lambda x, y: (x - y) * (x - y))
     return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v))
+
+
+def truncate_renormalize(a: "str | Column", dims: int) -> Column:
+    """Matryoshka-style embedding compression: keep the first ``dims``
+    components and L2-renormalize the prefix — the storage/compute trade
+    MRL-trained encoders support (a 64→16 truncation quarters vector
+    bytes and ANN cost; cosine rankings degrade gracefully).  Pure
+    higher-order expressions: ``slice`` + one fold for the prefix norm;
+    zero-norm prefixes come back as NULL rather than dividing by zero.
+    """
+    pre = F.slice(_d(a), 1, dims)
+    n = F.sqrt(F.aggregate(pre, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.when(n > 0, F.transform(pre, lambda x: x / n))

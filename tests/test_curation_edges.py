@@ -129,3 +129,25 @@ def test_dataset_card_argmax_tie_is_deterministic(spark):
         .collect()[0]["top_lang"]
     )
     assert top == "fr"  # tie on count → lexicographically last wins
+
+
+def test_truncate_renormalize_zero_prefix_is_null(spark):
+    """A vector whose kept prefix is all zeros can't be renormalized —
+    the result is NULL, not a division blow-up; a live prefix comes back
+    unit-norm."""
+    from spark_fuse_spark.functions.vectors import l2_norm, truncate_renormalize
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 3.0, 4.0]), (2, [3.0, 4.0, 0.0, 0.0])],
+        "vec_id long, v array<double>",
+    )
+    out = {
+        r["vec_id"]: (r["t"], r["n"])
+        for r in df.select(
+            "vec_id",
+            truncate_renormalize("v", 2).alias("t"),
+            F.round(l2_norm(truncate_renormalize("v", 2)), 6).alias("n"),
+        ).collect()
+    }
+    assert out[1] == (None, None)
+    assert out[2][0] == pytest.approx([0.6, 0.8]) and out[2][1] == 1.0

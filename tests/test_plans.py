@@ -179,6 +179,8 @@ CONTRACTS = {
     "q_lateral_topk": PlanExpectation(min_broadcast_joins=2, max_exchanges=2),
     # lang-partition window + single global aggregate
     "t_dataset_card": PlanExpectation(require_partial_agg=True, max_exchanges=3),
+    # pure codegen slice/fold arithmetic; output sort is the only exchange
+    "v_matryoshka_truncate": PlanExpectation(max_exchanges=1),
 }
 
 
