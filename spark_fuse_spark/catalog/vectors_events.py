@@ -314,3 +314,44 @@ def m_payload_features(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     with_payload = attach_binary_payload(d, "text", "payload")
     return extract_features(with_payload, "doc_id", "payload", dim=16)
+
+
+@register(
+    "m_frame_sample",
+    oracle="""
+WITH t AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+p AS (SELECT doc_id, n, GREATEST(1, n // 8) AS step FROM t WHERE n > 0),
+f AS (SELECT doc_id, step,
+             unnest(generate_series(0, CAST(LEAST(n, 8 * step) // step AS BIGINT) - 1))
+               AS frame_index
+      FROM p)
+SELECT doc_id, CAST(frame_index AS BIGINT) AS frame_index,
+       CAST(step AS BIGINT) AS frame_len
+FROM f
+WHERE frame_index % 2 = 0
+ORDER BY doc_id, frame_index
+""",
+    doc="multimodal frame sampling: payload -> decode_media (1-to-8 "
+    "frames via Arrow-batched mapInPandas, deterministic fake codec) -> "
+    "sample_frames stride-2 — which is a PURE Catalyst filter on "
+    "frame_index, because sampling after decode needs no Python "
+    "(sample-then-featurize ordering at scale).  The fake codec slices "
+    "equal byte windows, so the oracle replays frame counts and lengths "
+    "arithmetically from the text byte length.",
+)
+def m_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.multimodal import attach_binary_payload, decode_media, sample_frames
+
+    d = load_table(spark, sf, "documents")
+    frames = decode_media(
+        attach_binary_payload(d, "text", "payload"), frames_per_doc=8, use_fake=True
+    )
+    return (
+        sample_frames(frames, stride=2)
+        .select(
+            "doc_id",
+            F.col("frame_index").cast("long").alias("frame_index"),
+            F.octet_length("frame").cast("long").alias("frame_len"),
+        )
+        .orderBy("doc_id", "frame_index")
+    )

@@ -41,6 +41,7 @@ __all__ = [
     "decode_media",
     "extract_features",
     "resize_frames",
+    "sample_frames",
     "fake_decode_frames",
 ]
 
@@ -223,3 +224,24 @@ def fake_decode_frames(payload: bytes, frames: int) -> list[bytes]:
         return []
     step = max(1, len(payload) // frames)
     return [payload[i : i + step] for i in range(0, min(len(payload), frames * step), step)]
+
+
+def sample_frames(df: DataFrame, stride: int = 2, max_frames: "int | None" = None,
+                  index_col: str = "frame_index") -> DataFrame:
+    """Deterministic frame sampling over a decoded frame table: keep every
+    ``stride``-th frame, optionally capped at ``max_frames`` kept frames
+    per document.
+
+    Deliberately NOT a Python stage: once :func:`decode_media` has
+    exploded payloads into indexed frame rows, sampling is a pure
+    Catalyst filter on the index — it costs nothing, pushes through
+    shuffles, and at 100 TB prunes the frame table before any expensive
+    per-frame featurization runs (sample-then-featurize, never the
+    reverse).
+    """
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+    out = df.where(F.col(index_col) % stride == 0)
+    if max_frames is not None:
+        out = out.where(F.col(index_col) < max_frames * stride)
+    return out

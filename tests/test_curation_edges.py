@@ -151,3 +151,25 @@ def test_truncate_renormalize_zero_prefix_is_null(spark):
     }
     assert out[1] == (None, None)
     assert out[2][0] == pytest.approx([0.6, 0.8]) and out[2][1] == 1.0
+
+
+def test_sample_frames_stride_and_cap(spark):
+    """Stride keeps indices 0,2,4…; max_frames caps kept frames per doc."""
+    from spark_fuse_spark.operators.multimodal import sample_frames
+
+    frames = spark.createDataFrame(
+        [(1, i) for i in range(10)], "doc_id long, frame_index long"
+    )
+    kept = sorted(
+        r["frame_index"] for r in sample_frames(frames, stride=3).collect()
+    )
+    assert kept == [0, 3, 6, 9]
+    capped = sorted(
+        r["frame_index"]
+        for r in sample_frames(frames, stride=2, max_frames=3).collect()
+    )
+    assert capped == [0, 2, 4]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sample_frames(frames, stride=0)
