@@ -929,3 +929,81 @@ def v_matryoshka(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.element_at(trunc, 1), 6).alias("c0_renormed"),
         F.lit(16).cast("int").alias("dims_kept"),
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------- data-quality checks
+@register(
+    "q_data_checks",
+    oracle="""
+SELECT 'in_range:l_discount[0.0,0.1]' AS check_name,
+       CAST(SUM(CASE WHEN l_discount IS NOT NULL
+                      AND (l_discount < 0.0 OR l_discount > 0.1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       SUM(CASE WHEN l_discount IS NOT NULL
+                 AND (l_discount < 0.0 OR l_discount > 0.1)
+                THEN 1 ELSE 0 END) = 0 AS passed
+FROM lineitem
+UNION ALL
+SELECT 'in_set:l_returnflag',
+       CAST(SUM(CASE WHEN l_returnflag IS NOT NULL
+                      AND l_returnflag NOT IN ('A', 'N', 'R')
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT),
+       SUM(CASE WHEN l_returnflag IS NOT NULL
+                 AND l_returnflag NOT IN ('A', 'N', 'R')
+                THEN 1 ELSE 0 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'not_null:l_orderkey',
+       CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT),
+       SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'ref_integrity:l_orderkey->o_orderkey',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        WHERE l.l_orderkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)),
+       CAST(COUNT(*) AS BIGINT),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE l.l_orderkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) = 0
+FROM lineitem
+UNION ALL
+SELECT 'unique:l_orderkey,l_linenumber',
+       (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT)
+        FROM (SELECT COUNT(*) AS cnt FROM lineitem
+              GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)),
+       CAST(COUNT(*) AS BIGINT),
+       (SELECT COALESCE(SUM(cnt), 0)
+        FROM (SELECT COUNT(*) AS cnt FROM lineitem
+              GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)) = 0
+FROM lineitem
+ORDER BY check_name
+""",
+    doc="declarative data-quality suite (deequ/dbt-test style, "
+    "operators/checks.py): not-null, range, and set-membership checks "
+    "fold into ONE conditional aggregate over ONE lineitem scan; the "
+    "composite-key uniqueness check is one map-side-combined groupBy; "
+    "referential integrity lineitem->orders is one left-anti join.  "
+    "Adding a row-level rule to a 100 TB audit costs nothing once the "
+    "scan is paid for — that single-pass property is the design.",
+)
+def q_checks(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.checks import InRange, InSet, NotNull, RefIntegrity, Unique, run_checks
+
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    return run_checks(
+        li,
+        [
+            NotNull("l_orderkey"),
+            InRange("l_discount", 0.0, 0.1),
+            InSet("l_returnflag", ("A", "N", "R")),
+            Unique(("l_orderkey", "l_linenumber")),
+            RefIntegrity("l_orderkey", orders, "o_orderkey"),
+        ],
+    )

@@ -173,3 +173,49 @@ def test_sample_frames_stride_and_cap(spark):
 
     with _pytest.raises(ValueError):
         sample_frames(frames, stride=0)
+
+
+def test_run_checks_counts_violations(spark):
+    """Each check type reports exact violation counts on a frame with
+    known defects."""
+    from spark_fuse_spark.operators.checks import (
+        InRange,
+        InSet,
+        NotNull,
+        Predicate,
+        RefIntegrity,
+        Unique,
+        run_checks,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 5.0, "A", 100),
+            (2, -1.0, "X", 100),   # range + set violations
+            (None, 2.0, "N", 200), # null id; orphan parent ref
+            (1, 99.0, "R", None),  # dup id; range violation; null ref ok
+        ],
+        "id long, v double, flag string, parent_id long",
+    )
+    parent = spark.createDataFrame([(100,)], "pid long")
+    res = {
+        r["check_name"]: (r["n_violations"], r["passed"])
+        for r in run_checks(
+            df,
+            [
+                NotNull("id"),
+                InRange("v", 0.0, 10.0),
+                InSet("flag", ("A", "N", "R")),
+                Predicate("v_nonneg", F.col("v") >= 0),
+                Unique(("id",)),
+                RefIntegrity("parent_id", parent, "pid", broadcast_parent=True),
+            ],
+        ).collect()
+    }
+    assert res["not_null:id"] == (1, False)
+    assert res["in_range:v[0.0,10.0]"] == (2, False)
+    assert res["in_set:flag"] == (1, False)
+    assert res["predicate:v_nonneg"] == (1, False)
+    assert res["unique:id"] == (2, False)  # both rows of the dup key count
+    assert res["ref_integrity:parent_id->pid"] == (1, False)
+    assert all(r[0] >= 0 for r in res.values()) and len(res) == 6

@@ -181,6 +181,9 @@ CONTRACTS = {
     "t_dataset_card": PlanExpectation(require_partial_agg=True, max_exchanges=3),
     # pure codegen slice/fold arithmetic; output sort is the only exchange
     "v_matryoshka_truncate": PlanExpectation(max_exchanges=1),
+    # row-level checks share ONE aggregate; unique adds a groupBy, ref an
+    # anti-join; the 1-row totals join each check result (declared NLJ)
+    "q_data_checks": PlanExpectation(min_broadcast_joins=1, require_partial_agg=True, max_exchanges=7),
 }
 
 
@@ -249,6 +252,7 @@ NESTED_LOOP_OK = {
     "t_length_buckets": "1-row broadcast decile-cutoff panel",
     "t_vocab_coverage": "1-row broadcast corpus token total",
     "x_key_skew_profile": "1-row broadcast total/n_keys stats panel",
+    "q_data_checks": "1-row broadcast row-count panels joined to the unique/ref check results",
 }
 
 
