@@ -130,6 +130,8 @@ def main() -> None:
     if bad:
         print(json.dumps(bad, indent=2))
     spark.stop()
+    if bad:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
