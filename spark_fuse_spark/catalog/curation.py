@@ -1007,3 +1007,45 @@ def q_checks(spark: SparkSession, sf: str) -> DataFrame:
             RefIntegrity("l_orderkey", orders, "o_orderkey"),
         ],
     )
+
+
+# ----------------------------------------------------------- salted join
+@register(
+    "x_salted_join",
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+         AS total_price,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY segment
+""",
+    doc="skew-mitigation rewrite #2: the replicate-salted join "
+    "(operators/skew.py salted_join) — probe rows get a deterministic "
+    "salt, the small build side is exploded once per salt, and the join "
+    "key becomes (key, salt) so a hot key spreads over n_salts tasks.  "
+    "The oracle is the PLAIN join + rollup, asserting the rewrite is "
+    "result-identical (the same contract x_salted_agg pins for the "
+    "aggregation rewrite).",
+)
+def x_salted_join_q(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    orders = load_table(spark, sf, "orders").selectExpr(
+        "o_custkey AS custkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf, "customer").selectExpr(
+        "c_custkey AS custkey", "c_mktsegment"
+    )
+    joined = salted_join(orders, customer, ["custkey"], n_salts=8)
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("segment")
+    )
