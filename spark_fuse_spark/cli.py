@@ -21,6 +21,7 @@ _DATA_SOURCES = {
     "rest": "paginated JSON REST API reader + offset-paginated stream reader (fuse-rest)",
     "sparql": "SPARQL endpoint reader (fuse-sparql)",
     "qdrant": "Qdrant vector-store reader/writer + streaming sink (fuse-qdrant)",
+    "files": "file-manifest lister, one partition per subtree (fuse-files)",
 }
 
 

@@ -535,3 +535,49 @@ def test_qdrant_stream_writer_end_to_end(spark, mock_server):
         assert upserted_ids() == set(range(12))
     finally:
         query.stop()
+
+
+class TestFilesSource:
+    def _tree(self, tmp_path):
+        (tmp_path / "a").mkdir()
+        (tmp_path / "a" / "x.parquet").write_bytes(b"12345")
+        (tmp_path / "a" / "y.txt").write_bytes(b"12")
+        (tmp_path / "b" / "c").mkdir(parents=True)
+        (tmp_path / "b" / "c" / "z.parquet").write_bytes(b"1234567")
+        (tmp_path / "top.parquet").write_bytes(b"123")
+        return str(tmp_path)
+
+    def test_manifest_lists_tree_with_subtree_partitions(self, spark, tmp_path):
+        from spark_fuse_spark.sources.files import register
+
+        register(spark)
+        root = self._tree(tmp_path)
+        df = spark.read.format("fuse-files").option("root", root).load()
+        rows = {r["name"]: r for r in df.collect()}
+        assert set(rows) == {"x.parquet", "y.txt", "z.parquet", "top.parquet"}
+        assert rows["x.parquet"]["size"] == 5 and rows["x.parquet"]["ext"] == "parquet"
+        assert rows["top.parquet"]["depth"] == 0 and rows["z.parquet"]["depth"] == 2
+        # one partition per immediate subdir + one for root-level files
+        assert df.rdd.getNumPartitions() == 3
+
+    def test_manifest_suffix_filter_and_flat_mode(self, spark, tmp_path):
+        from spark_fuse_spark.sources.files import register
+
+        register(spark)
+        root = self._tree(tmp_path)
+        pq = (
+            spark.read.format("fuse-files")
+            .option("root", root)
+            .option("suffix", ".parquet")
+            .load()
+        )
+        assert {r["name"] for r in pq.collect()} == {
+            "x.parquet", "z.parquet", "top.parquet"
+        }
+        flat = (
+            spark.read.format("fuse-files")
+            .option("root", root)
+            .option("recursive", "false")
+            .load()
+        )
+        assert {r["name"] for r in flat.collect()} == {"top.parquet"}
