@@ -105,3 +105,42 @@ def test_gap_sessionization_matches_model(spark, events):
         sizes.append(n)
         want += [(u, idx + 1, sz) for idx, sz in enumerate(sizes)]
     assert got == sorted(want)
+
+
+# random frames for the data-quality suite: ids with nulls and dups,
+# doubles straddling the [0, 10] range bound
+check_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=1, max_value=5)),
+        st.floats(min_value=-5, max_value=15, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=check_rows)
+def test_run_checks_matches_model(spark, rows):
+    from spark_fuse_spark.operators.checks import InRange, NotNull, Unique, run_checks
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in rows], "id long, v double"
+    )
+    got = {
+        r["check_name"]: r["n_violations"]
+        for r in run_checks(
+            df, [NotNull("id"), InRange("v", 0.0, 10.0), Unique(("id",))]
+        ).collect()
+    }
+    ids = [i for i, _ in rows]
+    vals = [v for _, v in rows]
+    from collections import Counter
+
+    dup_rows = sum(c for c in Counter(ids).values() if c > 1)
+    want = {
+        "not_null:id": sum(1 for i in ids if i is None),
+        "in_range:v[0.0,10.0]": sum(1 for v in vals if v < 0.0 or v > 10.0),
+        "unique:id": dup_rows,
+    }
+    assert got == want

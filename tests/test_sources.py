@@ -581,3 +581,39 @@ class TestFilesSource:
             .load()
         )
         assert {r["name"] for r in flat.collect()} == {"top.parquet"}
+
+    def test_manifest_drives_smallfiles_compaction(self, spark, tmp_path):
+        """The audit loop: a fragmented dataset's manifest shows many tiny
+        parquet files; compacting by the manifest's total size collapses
+        them; the re-read manifest confirms."""
+        import math
+
+        from spark_fuse_spark.operators.layout import write_compacted
+        from spark_fuse_spark.sources.files import register
+
+        register(spark)
+        frag = str(tmp_path / "frag")
+        spark.range(2000).repartition(16).write.parquet(frag)
+
+        def manifest(root):
+            return (
+                spark.read.format("fuse-files")
+                .option("root", root)
+                .option("suffix", ".parquet")
+                .load()
+            )
+
+        before = manifest(frag).collect()
+        assert len(before) == 16
+        total = sum(r["size"] for r in before)
+        target = total  # everything fits one target-size file
+        compact = str(tmp_path / "compact")
+        n = write_compacted(spark.read.parquet(frag), compact, target_file_bytes=target)
+        assert n == math.ceil(total / target) <= 2
+        after = manifest(compact).collect()
+        assert len(after) <= 2 < len(before)
+        assert (
+            spark.read.parquet(compact).count()
+            == spark.read.parquet(frag).count()
+            == 2000
+        )
