@@ -45,6 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--sf", default=None, help="scale-factor directory (default $SPARK_GRAFT_SF_DIR)")
     run.add_argument("--show", type=int, default=20)
     run.add_argument("--explain", action="store_true", help="print the formatted physical plan")
+    run.add_argument(
+        "--check",
+        action="store_true",
+        help="also run the query's DuckDB oracle and report the differential-parity verdict",
+    )
     return parser
 
 
@@ -102,10 +107,22 @@ def _cmd_run(args: argparse.Namespace) -> int:
         print(f"unknown query {args.query!r}; `queries` lists the catalog", file=sys.stderr)
         return 2
     spark = create_session(app_name=f"cli-run-{args.query}")
-    df = registry[args.query].spark(spark, args.sf or default_sf_dir())
+    sf_dir = args.sf or default_sf_dir()
+    spec = registry[args.query]
+    df = spec.spark(spark, sf_dir)
     if args.explain:
         df.explain("formatted")
     df.show(args.show, truncate=False)
+    if args.check:
+        if spec.oracle is None:
+            print(f"{args.query}: rows-only query (no SQL oracle registered)")
+            return 0
+        from spark_fuse_spark.testing import compare_frames, duckdb_connection
+
+        res = compare_frames(args.query, df, duckdb_connection(sf_dir), spec.oracle)
+        verdict = "PARITY OK" if res.ok else f"PARITY MISMATCH: {res.detail}"
+        print(f"{args.query}: {verdict} (spark={res.spark_rows} oracle={res.oracle_rows} rows)")
+        return 0 if res.ok else 1
     return 0
 
 

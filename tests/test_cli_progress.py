@@ -127,3 +127,21 @@ def test_observe_rows_collects_metrics_without_extra_job(spark):
     got = obs.get
     assert got["n_rows"] == 100
     assert got["sum_v"] == sum(i * 2 for i in range(100))
+
+
+def test_cli_run_check_reports_parity(capsys):
+    assert main(
+        ["run", "--query", "q_count_distinct", "--sf", "/root/testdata/sf0.001",
+         "--show", "1", "--check"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "PARITY OK" in out
+
+
+def test_cli_run_check_rows_only_is_clean(capsys):
+    assert main(
+        ["run", "--query", "a_hash_embeddings", "--sf", "/root/testdata/sf0.001",
+         "--show", "1", "--check"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "rows-only" in out
