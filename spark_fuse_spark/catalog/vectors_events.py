@@ -355,3 +355,47 @@ def m_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id", "frame_index")
     )
+
+
+@register(
+    "m_payload_histogram",
+    oracle="""
+WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+ix AS (SELECT doc_id, text, unnest(generate_series(1, n)) AS i FROM b WHERE n > 0),
+ex AS (SELECT doc_id, ascii(substring(text, i, 1)) % 16 AS bucket FROM ix),
+h AS (SELECT doc_id, bucket, CAST(COUNT(*) AS DOUBLE) AS c FROM ex GROUP BY 1, 2),
+norm AS (SELECT doc_id, sqrt(SUM(c * c)) AS nn FROM h GROUP BY doc_id),
+dense AS (
+  SELECT d.doc_id, k.bucket, COALESCE(h.c, 0) AS c, norm.nn
+  FROM (SELECT DISTINCT doc_id FROM h) d
+  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bucket) k
+  LEFT JOIN h ON h.doc_id = d.doc_id AND h.bucket = k.bucket
+  JOIN norm ON norm.doc_id = d.doc_id)
+SELECT doc_id, CAST(bucket AS INT) AS bucket,
+       ROUND(CAST(CAST(c / nn AS FLOAT) AS DOUBLE), 6) AS freq
+FROM dense
+ORDER BY doc_id, bucket
+""",
+    doc="the multimodal feature path, fully oracle-checked: payload bytes "
+    "-> extract_features (Arrow-batched mapInPandas byte-histogram, the "
+    "REAL operator) -> posexplode to (doc_id, bucket, freq) long format. "
+    "The corpus is ASCII so DuckDB replays bytes via code points, and "
+    "both engines quantize the normalized frequency through float32 "
+    "(numpy astype == CAST AS FLOAT of the identical double), making "
+    "the hash comparison exact — upgrading this family from the "
+    "rows-only gate (m_payload_features keeps the array-typed surface).",
+)
+def m_payload_hist(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.multimodal import attach_binary_payload, extract_features
+
+    d = load_table(spark, sf, "documents")
+    feats = extract_features(attach_binary_payload(d, "text", "payload"), dim=16)
+    return (
+        feats.select("doc_id", F.posexplode("features").alias("bucket", "freq"))
+        .select(
+            "doc_id",
+            F.col("bucket").cast("int").alias("bucket"),
+            F.round(F.col("freq").cast("double"), 6).alias("freq"),
+        )
+        .orderBy("doc_id", "bucket")
+    )
