@@ -241,3 +241,42 @@ def c_scd2_pit(spark: SparkSession, sf: str) -> DataFrame:
         .select("c_custkey", "segment", F.col("version").cast("int").alias("version"))
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "a_hash_embedding_components",
+    oracle="""
+WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+ix AS (SELECT doc_id, hx, unnest(generate_series(1, 16)) AS i FROM h),
+v AS (SELECT doc_id, i,
+             CAST('0x' || substring(hx, i * 2 - 1, 2) AS INT) - 127.5 AS r
+      FROM ix),
+n AS (SELECT doc_id, sqrt(SUM(r * r)) AS nn FROM v GROUP BY doc_id)
+SELECT v.doc_id, CAST(v.i - 1 AS INT) AS component,
+       ROUND(CAST(CAST(v.r / CASE WHEN n.nn = 0 THEN 1.0 ELSE n.nn END AS FLOAT)
+             AS DOUBLE), 6) AS value
+FROM v JOIN n ON v.doc_id = n.doc_id
+ORDER BY v.doc_id, component
+""",
+    doc="the pandas-UDF embedding path, fully oracle-checked at the "
+    "component level: with_embeddings drives the Arrow-batched UDF with "
+    "the sha256 hash provider, and DuckDB replays the identical math — "
+    "hex-pair bytes, -127.5 centering, L2 normalization — with the same "
+    "float32 quantization as the array<float> column.  Upgrades the "
+    "embedding family beyond a_hash_embeddings' rows-only rollup (which "
+    "keeps the per-lang aggregate surface).",
+)
+def a_hash_components(spark: SparkSession, sf: str) -> DataFrame:
+    from ..ai.embeddings import with_embeddings
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    emb = with_embeddings(d, "text", "embedding")
+    return (
+        emb.select("doc_id", F.posexplode("embedding").alias("component", "value"))
+        .select(
+            "doc_id",
+            F.col("component").cast("int").alias("component"),
+            F.round(F.col("value").cast("double"), 6).alias("value"),
+        )
+        .orderBy("doc_id", "component")
+    )
