@@ -1049,3 +1049,49 @@ def x_salted_join_q(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ------------------------------------------------------ time-grid resample
+@register(
+    "e_resample_1h",
+    oracle=f"""
+WITH b AS (
+  SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS h,
+         (SUM(CAST(ROUND(value * 1000000) AS BIGINT)) // COUNT(value)) / 1000000.0
+           AS value
+  FROM events GROUP BY user_id, h),
+span AS (SELECT user_id, MIN(h) AS lo, MAX(h) AS hi FROM b GROUP BY user_id),
+grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+         FROM span),
+j AS (SELECT g.user_id, g.h, b.value
+      FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.h = b.h)
+SELECT user_id, strftime(h, '{_TS_SQL}') AS bucket_ts, value,
+       LAST_VALUE(value IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       value IS NOT NULL AS is_observed
+FROM j
+ORDER BY user_id, bucket_ts
+""",
+    doc="time-series regularization: per-user hourly mean resampled onto a "
+    "DENSE epoch-aligned grid spanning each user's [first, last] bucket, "
+    "gaps forward-filled (operators/timeseries.resample_time_grid).  The "
+    "grid is generated AFTER aggregation (sequence+explode over bucket "
+    "spans), so its cost is O(users x span-hours), independent of raw "
+    "event volume; the observed mean runs in exact integer micro-units "
+    "so both engines agree bit-for-bit (no IEEE rounding ties).  Scale: "
+    "one (user,bucket) hash shuffle with map-side partials + "
+    "same-key-family join and fill window.",
+)
+def e_resample(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.timeseries import resample_time_grid
+
+    ev = load_table(spark, sf, "events")
+    out = resample_time_grid(ev, "user_id", "ts", "value", interval_seconds=3600)
+    return out.select(
+        "user_id",
+        F.date_format("bucket_ts", _TS_SPARK).alias("bucket_ts"),
+        "value",
+        "filled_value",
+        "is_observed",
+    ).orderBy("user_id", "bucket_ts")

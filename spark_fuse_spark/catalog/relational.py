@@ -940,3 +940,45 @@ FROM range(0, 86400) t(i)
 )
 def q_time_dim(spark: SparkSession, sf: str) -> DataFrame:
     return time_dimension(spark, 1)
+
+
+@register(
+    "q_window_suite",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       ROUND(LAG(o_totalprice) OVER w, 2) AS prev_price,
+       ROUND(LEAD(o_totalprice) OVER w, 2) AS next_price,
+       CAST(NTILE(4) OVER w AS INT) AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume,
+       ROUND(FIRST_VALUE(o_totalprice) OVER
+             (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS first_price,
+       ROUND(NTH_VALUE(o_totalprice, 2) OVER
+             (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+""",
+    doc="analytic-window breadth in one pass: lag/lead, ntile, "
+    "percent_rank, cume_dist, first_value and nth_value share a single "
+    "window spec, so Catalyst evaluates all seven in ONE WindowExec over "
+    "one (o_custkey) hash shuffle + in-partition sort — adding a "
+    "function to the same spec is free at any scale.  Order is total "
+    "(orderdate then orderkey), so ranking/navigation output is "
+    "engine-deterministic.",
+)
+def q_window_suite(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.first("o_totalprice").over(wf), 2).alias("first_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(wf), 2).alias("second_price"),
+    ).orderBy("o_custkey", "o_orderkey")

@@ -184,6 +184,12 @@ CONTRACTS = {
     # row-level checks share ONE aggregate; unique adds a groupBy, ref an
     # anti-join; the 1-row totals join each check result (declared NLJ)
     "q_data_checks": PlanExpectation(min_broadcast_joins=1, require_partial_agg=True, max_exchanges=7),
+    # all seven analytic functions share ONE window spec -> one WindowExec
+    # over one custkey exchange; output sort is the second
+    "q_window_suite": PlanExpectation(max_exchanges=2),
+    # (user,bucket) rollup -> span agg -> grid join -> fill window + sort;
+    # every shuffle is on the user key family and partial-agg'd
+    "e_resample_1h": PlanExpectation(require_partial_agg=True, max_exchanges=4),
 }
 
 

@@ -1,0 +1,82 @@
+"""Boundary semantics for the time-grid resampler (the oracle gate covers
+the happy path over the events table; these pin gap/edge behavior on
+constructed frames)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from spark_fuse_spark.operators.timeseries import resample_time_grid, time_bucket
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_gap_hours_are_materialized_and_filled(spark):
+    df = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:05:00"), 10.0),
+            (1, _ts("2024-01-01 00:35:00"), 20.0),  # same bucket: mean 15
+            (1, _ts("2024-01-01 03:10:00"), 40.0),  # hours 01,02 are gaps
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = (
+        resample_time_grid(df, "user_id", "ts", "value", 3600)
+        .orderBy("bucket_ts")
+        .collect()
+    )
+    assert [r.bucket_ts.hour for r in out] == [0, 1, 2, 3]
+    assert [r.value for r in out] == [15.0, None, None, 40.0]
+    assert [r.filled_value for r in out] == [15.0, 15.0, 15.0, 40.0]
+    assert [r.is_observed for r in out] == [True, False, False, True]
+
+
+def test_single_event_key_yields_one_bucket(spark):
+    df = spark.createDataFrame(
+        [(7, _ts("2024-03-01 12:59:59"), 3.5)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = resample_time_grid(df, "user_id", "ts", "value", 3600).collect()
+    assert len(out) == 1
+    assert out[0].bucket_ts == _ts("2024-03-01 12:00:00")
+    assert out[0].value == 3.5 and out[0].is_observed
+
+
+def test_mean_is_exact_on_rounding_ties(spark):
+    # 39.78 + 39.79 averages to exactly 39.785 — a tie IEEE round breaks
+    # differently per engine; micro-unit integer math keeps it exact.
+    df = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:00:01"), 39.78),
+            (1, _ts("2024-01-01 00:00:02"), 39.79),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = resample_time_grid(df, "user_id", "ts", "value", 3600).collect()
+    assert out[0].value == 39.785
+
+
+def test_time_bucket_epoch_alignment(spark):
+    df = spark.createDataFrame(
+        [(_ts("2024-01-01 10:44:00"),)], "ts timestamp"
+    ).select(time_bucket("ts", 900).alias("b"))
+    assert df.collect()[0].b == _ts("2024-01-01 10:30:00")
+
+
+def test_independent_keys_do_not_share_spans(spark):
+    df = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:00:00"), 1.0),
+            (2, _ts("2024-01-05 00:00:00"), 2.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = resample_time_grid(df, "user_id", "ts", "value", 3600)
+    # each key's grid spans only its own [first, last] bucket: 1 row each,
+    # not a shared 4-day grid
+    assert out.count() == 2
+    assert out.where(F.col("value").isNull()).count() == 0
