@@ -872,3 +872,67 @@ def t_decontam(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------------------- semantic dedup
+def _semantic_dedup_oracle(
+    dims: int, threshold: float, tables: int, planes_per_table: int, seed: int
+) -> str:
+    from .text_dedup import _embedding_lsh_buckets_sql, _embedding_lsh_ctes
+
+    buckets = _embedding_lsh_buckets_sql(dims, tables, planes_per_table, seed)
+    return f"""
+WITH RECURSIVE {_embedding_lsh_ctes(buckets, threshold)},
+edges AS (SELECT id_a AS u, id_b AS w FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(u, w) AS (
+  SELECT u, w FROM edges
+  UNION
+  SELECT r.u, e.w FROM reach r JOIN edges e ON r.w = e.u WHERE e.w <> r.u),
+labels AS (SELECT u AS vec_id, LEAST(u, MIN(w)) AS cluster_id
+           FROM reach GROUP BY u),
+assigned AS (
+  SELECT em.vec_id, COALESCE(l.cluster_id, em.vec_id) AS cluster_id
+  FROM embeddings em LEFT JOIN labels l ON em.vec_id = l.vec_id)
+SELECT vec_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       vec_id = cluster_id AS is_canonical
+FROM assigned
+ORDER BY vec_id
+"""
+
+
+@register(
+    "d_semantic_dedup",
+    oracle=_semantic_dedup_oracle(dims=64, threshold=0.4, tables=12, planes_per_table=4, seed=42),
+    doc="SemDeDup-shaped semantic deduplication over EMBEDDINGS (Abbas et "
+    "al. 2023 semantics re-expressed without a trained quantizer): "
+    "multi-table hyperplane-LSH candidates -> exact cosine >= 0.4 verify "
+    "(operators/dedup.embedding_lsh_pairs, never all-pairs) -> "
+    "large-star/small-star connected components -> full-corpus cluster "
+    "assignment with a keep-lowest-id canonical per semantic group; "
+    "filter(is_canonical) IS the semantically deduped corpus.  Scale: "
+    "shuffle O(rows x tables) for candidates + two groupBy-on-id rounds "
+    "per CC iteration; the oracle replays the closure with a recursive "
+    "CTE over the identical plane literals.",
+)
+def d_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.dedup import embedding_lsh_pairs
+
+    emb = load_table(spark, sf, "embeddings")
+    pairs = embedding_lsh_pairs(
+        emb,
+        dims=64,
+        vec_col="embedding",
+        id_col="vec_id",
+        threshold=0.4,
+        tables=12,
+        planes_per_table=4,
+        seed=42,
+        # single-file input → spread the projection/verify CPU
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    out = dedup_clusters(emb, pairs, id_col="vec_id", broadcast_labels=True)
+    return out.select("vec_id", "cluster_id", "cluster_size", "is_canonical").orderBy(
+        "vec_id"
+    )

@@ -448,12 +448,11 @@ def d_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
-def _embedding_lsh_oracle(
-    dims: int, threshold: float, tables: int, planes_per_table: int, seed: int
+def _embedding_lsh_buckets_sql(
+    dims: int, tables: int, planes_per_table: int, seed: int
 ) -> str:
-    """DuckDB twin of ``embedding_lsh_pairs``: replays the identical plane
-    literals (LCG-deterministic), bucket assembly, within-bucket candidate
-    join, and exact-cosine verify."""
+    """UNION ALL of per-table sign-bit bucket assignments, replaying the
+    identical LCG plane literals the Spark operator uses."""
     from ..operators.similarity import _pseudo_planes
 
     table_selects = []
@@ -465,19 +464,37 @@ def _embedding_lsh_oracle(
             for i, plane in enumerate(planes)
         )
         table_selects.append(f"SELECT vec_id, {t} AS t, CAST({terms} AS BIGINT) AS bkt FROM v")
-    buckets = "\nUNION ALL\n".join(table_selects)
+    return "\nUNION ALL\n".join(table_selects)
+
+
+def _embedding_lsh_oracle(
+    dims: int, threshold: float, tables: int, planes_per_table: int, seed: int
+) -> str:
+    """DuckDB twin of ``embedding_lsh_pairs``: replays the identical plane
+    literals (LCG-deterministic), bucket assembly, within-bucket candidate
+    join, and exact-cosine verify."""
+    buckets = _embedding_lsh_buckets_sql(dims, tables, planes_per_table, seed)
     return f"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+WITH {_embedding_lsh_ctes(buckets, threshold)}
+SELECT id_a, id_b, cosine FROM pairs
+"""
+
+
+def _embedding_lsh_ctes(buckets: str, threshold: float) -> str:
+    """Shared CTE chain (vectors → multi-table buckets → candidates →
+    verified pairs) used by the pair oracle and the semantic-dedup
+    closure oracle."""
+    return f"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 b AS ({buckets}),
 cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
-         FROM b a JOIN b c ON a.t = c.t AND a.bkt = c.bkt AND a.vec_id < c.vec_id)
-SELECT cand.id_a, cand.id_b,
-       ROUND(list_cosine_similarity(va.e, vb.e), 6) AS cosine
-FROM cand
-JOIN v va ON cand.id_a = va.vec_id
-JOIN v vb ON cand.id_b = vb.vec_id
-WHERE list_cosine_similarity(va.e, vb.e) >= {threshold}
-"""
+         FROM b a JOIN b c ON a.t = c.t AND a.bkt = c.bkt AND a.vec_id < c.vec_id),
+pairs AS (
+  SELECT cand.id_a, cand.id_b,
+         ROUND(list_cosine_similarity(va.e, vb.e), 6) AS cosine
+  FROM cand
+  JOIN v va ON cand.id_a = va.vec_id
+  JOIN v vb ON cand.id_b = vb.vec_id
+  WHERE list_cosine_similarity(va.e, vb.e) >= {threshold})"""
 
 
 @register(
