@@ -41,6 +41,9 @@ HEADLINE = [
     "d_embedding_neardup",
     "v_ann_bruteforce",
     "v_ivf_topk",
+    "v_pq_topk",
+    "d_semantic_dedup",
+    "e_resample_1h",
     "e_session_window",
     "e_tumbling_window",
     "a_map_column_closed_set",

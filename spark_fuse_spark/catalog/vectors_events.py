@@ -70,6 +70,30 @@ def v_ivf(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "v_pq_topk",
+    oracle=None,  # codebooks come from sampled k-means — engine-specific
+    doc="product-quantization ANN (Jegou et al. 2011): m=16 subspace "
+    "codebooks of 64 centroids trained driver-side on a hash-gated "
+    "sample, corpus encoded once to array<int> codes (Arrow-batched "
+    "numpy), queries scored via broadcast ADC lookup tables folded in "
+    "whole-stage codegen, then exact cosine re-rank of the top-25 "
+    "candidates (operators/quantization.py).  Rows-only driver check; "
+    "recall vs the exact baseline is asserted in tests/"
+    "test_quantization.py.",
+)
+def v_pq(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.quantization import pq_adc_topk, train_pq_codebooks
+
+    emb = load_table(spark, sf, "embeddings")
+    books = train_pq_codebooks(emb, m=16, nbits=6, vec_col="embedding", seed=42)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return pq_adc_topk(emb, queries, books, k=5, rerank=25,
+                       corpus_id="vec_id", corpus_vec="embedding")
+
+
+@register(
     "v_lsh_buckets",
     oracle=None,  # bucket histogram; plane generation is library-internal
     doc="random-hyperplane LSH bucket histogram (12 planes → ≤4096 "

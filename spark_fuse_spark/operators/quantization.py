@@ -1,0 +1,265 @@
+"""Product quantization (PQ) for approximate nearest-neighbor search.
+
+Extends the vector-search family (``operators.similarity``: brute-force,
+IVF, hyperplane LSH — reference ``similarity/*``, SURVEY.md §2.13) with
+the memory-bound scale path: instead of scanning 64 floats per corpus
+vector, each vector is compressed to ``m`` sub-codes (one byte-ish code
+per subspace) and queries score candidates through a per-query lookup
+table (ADC — asymmetric distance computation, Jégou et al. 2011,
+"Product Quantization for Nearest Neighbor Search", public paper).
+
+Scale story (100 TB of embeddings):
+* codebooks are trained driver-side on a deterministic hash-gated
+  sample (same contract as ``train_ivf_centroids`` — no corpus-wide
+  sort, a narrow filter + ``CollectLimit``), m × 2^nbits × dims/m
+  floats — a few KB broadcast in the UDF closure;
+* encoding is ONE Arrow-batched pandas UDF pass over the corpus
+  (numpy matmul per batch), writing an ``array<int>`` that is ~16–64×
+  smaller than the float vector — encode once, persist, reuse across
+  query batches;
+* query scoring never touches corpus floats: the per-query LUT
+  (m × 2^nbits partial dots) is computed once per query, broadcast,
+  and each corpus row folds its codes through the LUT with a
+  whole-stage-codegen ``aggregate(zip_with(...))`` — no Python, no
+  shuffle of corpus rows; only the narrow (query, neighbor, score)
+  triples move;
+* exact re-ranking joins the tiny candidate set back to corpus
+  vectors (broadcast semi-join), the same verify shape as
+  ``minhash_lsh_pairs``.
+
+Cosine semantics: vectors are L2-normalized before codebook training
+and encoding, so the ADC score approximates the cosine and the optional
+re-rank computes it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType
+
+from ..functions.vectors import cosine_similarity
+
+__all__ = ["train_pq_codebooks", "pq_encode", "pq_adc_topk"]
+
+
+def _sample_matrix(
+    corpus: DataFrame,
+    vec_col: str,
+    sample_rows: int,
+    sample_fraction: "float | None",
+    id_col: "str | None",
+    salt: str,
+):
+    """Unit-normalized sample matrix via the deterministic hash-gate +
+    CollectLimit contract (see ``train_ivf_centroids``: the gate is a
+    narrow filter composed with the scan; the limit stops the read)."""
+    import numpy as np
+
+    sample = corpus
+    if sample_fraction is not None:
+        if id_col is None:
+            raise ValueError("sample_fraction requires id_col for the hash gate")
+        from .sampling import sample_gate
+
+        sample = sample.where(sample_gate(id_col, sample_fraction, salt=salt))
+    rows = sample.select(F.col(vec_col).cast("array<double>")).limit(sample_rows).collect()
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    if x.ndim != 2 or x.shape[0] == 0:
+        raise ValueError("empty or ragged vector sample; cannot train codebooks")
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return x / norms
+
+
+def _lloyd(x, k: int, seed: int, max_iter: int):
+    """Seeded, fixed-iteration Lloyd's with stable assignment tie-break
+    (first-minimum) — deterministic across runs and platforms."""
+    import numpy as np
+
+    k_eff = min(k, x.shape[0])
+    rng = np.random.default_rng(seed)
+    centers = x[rng.choice(x.shape[0], size=k_eff, replace=False)]
+    for _ in range(max_iter):
+        d = -2.0 * (x @ centers.T) + (centers * centers).sum(axis=1)
+        assign = np.argmin(d, axis=1)
+        new_centers = centers.copy()
+        for c in range(k_eff):
+            members = x[assign == c]
+            if len(members):
+                new_centers[c] = members.mean(axis=0)
+        if np.allclose(new_centers, centers):
+            break
+        centers = new_centers
+    return centers
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    nbits: int = 4,
+    vec_col: str = "embedding",
+    dims: "int | None" = None,
+    seed: int = 42,
+    sample_rows: int = 10_000,
+    sample_fraction: "float | None" = None,
+    id_col: "str | None" = None,
+    max_iter: int = 20,
+) -> list[list[list[float]]]:
+    """Train ``m`` per-subspace codebooks of ``2**nbits`` centroids each.
+
+    Returns ``codebooks[m][2**nbits][dims/m]`` as plain floats (a few KB
+    — ships in UDF closures, nothing to broadcast explicitly).  ``dims``
+    may be given to skip schema inspection; it must divide into ``m``
+    equal subspaces.
+    """
+    x = _sample_matrix(corpus, vec_col, sample_rows, sample_fraction, id_col, f"pq{seed}")
+    d = x.shape[1]
+    if dims is not None and dims != d:
+        raise ValueError(f"dims={dims} does not match sampled vectors ({d})")
+    if d % m:
+        raise ValueError(f"vector dims {d} not divisible by m={m} subspaces")
+    dsub, ksub = d // m, 2**nbits
+    books = []
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        centers = _lloyd(sub, ksub, seed + j, max_iter)
+        books.append([[float(v) for v in c] for c in centers])
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Append ``array<int>`` PQ codes (one Arrow-batched numpy pass).
+
+    Each batch is one matmul per subspace; assignment is first-minimum
+    (numpy argmax on the negated distance), so codes are deterministic.
+    """
+    import numpy as np
+
+    cb = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(cb)
+    dsub = cb[0].shape[1]
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def encode(series):
+        import numpy as np
+        import pandas as pd
+
+        mat = np.asarray(series.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        mat = mat / norms
+        codes = np.empty((mat.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            # argmin ||x-c||² == argmax (x·c − ||c||²/2); first max wins
+            scores = sub @ cb[j].T - 0.5 * (cb[j] * cb[j]).sum(axis=1)
+            codes[:, j] = np.argmax(scores, axis=1)
+        return pd.Series([c.tolist() for c in codes])
+
+    return df.withColumn(code_col, encode(F.col(vec_col)))
+
+
+def _with_lut(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: str,
+    lut_col: str,
+) -> DataFrame:
+    """Per-query ADC lookup table: flat ``array<double>`` of length
+    m × 2^nbits where slot ``j*ksub + c`` holds dot(q_sub_j, codebook[j][c])."""
+    import numpy as np
+
+    cb = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(cb)
+    dsub = cb[0].shape[1]
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def lut(series):
+        import numpy as np
+        import pandas as pd
+
+        mat = np.asarray(series.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        mat = mat / norms
+        parts = [mat[:, j * dsub : (j + 1) * dsub] @ cb[j].T for j in range(m)]
+        flat = np.hstack(parts)
+        return pd.Series([row.tolist() for row in flat])
+
+    return queries.withColumn(lut_col, lut(F.col(query_vec)))
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    rerank: int = 0,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Approximate top-k via ADC over PQ codes, with optional exact re-rank.
+
+    If ``code_col`` is already present on ``corpus`` (encode-once
+    workflows) it is reused; otherwise the corpus is encoded inline.
+    With ``rerank = r > 0`` the top-``r`` ADC candidates per query are
+    re-scored with exact cosine (broadcast join back to corpus vectors)
+    and the final ``k`` keep exact scores — recall then depends on r,
+    not on quantization error alone.
+
+    Output: ``query_id, neighbor_id, cosine, rank`` (``cosine`` is the
+    ADC approximation when ``rerank == 0``).
+    """
+    ksub = len(codebooks[0])
+    encoded = corpus if code_col in corpus.columns else pq_encode(
+        corpus, codebooks, corpus_vec, code_col
+    )
+    q = _with_lut(queries.select(query_id, query_vec), codebooks, query_vec, "__lut")
+
+    # narrow scoring relation: (query, neighbor, adc) — corpus floats never move
+    adc = F.expr(
+        f"aggregate(zip_with({code_col}, sequence(0, size({code_col}) - 1), "
+        f"(c, j) -> element_at(__lut, j * {ksub} + c + 1)), 0.0D, (a, x) -> a + x)"
+    )
+    scored = (
+        encoded.select(F.col(corpus_id).alias("neighbor_id"), code_col)
+        .crossJoin(F.broadcast(q.select(query_id, "__lut")))
+        .select(query_id, "neighbor_id", F.round(adc, 6).alias("adc"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("adc").desc(), F.col("neighbor_id").asc())
+    take = max(k, rerank)
+    cand = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= take)
+    )
+    if not rerank:
+        return cand.select(query_id, "neighbor_id", F.col("adc").alias("cosine"), "rank")
+
+    # exact verify on the tiny candidate set (minhash-verify shape):
+    # candidates broadcast onto one corpus scan, then top-k by true cosine
+    exact = (
+        corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec))
+        .join(F.broadcast(cand.select(query_id, "neighbor_id")), "neighbor_id")
+        .join(F.broadcast(queries.select(query_id, query_vec)), query_id)
+        .select(
+            query_id,
+            "neighbor_id",
+            F.round(cosine_similarity(F.col(corpus_vec), F.col(query_vec)), 6).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", "cosine", "rank")
+    )

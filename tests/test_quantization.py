@@ -1,0 +1,108 @@
+"""Product-quantization ANN: recall against the exact baseline, ADC
+fold correctness against a numpy model, and encode determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_fuse_spark.operators.quantization import (
+    pq_adc_topk,
+    pq_encode,
+    train_pq_codebooks,
+)
+from spark_fuse_spark.operators.similarity import brute_force_topk
+from spark_fuse_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return train_pq_codebooks(emb, m=16, nbits=6, vec_col="embedding", seed=42)
+
+
+def _queries(emb):
+    return emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_codebook_shape(books):
+    assert len(books) == 16
+    assert all(len(b) == 64 for b in books)
+    assert all(len(c) == 4 for b in books for c in b)
+
+
+def test_recall_vs_exact_with_rerank(spark, emb, books):
+    q = _queries(emb)
+    exact = brute_force_topk(emb, q, k=5, corpus_id="vec_id", corpus_vec="embedding")
+    approx = pq_adc_topk(
+        emb, q, books, k=5, rerank=25, corpus_id="vec_id", corpus_vec="embedding"
+    )
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.85, f"recall@5 {recall} below floor"
+    # re-ranked scores are EXACT cosines: any overlapping pair agrees
+    es = {(r.query_id, r.neighbor_id): r.cosine for r in exact.collect()}
+    for r in approx.collect():
+        if (r.query_id, r.neighbor_id) in es:
+            assert abs(es[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
+
+
+def test_adc_fold_matches_numpy_model(spark):
+    import numpy as np
+
+    # tiny handmade geometry: 4-dim vectors, m=2 subspaces, 2 centroids each
+    books = [
+        [[1.0, 0.0], [0.0, 1.0]],
+        [[1.0, 0.0], [0.0, 1.0]],
+    ]
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 1.0, 0.0]), (2, [0.0, 1.0, 0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0, 1.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    out = {
+        r.neighbor_id: r.cosine
+        for r in pq_adc_topk(corpus, queries, books, k=2).collect()
+    }
+    # numpy model: unit-normalize, encode, LUT-fold
+    def model(vec):
+        v = np.asarray(vec) / np.linalg.norm(vec)
+        q = np.asarray([1.0, 0.0, 1.0, 0.0]) / np.sqrt(2.0)
+        score = 0.0
+        for j, b in enumerate(books):
+            sub = v[2 * j : 2 * j + 2]
+            cb = np.asarray(b)
+            code = int(np.argmax(sub @ cb.T - 0.5 * (cb * cb).sum(axis=1)))
+            score += float(q[2 * j : 2 * j + 2] @ cb[code])
+        return round(score, 6)
+
+    assert out[1] == pytest.approx(model([1.0, 0.0, 1.0, 0.0]))
+    assert out[2] == pytest.approx(model([0.0, 1.0, 0.0, 1.0]))
+
+
+def test_encode_deterministic_and_reused(spark, emb, books):
+    a = pq_encode(emb.limit(50), books).select("vec_id", "pq_code").collect()
+    b = pq_encode(emb.limit(50), books).select("vec_id", "pq_code").collect()
+    assert sorted(map(tuple, ((r.vec_id, tuple(r.pq_code)) for r in a))) == sorted(
+        map(tuple, ((r.vec_id, tuple(r.pq_code)) for r in b))
+    )
+    # pre-encoded corpus is reused, not re-encoded (column already present)
+    pre = pq_encode(emb, books)
+    out = pq_adc_topk(pre, _queries(emb), books, k=3)
+    assert out.count() == 30
+
+
+def test_indivisible_dims_raise(spark, emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq_codebooks(emb, m=7, nbits=2, vec_col="embedding")
