@@ -1095,3 +1095,38 @@ def e_resample(spark: SparkSession, sf: str) -> DataFrame:
         "filled_value",
         "is_observed",
     ).orderBy("user_id", "bucket_ts")
+
+
+# -------------------------------------------------------- shard planning
+@register(
+    "t_shard_manifest",
+    oracle=f"""
+WITH a AS (
+  SELECT CAST({portable_hash64_sql("CAST(doc_id AS VARCHAR) || 'epoch0'")} % 16 AS INT)
+           AS shard_id,
+         n_chars
+  FROM documents),
+per AS (SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(n_chars) AS BIGINT) AS total_weight
+        FROM a GROUP BY shard_id)
+SELECT shard_id, n_rows, total_weight,
+       ROUND(total_weight / SUM(total_weight) OVER (), 6) AS load_share,
+       ROUND(total_weight * 16 / SUM(total_weight) OVER (), 4) AS skew_ratio
+FROM per
+ORDER BY shard_id
+""",
+    doc="training-shard planning (operators/layout.assign_shards + "
+    "shard_manifest): deterministic portable-hash shard assignment (16 "
+    "shards, salt 'epoch0') decorrelates source order without a global "
+    "sort, then a per-shard row/char manifest with load share and skew "
+    "vs the ideal 1/16 — the go/no-go audit before a multi-hour sharded "
+    "write.  One partial-agg'd hash shuffle over one scan; the "
+    "share/skew window runs over the 16-row manifest only.  Stable "
+    "across engines/re-runs: the oracle replays the identical md5 "
+    "assignment.",
+)
+def t_shards(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.layout import shard_manifest
+
+    docs = load_table(spark, sf, "documents")
+    return shard_manifest(docs, "doc_id", 16, weight_col="n_chars", salt="epoch0")

@@ -163,3 +163,72 @@ def write_zordered(
         .mode(mode)
         .save(path)
     )
+
+
+def assign_shards(
+    df: DataFrame,
+    id_col: str,
+    num_shards: int,
+    shard_col: str = "shard_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic training-shard assignment: ``portable_hash64(id) %
+    num_shards``.
+
+    Hash-sharding is the global shuffle a training pipeline needs before
+    writing example shards: it decorrelates neighboring source rows
+    (crawl order, domain runs) without a corpus-wide sort, is stable
+    across re-runs/partitionings/engines (re-producible shard
+    membership), and composes with ``df.write.partitionBy(shard_col)``
+    or ``repartition(num_shards, shard_col)`` for the physical write.
+    ``salt`` re-deals the assignment for a new epoch without touching
+    the id space.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import portable_hash64
+
+    if num_shards <= 0:
+        raise ValueError("num_shards must be positive")
+    h = portable_hash64(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    return df.withColumn(shard_col, (h % num_shards).cast("int"))
+
+
+def shard_manifest(
+    df: DataFrame,
+    id_col: str,
+    num_shards: int,
+    weight_col: "str | None" = None,
+    salt: str = "",
+) -> DataFrame:
+    """Pre-write shard balance audit: per-shard row/weight totals plus
+    each shard's share of the total load and its skew vs the ideal
+    ``1/num_shards``.
+
+    One hash-partial aggregate over one scan; the share/skew pass runs
+    over the ``num_shards``-row manifest (driver-scale), so checking
+    balance costs one job regardless of corpus size.  A skew ratio near
+    1.0 certifies the id space hashes evenly — the go/no-go before
+    committing a multi-hour sharded write.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    assigned = assign_shards(df, id_col, num_shards, salt=salt)
+    weight = F.col(weight_col) if weight_col else F.lit(1)
+    per = assigned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(weight.cast("long")).alias("total_weight"),
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "shard_id",
+        "n_rows",
+        "total_weight",
+        F.round(F.col("total_weight") / F.sum("total_weight").over(w), 6).alias(
+            "load_share"
+        ),
+        F.round(
+            F.col("total_weight") * num_shards / F.sum("total_weight").over(w), 4
+        ).alias("skew_ratio"),
+    ).orderBy("shard_id")

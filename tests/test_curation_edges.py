@@ -219,3 +219,35 @@ def test_run_checks_counts_violations(spark):
     assert res["unique:id"] == (2, False)  # both rows of the dup key count
     assert res["ref_integrity:parent_id->pid"] == (1, False)
     assert all(r[0] >= 0 for r in res.values()) and len(res) == 6
+
+
+def test_assign_shards_range_and_determinism(spark):
+    from spark_fuse_spark.operators.layout import assign_shards
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    a = assign_shards(df, "doc_id", 8).collect()
+    assert all(0 <= r.shard_id < 8 for r in a)
+    b = {r.doc_id: r.shard_id for r in assign_shards(df, "doc_id", 8).collect()}
+    assert all(b[r.doc_id] == r.shard_id for r in a)
+    # a different salt re-deals membership
+    c = {r.doc_id: r.shard_id for r in assign_shards(df, "doc_id", 8, salt="e1").collect()}
+    assert any(c[r.doc_id] != r.shard_id for r in a)
+
+
+def test_shard_manifest_shares_sum_to_one(spark):
+    import pytest
+
+    from spark_fuse_spark.operators.layout import assign_shards, shard_manifest
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id").withColumn(
+        "w", F.lit(3)
+    )
+    m = shard_manifest(df, "doc_id", 4, weight_col="w").collect()
+    assert len(m) == 4
+    assert sum(r.n_rows for r in m) == 1000
+    assert sum(r.total_weight for r in m) == 3000
+    assert sum(r.load_share for r in m) == pytest.approx(1.0, abs=1e-4)
+    # uniform ids hash evenly: every shard within 25% of ideal
+    assert all(0.75 <= r.skew_ratio <= 1.25 for r in m)
+    with pytest.raises(ValueError):
+        assign_shards(df, "doc_id", 0)
