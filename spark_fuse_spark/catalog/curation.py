@@ -1130,3 +1130,69 @@ def t_shards(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return shard_manifest(docs, "doc_id", 16, weight_col="n_chars", salt="epoch0")
+
+
+# ------------------------------------------------------ watermark audit
+@register(
+    "e_watermark_audit",
+    oracle=f"""
+WITH raw AS (
+  SELECT event_id,
+         CASE WHEN {portable_hash64_sql("CAST(event_id AS VARCHAR)")} % 10 = 0 THEN ts - INTERVAL 45 MINUTES ELSE ts END AS ts
+  FROM events),
+ev AS (SELECT event_id // 1000 AS batch_id, ts FROM raw),
+pb AS (SELECT batch_id, MAX(ts) AS bmax FROM ev GROUP BY batch_id),
+mk AS (SELECT batch_id,
+              MAX(bmax) OVER (ORDER BY batch_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                - INTERVAL 600 SECONDS AS wm
+       FROM pb),
+a AS (SELECT e.batch_id, e.ts, m.wm
+      FROM ev e JOIN mk m ON e.batch_id = m.batch_id)
+SELECT batch_id,
+       strftime(MAX(wm), '{_TS_SQL}') AS watermark_ts,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COALESCE(SUM(CASE WHEN ts < wm THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_late,
+       CAST(MAX(CASE WHEN ts < wm
+                     THEN CAST(floor(epoch(wm)) - floor(epoch(ts)) AS BIGINT) END)
+            AS BIGINT) AS max_lateness_sec
+FROM a
+GROUP BY batch_id
+ORDER BY batch_id
+""",
+    doc="watermark tuning audit (operators/timeseries.watermark_audit): "
+    "replays Structured Streaming's per-micro-batch admission in batch — "
+    "events in arrival batch b are admitted against max(event time of "
+    "prior batches) - 10 min, exactly when the engine advances the "
+    "watermark — and reports per batch how many events a "
+    "withWatermark(ts, '10 minutes') config would DROP, with worst-case "
+    "lateness.  Sweep the delay to pick the smallest acceptable-loss "
+    "config before deploying the stream.  Scale: per-batch max via one "
+    "partial-agg'd shuffle, running max over the tiny batch table, "
+    "broadcast back; the raw stream is never globally sorted.",
+)
+def e_wm_audit(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.timeseries import watermark_audit
+
+    ev = load_table(spark, sf, "events")
+    # the synthetic stream arrives perfectly ordered, so the audit would
+    # trivially report zero drops at any delay; shift a deterministic
+    # hash-picked 10% of events 45 min back in EVENT time to model the
+    # delayed subpopulation a real pipeline sees (both engines replay
+    # the identical perturbation)
+    delayed = ev.withColumn(
+        "ts",
+        F.when(
+            portable_hash64(F.col("event_id").cast("string")) % 10 == 0,
+            F.col("ts") - F.expr("interval 45 minutes"),
+        ).otherwise(F.col("ts")),
+    )
+    out = watermark_audit(delayed, "ts", "event_id", delay_seconds=600, batch_rows=1000)
+    return out.select(
+        "batch_id",
+        F.date_format("watermark_ts", _TS_SPARK).alias("watermark_ts"),
+        "n_events",
+        "n_late",
+        F.col("max_lateness_sec").cast("long").alias("max_lateness_sec"),
+    ).orderBy("batch_id")

@@ -80,3 +80,35 @@ def test_independent_keys_do_not_share_spans(spark):
     # not a shared 4-day grid
     assert out.count() == 2
     assert out.where(F.col("value").isNull()).count() == 0
+
+
+def test_watermark_audit_batch_semantics(spark):
+    from spark_fuse_spark.operators.timeseries import watermark_audit
+
+    rows = [
+        (0, _ts("2024-01-01 10:00:00")),
+        (1, _ts("2024-01-01 10:10:00")),
+        (2, _ts("2024-01-01 09:55:00")),  # vs wm 10:05 -> late by 600s
+        (3, _ts("2024-01-01 10:20:00")),
+        (4, _ts("2024-01-01 10:01:00")),  # vs wm 10:15 -> late by 840s
+        (5, _ts("2024-01-01 10:30:00")),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = {
+        r.batch_id: r
+        for r in watermark_audit(df, "ts", "event_id", 300, batch_rows=2).collect()
+    }
+    assert out[0].watermark_ts is None and out[0].n_late == 0
+    assert out[1].watermark_ts == _ts("2024-01-01 10:05:00")
+    assert out[1].n_late == 1 and out[1].max_lateness_sec == 600
+    assert out[2].watermark_ts == _ts("2024-01-01 10:15:00")
+    assert out[2].n_late == 1 and out[2].max_lateness_sec == 840
+
+
+def test_watermark_audit_ordered_stream_drops_nothing(spark):
+    from spark_fuse_spark.operators.timeseries import watermark_audit
+
+    rows = [(i, _ts("2024-01-01 10:00:00") + dt.timedelta(minutes=i)) for i in range(9)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = watermark_audit(df, "ts", "event_id", 0, batch_rows=3).collect()
+    assert sum(r.n_late for r in out) == 0
