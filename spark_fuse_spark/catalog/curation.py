@@ -1196,3 +1196,105 @@ def e_wm_audit(spark: SparkSession, sf: str) -> DataFrame:
         "n_late",
         F.col("max_lateness_sec").cast("long").alias("max_lateness_sec"),
     ).orderBy("batch_id")
+
+
+# ------------------------------------------------------ span-cut regions
+@register(
+    "d_span_regions",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
+           AS t
+  FROM documents),
+pos AS (
+  SELECT doc_id, t, len(t) AS n_tokens,
+         unnest(generate_series(1, len(t)-7)) AS i
+  FROM toks WHERE len(t) >= 8),
+g AS (
+  SELECT doc_id, n_tokens, i AS s, i + 7 AS e,
+         {portable_hash64_sql("concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], t[i+6], t[i+7])")}
+           AS h
+  FROM pos),
+dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+hits AS (SELECT g.doc_id, g.n_tokens, g.s, g.e FROM g JOIN dup ON g.h = dup.h),
+isl AS (
+  SELECT doc_id, n_tokens, s, e,
+         CASE WHEN s > COALESCE(MAX(e + 1) OVER (
+                PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS newf
+  FROM hits),
+lab AS (
+  SELECT doc_id, n_tokens, s, e,
+         SUM(newf) OVER (PARTITION BY doc_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isle
+  FROM isl),
+reg AS (
+  SELECT doc_id, MAX(n_tokens) AS n_tokens, isle,
+         MIN(s) AS rs, MAX(e) AS re
+  FROM lab GROUP BY doc_id, isle)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_regions,
+       CAST(SUM(re - rs + 1) AS BIGINT) AS dup_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+       ROUND(SUM(re - rs + 1) / MAX(n_tokens), 6) AS dup_fraction
+FROM reg
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    doc="actionable exact-substring dedup (the cut list, not just the "
+    "report): duplicated 8-token windows (>= 2 distinct docs, as "
+    "d_duplicate_spans) are mapped back to their token positions and "
+    "coalesced per document into maximal disjoint cut regions "
+    "(operators/timeseries.merge_intervals island detection), with "
+    "per-doc duplicated-token totals and fraction — exactly what a "
+    "span-removal pass consumes (Lee et al. 2022 'Deduplicating "
+    "Training Data Makes Language Models Better').  Scale: gram "
+    "explode carries (doc, pos, 8-byte hash) only; dup filter is one "
+    "partial-agg'd hash shuffle + equi-join back (inverted-index "
+    "shape, never a self-join); merging is two windows over one "
+    "doc_id sort shuffle.",
+)
+def d_span_regions(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.timeseries import merge_intervals
+
+    docs = load_table(spark, sf, "documents")
+    t = docs.select("doc_id", tokens("text").alias("t")).where(F.size("t") >= 8)
+    occ = t.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(t)-7), i -> concat_ws(' ', slice(t, i, 8)))"
+            )
+        ).alias("i0", "gram"),
+    )
+    spans = occ.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("i0") + 1).alias("start"),
+        (F.col("i0") + 8).alias("end"),
+        portable_hash64("gram").alias("h"),
+    )
+    dup = spans.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("nd")
+    ).where(F.col("nd") >= 2).select("h")
+    hits = spans.join(dup, "h")
+    regions = merge_intervals(hits.select("doc_id", "start", "end"), "doc_id")
+    per_doc = regions.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_regions"),
+        F.sum(F.col("region_end") - F.col("region_start") + 1).alias("dup_tokens"),
+    )
+    totals = t.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+    return (
+        per_doc.join(totals, "doc_id")
+        .select(
+            "doc_id",
+            "n_regions",
+            "dup_tokens",
+            "n_tokens",
+            F.round(F.col("dup_tokens") / F.col("n_tokens"), 6).alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
+    )

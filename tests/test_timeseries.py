@@ -112,3 +112,32 @@ def test_watermark_audit_ordered_stream_drops_nothing(spark):
     df = spark.createDataFrame(rows, "event_id long, ts timestamp")
     out = watermark_audit(df, "ts", "event_id", 0, batch_rows=3).collect()
     assert sum(r.n_late for r in out) == 0
+
+
+def test_merge_intervals_islands(spark):
+    from spark_fuse_spark.operators.timeseries import merge_intervals
+
+    df = spark.createDataFrame(
+        [
+            # doc 1: [1,3]+[2,5] overlap, [6,8] touches (adjacent), [15,16] apart
+            (1, 1, 3), (1, 2, 5), (1, 6, 8), (1, 15, 16),
+            # doc 2: single interval
+            (2, 4, 9),
+        ],
+        "doc_id long, start long, end long",
+    )
+    out = sorted(
+        merge_intervals(df, "doc_id").collect(),
+        key=lambda r: (r.doc_id, r.region_start),
+    )
+    got = [(r.doc_id, r.region_start, r.region_end, r.n_intervals) for r in out]
+    assert got == [(1, 1, 8, 3), (1, 15, 16, 1), (2, 4, 9, 1)]
+
+
+def test_merge_intervals_gap_of_two_does_not_merge(spark):
+    from spark_fuse_spark.operators.timeseries import merge_intervals
+
+    df = spark.createDataFrame(
+        [(1, 1, 3), (1, 5, 6)], "doc_id long, start long, end long"
+    )
+    assert merge_intervals(df, "doc_id").count() == 2
