@@ -1298,3 +1298,80 @@ def d_span_regions(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------- DSIR domain weights
+_DSIR_B = 1024
+
+
+_DSIR_TOK = (
+    "unnest(string_split_regex(trim(lower("
+    "regexp_replace(text, '\\s+', ' ', 'g'))), ' '))"
+)
+_DSIR_HASH = portable_hash64_sql(_DSIR_TOK)
+
+
+@register(
+    "t_dsir_weights",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         {_DSIR_HASH} % {_DSIR_B}
+           AS b
+  FROM documents),
+stats AS (
+  SELECT b,
+         COUNT(*) FILTER (WHERE lang = 'en') AS ct,
+         COUNT(*) FILTER (WHERE lang <> 'en') AS cs
+  FROM toks GROUP BY b),
+tot AS (SELECT SUM(ct) AS t, SUM(cs) AS s FROM stats),
+lr AS (
+  SELECT b, ln(((ct + 1) / (tot.t + {_DSIR_B})) / ((cs + 1) / (tot.s + {_DSIR_B})))
+           AS lr
+  FROM stats CROSS JOIN tot)
+SELECT tk.doc_id, MAX(tk.lang) AS lang,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(SUM(lr.lr), 6) AS dsir_score
+FROM toks tk JOIN lr ON tk.b = lr.b
+GROUP BY tk.doc_id
+ORDER BY doc_id
+""",
+    doc="DSIR importance weights (Xie et al. 2023, 'Data Selection for "
+    "Language Models via Importance Resampling'): hashed unigram "
+    "features (portable hash mod 1024 buckets), smoothed "
+    "target/source log-likelihood ratio per bucket with target = "
+    "English docs, per-document score = sum of its tokens' bucket "
+    "log-ratios — rank by score and hash-gate-sample to select "
+    "target-domain-like data from a raw corpus.  Scale: the bucket "
+    "stats table is <= 1024 rows broadcast back onto the token "
+    "stream; the corpus shuffles once by bucket (partial-agg'd) and "
+    "once by doc_id for the rollup — independent of vocabulary size, "
+    "which is the point of hashed features.",
+)
+def t_dsir(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("tok")
+    ).select("doc_id", "lang", (portable_hash64("tok") % _DSIR_B).alias("b"))
+    stats = toks.groupBy("b").agg(
+        F.sum((F.col("lang") == "en").cast("long")).alias("ct"),
+        F.sum((F.col("lang") != "en").cast("long")).alias("cs"),
+    )
+    tot = stats.agg(F.sum("ct").alias("t"), F.sum("cs").alias("s"))
+    lr = stats.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.log(
+            ((F.col("ct") + 1) / (F.col("t") + _DSIR_B))
+            / ((F.col("cs") + 1) / (F.col("s") + _DSIR_B))
+        ).alias("lr"),
+    )
+    return (
+        toks.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.max("lang").alias("lang"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.sum("lr"), 6).alias("dsir_score"),
+        )
+        .orderBy("doc_id")
+    )
