@@ -94,6 +94,31 @@ def v_pq(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "v_ivfpq_topk",
+    oracle=None,  # centroids + codebooks from sampled k-means — engine-specific
+    doc="IVF+PQ composed ANN (the FAISS IVFPQ shape): probe the 3 "
+    "nearest of 8 coarse centroid lists, score ONLY probed rows via "
+    "broadcast ADC lookup tables over 16x6-bit PQ codes, exact-cosine "
+    "re-rank of the top-25 (operators/quantization.ivfpq_topk).  The "
+    "two approximations multiply: IVF cuts WHICH rows are scored, PQ "
+    "cuts WHAT each row costs.  Rows-only driver check; recall vs the "
+    "exact baseline asserted in tests/test_quantization.py.",
+)
+def v_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.quantization import ivfpq_topk, train_pq_codebooks
+    from ..operators.similarity import train_ivf_centroids
+
+    emb = load_table(spark, sf, "embeddings")
+    centroids = train_ivf_centroids(emb, k=8, vec_col="embedding", seed=42)
+    books = train_pq_codebooks(emb, m=16, nbits=6, vec_col="embedding", seed=42)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivfpq_topk(emb, queries, centroids, books, k=5, nprobe=3, rerank=25,
+                      corpus_id="vec_id", corpus_vec="embedding")
+
+
+@register(
     "v_lsh_buckets",
     oracle=None,  # bucket histogram; plane generation is library-internal
     doc="random-hyperplane LSH bucket histogram (12 planes → ≤4096 "

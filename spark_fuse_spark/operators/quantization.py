@@ -41,7 +41,7 @@ from pyspark.sql.types import ArrayType, DoubleType, IntegerType
 
 from ..functions.vectors import cosine_similarity
 
-__all__ = ["train_pq_codebooks", "pq_encode", "pq_adc_topk"]
+__all__ = ["train_pq_codebooks", "pq_encode", "pq_adc_topk", "ivfpq_topk"]
 
 
 def _sample_matrix(
@@ -247,6 +247,81 @@ def pq_adc_topk(
 
     # exact verify on the tiny candidate set (minhash-verify shape):
     # candidates broadcast onto one corpus scan, then top-k by true cosine
+    exact = (
+        corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec))
+        .join(F.broadcast(cand.select(query_id, "neighbor_id")), "neighbor_id")
+        .join(F.broadcast(queries.select(query_id, query_vec)), query_id)
+        .select(
+            query_id,
+            "neighbor_id",
+            F.round(cosine_similarity(F.col(corpus_vec), F.col(query_vec)), 6).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    rerank: int = 0,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """IVF + PQ — the classic FAISS ``IVFPQ`` composition on DataFrames.
+
+    The two approximations are orthogonal and multiply: IVF restricts
+    WHICH rows each query scores (probe the ``nprobe`` nearest centroid
+    lists → ~nprobe/k_lists of the corpus), PQ compresses WHAT each
+    scored row costs (ADC over codes instead of a 64-float dot).  The
+    probed join replaces ``pq_adc_topk``'s full cross join, so the
+    scoring relation shrinks from |corpus|×|Q| to |corpus|×|Q|×nprobe/
+    k_lists — at 100 TB that is the difference between a full-corpus
+    scan per query batch and touching only the probed partitions
+    (bucket the physical layout by ``ivf_list`` and partition pruning
+    does the skip).
+
+    Encode-once contract: if ``corpus`` already carries ``code_col``
+    and ``ivf_list`` (a persisted index table), both are reused.
+    """
+    from .similarity import ivf_assign, ivf_probes
+
+    ksub = len(codebooks[0])
+    indexed = corpus
+    if "ivf_list" not in indexed.columns:
+        indexed = ivf_assign(indexed, centroids, corpus_vec, "ivf_list")
+    if code_col not in indexed.columns:
+        indexed = pq_encode(indexed, codebooks, corpus_vec, code_col)
+
+    probed = ivf_probes(queries, centroids, nprobe, query_id, query_vec)
+    q = _with_lut(probed, codebooks, query_vec, "__lut")
+
+    adc = F.expr(
+        f"aggregate(zip_with({code_col}, sequence(0, size({code_col}) - 1), "
+        f"(c, j) -> element_at(__lut, j * {ksub} + c + 1)), 0.0D, (a, x) -> a + x)"
+    )
+    scored = (
+        indexed.select(F.col(corpus_id).alias("neighbor_id"), code_col, "ivf_list")
+        .join(F.broadcast(q.select(query_id, "__lut", "ivf_list")), "ivf_list")
+        .select(query_id, "neighbor_id", F.round(adc, 6).alias("adc"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("adc").desc(), F.col("neighbor_id").asc())
+    take = max(k, rerank)
+    cand = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= take)
+    if not rerank:
+        return cand.select(query_id, "neighbor_id", F.col("adc").alias("cosine"), "rank")
+
     exact = (
         corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec))
         .join(F.broadcast(cand.select(query_id, "neighbor_id")), "neighbor_id")

@@ -285,6 +285,42 @@ def train_ivf_centroids(
     return [(i, [float(v) for v in c]) for i, c in enumerate(centers)]
 
 
+def ivf_probes(
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Per-query probed IVF lists: rank centroid lists by query-centroid
+    cosine, keep the ``nprobe`` nearest.  One sims array + posexplode
+    (a per-centroid unionByName chain would build k plan branches and
+    k× the py4j traffic).  Output: ``query_id, query_vec, ivf_list`` —
+    shared by the float (``ivf_topk``) and quantized
+    (``quantization.ivfpq_topk``) search paths.
+    """
+    sims_sql = "array(" + ", ".join(
+        _dot_lit_sql("__q_unit", _unit(cvec)) for _, cvec in centroids
+    ) + ")"
+    ids_sql = "array(" + ", ".join(str(int(cid)) for cid, _ in centroids) + ")"
+    q = (
+        queries.select(F.col(query_id), F.col(query_vec))
+        .withColumn("__q_unit", l2_normalize(query_vec))
+        .select(
+            F.col(query_id),
+            F.col(query_vec),
+            F.posexplode(F.expr(sims_sql)).alias("__pos", "__csim"),
+        )
+        .withColumn("ivf_list", F.element_at(F.expr(ids_sql), F.col("__pos") + 1))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("__csim").desc(), F.col("ivf_list").asc())
+    return (
+        q.withColumn("__pr", F.row_number().over(w))
+        .filter(F.col("__pr") <= nprobe)
+        .select(query_id, query_vec, "ivf_list")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -302,30 +338,7 @@ def ivf_topk(
     joins only its probed buckets, cutting scanned rows by ~k/nprobe.
     """
     bucketed = ivf_assign(corpus, centroids, corpus_vec, "ivf_list")
-
-    # rank centroid lists per query, keep nprobe: one sims array +
-    # posexplode (the previous per-centroid unionByName chain built k
-    # plan branches and k× the py4j traffic)
-    sims_sql = "array(" + ", ".join(
-        _dot_lit_sql("__q_unit", _unit(cvec)) for _, cvec in centroids
-    ) + ")"
-    ids_sql = "array(" + ", ".join(str(int(cid)) for cid, _ in centroids) + ")"
-    q = (
-        queries.select(F.col(query_id), F.col(query_vec))
-        .withColumn("__q_unit", l2_normalize(query_vec))
-        .select(
-            F.col(query_id),
-            F.col(query_vec),
-            F.posexplode(F.expr(sims_sql)).alias("__pos", "__csim"),
-        )
-        .withColumn("ivf_list", F.element_at(F.expr(ids_sql), F.col("__pos") + 1))
-    )
-    w = Window.partitionBy(query_id).orderBy(F.col("__csim").desc(), F.col("ivf_list").asc())
-    probed = (
-        q.withColumn("__pr", F.row_number().over(w))
-        .filter(F.col("__pr") <= nprobe)
-        .select(query_id, query_vec, "ivf_list")
-    )
+    probed = ivf_probes(queries, centroids, nprobe, query_id, query_vec)
 
     sim = cosine_similarity(F.col(corpus_vec), F.col(query_vec))
     scored = (

@@ -106,3 +106,31 @@ def test_encode_deterministic_and_reused(spark, emb, books):
 def test_indivisible_dims_raise(spark, emb):
     with pytest.raises(ValueError, match="not divisible"):
         train_pq_codebooks(emb, m=7, nbits=2, vec_col="embedding")
+
+
+def test_ivfpq_recall_against_ivf_probes(spark, emb, books):
+    """IVFPQ must recover what plain IVF (same probes) recovers, up to PQ
+    error absorbed by the re-rank — compare against the float IVF path
+    rather than the global exact baseline so probe loss cancels out."""
+    from spark_fuse_spark.operators.quantization import ivfpq_topk
+    from spark_fuse_spark.operators.similarity import ivf_topk, train_ivf_centroids
+
+    q = _queries(emb)
+    cents = train_ivf_centroids(emb, k=8, vec_col="embedding", seed=42)
+    ivf = ivf_topk(emb, q, cents, k=5, nprobe=3, corpus_id="vec_id",
+                   corpus_vec="embedding")
+    ivfpq = ivfpq_topk(emb, q, cents, books, k=5, nprobe=3, rerank=25,
+                       corpus_id="vec_id", corpus_vec="embedding")
+    a = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    b = {(r.query_id, r.neighbor_id) for r in ivfpq.collect()}
+    assert len(a & b) / len(a) >= 0.85
+
+
+def test_ivfpq_reuses_persisted_index_columns(spark, emb, books):
+    from spark_fuse_spark.operators.quantization import ivfpq_topk, pq_encode
+    from spark_fuse_spark.operators.similarity import ivf_assign, train_ivf_centroids
+
+    cents = train_ivf_centroids(emb, k=8, vec_col="embedding", seed=42)
+    index = pq_encode(ivf_assign(emb, cents, "embedding", "ivf_list"), books)
+    out = ivfpq_topk(index, _queries(emb), cents, books, k=3, nprobe=2)
+    assert out.count() == 30
