@@ -1375,3 +1375,36 @@ def t_dsir(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------------------- pagerank
+@register(
+    "x_pagerank_suppliers",
+    oracle=None,  # 10 float power iterations — validated vs numpy in tests
+    doc="PageRank (Brin & Page 1998) over the distinct customer->supplier "
+    "order graph: which suppliers sit at the center of purchasing flow.  "
+    "The iterative-Spark discipline showcase (operators/graph.pagerank): "
+    "per round exactly two partial-agg'd shuffles (rank join on src, "
+    "contribution groupBy on dst), edge list persisted once, dangling "
+    "mass folded back via a 1-row broadcast panel in the SAME plan (no "
+    "per-iteration driver action), and eager localCheckpoint every 3 "
+    "rounds so lineage stays bounded.  Rows-only driver check; the "
+    "numerics are pinned against a numpy power iteration in "
+    "tests/test_graph_pagerank.py.",
+)
+def x_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("src"), (F.col("l_suppkey") + 1_000_000).alias("dst"))
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=10, damping=0.85)
+    return (
+        ranks.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(20)
+    )

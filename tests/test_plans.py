@@ -256,6 +256,9 @@ NESTED_LOOP_OK = {
     "t_unigram_surprisal": "1-row broadcast corpus-total for the surprisal denominator",
     "t_tfidf_keywords": "1-row broadcast doc-count for the idf numerator",
     "t_length_buckets": "1-row broadcast decile-cutoff panel",
+    "x_pagerank_suppliers": "1-row broadcast dangling-mass panel per iteration",
+    "t_dsir_weights": "1-row broadcast target/source token totals",
+    "v_pq_topk": "broadcast ADC lookup-table panel x corpus code scan",
     "t_vocab_coverage": "1-row broadcast corpus token total",
     "x_key_skew_profile": "1-row broadcast total/n_keys stats panel",
     "q_data_checks": "1-row broadcast row-count panels joined to the unique/ref check results",
