@@ -280,3 +280,58 @@ def a_hash_components(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id", "component")
     )
+
+
+@register(
+    "c_snapshot_diff",
+    oracle="""
+WITH old AS (SELECT c_custkey, c_mktsegment AS segment FROM customer),
+new AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 0 THEN 'PROMO' ELSE c_mktsegment END AS segment
+  FROM customer WHERE c_custkey % 97 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEW' FROM customer WHERE c_custkey % 101 = 0),
+j AS (
+  SELECT o.c_custkey AS ok, n.c_custkey AS nk,
+         o.segment AS oseg, n.segment AS nseg
+  FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey)
+SELECT COALESCE(nk, ok) AS c_custkey,
+       CASE WHEN op = 'D' THEN oseg ELSE nseg END AS segment,
+       op
+FROM (SELECT *,
+             CASE WHEN ok IS NULL THEN 'I'
+                  WHEN nk IS NULL THEN 'D'
+                  WHEN oseg <> nseg THEN 'U' END AS op
+      FROM j)
+WHERE op IS NOT NULL
+ORDER BY c_custkey
+""",
+    doc="snapshot differencing (cdc/diff.snapshot_diff): the changelog "
+    "BETWEEN two table states — the producer half of CDC (scd.py is the "
+    "consumer).  New state flips custkey%10 segments (updates), drops "
+    "custkey%97 (deletes), and adds custkey%101 clones under new keys "
+    "(inserts); the diff emits exactly those as I/U/D with new values "
+    "for I/U and last-known values for D.  Scale: ONE co-partitioned "
+    "full-outer join on the key; attribute equality via a map-side "
+    "sha256 row hash (wide rows compare as one column) and unchanged "
+    "keys drop immediately — output is O(changes), not O(rows).",
+)
+def c_snap_diff(spark: SparkSession, sf: str) -> DataFrame:
+    from ..cdc import snapshot_diff
+
+    cust = load_table(spark, sf, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    new = cust.where(F.col("c_custkey") % 97 != 0).withColumn(
+        "segment",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("PROMO")).otherwise(
+            F.col("segment")
+        ),
+    ).unionByName(
+        cust.where(F.col("c_custkey") % 101 == 0).select(
+            (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+            F.lit("NEW").alias("segment"),
+        )
+    )
+    return snapshot_diff(cust, new, ["c_custkey"]).orderBy("c_custkey")

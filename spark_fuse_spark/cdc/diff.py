@@ -1,0 +1,86 @@
+"""Snapshot differencing: derive an insert/update/delete changelog from
+two table states.
+
+The missing half of the CDC story (``cdc/scd.py`` APPLIES a changelog;
+this PRODUCES one): given yesterday's and today's snapshot of a table
+with a primary key, emit the minimal change set — the input an SCD
+upsert, a downstream cache invalidation, or a reverse-ETL sync consumes.
+Re-expresses the Delta Change Data Feed contract for plain tables
+(reference ``utils/change_tracking.py`` tracks changes only at write
+time; diffing two existing states is net-new surface).
+
+Scale shape: ONE co-partitioned full-outer sort-merge join on the key
+columns; attribute equality is decided by a sha256 row hash computed
+map-side BEFORE the shuffle, so wide rows compare via one 64-char
+column rather than N-column comparisons, and unchanged rows (the
+overwhelming majority of a daily snapshot pair) are dropped immediately
+after the join — output is O(changes), not O(rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import row_hash
+
+__all__ = ["snapshot_diff"]
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: "list[str] | None" = None,
+    op_col: str = "op",
+) -> DataFrame:
+    """Changelog between two snapshots keyed by ``keys``.
+
+    Output: ``keys + compare_cols + op_col`` with one row per changed
+    key — ``op`` ∈ {'I','U','D'}; attribute columns carry the NEW value
+    for I/U and the OLD (deleted) value for D.  Unchanged keys are
+    omitted.  Null attributes compare equal via the null-normalized row
+    hash (``functions.hashing.row_hash``); key columns must be non-null
+    (primary-key contract, as in ``cdc/scd.py``).
+    """
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    compare = compare_cols or [c for c in new.columns if c not in keys]
+    if not compare:
+        raise ValueError("no attribute columns to compare (all columns are keys)")
+    missing = [c for c in compare if c not in old.columns or c not in new.columns]
+    if missing:
+        raise ValueError(f"compare columns absent from a snapshot: {missing}")
+
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        *[F.col(c).alias(f"__ov_{c}") for c in compare],
+        row_hash(compare).alias("__oh"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in keys],
+        *[F.col(c).alias(f"__nv_{c}") for c in compare],
+        row_hash(compare).alias("__nh"),
+    )
+    cond = [o[f"__ok_{k}"] == n[f"__nk_{k}"] for k in keys]
+    j = o.join(n, cond, "full_outer")
+
+    op = (
+        F.when(F.col(f"__ok_{keys[0]}").isNull(), F.lit("I"))
+        .when(F.col(f"__nk_{keys[0]}").isNull(), F.lit("D"))
+        .when(F.col("__oh") != F.col("__nh"), F.lit("U"))
+    )
+    out_keys = [
+        F.coalesce(F.col(f"__nk_{k}"), F.col(f"__ok_{k}")).alias(k) for k in keys
+    ]
+    out_vals = [
+        F.when(F.col(op_col) == "D", F.col(f"__ov_{c}"))
+        .otherwise(F.col(f"__nv_{c}"))
+        .alias(c)
+        for c in compare
+    ]
+    return (
+        j.withColumn(op_col, op)
+        .where(F.col(op_col).isNotNull())
+        .select(*out_keys, *out_vals, op_col)
+    )

@@ -201,3 +201,43 @@ def test_dispatcher(spark, tmp_path):
         load_ts_expr=TS1,
     )
     assert len(_read(spark, target)) == 1
+
+
+# ------------------------------------------------------- snapshot diff
+def test_snapshot_diff_classifies_ops(spark):
+    from spark_fuse_spark.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, score double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (4, "d", 40.0)],
+        "id long, name string, score double",
+    )
+    rows = {r.id: r for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert set(rows) == {2, 3, 4}  # 1 unchanged -> omitted
+    assert rows[2].op == "U" and rows[2].name == "B"
+    assert rows[3].op == "D" and rows[3].name == "c"  # deleted: old values
+    assert rows[4].op == "I" and rows[4].name == "d"
+
+
+def test_snapshot_diff_nulls_compare_equal(spark):
+    from spark_fuse_spark.cdc import snapshot_diff
+
+    old = spark.createDataFrame([(1, None), (2, None)], "id long, name string")
+    new = spark.createDataFrame([(1, None), (2, "x")], "id long, name string")
+    rows = snapshot_diff(old, new, ["id"]).collect()
+    assert len(rows) == 1 and rows[0].id == 2 and rows[0].op == "U"
+
+
+def test_snapshot_diff_rejects_bad_args(spark):
+    from spark_fuse_spark.cdc import snapshot_diff
+
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    with pytest.raises(ValueError):
+        snapshot_diff(df, df, [])
+    with pytest.raises(ValueError, match="no attribute columns"):
+        snapshot_diff(df, df.drop("name"), ["id"])
+    with pytest.raises(ValueError, match="absent"):
+        snapshot_diff(df.drop("name"), df, ["id"])
