@@ -522,3 +522,93 @@ def d_embed_neardup(spark: SparkSession, sf: str) -> DataFrame:
         # single-file input → spread the CPU-heavy projection/verify
         parallelism=spark.sparkContext.defaultParallelism,
     )
+
+
+@register(
+    "t_filter_audit",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         {_TOKS.format(col="text")} AS toks
+  FROM documents),
+m AS (
+  SELECT doc_id, lang, n_chars,
+    (length(text) - length(regexp_replace(text, '[[:punct:]0-9]', '', 'g')))
+      / greatest(length(text), 1) AS noise,
+    len(list_filter(toks, tk -> list_contains({_sw_sql('en')}, tk)))
+      / greatest(len(toks), 1) AS swr,
+    len(list_distinct(toks)) / greatest(len(toks), 1) AS distinct_ratio
+  FROM t),
+r AS (
+  SELECT doc_id, lang, n_chars,
+         concat_ws(',',
+           CASE WHEN n_chars < 50 THEN 'too_short' END,
+           CASE WHEN n_chars > 20000 THEN 'too_long' END,
+           CASE WHEN noise > 0.25 THEN 'noisy' END,
+           CASE WHEN lang = 'en' AND swr < 0.05 THEN 'low_stopword' END,
+           CASE WHEN distinct_ratio < 0.5 THEN 'repetitive' END) AS reasons
+  FROM m)
+SELECT doc_id, lang, n_chars, reasons, reasons = '' AS keep
+FROM r
+ORDER BY doc_id
+""",
+    doc="explainable filter audit (the Dolma/RefinedWeb-style verdict "
+    "table): every document gets a comma-joined, fixed-order list of "
+    "NAMED failure reasons (too_short / too_long / noisy / "
+    "low_stopword / repetitive) and a keep flag — the artifact a "
+    "curation review actually reads, and the input to per-reason loss "
+    "accounting (group by reasons).  All five signals are per-row "
+    "Catalyst expressions over one scan (array_distinct for the "
+    "repetition proxy — no token-level shuffle); the only exchange is "
+    "the output sort.",
+)
+def t_filter_audit(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import STOPWORDS, tokens
+
+    d = load_table(spark, sf, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        (
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", r"[\p{Punct}0-9]", ""))
+            )
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("noise"),
+        tokens("text").alias("toks"),
+    )
+    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    m = t.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "noise",
+        (
+            F.size(F.filter("toks", lambda x: F.array_contains(sw, x)))
+            / F.greatest(F.size("toks"), F.lit(1))
+        ).alias("swr"),
+        (
+            F.size(F.array_distinct("toks")) / F.greatest(F.size("toks"), F.lit(1))
+        ).alias("distinct_ratio"),
+    )
+    reasons = F.concat_ws(
+        ",",
+        F.when(F.col("n_chars") < 50, F.lit("too_short")),
+        F.when(F.col("n_chars") > 20000, F.lit("too_long")),
+        F.when(F.col("noise") > 0.25, F.lit("noisy")),
+        F.when((F.col("lang") == "en") & (F.col("swr") < 0.05), F.lit("low_stopword")),
+        F.when(F.col("distinct_ratio") < 0.5, F.lit("repetitive")),
+    )
+    return (
+        m.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            reasons.alias("reasons"),
+            (reasons == "").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
