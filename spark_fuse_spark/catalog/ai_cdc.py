@@ -335,3 +335,87 @@ def c_snap_diff(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return snapshot_diff(cust, new, ["c_custkey"]).orderBy("c_custkey")
+
+
+@register(
+    "c_scd2_temporal_join",
+    oracle="""
+WITH f AS (
+  SELECT o_orderkey, o_custkey,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (o_orderkey % 90) DAY AS fact_ts
+  FROM orders)
+SELECT f.o_orderkey, f.o_custkey,
+       strftime(f.fact_ts, '%Y-%m-%d %H:%M:%S') AS fact_ts_s,
+       CASE WHEN f.fact_ts >= TIMESTAMP '2024-03-01 00:00:00' AND f.o_custkey % 7 = 0
+              THEN 'VIP'
+            WHEN f.fact_ts >= TIMESTAMP '2024-02-01 00:00:00' AND f.o_custkey % 10 = 0
+              THEN 'PROMO'
+            ELSE c.c_mktsegment END AS segment,
+       CAST(1
+            + CASE WHEN f.fact_ts >= TIMESTAMP '2024-02-01 00:00:00'
+                        AND f.o_custkey % 10 = 0 THEN 1 ELSE 0 END
+            + CASE WHEN f.fact_ts >= TIMESTAMP '2024-03-01 00:00:00'
+                        AND f.o_custkey % 7 = 0 THEN 1 ELSE 0 END AS INT) AS version
+FROM f JOIN customer c ON f.o_custkey = c.c_custkey
+ORDER BY o_orderkey
+""",
+    doc="fact-to-dimension TEMPORAL join over a three-batch SCD2 history: "
+    "every order (given a deterministic fact timestamp spread across the "
+    "Jan-Mar history window) joins the customer-dimension VERSION valid "
+    "at ITS OWN time — equi on the key plus interval containment "
+    "start <= ts < coalesce(end, inf).  This is the warehouse pattern "
+    "point-in-time reads can't express (each fact needs a different "
+    "version).  The oracle derives every fact's segment/version from "
+    "first principles, so a history with overlapping or gapped "
+    "intervals double-joins or drops facts and fails the row count.  "
+    "Scale: the equi key drives a co-partitioned join (interval check "
+    "rides along as a join residual); history side is dim-sized.",
+)
+def c_scd2_temporal(spark: SparkSession, sf: str) -> DataFrame:
+    from ..cdc import track_history_upsert
+
+    customer = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    batch1 = customer.withColumnRenamed("c_mktsegment", "segment")
+    batch2 = batch1.withColumn(
+        "segment",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("PROMO")).otherwise(F.col("segment")),
+    )
+    batch3 = batch2.withColumn(
+        "segment",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("VIP")).otherwise(F.col("segment")),
+    )
+    target = tempfile.mkdtemp(prefix="scd2_tj_") + "/t"
+    for batch, ts in (
+        (batch1, "2024-01-01 00:00:00"),
+        (batch2, "2024-02-01 00:00:00"),
+        (batch3, "2024-03-01 00:00:00"),
+    ):
+        track_history_upsert(
+            spark, batch, target, ["c_custkey"],
+            load_ts_expr=f"to_timestamp('{ts}')",
+        )
+    facts = load_table(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(
+            "timestamp'2024-01-01 00:00:00'"
+            " + make_dt_interval(CAST(o_orderkey % 90 AS INT), 0, 0, 0)"
+        ).alias("fact_ts"),
+    )
+    hist = spark.read.parquet(target)
+    return (
+        facts.join(
+            hist,
+            (facts.o_custkey == hist.c_custkey)
+            & (hist.effective_start_ts <= facts.fact_ts)
+            & (hist.effective_end_ts.isNull() | (hist.effective_end_ts > facts.fact_ts)),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("fact_ts", _TS).alias("fact_ts_s"),
+            "segment",
+            F.col("version").cast("int").alias("version"),
+        )
+        .orderBy("o_orderkey")
+    )
