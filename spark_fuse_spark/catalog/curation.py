@@ -1408,3 +1408,51 @@ def x_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), F.col("node").asc())
         .limit(20)
     )
+
+
+# ------------------------------------------------- parquet layout audit
+@register(
+    "q_parquet_meta",
+    oracle=None,  # footer paths differ per SF dir; differential parity vs
+    # DuckDB parquet_metadata() is asserted in tests/test_parquet_meta.py
+    doc="parquet-footer layout audit (sources/parquet_meta.py, format "
+    "fuse-parquet-meta): row-group/column-chunk stats — value counts, "
+    "nulls, min/max, compressed/uncompressed bytes, codec — for the "
+    "lineitem key/date/flag columns, read from footers ONLY (no data "
+    "pages).  This is what scan planning runs on: disjoint min/max "
+    "ranges under the intended sort = row-group pruning works; the "
+    "compression ratio column prices the layout.  One partition per "
+    "file — auditing a million-file lake fans the footer reads across "
+    "the cluster.  Rows-only driver check; column-for-column parity vs "
+    "DuckDB's parquet_metadata() is pinned in tests.",
+)
+def q_pq_meta(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.parquet_meta import FORMAT_NAME, register as reg_src
+
+    reg_src(spark)
+    meta = (
+        spark.read.format(FORMAT_NAME)
+        .option("path", f"{sf.rstrip('/')}/lineitem.parquet")
+        .load()
+    )
+    return (
+        meta.where(
+            F.col("path_in_schema").isin("l_orderkey", "l_returnflag", "l_shipdate")
+        )
+        .select(
+            "row_group_id",
+            "row_group_num_rows",
+            "path_in_schema",
+            "num_values",
+            "null_count",
+            "min_value",
+            "max_value",
+            "compressed_bytes",
+            "uncompressed_bytes",
+            "codec",
+            F.round(
+                F.col("uncompressed_bytes") / F.col("compressed_bytes"), 4
+            ).alias("compression_ratio"),
+        )
+        .orderBy("row_group_id", "path_in_schema")
+    )
