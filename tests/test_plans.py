@@ -190,6 +190,28 @@ CONTRACTS = {
     # (user,bucket) rollup -> span agg -> grid join -> fill window + sort;
     # every shuffle is on the user key family and partial-agg'd
     "e_resample_1h": PlanExpectation(require_partial_agg=True, max_exchanges=4),
+    # gram hash agg + dup-set broadcast back + island windows + rollup +
+    # totals join + sort — the inverted-index family's exchange budget
+    "d_span_regions": PlanExpectation(
+        min_broadcast_joins=1, require_partial_agg=True, max_exchanges=6
+    ),
+    # bucket-stats agg + 1-row totals (declared NLJ) + doc rollup + sort
+    "t_dsir_weights": PlanExpectation(
+        min_broadcast_joins=1, require_partial_agg=True, max_exchanges=7
+    ),
+    # pure per-row Catalyst signals; output sort is the only exchange
+    "t_filter_audit": PlanExpectation(max_exchanges=1),
+    # ONE co-partitioned full-outer join (both sides hash to the key) + sort
+    "c_snapshot_diff": PlanExpectation(max_shuffle_joins=1, max_exchanges=3),
+    # one partial-agg'd scan; the share window runs over 16 rows
+    "t_shard_manifest": PlanExpectation(require_partial_agg=True, max_exchanges=2),
+    # per-batch max agg + tiny running-max window + broadcast-back + rollup
+    "e_watermark_audit": PlanExpectation(
+        min_broadcast_joins=1, require_partial_agg=True, max_exchanges=5
+    ),
+    # LSH pairs lineage-truncated by CC checkpoints; final plan is
+    # label-broadcast + cluster-size window + sort (d_dedup_clusters shape)
+    "d_semantic_dedup": PlanExpectation(min_broadcast_joins=1, max_exchanges=5),
 }
 
 
