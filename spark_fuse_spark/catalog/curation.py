@@ -1456,3 +1456,52 @@ def q_pq_meta(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("row_group_id", "path_in_schema")
     )
+
+
+# ---------------------------------------------------- JSONL ingestion
+@register(
+    "q_json_roundtrip",
+    oracle="""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS total_text_len,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id, CAST(MAX(doc_id) AS BIGINT) AS max_id
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+    doc="JSONL ingestion path, proved lossless end-to-end: the documents "
+    "table is written to JSON-lines and read back with an EXPLICIT "
+    "schema in FAILFAST mode (schema-on-write discipline — no "
+    "inference pass over the data, malformed rows abort instead of "
+    "nulling out silently); the oracle aggregates the ORIGINAL table "
+    "directly, so any row lost or any text/unicode mangled in the "
+    "round trip breaks counts, lengths, or id ranges.  Scale: "
+    "explicit schema means a single scan (inference would add a full "
+    "pre-pass), and JSONL splits by line so reads parallelize per "
+    "block.",
+)
+def q_json_rt(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile as _tf
+
+    docs = load_table(spark, sf, "documents")
+    path = _tf.mkdtemp(prefix="jsonl_rt_") + "/docs"
+    docs.write.mode("overwrite").json(path)
+    back = (
+        spark.read.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("mode", "FAILFAST")
+        .json(path)
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.length("text")).alias("total_text_len"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang")
+    )

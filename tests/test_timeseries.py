@@ -141,3 +141,35 @@ def test_merge_intervals_gap_of_two_does_not_merge(spark):
         [(1, 1, 3), (1, 5, 6)], "doc_id long, start long, end long"
     )
     assert merge_intervals(df, "doc_id").count() == 2
+
+
+def test_merge_intervals_randomized_against_python_model(spark):
+    """200 random intervals across 20 keys, ONE Spark job, compared to a
+    reference python sweep-line merge (same touching-merge semantics)."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for key in range(20):
+        for _ in range(10):
+            s = rng.randint(0, 60)
+            rows.append((key, s, s + rng.randint(0, 12)))
+
+    def model(intervals):
+        out = []
+        for s, e in sorted(intervals):
+            if out and s <= out[-1][1] + 1:
+                out[-1][1] = max(out[-1][1], e)
+            else:
+                out.append([s, e])
+        return [(s, e) for s, e in out]
+
+    from spark_fuse_spark.operators.timeseries import merge_intervals
+
+    df = spark.createDataFrame(rows, "k long, start long, end long")
+    got: dict[int, list] = {}
+    for r in merge_intervals(df, "k").collect():
+        got.setdefault(r.k, []).append((r.region_start, r.region_end))
+    for key in range(20):
+        want = model([(s, e) for k, s, e in rows if k == key])
+        assert sorted(got[key]) == want, f"key {key}"
