@@ -612,3 +612,59 @@ def t_filter_audit(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "t_script_mix",
+    oracle=r"""
+WITH c AS (
+  SELECT doc_id, lang,
+         CAST(length(text) AS BIGINT) AS n,
+         CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT)
+           AS latin_cnt,
+         CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT)
+           AS cjk_cnt,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT)
+           AS digit_cnt
+  FROM documents)
+SELECT doc_id, lang,
+       ROUND(latin_cnt / greatest(n, 1), 6) AS latin_frac,
+       ROUND(cjk_cnt / greatest(n, 1), 6) AS cjk_frac,
+       ROUND(digit_cnt / greatest(n, 1), 6) AS digit_frac,
+       CASE WHEN cjk_cnt > latin_cnt THEN 'cjk' ELSE 'latin' END AS dominant_script
+FROM c
+ORDER BY doc_id
+""",
+    doc="writing-system (script) detection by Unicode codepoint ranges — "
+    "the signal that catches mislabeled languages and mixed-script spam "
+    "BEFORE n-gram language id runs (a doc whose chars are 40% CJK is "
+    "not 'en' whatever its trigrams say): per-document Latin / CJK / "
+    "digit character fractions plus a dominant-script verdict, all from "
+    "count-by-regex-strip arithmetic (codepoint-aware length on both "
+    "engines).  Pure per-row codegen over one scan; the output sort is "
+    "the only exchange.",
+)
+def t_script_mix(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    n = F.length("text").cast("long")
+    latin = (n - F.length(F.regexp_replace("text", "[A-Za-z]", "")).cast("long")).alias(
+        "latin_cnt"
+    )
+    cjk = (
+        n - F.length(F.regexp_replace("text", r"[\x{4e00}-\x{9fff}]", "")).cast("long")
+    ).alias("cjk_cnt")
+    digit = (n - F.length(F.regexp_replace("text", "[0-9]", "")).cast("long")).alias(
+        "digit_cnt"
+    )
+    c = d.select("doc_id", "lang", n.alias("n"), latin, cjk, digit)
+    g = F.greatest(F.col("n"), F.lit(1))
+    return c.select(
+        "doc_id",
+        "lang",
+        F.round(F.col("latin_cnt") / g, 6).alias("latin_frac"),
+        F.round(F.col("cjk_cnt") / g, 6).alias("cjk_frac"),
+        F.round(F.col("digit_cnt") / g, 6).alias("digit_frac"),
+        F.when(F.col("cjk_cnt") > F.col("latin_cnt"), F.lit("cjk"))
+        .otherwise(F.lit("latin"))
+        .alias("dominant_script"),
+    ).orderBy("doc_id")

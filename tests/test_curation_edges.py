@@ -251,3 +251,29 @@ def test_shard_manifest_shares_sum_to_one(spark):
     assert all(0.75 <= r.skew_ratio <= 1.25 for r in m)
     with pytest.raises(ValueError):
         assign_shards(df, "doc_id", 0)
+
+
+def test_script_mix_detects_cjk_dominance(spark):
+    """The synthetic corpus is all-Latin, so the CJK branch is pinned here
+    on constructed text (driver oracle covers the arithmetic parity)."""
+    from spark_fuse_spark.catalog import load_all  # noqa: F401  (registers)
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "深度学习模型训练数据 ok"), (2, "mostly english text 中")],
+        "doc_id long, text string",
+    )
+    n = F.length("text").cast("long")
+    latin = n - F.length(F.regexp_replace("text", "[A-Za-z]", "")).cast("long")
+    cjk = n - F.length(F.regexp_replace("text", r"[\x{4e00}-\x{9fff}]", "")).cast("long")
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            latin.alias("latin"),
+            cjk.alias("cjk"),
+            F.when(cjk > latin, F.lit("cjk")).otherwise(F.lit("latin")).alias("dom"),
+        ).collect()
+    }
+    assert out[1].cjk == 10 and out[1].dom == "cjk"
+    assert out[2].cjk == 1 and out[2].dom == "latin"
