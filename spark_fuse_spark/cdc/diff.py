@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import row_hash
 
-__all__ = ["snapshot_diff"]
+__all__ = ["snapshot_diff", "apply_changelog"]
 
 
 def snapshot_diff(
@@ -84,3 +84,33 @@ def snapshot_diff(
         .where(F.col(op_col).isNotNull())
         .select(*out_keys, *out_vals, op_col)
     )
+
+
+def apply_changelog(
+    snapshot: DataFrame,
+    changelog: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply an I/U/D changelog (the :func:`snapshot_diff` format) to a
+    snapshot, producing the next snapshot.
+
+    Round-trip contract (property-tested):
+    ``apply_changelog(old, snapshot_diff(old, new), keys) ≡ new``.
+
+    Shape: one left-anti-style outer join on the keys — rows keyed by a
+    D/U changelog entry are dropped/replaced, I/U rows are appended
+    from the changelog's values.  Both passes shuffle on the same key
+    family; the changelog side is O(changes) and broadcastable when
+    the day's churn is small.
+    """
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    cols = [c for c in snapshot.columns]
+    touched = changelog.where(F.col(op_col).isin("U", "D")).select(
+        *[F.col(k).alias(f"__t_{k}") for k in keys]
+    )
+    cond = [snapshot[k] == touched[f"__t_{k}"] for k in keys]
+    kept = snapshot.join(touched, cond, "left_anti")
+    upserts = changelog.where(F.col(op_col).isin("I", "U")).select(*cols)
+    return kept.unionByName(upserts)

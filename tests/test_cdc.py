@@ -241,3 +241,38 @@ def test_snapshot_diff_rejects_bad_args(spark):
         snapshot_diff(df, df.drop("name"), ["id"])
     with pytest.raises(ValueError, match="absent"):
         snapshot_diff(df.drop("name"), df, ["id"])
+
+
+def test_changelog_roundtrip_property(spark):
+    """apply_changelog(old, snapshot_diff(old, new)) == new for a batch of
+    seeded random perturbations (deletes, updates, inserts, no-ops)."""
+    import random
+
+    from spark_fuse_spark.cdc import apply_changelog, snapshot_diff
+
+    rng = random.Random(7)
+    old_rows = [(i, f"name{i}", float(i % 13)) for i in range(300)]
+    new_rows = []
+    for i, name, score in old_rows:
+        roll = rng.random()
+        if roll < 0.1:
+            continue  # delete
+        if roll < 0.3:
+            new_rows.append((i, name + "_v2", score + 1.0))  # update
+        else:
+            new_rows.append((i, name, score))  # unchanged
+    new_rows += [(1000 + i, f"new{i}", 0.5) for i in range(17)]  # inserts
+
+    schema = "id long, name string, score double"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    diff = snapshot_diff(old, new, ["id"])
+    rebuilt = apply_changelog(old, diff, ["id"])
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))
+    # and the diff is minimal: unchanged keys never appear
+    changed = {r.id for r in diff.collect()}
+    unchanged = {r[0] for r in old_rows} & {r[0] for r in new_rows}
+    same = {
+        i for i, n, s in old_rows if (i, n, s) in set(new_rows)
+    }
+    assert changed.isdisjoint(same)
