@@ -173,3 +173,15 @@ def test_merge_intervals_randomized_against_python_model(spark):
     for key in range(20):
         want = model([(s, e) for k, s, e in rows if k == key])
         assert sorted(got[key]) == want, f"key {key}"
+
+
+def test_resample_and_audit_handle_empty_input(spark):
+    from spark_fuse_spark.operators.timeseries import (
+        resample_time_grid,
+        watermark_audit,
+    )
+
+    empty = spark.createDataFrame([], "user_id long, ts timestamp, value double")
+    assert resample_time_grid(empty, "user_id", "ts", "value", 3600).count() == 0
+    empty_e = spark.createDataFrame([], "event_id long, ts timestamp")
+    assert watermark_audit(empty_e, "ts", "event_id", 60).count() == 0
