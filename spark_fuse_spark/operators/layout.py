@@ -232,3 +232,35 @@ def shard_manifest(
             F.col("total_weight") * num_shards / F.sum("total_weight").over(w), 4
         ).alias("skew_ratio"),
     ).orderBy("shard_id")
+
+
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    num_shards: int,
+    salt: str = "",
+    format: str = "parquet",
+) -> None:
+    """Materialize the :func:`assign_shards` layout: one directory per
+    shard (``shard_id=N/``), one file per shard.
+
+    ``repartition(num_shards, shard_col)`` aligns task boundaries with
+    shard boundaries BEFORE the write, so ``partitionBy`` emits exactly
+    one file per shard instead of (tasks × shards) small files — the
+    difference between 16 files and 16 × 1000 files on a wide cluster.
+    Readers then consume whole shards (`.../shard_id=3/`) with
+    partition pruning, and the deterministic hash membership means a
+    re-run reproduces byte-identical shard contents.
+    """
+    from pyspark.sql import functions as F
+
+    assigned = assign_shards(df, id_col, num_shards, salt=salt)
+    (
+        assigned.repartition(num_shards, F.col("shard_id"))
+        .sortWithinPartitions(id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .format(format)
+        .save(path)
+    )

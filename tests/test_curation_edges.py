@@ -277,3 +277,26 @@ def test_script_mix_detects_cjk_dominance(spark):
     }
     assert out[1].cjk == 10 and out[1].dom == "cjk"
     assert out[2].cjk == 1 and out[2].dom == "latin"
+
+
+def test_write_sharded_one_file_per_shard(spark, tmp_path):
+    from spark_fuse_spark.operators.layout import assign_shards, write_sharded
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id").withColumn(
+        "payload", F.col("doc_id") * 2
+    )
+    out = str(tmp_path / "sharded")
+    write_sharded(df, out, "doc_id", 8)
+    import os
+
+    shard_dirs = sorted(d for d in os.listdir(out) if d.startswith("shard_id="))
+    assert len(shard_dirs) == 8
+    for d in shard_dirs:
+        files = [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, d
+    back = spark.read.parquet(out)
+    assert back.count() == 500
+    # membership matches assign_shards exactly (deterministic reproduce)
+    want = {r.doc_id: r.shard_id for r in assign_shards(df, "doc_id", 8).collect()}
+    got = {r.doc_id: r.shard_id for r in back.collect()}
+    assert got == want
