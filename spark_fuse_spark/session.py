@@ -107,3 +107,28 @@ def stop_session(spark: SparkSession) -> None:
         spark.stop()
     except Exception:
         pass
+
+
+def enable_runtime_filters(
+    spark: SparkSession, application_side_threshold: "str | None" = None
+) -> None:
+    """Turn on runtime bloom-filter semi-join reduction for selective
+    shuffle joins.
+
+    When a fact⋈filtered-dim join can't broadcast, Spark can still build
+    a bloom filter from the (small) creation side at runtime and inject
+    it as a pre-shuffle predicate on the fact side — the shuffled fact
+    rows drop from |fact| to ≈|matching| before the exchange, which at
+    100 TB is most of the join's cost.  The guard rails are size
+    thresholds: the creation side must estimate under
+    ``creationSideThreshold`` and the application-side scan over
+    ``applicationSideScanSizeThreshold`` (default 10GB — meaning at
+    production scale this fires on its own; pass e.g. ``"0"`` to
+    demonstrate/test it at small SFs).
+    """
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    if application_side_threshold is not None:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            application_side_threshold,
+        )

@@ -298,3 +298,43 @@ def test_no_accidental_cartesian_or_nested_loop(spark, sf_small):
         if joins.get("BroadcastNestedLoopJoin") and name not in NESTED_LOOP_OK:
             problems.append(f"{name}: undeclared BroadcastNestedLoopJoin ({joins})")
     assert not problems, "\n".join(problems)
+
+
+def test_runtime_bloom_filter_reduces_selective_shuffle_join(spark, sf_small):
+    """Scale capability pin: a selective fact ⋈ filtered-dim join that
+    CANNOT broadcast still gets a runtime bloom filter injected on the
+    fact side (pre-shuffle semi-join reduction).  At 100 TB the 10GB
+    application-side default fires on its own; here the threshold is
+    lowered to demonstrate the plan shape, and restored after."""
+    from pyspark.sql import functions as F
+
+    from spark_fuse_spark.session import enable_runtime_filters
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        enable_runtime_filters(spark, application_side_threshold="0")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_small}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = physical_plan(j)
+        assert "bloom_filter_agg" in plan or "might_contain" in plan, plan[:2000]
+        # and it is a reduction, not a semantics change
+        n_with = j.count()
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        assert j.count() == n_with
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
