@@ -118,18 +118,45 @@ def v_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
                       corpus_id="vec_id", corpus_vec="embedding")
 
 
+def _lsh_bucket_oracle(num_planes: int, dims: int, seed: int) -> str:
+    """DuckDB twin of ``hyperplane_lsh_bucket``: identical LCG plane
+    literals; the sign test runs on the raw vector (sign is
+    normalization-invariant)."""
+    from ..operators.similarity import _pseudo_planes
+
+    planes = _pseudo_planes(num_planes, dims, seed)
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(e, CAST([{', '.join(repr(x) for x in plane)}] AS DOUBLE[])) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+b AS (SELECT CAST({terms} AS BIGINT) AS lsh_bucket FROM v)
+SELECT lsh_bucket, CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY lsh_bucket
+ORDER BY lsh_bucket
+"""
+
+
 @register(
     "v_lsh_buckets",
-    oracle=None,  # bucket histogram; plane generation is library-internal
+    oracle=_lsh_bucket_oracle(num_planes=12, dims=64, seed=42),
     doc="random-hyperplane LSH bucket histogram (12 planes → ≤4096 "
-    "buckets). Rows-only check; bucket determinism asserted in tests.",
+    "buckets).  Fully oracle-checked: the planes are deterministic LCG "
+    "unit vectors, so DuckDB replays the identical sign-bit assembly "
+    "and the histograms must match bucket-for-bucket.",
 )
 def v_lsh(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.similarity import hyperplane_lsh_bucket
 
     emb = load_table(spark, sf, "embeddings")
     bucketed = hyperplane_lsh_bucket(emb, "embedding", num_planes=12, dims=64, seed=42)
-    return bucketed.groupBy("lsh_bucket").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        bucketed.groupBy("lsh_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lsh_bucket")
+    )
 
 
 @register(
