@@ -475,3 +475,82 @@ def m_payload_hist(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id", "bucket")
     )
+
+
+def _mips_oracle(k: int, dims: int, tables: int, planes_per_table: int, seed: int) -> str:
+    """DuckDB twin of ``mips_lsh_topk``: identical augmentation, plane
+    literals, bucket joins, and exact inner-product ranking."""
+    from ..operators.similarity import _pseudo_planes
+
+    def bucket_terms(planes):
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(aug, CAST([{', '.join(repr(x) for x in p)}] AS DOUBLE[])) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    cb_selects, qb_selects = [], []
+    for t in range(tables):
+        planes = _pseudo_planes(planes_per_table, dims + 1, seed + t)
+        cb_selects.append(
+            f"SELECT vec_id, {t} AS t, CAST({bucket_terms(planes)} AS BIGINT) AS bkt FROM c"
+        )
+        qb_selects.append(
+            f"SELECT query_id, {t} AS t, CAST({bucket_terms(planes)} AS BIGINT) AS bkt FROM q"
+        )
+    cb = "\nUNION ALL\n".join(cb_selects)
+    qb = "\nUNION ALL\n".join(qb_selects)
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+mm AS (SELECT MAX(sqrt(list_sum(list_transform(e, x -> x * x)))) AS M FROM v),
+c AS (SELECT vec_id, e,
+             list_concat(list_transform(e, x -> x / mm.M),
+               [sqrt(greatest(0.0, 1.0 - list_dot_product(e, e) / (mm.M * mm.M)))]) AS aug
+      FROM v CROSS JOIN mm),
+q AS (SELECT vec_id AS query_id, e AS qe, list_concat(e, [0.0]) AS aug
+      FROM v WHERE vec_id < 10),
+cb AS ({cb}),
+qb AS ({qb}),
+cand AS (SELECT DISTINCT qb.query_id, cb.vec_id AS neighbor_id
+         FROM cb JOIN qb ON cb.t = qb.t AND cb.bkt = qb.bkt),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROUND(list_dot_product(cv.e, qv.qe), 6) AS inner_product
+  FROM cand
+  JOIN c cv ON cand.neighbor_id = cv.vec_id
+  JOIN q qv ON cand.query_id = qv.query_id)
+SELECT query_id, neighbor_id, inner_product, CAST(rk AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY inner_product DESC, neighbor_id) AS rk
+      FROM scored)
+WHERE rk <= {k}
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "v_mips_topk",
+    oracle=_mips_oracle(k=5, dims=64, tables=8, planes_per_table=4, seed=42),
+    doc="maximum inner-product search via asymmetric augmentation "
+    "(Shrivastava & Li 2014): inner product is not a metric, so corpus "
+    "vectors get one extra coordinate [x/M, sqrt(1-|x|^2/M^2)] (M = max "
+    "corpus norm, folded in as a 1-row broadcast panel — no driver "
+    "action) and queries [q, 0], after which augmented-cosine LSH "
+    "buckets index inner-product order.  Candidates come from 8 "
+    "deterministic hyperplane tables (bucket-equality joins, queries "
+    "broadcast, never all-pairs); survivors are ranked by the EXACT "
+    "inner product.  Fully oracle-checked: DuckDB replays augmentation, "
+    "plane literals, bucket joins, and ranking.",
+)
+def v_mips(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.similarity import mips_lsh_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = mips_lsh_topk(
+        emb, queries, k=5, dims=64, tables=8, planes_per_table=4, seed=42,
+        corpus_id="vec_id", corpus_vec="embedding",
+    )
+    return out.orderBy("query_id", "rank")

@@ -26,7 +26,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity, dot, l2_normalize
+from ..functions.vectors import cosine_similarity, dot, l2_norm, l2_normalize
 
 __all__ = [
     "identity_embedding",
@@ -40,6 +40,7 @@ __all__ = [
     "ivf_assign",
     "ivf_topk",
     "hyperplane_lsh_bucket",
+    "mips_lsh_topk",
 ]
 
 
@@ -390,3 +391,111 @@ def _pseudo_planes(num_planes: int, dims: int, seed: int) -> list[list[float]]:
             comps.append(state / 2147483647.0 - 0.5)
         planes.append(_unit(comps))
     return planes
+
+
+def mips_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dims: "int | None" = None,
+    tables: int = 8,
+    planes_per_table: int = 4,
+    seed: int = 42,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Maximum inner-product search (MIPS) with sublinear candidates via
+    the asymmetric augmentation reduction (Shrivastava & Li 2014,
+    "Asymmetric LSH for Sublinear Time MIPS", public paper).
+
+    Inner product is NOT a metric (a vector can beat its own
+    self-similarity), so cosine/Euclidean LSH cannot index it directly.
+    The reduction appends one coordinate: corpus vectors become
+    ``[x/M, sqrt(1 − ‖x‖²/M²)]`` (M = max corpus norm, so every
+    augmented vector is unit) and queries ``[q, 0]`` — after which
+    augmented cosine order equals inner-product order, and the existing
+    random-hyperplane machinery applies:
+
+    * M comes from ONE scalar aggregate folded in as a 1-row broadcast
+      panel (no driver action);
+    * each of ``tables`` hash tables buckets augmented corpus and query
+      by deterministic sign bits; candidates are bucket-equality joins
+      (shuffle O(rows × tables), never all-pairs — queries broadcast);
+    * survivors are scored with the EXACT inner product on the original
+      vectors and top-k ranked with an id tie-break.
+
+    Semantics: top-k WITHIN the LSH candidate set (same contract as
+    ``embedding_lsh_pairs``); recall rises with ``tables``.  Every step
+    is engine-deterministic, so the differential oracle replays it all.
+    """
+    if dims is None:
+        raise ValueError("dims is required (array<float> has no fixed length)")
+    aug_planes = [_pseudo_planes(planes_per_table, dims + 1, seed + t) for t in range(tables)]
+
+    m_panel = F.broadcast(
+        corpus.select(F.max(l2_norm(corpus_vec)).alias("__M"))
+    )
+
+    def bucket_sql(vec_sql: str, planes: list[list[float]]) -> str:
+        return " + ".join(
+            f"IF({_dot_lit_sql(vec_sql, p)} >= 0, {1 << i}L, 0L)"
+            for i, p in enumerate(planes)
+        )
+
+    # corpus: augmented = [x/M, sqrt(1 - ||x||^2/M^2)]
+    c = (
+        corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec))
+        .crossJoin(m_panel)
+        .withColumn(
+            "__aug",
+            F.expr(
+                f"concat(transform(CAST({corpus_vec} AS ARRAY<DOUBLE>), x -> x / __M), "
+                f"array(sqrt(greatest(0.0D, 1.0D - "
+                f"aggregate(zip_with(CAST({corpus_vec} AS ARRAY<DOUBLE>), "
+                f"CAST({corpus_vec} AS ARRAY<DOUBLE>), (x, y) -> x * y), 0.0D, "
+                f"(a, v) -> a + v) / (__M * __M)))))"
+            ),
+        )
+    )
+    # queries: augmented = [q, 0] — bucket signs are scale-invariant
+    q = queries.select(F.col(query_id), F.col(query_vec)).withColumn(
+        "__aug",
+        F.expr(f"concat(CAST({query_vec} AS ARRAY<DOUBLE>), array(0.0D))"),
+    )
+    c_buckets = [
+        c.select("neighbor_id", corpus_vec, F.lit(t).alias("t"),
+                 F.expr(f"CAST({bucket_sql('__aug', planes)} AS BIGINT)").alias("bkt"))
+        for t, planes in enumerate(aug_planes)
+    ]
+    q_buckets = [
+        q.select(query_id, query_vec, F.lit(t).alias("t"),
+                 F.expr(f"CAST({bucket_sql('__aug', planes)} AS BIGINT)").alias("bkt"))
+        for t, planes in enumerate(aug_planes)
+    ]
+    cb = c_buckets[0]
+    for extra in c_buckets[1:]:
+        cb = cb.unionByName(extra)
+    qb = q_buckets[0]
+    for extra in q_buckets[1:]:
+        qb = qb.unionByName(extra)
+
+    cand = (
+        cb.join(F.broadcast(qb), ["t", "bkt"])
+        .select(query_id, "neighbor_id", corpus_vec, query_vec)
+        .dropDuplicates([query_id, "neighbor_id"])
+    )
+    ip = F.expr(
+        f"aggregate(zip_with(CAST({corpus_vec} AS ARRAY<DOUBLE>), "
+        f"CAST({query_vec} AS ARRAY<DOUBLE>), (x, y) -> x * y), 0.0D, (a, v) -> a + v)"
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("inner_product").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.select(query_id, "neighbor_id", F.round(ip, 6).alias("inner_product"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", "inner_product", "rank")
+    )

@@ -134,3 +134,33 @@ def test_ivfpq_reuses_persisted_index_columns(spark, emb, books):
     index = pq_encode(ivf_assign(emb, cents, "embedding", "ivf_list"), books)
     out = ivfpq_topk(index, _queries(emb), cents, books, k=3, nprobe=2)
     assert out.count() == 30
+
+
+def test_mips_recall_and_augmentation_semantics(spark, emb):
+    """MIPS-LSH recovers most of the exact inner-product top-5 (recall
+    floor at 8 tables on sf0.001: measured 0.74), and reported scores
+    are EXACT inner products, not augmented-cosine approximations."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spark_fuse_spark.operators.similarity import mips_lsh_topk
+
+    q = _queries(emb)
+    ip = F.expr(
+        "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), "
+        "CAST(query_vec AS ARRAY<DOUBLE>), (x,y)->x*y), 0.0D, (a,v)->a+v)"
+    )
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), F.round(ip, 6).alias("s")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("s").desc(), F.col("neighbor_id"))
+    exact = {
+        (r.query_id, r.neighbor_id): r.s
+        for r in scored.withColumn("rk", F.row_number().over(w)).filter("rk<=5").collect()
+    }
+    got = mips_lsh_topk(emb, q, k=5, dims=64, tables=8).collect()
+    hits = {(r.query_id, r.neighbor_id) for r in got} & set(exact)
+    assert len(hits) / len(exact) >= 0.6
+    for r in got:
+        if (r.query_id, r.neighbor_id) in exact:
+            assert r.inner_product == exact[(r.query_id, r.neighbor_id)]
