@@ -358,7 +358,10 @@ def d_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return ngram_jaccard_pairs(load_table(spark, sf, "documents"), k=3, threshold=0.5)
 
 
-def _minhash_oracle(k: int, num_hashes: int, bands: int, threshold: float, seed: int) -> str:
+def _minhash_oracle(
+    k: int, num_hashes: int, bands: int, threshold: float, seed: int,
+    cand_filter: str = "",
+) -> str:
     coeffs = minhash_coefficients(num_hashes, seed)
     r = num_hashes // bands
     mins = ",\n".join(
@@ -381,7 +384,7 @@ FROM hs GROUP BY doc_id),
 bands AS ({band_selects}),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
-                                   AND a.doc_id < b.doc_id)
+                                   AND a.doc_id < b.doc_id{(' AND ' + cand_filter) if cand_filter else ''})
 SELECT c.id_a, c.id_b, e.jaccard
 FROM cand c JOIN exact e ON c.id_a = e.id_a AND c.id_b = e.id_b
 """
@@ -668,3 +671,30 @@ def t_script_mix(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.lit("latin"))
         .alias("dominant_script"),
     ).orderBy("doc_id")
+
+
+@register(
+    "d_minhash_incremental",
+    oracle=_minhash_oracle(
+        k=3, num_hashes=32, bands=8, threshold=0.5, seed=42,
+        cand_filter="(a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)",
+    ),
+    doc="continuous-crawl near-dup (operators/dedup."
+    "incremental_minhash_pairs): odd doc_ids play today's batch, even "
+    "ids the already-deduped corpus; band buckets mix both (cross-batch "
+    "dups must collide) but old x old candidate pairs are dropped "
+    "BEFORE exact-Jaccard verification — the expensive stage runs on "
+    "new-touching candidates only, so daily cost tracks batch size, "
+    "not corpus size.  Signatures are deterministic, so the old side's "
+    "bands can come from a persisted band table instead of recompute.  "
+    "Oracle replays the full pipeline with the same pair restriction.",
+)
+def d_minhash_incr(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.dedup import incremental_minhash_pairs
+
+    docs = load_table(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    flagged = docs.withColumn("is_new", F.col("doc_id") % 2 == 1)
+    out = incremental_minhash_pairs(flagged, "is_new", k=3, threshold=0.5)
+    return out.orderBy("id_a", "id_b")

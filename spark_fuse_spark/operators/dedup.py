@@ -606,3 +606,46 @@ def jaccard_prefix_pairs(
     # verify: true intersection counts over candidate ids only (shared
     # with the MinHash-LSH path)
     return _verify_candidate_pairs(e, candidates, threshold)
+
+
+def incremental_minhash_pairs(
+    df: DataFrame,
+    is_new_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Continuous-crawl near-dup: MinHash-LSH pairs restricted to pairs
+    TOUCHING the new batch (``is_new_col`` boolean).
+
+    A daily dedup run doesn't need yesterday's corpus re-verified
+    against itself — those pairs are already known.  Candidates are
+    generated over the full corpus (band buckets must mix old and new
+    to catch cross-batch dups; signatures are deterministic, so the old
+    side's bands can equally come from a persisted band table), then
+    old×old pairs are dropped BEFORE exact-Jaccard verification — the
+    expensive stage runs on O(new-touching candidates) only.
+
+    Output: ``id_a, id_b, jaccard`` where at least one side is new —
+    exactly the base pipeline's result minus the old×old block
+    (differentially tested against that identity).
+    """
+    cand = minhash_lsh_pairs(
+        df, text_col, id_col, k, num_hashes, bands, threshold, seed, verify=False
+    )
+    flags = df.select(F.col(id_col).alias("__fid"), F.col(is_new_col).alias("__new"))
+    fa = flags.withColumnRenamed("__fid", "__fa").withColumnRenamed("__new", "__na")
+    fb = flags.withColumnRenamed("__fid", "__fb").withColumnRenamed("__new", "__nb")
+    touching = (
+        cand.join(fa, F.col("id_a") == F.col("__fa"))
+        .join(fb, F.col("id_b") == F.col("__fb"))
+        .where(F.col("__na") | F.col("__nb"))
+        .select("id_a", "id_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e = _exploded_shingles(df, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    return _verify_candidate_pairs(e, touching, threshold)

@@ -216,3 +216,26 @@ def test_hash_sampling_properties(spark):
     }
     assert abs(rates["en"] / 1000 - 0.5) < 0.08
     assert rates.get("de", 0) / 1000 < 0.12
+
+
+def test_incremental_minhash_is_full_minus_old_pairs(spark, sf_small):
+    from spark_fuse_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+    )
+    from spark_fuse_spark.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, k=3, threshold=0.5).collect()
+    }
+    flagged = docs.withColumn("is_new", F.col("doc_id") % 2 == 1)
+    incr = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in incremental_minhash_pairs(flagged, "is_new", k=3, threshold=0.5).collect()
+    }
+    want = {p: j for p, j in full.items() if p[0] % 2 == 1 or p[1] % 2 == 1}
+    assert incr == want
+    # and something was actually excluded at this SF (old x old pairs exist)
+    assert len(incr) < len(full)
