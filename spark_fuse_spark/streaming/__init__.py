@@ -28,6 +28,8 @@ from spark_fuse_spark.streaming.ops import (
     session_event_rollup,
     sessionize_with_state,
     sliding_event_counts,
+    changelog_batch_applier,
+    stream_changelog_publisher,
     stream_to_scd,
     tumbling_event_counts,
 )
@@ -39,6 +41,8 @@ __all__ = [
     "sliding_event_counts",
     "session_event_rollup",
     "dedup_within_watermark",
+    "changelog_batch_applier",
+    "stream_changelog_publisher",
     "stream_to_scd",
     "sessionize_with_state",
     "funnel_with_state",

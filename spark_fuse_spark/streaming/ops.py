@@ -518,3 +518,72 @@ def running_totals_with_state(df: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_changelog_publisher(
+    stream: DataFrame,
+    target: str,
+    changelog: str,
+    keys: Sequence[str],
+    checkpoint: "str | None" = None,
+):
+    """``foreachBatch`` CDC publisher: each micro-batch is diffed against
+    the current target snapshot (``cdc.diff.snapshot_diff``), the I/U/D
+    delta is APPENDED to ``changelog`` (with the batch id for ordered
+    downstream replay), and the target advances via
+    ``cdc.diff.apply_changelog``.
+
+    This turns any upsert-shaped stream into a consumable change feed —
+    the plain-parquet re-expression of Delta's Change Data Feed.  Diff
+    before write means a replayed micro-batch (failure/retry) produces
+    an EMPTY delta the second time: the changelog stays
+    exactly-once-per-change even though foreachBatch is at-least-once.
+
+    Batches must carry the full row (key + compare columns); rows absent
+    from a batch are left untouched (streams deliver upserts, not
+    snapshots — deletions need an explicit tombstone upstream).
+    """
+    apply_batch = changelog_batch_applier(target, changelog, keys)
+    writer = stream.writeStream.foreachBatch(apply_batch).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def changelog_batch_applier(target: str, changelog: str, keys: Sequence[str]):
+    """The micro-batch body of :func:`stream_changelog_publisher`,
+    exposed separately so batch backfills and tests drive the identical
+    code path without a streaming query."""
+    from spark_fuse_spark.cdc.diff import apply_changelog, snapshot_diff
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        import os
+
+        if os.path.exists(target):
+            current = spark.read.parquet(target)
+        else:
+            current = spark.createDataFrame([], batch_df.schema)
+        # restrict the diff to keys present in this batch: absent rows are
+        # "no information", not deletions
+        scoped = current.join(
+            F.broadcast(batch_df.select(*keys).distinct()), list(keys), "left_semi"
+        )
+        delta = snapshot_diff(scoped, batch_df, list(keys))
+        if delta.isEmpty():
+            return
+        delta.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            changelog
+        )
+        next_state = apply_changelog(current, delta, list(keys))
+        staged = f"{target}__staged_{batch_id}"
+        next_state.write.mode("overwrite").parquet(staged)
+        import shutil
+
+        if os.path.exists(target):
+            shutil.rmtree(target)
+        os.replace(staged, target)
+
+    return apply_batch

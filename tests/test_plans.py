@@ -338,3 +338,36 @@ def test_runtime_bloom_filter_reduces_selective_shuffle_join(spark, sf_small):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_parquet_aggregate_pushdown_metadata_only(spark, sf_small):
+    """Scale capability pin: through the DSv2 parquet path, whole-table
+    MIN/MAX/COUNT resolve from row-group footer statistics
+    (PushedAggregation) — a metadata-only read that answers in O(files)
+    instead of O(rows) at any corpus size.  Values must match the
+    ordinary scan exactly."""
+    from pyspark.sql import functions as F
+
+    key = "spark.sql.sources.useV1SourceList"
+    saved = spark.conf.get(key, None)
+    li_path = f"{sf_small}/lineitem.parquet"
+    aggs = lambda df: df.agg(  # noqa: E731
+        F.min("l_orderkey").alias("lo"),
+        F.max("l_shipdate").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    want = aggs(spark.read.parquet(li_path)).collect()[0]
+    try:
+        spark.conf.set(key, "")
+        df = aggs(spark.read.parquet(li_path))
+        # EXPLAIN FORMATTED elides scan pushdown info for DSv2 BatchScan;
+        # the simple-mode physical string carries PushedAggregation
+        simple = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation" in simple, simple[:2000]
+        got = df.collect()[0]
+        assert (got.lo, got.hi, got.n) == (want.lo, want.hi, want.n)
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)

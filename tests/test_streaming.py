@@ -310,3 +310,37 @@ def test_streaming_progress_listener_captures_batches(spark, event_dir):
     prog = [r for r in sink.records if "progress" in r.event]
     assert prog, [r.event for r in sink.records]
     assert sum(r.metrics.get("input_rows", 0) for r in prog) > 0
+
+
+def test_stream_changelog_publisher_emits_minimal_deltas(spark, tmp_path):
+    """Two micro-batches through the CDC publisher: batch 1 inserts, batch
+    2 updates one key and repeats another verbatim — the changelog gets
+    I rows then exactly ONE U row (replayed/unchanged rows produce no
+    delta), and the target equals the final state."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    target = str(tmp_path / "cdc_target")
+    changelog = str(tmp_path / "cdc_log")
+
+    b1 = spark.createDataFrame(
+        [(1, base, 7, "signup", 1.0, None), (2, base, 8, "signup", 2.0, None)],
+        st.EVENT_SCHEMA,
+    )
+    b2 = spark.createDataFrame(
+        [(1, base, 7, "signup", 1.0, None),  # unchanged -> no delta
+         (2, base, 8, "purchase", 9.0, None)],  # update
+        st.EVENT_SCHEMA,
+    )
+    # drive the micro-batch body directly (the streaming writer wraps
+    # this exact callable in foreachBatch)
+    apply_batch = st.changelog_batch_applier(target, changelog, ["event_id"])
+    apply_batch(b1, 0)
+    apply_batch(b2, 1)
+    apply_batch(b2, 2)  # full replay -> empty delta, no changelog growth
+
+    log = spark.read.parquet(changelog).collect()
+    ops = sorted((r.batch_id, r.event_id, r.op) for r in log)
+    assert ops == [(0, 1, "I"), (0, 2, "I"), (1, 2, "U")]
+    out = {r.event_id: r.event_type for r in spark.read.parquet(target).collect()}
+    assert out == {1: "signup", 2: "purchase"}
