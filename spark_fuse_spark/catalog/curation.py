@@ -1505,3 +1505,36 @@ def q_json_rt(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ------------------------------------------------------ provenance stamp
+@register(
+    "q_provenance_stamp",
+    oracle=None,  # needs read_parquet(file_row_number=true) on a literal
+    # path, which differs per SF dir; full differential parity vs DuckDB
+    # is pinned in tests/test_parquet_meta.py at two SFs
+    doc="row-level provenance from the scan itself: Spark's hidden "
+    "_metadata columns (file_name, row_index) stamp every row with "
+    "exactly where it came from — no synthetic ids, no zipWithIndex "
+    "shuffle, stable across re-reads.  The stamp is what incremental "
+    "reprocessing (skip files already ingested), debugging (jump to "
+    "the offending row), and audit trails key on.  Aggregated here per "
+    "(file, returnflag) with row-index ranges; at scale the same "
+    "column drives per-file watermarking in fuse-files manifests.",
+)
+def q_provenance(spark: SparkSession, sf: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf.rstrip('/')}/lineitem.parquet")
+    return (
+        li.select(
+            F.col("_metadata.file_name").alias("file_name"),
+            F.col("_metadata.row_index").alias("row_index"),
+            "l_returnflag",
+        )
+        .groupBy("file_name", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("row_index").alias("min_idx"),
+            F.max("row_index").alias("max_idx"),
+        )
+        .orderBy("file_name", "l_returnflag")
+    )

@@ -54,3 +54,28 @@ def test_missing_path_raises(spark):
     register(spark)
     with pytest.raises(Exception, match="path"):
         spark.read.format(FORMAT_NAME).load().collect()
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_provenance_stamp_matches_duckdb_row_numbers(spark, sf):
+    """_metadata.row_index must agree with DuckDB's file_row_number on the
+    identical parquet — per (file, returnflag) counts and index ranges."""
+    import duckdb
+
+    from spark_fuse_spark.catalog import load_all
+
+    got = {
+        (r.file_name, r.l_returnflag): (r.n_rows, r.min_idx, r.max_idx)
+        for r in load_all()["q_provenance_stamp"].spark(spark, sf).collect()
+    }
+    path = f"{sf}/lineitem.parquet"
+    want = {
+        (r[0], r[1]): (r[2], r[3], r[4])
+        for r in duckdb.sql(
+            f"""SELECT regexp_extract(filename, '[^/]+$') AS f, l_returnflag,
+                       COUNT(*), MIN(file_row_number), MAX(file_row_number)
+                FROM read_parquet('{path}', filename=true, file_row_number=true)
+                GROUP BY f, l_returnflag"""
+        ).fetchall()
+    }
+    assert got == want
