@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="also run the query's DuckDB oracle and report the differential-parity verdict",
     )
+    run.add_argument(
+        "--metrics",
+        action="store_true",
+        help="after the run, print executed-plan metrics (rows scanned, shuffle records/bytes)",
+    )
     return parser
 
 
@@ -113,6 +118,18 @@ def _cmd_run(args: argparse.Namespace) -> int:
     if args.explain:
         df.explain("formatted")
     df.show(args.show, truncate=False)
+    if args.metrics:
+        from spark_fuse_spark.plans import executed_metrics, shuffle_summary
+
+        # metrics attach to THIS DataFrame's queryExecution, and show()
+        # runs a separate limited plan — drive the full query once
+        n_rows = len(df.collect())
+        print(f"rows: {n_rows}")
+        print(json.dumps(shuffle_summary(df)))
+        for n in executed_metrics(df):
+            interesting = {k: v for k, v in n["metrics"].items() if v}
+            if interesting:
+                print(f"{'  ' * n['depth']}{n['node']}: {interesting}")
     if args.check:
         if spec.oracle is None:
             print(f"{args.query}: rows-only query (no SQL oracle registered)")

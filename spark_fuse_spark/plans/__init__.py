@@ -208,3 +208,76 @@ def check_plan(df: DataFrame, exp: PlanExpectation) -> list[str]:
     if exp.require_partial_agg and not has_partial_aggregate(df):
         problems.append("no partial (map-side) aggregate in plan")
     return problems
+
+
+def _unwrap_exec_node(n):
+    """Peel AQE wrappers (AdaptiveSparkPlan → final plan, QueryStage /
+    InputAdapter / WholeStageCodegen shells → inner plan)."""
+    name = n.nodeName()
+    if name == "AdaptiveSparkPlan":
+        return _unwrap_exec_node(n.executedPlan())
+    if name.endswith("QueryStage"):
+        try:
+            return _unwrap_exec_node(n.plan())
+        except Exception:
+            return n
+    return n
+
+
+def executed_metrics(df: DataFrame) -> "list[dict]":
+    """Post-execution SQL metrics per physical node (run an action first).
+
+    The measured half of the plan-contract story: static contracts pin
+    the SHAPE (exchange counts, broadcast hints, partial aggregation);
+    this reads what actually happened — shuffle bytes/records written,
+    scan rows and file counts, per-operator output rows — so
+    map-side-combine claims become numbers ("6000 scanned rows entered
+    the exchange as 3 records").  Returns ``[{depth, node, metrics}]``
+    in pre-order; metrics with value 0 are kept (a zero shuffle is
+    information).
+    """
+    out: list[dict] = []
+
+    def walk(n, depth: int) -> None:
+        n = _unwrap_exec_node(n)
+        md = {}
+        it = n.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            md[kv._1()] = kv._2().value()
+        out.append({"depth": depth, "node": n.nodeName(), "metrics": md})
+        cit = n.children().iterator()
+        while cit.hasNext():
+            walk(cit.next(), depth + 1)
+
+    walk(df._jdf.queryExecution().executedPlan(), 0)
+    return out
+
+
+def shuffle_summary(df: DataFrame) -> dict:
+    """Roll the executed metrics up to the four numbers a scale review
+    asks for: rows scanned, rows entering shuffles, shuffle bytes
+    written, rows returned."""
+    nodes = executed_metrics(df)
+    scanned = sum(
+        n["metrics"].get("numOutputRows", 0)
+        for n in nodes
+        if n["node"].startswith("Scan")
+    )
+    shuffle_records = sum(
+        n["metrics"].get("shuffleRecordsWritten", 0)
+        for n in nodes
+        if n["node"] == "Exchange"
+    )
+    shuffle_bytes = sum(
+        n["metrics"].get("shuffleBytesWritten", 0)
+        for n in nodes
+        if n["node"] == "Exchange"
+    )
+    top = next((n for n in nodes if n["metrics"].get("numOutputRows") is not None), None)
+    return {
+        "rows_scanned": scanned,
+        "shuffle_records": shuffle_records,
+        "shuffle_bytes": shuffle_bytes,
+        "rows_out": top["metrics"]["numOutputRows"] if top else None,
+    }

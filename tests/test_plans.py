@@ -371,3 +371,20 @@ def test_parquet_aggregate_pushdown_metadata_only(spark, sf_small):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, saved)
+
+
+def test_executed_metrics_quantify_partial_aggregation(spark, sf_small):
+    """The measured counterpart of require_partial_agg: q01's scan rows
+    collapse to a handful of shuffle records because map-side combine
+    ran BEFORE the exchange."""
+    from spark_fuse_spark.plans import executed_metrics, shuffle_summary
+
+    df = load_all()["q01_pricing_summary"].spark(spark, sf_small)
+    df.collect()
+    s = shuffle_summary(df)
+    assert s["rows_scanned"] > 1000          # the lineitem scan
+    assert 0 < s["shuffle_records"] <= 200   # partial-agg'd groups only
+    assert s["shuffle_bytes"] > 0
+    nodes = executed_metrics(df)
+    assert any(n["node"].startswith("Scan") for n in nodes)
+    assert any(n["node"] == "Exchange" for n in nodes)
