@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import MERSENNE_P, minhash_coefficients, portable_hash64_sql
+from ..functions.hashing import MERSENNE_P, minhash_coefficients, portable_hash64, portable_hash64_sql
 from ..functions.text import (
     doc_fingerprint,
     language_id,
@@ -698,3 +698,84 @@ def d_minhash_incr(spark: SparkSession, sf: str) -> DataFrame:
     flagged = docs.withColumn("is_new", F.col("doc_id") % 2 == 1)
     out = incremental_minhash_pairs(flagged, "is_new", k=3, threshold=0.5)
     return out.orderBy("id_a", "id_b")
+
+
+@register(
+    "t_contrastive_triplets",
+    oracle=f"""
+WITH RECURSIVE {_jaccard_cte(3, 0.5)},
+sym AS (SELECT id_a AS anchor_id, id_b AS positive_id, jaccard FROM exact
+        UNION ALL
+        SELECT id_b, id_a, jaccard FROM exact),
+pos AS (
+  SELECT anchor_id, positive_id, jaccard
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                     ORDER BY jaccard DESC, positive_id) AS rk
+        FROM sym)
+  WHERE rk = 1),
+ranked AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rk
+           FROM documents),
+n AS (SELECT COUNT(*) AS n FROM documents),
+neg AS (
+  SELECT p.anchor_id, p.positive_id, p.jaccard,
+         ((r.rk - 1 + 1 + {portable_hash64_sql("CAST(p.anchor_id AS VARCHAR) || 'neg'")} % (n.n - 1)) % n.n) + 1
+           AS neg_rk
+  FROM pos p JOIN ranked r ON p.anchor_id = r.doc_id CROSS JOIN n)
+SELECT neg.anchor_id, neg.positive_id, ROUND(neg.jaccard, 6) AS jaccard,
+       r2.doc_id AS negative_id
+FROM neg JOIN ranked r2 ON neg.neg_rk = r2.rk
+ORDER BY anchor_id
+""",
+    doc="contrastive-pair mining for embedding training: every document "
+    "with a near-dup partner becomes an anchor, its highest-Jaccard "
+    "partner the positive (tie-broken by id), and the negative is a "
+    "deterministic pseudo-random OTHER document — hash-offset over the "
+    "dense doc rank, so the sample is reproducible across runs and "
+    "engines with no RNG state (the hash offset never lands on the "
+    "anchor itself; a rare collision with the positive is harmless "
+    "noise, standard for in-batch negatives).  Scale: pairs come from "
+    "the inverted-index Jaccard join, the rank is one global sort of "
+    "(id) pairs — replaceable by id arithmetic when the id space is "
+    "dense — and the negative join is rank-equi.",
+)
+def t_triplets(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    sym = pairs.select(
+        F.col("id_a").alias("anchor_id"), F.col("id_b").alias("positive_id"), "jaccard"
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias("anchor_id"), F.col("id_a").alias("positive_id"), "jaccard"
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("jaccard").desc(), F.col("positive_id")
+    )
+    pos = (
+        sym.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+    ranked = docs.select(
+        "doc_id", F.row_number().over(Window.orderBy("doc_id")).alias("rk")
+    )
+    n_panel = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n")))
+    h = portable_hash64(F.concat(F.col("anchor_id").cast("string"), F.lit("neg")))
+    neg = (
+        pos.join(ranked, pos.anchor_id == ranked.doc_id)
+        .crossJoin(n_panel)
+        .select(
+            "anchor_id",
+            "positive_id",
+            F.round("jaccard", 6).alias("jaccard"),
+            (((F.col("rk") - 1 + 1 + h % (F.col("n") - 1)) % F.col("n")) + 1).alias(
+                "neg_rk"
+            ),
+        )
+    )
+    r2 = ranked.select(F.col("doc_id").alias("negative_id"), F.col("rk").alias("neg_rk"))
+    return neg.join(r2, "neg_rk").select(
+        "anchor_id", "positive_id", "jaccard", "negative_id"
+    ).orderBy("anchor_id")

@@ -239,3 +239,13 @@ def test_incremental_minhash_is_full_minus_old_pairs(spark, sf_small):
     assert incr == want
     # and something was actually excluded at this SF (old x old pairs exist)
     assert len(incr) < len(full)
+
+
+def test_contrastive_triplets_never_self_negative(spark, sf_small):
+    from spark_fuse_spark.catalog import load_all
+
+    rows = load_all()["t_contrastive_triplets"].spark(spark, sf_small).collect()
+    assert rows, "expected at least one near-dup anchor at sf0.001"
+    for r in rows:
+        assert r.negative_id != r.anchor_id
+        assert r.positive_id != r.anchor_id
