@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import MERSENNE_P, minhash_coefficients, portable_hash64, portable_hash64_sql
 from ..functions.text import (
     doc_fingerprint,
+    tokens,
     language_id,
     normalize_whitespace,
     punct_ratio,
@@ -779,3 +780,127 @@ def t_triplets(spark: SparkSession, sf: str) -> DataFrame:
     return neg.join(r2, "neg_rk").select(
         "anchor_id", "positive_id", "jaccard", "negative_id"
     ).orderBy("anchor_id")
+
+
+@register(
+    "t_span_corruption",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS.format(col="text")}) AS tok,
+         generate_subscripts({_TOKS.format(col="text")}, 1) AS pos
+  FROM documents),
+g AS (
+  SELECT doc_id, pos, tok,
+         {portable_hash64_sql("CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)")} % 1000000 < 50000
+           AS start_gate
+  FROM toks),
+m AS (
+  SELECT doc_id, pos, tok,
+         COALESCE(MAX(CASE WHEN start_gate THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 0) = 1 AS masked
+  FROM g),
+s AS (
+  SELECT doc_id, pos, tok, masked,
+         masked AND NOT COALESCE(LAG(masked) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+           AS span_start
+  FROM m),
+q AS (
+  SELECT doc_id, pos, tok, masked, span_start,
+         SUM(CASE WHEN span_start THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM s)
+SELECT doc_id,
+       string_agg(CASE WHEN NOT masked THEN tok
+                       WHEN span_start THEN '<X' || CAST(sid AS VARCHAR) || '>' END,
+                  ' ' ORDER BY pos) AS masked_text,
+       string_agg(CASE WHEN masked AND span_start
+                         THEN '<X' || CAST(sid AS VARCHAR) || '> ' || tok
+                       WHEN masked THEN tok END,
+                  ' ' ORDER BY pos) AS target_text,
+       CAST(MAX(sid) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       ROUND(SUM(CASE WHEN masked THEN 1 ELSE 0 END) / COUNT(*), 6) AS corruption_rate
+FROM q
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    doc="T5/UL2-style span-corruption data prep (Raffel et al. 2020 "
+    "denoising objective): deterministic hash gates pick ~5% of token "
+    "positions as span starts, spans of 3 merge into masked runs, each "
+    "run is replaced by an incrementing sentinel in the input and "
+    "expanded after its sentinel in the target — (masked_text, "
+    "target_text) pairs ready for seq2seq denoising, reproducible "
+    "across runs/engines with zero RNG state.  Scale: one (doc, pos) "
+    "explode + windows over a single doc-key sort shuffle + one "
+    "ordered-agg rollup; no Python anywhere.",
+)
+def t_span_corrupt(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    gate = (
+        portable_hash64(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("pos").cast("string"))
+        )
+        % 1_000_000
+        < 50_000
+    )
+    g = toks.withColumn("start_gate", gate)
+    w3 = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-2, 0)
+    m = g.withColumn(
+        "masked",
+        F.coalesce(
+            F.max(F.col("start_gate").cast("int")).over(w3), F.lit(0)
+        ) == 1,
+    )
+    wl = Window.partitionBy("doc_id").orderBy("pos")
+    s = m.withColumn(
+        "span_start",
+        F.col("masked") & ~F.coalesce(F.lag("masked").over(wl), F.lit(False)),
+    )
+    wc = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    q = s.withColumn(
+        "sid", F.sum(F.col("span_start").cast("long")).over(wc)
+    )
+    sentinel = F.concat(F.lit("<X"), F.col("sid").cast("string"), F.lit(">"))
+    inp = (
+        F.when(~F.col("masked"), F.col("tok"))
+        .when(F.col("span_start"), sentinel)
+    )
+    tgt = F.when(
+        F.col("masked"),
+        F.when(F.col("span_start"), F.concat(sentinel, F.lit(" "), F.col("tok"))).otherwise(
+            F.col("tok")
+        ),
+    )
+
+    def joined(col):
+        return F.array_join(
+            F.filter(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", col.alias("t")))),
+                    lambda st: st.t,
+                ),
+                lambda x: x.isNotNull(),
+            ),
+            " ",
+        )
+
+    return (
+        q.groupBy("doc_id")
+        .agg(
+            joined(inp).alias("masked_text"),
+            joined(tgt).alias("target_text"),
+            F.max("sid").alias("n_spans"),
+            F.sum(F.col("masked").cast("long")).alias("n_masked"),
+            F.round(
+                F.sum(F.col("masked").cast("long")) / F.count(F.lit(1)), 6
+            ).alias("corruption_rate"),
+        )
+        .orderBy("doc_id")
+    )
