@@ -904,3 +904,62 @@ def t_span_corrupt(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "t_fim_transform",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS.format(col="text")} AS t,
+         len({_TOKS.format(col="text")}) AS n
+  FROM documents),
+cuts AS (
+  SELECT doc_id, t, n,
+         1 + {portable_hash64_sql("CAST(doc_id AS VARCHAR) || 'fim1'")} % (n - 2) AS c1
+  FROM t WHERE n >= 10),
+cuts2 AS (
+  SELECT doc_id, t, n, c1,
+         c1 + 1 + {portable_hash64_sql("CAST(doc_id AS VARCHAR) || 'fim2'")} % (n - c1 - 1) AS c2
+  FROM cuts)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+       '<PRE> ' || array_to_string(t[1:c1], ' ')
+         || ' <SUF> ' || array_to_string(t[c2+1:n], ' ')
+         || ' <MID> ' || array_to_string(t[c1+1:c2], ' ') AS psm_text
+FROM cuts2
+ORDER BY doc_id
+""",
+    doc="fill-in-the-middle transform (Bavarian et al. 2022): each "
+    "document splits at two hash-deterministic cut points into "
+    "prefix/middle/suffix and is re-serialized in PSM order "
+    "(<PRE> p <SUF> s <MID> m) — the infilling objective code models "
+    "train on, with all three segments guaranteed non-empty and the "
+    "cut choice reproducible across runs/engines with no RNG.  Pure "
+    "per-row array slicing over one scan; the output sort is the only "
+    "exchange.",
+)
+def t_fim(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    t = docs.select("doc_id", tokens("text").alias("t")).withColumn(
+        "n", F.size("t")
+    ).where(F.col("n") >= 10)
+    h1 = portable_hash64(F.concat(F.col("doc_id").cast("string"), F.lit("fim1")))
+    h2 = portable_hash64(F.concat(F.col("doc_id").cast("string"), F.lit("fim2")))
+    cuts = t.withColumn("c1", (F.lit(1) + h1 % (F.col("n") - 2))).withColumn(
+        "c2", F.col("c1") + 1 + h2 % (F.col("n") - F.col("c1") - 1)
+    )
+    psm = F.concat(
+        F.lit("<PRE> "),
+        F.array_join(F.expr("slice(t, 1, c1)"), " "),
+        F.lit(" <SUF> "),
+        F.array_join(F.expr("slice(t, c2 + 1, n - c2)"), " "),
+        F.lit(" <MID> "),
+        F.array_join(F.expr("slice(t, c1 + 1, c2 - c1)"), " "),
+    )
+    return cuts.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("c1").cast("long").alias("c1"),
+        F.col("c2").cast("long").alias("c2"),
+        psm.alias("psm_text"),
+    ).orderBy("doc_id")
