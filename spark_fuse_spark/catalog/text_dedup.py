@@ -812,13 +812,13 @@ q AS (
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM s)
 SELECT doc_id,
-       string_agg(CASE WHEN NOT masked THEN tok
+       COALESCE(string_agg(CASE WHEN NOT masked THEN tok
                        WHEN span_start THEN '<X' || CAST(sid AS VARCHAR) || '>' END,
-                  ' ' ORDER BY pos) AS masked_text,
-       string_agg(CASE WHEN masked AND span_start
+                  ' ' ORDER BY pos), '') AS masked_text,
+       COALESCE(string_agg(CASE WHEN masked AND span_start
                          THEN '<X' || CAST(sid AS VARCHAR) || '> ' || tok
                        WHEN masked THEN tok END,
-                  ' ' ORDER BY pos) AS target_text,
+                  ' ' ORDER BY pos), '') AS target_text,
        CAST(MAX(sid) AS BIGINT) AS n_spans,
        CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
        ROUND(SUM(CASE WHEN masked THEN 1 ELSE 0 END) / COUNT(*), 6) AS corruption_rate
