@@ -1538,3 +1538,81 @@ def q_provenance(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("file_name", "l_returnflag")
     )
+
+
+# ----------------------------------------------------- count-min sketch
+_CMS_D, _CMS_W = 4, 256
+
+
+def _cms_hash_sql(row: int) -> str:
+    return (
+        portable_hash64_sql(f"CAST(user_id AS VARCHAR) || '#cms{row}'")
+        + f" % {_CMS_W}"
+    )
+
+
+@register(
+    "x_count_min_sketch",
+    oracle=f"""
+WITH rows_ AS (
+  {" UNION ALL ".join(f"SELECT user_id, {r} AS r, {_cms_hash_sql(r)} AS col FROM events" for r in range(_CMS_D))}),
+cms AS (SELECT r, col, CAST(COUNT(*) AS BIGINT) AS c FROM rows_ GROUP BY r, col),
+exact AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_count
+          FROM events GROUP BY user_id),
+probe AS (
+  {" UNION ALL ".join(f"SELECT user_id, {r} AS r, {_cms_hash_sql(r)} AS col FROM exact" for r in range(_CMS_D))}),
+est AS (
+  SELECT p.user_id, MIN(cms.c) AS cms_estimate
+  FROM probe p JOIN cms ON p.r = cms.r AND p.col = cms.col
+  GROUP BY p.user_id)
+SELECT e.user_id, e.exact_count, est.cms_estimate,
+       est.cms_estimate >= e.exact_count AS never_undercounts
+FROM exact e JOIN est ON e.user_id = est.user_id
+ORDER BY e.exact_count DESC, e.user_id
+LIMIT 10
+""",
+    doc="Count-Min Sketch heavy hitters (Cormode & Muthukrishnan 2005) "
+    "with engine-portable hashes: a 4x256 counter grid built in ONE "
+    "partial-agg'd pass (each event lands in d=4 cells), point queries "
+    "read back min-over-rows — the mergeable frequency sketch that "
+    "answers 'how often did key X appear' over a 100 TB stream in "
+    "O(d x w) memory, overcounting but NEVER undercounting (asserted "
+    "per row).  The sketch table is 1 KB — broadcast; per-shard "
+    "sketches merge by cell-wise addition (same contract as the HLL "
+    "query's sketch union).  Top-10 exact-vs-estimate comparison, "
+    "fully oracle-replayed.",
+)
+def x_cms(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+
+    def cms_col(r: int, key=F.col("user_id")):
+        return (
+            portable_hash64(F.concat(key.cast("string"), F.lit(f"#cms{r}"))) % _CMS_W
+        ).alias("col")
+
+    rows = None
+    for r in range(_CMS_D):
+        part = ev.select("user_id", F.lit(r).alias("r"), cms_col(r))
+        rows = part if rows is None else rows.unionByName(part)
+    cms = rows.groupBy("r", "col").agg(F.count(F.lit(1)).alias("c"))
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    probe = None
+    for r in range(_CMS_D):
+        part = exact.select("user_id", F.lit(r).alias("r"), cms_col(r))
+        probe = part if probe is None else probe.unionByName(part)
+    est = (
+        probe.join(F.broadcast(cms), ["r", "col"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return (
+        exact.join(est, "user_id")
+        .select(
+            "user_id",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") >= F.col("exact_count")).alias("never_undercounts"),
+        )
+        .orderBy(F.col("exact_count").desc(), "user_id")
+        .limit(10)
+    )
