@@ -79,7 +79,9 @@ CONTRACTS = {
     # (|Q|·k)-sized ranked rows may shuffle
     "v_ann_bruteforce": PlanExpectation(max_exchanges=2),
     "v_ivf_topk": PlanExpectation(min_broadcast_joins=1, max_exchanges=2),
-    "v_lsh_buckets": PlanExpectation(require_partial_agg=True, max_exchanges=1),
+    # one hash Exchange for the bucket groupBy, one range for the
+    # driver-compare orderBy (added with the differential oracle)
+    "v_lsh_buckets": PlanExpectation(require_partial_agg=True, max_exchanges=2),
     "v_vector_norms": PlanExpectation(max_exchanges=1),
     # ---- event/batch-twin windows: map-side partial aggregation before
     # the one window-key shuffle (session windows emit partial_merge)
