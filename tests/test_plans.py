@@ -285,6 +285,8 @@ NESTED_LOOP_OK = {
     "v_pq_topk": "broadcast ADC lookup-table panel x corpus code scan",
     "t_vocab_coverage": "1-row broadcast corpus token total",
     "x_key_skew_profile": "1-row broadcast total/n_keys stats panel",
+    "v_mips_topk": "1-row broadcast max-norm panel folded into each hash-table branch",
+    "t_contrastive_triplets": "1-row broadcast doc-count panel for the negative hash offset",
     "q_data_checks": "1-row broadcast row-count panels joined to the unique/ref check results",
 }
 
