@@ -53,7 +53,7 @@ _FORCE_TOTAL_ORDER = frozenset(
         "q_grouping_sets", "q_intersect", "q_left_join_nullfill",
         "q_percentiles", "q_pivot", "q_range_join", "q_rollup", "q_semi_join",
         "q_topk_per_group", "q_window_dense_rank", "q_window_rolling_avg",
-        "q_window_running_total", "v_ann_bruteforce",
+        "q_window_running_total", "v_ann_bruteforce", "v_sq8_topk",
         # no top-level Sort in the logical plan — order was incidental
         "d_embedding_neardup", "e_json_props", "m_binary_metadata",
         "q06_forecast_revenue", "q14_promo_revenue", "q17_small_qty_revenue",

@@ -50,6 +50,83 @@ def v_ann(spark: SparkSession, sf: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=5, corpus_id="vec_id", corpus_vec="embedding")
 
 
+def _sq8_oracle(dims: int, k: int, rerank: int) -> str:
+    """DuckDB twin of the full SQ8 path: normalize → per-dim min/max
+    panel → floor-encode → midpoint-dequantized ADC → exact re-rank.
+    Every step is closed-form IEEE arithmetic, so unlike PQ/IVF (sampled
+    k-means, engine-specific) the scalar quantizer replays exactly."""
+    dequant = (
+        "(p.mins[i + 1] + (CAST(LEAST(255, GREATEST(0, "
+        "CAST(FLOOR((c.cu[i + 1] - p.mins[i + 1]) "
+        "/ p.spans[i + 1] * 256.0) AS INT))) AS DOUBLE) + 0.5) "
+        "* p.spans[i + 1] / 256.0)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+u AS (SELECT vec_id,
+             CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) = 0 THEN v
+                  ELSE list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y))))
+             END AS cu
+      FROM e),
+d AS (SELECT UNNEST(range(1, {dims + 1})) AS dim),
+mm AS (SELECT dim, MIN(cu[dim]) AS mn, MAX(cu[dim]) AS mx
+       FROM u CROSS JOIN d GROUP BY dim),
+p AS (SELECT list(mn ORDER BY dim) AS mins,
+             list(CASE WHEN mx - mn > 0 THEN mx - mn ELSE 1.0 END ORDER BY dim) AS spans
+      FROM mm),
+q AS (SELECT vec_id AS query_id, cu AS qu FROM u WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, cu FROM u),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         ROUND(list_sum(list_transform(range(0, {dims}),
+               i -> q.qu[i + 1] * {dequant})), 6) AS adc
+  FROM c CROSS JOIN q CROSS JOIN p),
+cand AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc DESC, neighbor_id) AS rk
+        FROM scored)
+  WHERE rk <= {rerank}),
+exact AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROUND(list_cosine_similarity(cv.v, qv.v), 6) AS cosine
+  FROM cand
+  JOIN e cv ON cand.neighbor_id = cv.vec_id
+  JOIN e qv ON cand.query_id = qv.vec_id)
+SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM exact)
+WHERE rk <= {k}
+"""
+
+
+@register(
+    "v_sq8_topk",
+    oracle=_sq8_oracle(dims=64, k=5, rerank=25),
+    doc="scalar-quantized (SQ8) ANN with exact re-rank — the FAISS SQ8 "
+    "shape: per-dim min/max trained in ONE corpus aggregate (2x64 "
+    "map-side-partial scalar aggs, no explode, no driver action), codes "
+    "are floor((x-min)/span*256) clamped bytes (4x smaller than "
+    "float32), queries score codes through midpoint dequantization in a "
+    "whole-stage-codegen fold (broadcast query panel x one corpus scan, "
+    "zero corpus shuffle), top-25 candidates re-ranked with exact "
+    "cosine.  Fully closed-form, so the DuckDB oracle replays training, "
+    "encoding, ADC and re-rank bit-for-bit — the only ANN family where "
+    "the ENTIRE approximate path is differentially verified, not just "
+    "row counts.",
+)
+def v_sq8(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.quantization import sq8_adc_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sq8_adc_topk(emb, queries, dims=64, k=5, rerank=25,
+                        corpus_id="vec_id", corpus_vec="embedding")
+
+
 @register(
     "v_ivf_topk",
     oracle=None,  # centroids come from MLlib KMeans — engine-specific

@@ -39,9 +39,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType, IntegerType
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import cosine_similarity, l2_normalize
 
-__all__ = ["train_pq_codebooks", "pq_encode", "pq_adc_topk", "ivfpq_topk"]
+__all__ = [
+    "train_pq_codebooks",
+    "pq_encode",
+    "pq_adc_topk",
+    "ivfpq_topk",
+    "sq8_minmax_panel",
+    "sq8_encode",
+    "sq8_adc_topk",
+]
 
 
 def _sample_matrix(
@@ -247,6 +255,138 @@ def pq_adc_topk(
 
     # exact verify on the tiny candidate set (minhash-verify shape):
     # candidates broadcast onto one corpus scan, then top-k by true cosine
+    exact = (
+        corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec))
+        .join(F.broadcast(cand.select(query_id, "neighbor_id")), "neighbor_id")
+        .join(F.broadcast(queries.select(query_id, query_vec)), query_id)
+        .select(
+            query_id,
+            "neighbor_id",
+            F.round(cosine_similarity(F.col(corpus_vec), F.col(query_vec)), 6).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", "cosine", "rank")
+    )
+
+
+# --------------------------------------------------------------- SQ8
+# Scalar (per-dimension) 8-bit quantization — the OTHER classic vector
+# compression (FAISS ``SQ8``).  Where PQ learns codebooks (k-means →
+# pandas UDFs, engine-specific), SQ8 is closed-form: per-dim min/max →
+# 256 uniform levels.  Everything below is pure Catalyst expressions, so
+# the whole path — training, encoding, ADC scoring, re-rank — replays
+# bit-identically in the DuckDB oracle (unlike PQ/IVF, which are
+# rows-only checked).  4× smaller than float32, exact re-rank recovers
+# true cosine order for the top candidates.
+
+
+def sq8_minmax_panel(corpus: DataFrame, vec_col: str, dims: int) -> DataFrame:
+    """Train the SQ8 quantizer: ONE aggregate over the corpus producing a
+    1-row panel ``(__mins: array<double>, __spans: array<double>)``.
+
+    Per-dim min/max come from ``2 × dims`` scalar aggregates over
+    ``element_at`` projections — map-side-partial, no explode (an
+    explode would shuffle rows × dims), no driver action.  Vectors are
+    L2-normalized first so the code range covers the unit sphere and
+    ADC approximates cosine.  Zero-span dims quantize to 0 via a
+    span floor of 1.0 (any constant works: dequantized midpoints then
+    cancel in the re-rank).
+    """
+    unit = corpus.select(l2_normalize(vec_col).alias("__u"))
+    mins = [F.min(F.element_at("__u", i + 1)) for i in range(dims)]
+    maxs = [F.max(F.element_at("__u", i + 1)) for i in range(dims)]
+    return unit.agg(
+        F.array(*mins).alias("__mins"),
+        F.zip_with(
+            F.array(*maxs),
+            F.array(*mins),
+            lambda hi, lo: F.when(hi - lo > 0.0, hi - lo).otherwise(F.lit(1.0)),
+        ).alias("__spans"),
+    )
+
+
+def sq8_encode(
+    df: DataFrame,
+    panel: DataFrame,
+    vec_col: str = "embedding",
+    code_col: str = "sq8_code",
+) -> DataFrame:
+    """Append ``array<int>`` SQ8 codes: ``floor((x−min)/span·256)``
+    clamped to [0, 255] on the unit-normalized vector.
+
+    ``floor`` (not round) because its semantics are identical across
+    engines — no banker's-rounding ambiguity for the oracle.  The panel
+    is a 1-row broadcast (the same fold-in shape as ``mips_lsh_topk``'s
+    max-norm panel), so encoding is a narrow map over the corpus —
+    encode once, persist, reuse across query batches.
+    """
+    code = F.expr(
+        f"transform(__unit, (x, j) -> least(255, greatest(0, "
+        f"CAST(floor((x - element_at(__mins, j + 1)) / element_at(__spans, j + 1) "
+        f"* 256.0D) AS INT))))"
+    )
+    return (
+        df.withColumn("__unit", l2_normalize(vec_col))
+        .crossJoin(F.broadcast(panel))
+        .withColumn(code_col, code)
+        .drop("__unit", "__mins", "__spans")
+    )
+
+
+def sq8_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: int,
+    k: int = 10,
+    rerank: int = 0,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    code_col: str = "sq8_code",
+    panel: "DataFrame | None" = None,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance over SQ8 codes, with
+    optional exact cosine re-rank — `v_ann_bruteforce`'s shape (broadcast
+    query panel × one corpus scan, zero corpus shuffle) but each corpus
+    row is scored through its 64 one-byte codes instead of floats.
+
+    ADC score = Σⱼ q̂ⱼ · (minⱼ + (cⱼ + 0.5)·spanⱼ/256) — midpoint
+    dequantization, folded in one ``aggregate`` that stays in
+    whole-stage codegen.  With ``rerank = r`` the top-r candidates per
+    query re-score with exact cosine and the final k keep exact values.
+
+    Output: ``query_id, neighbor_id, cosine, rank``.
+    """
+    if panel is None:
+        panel = sq8_minmax_panel(corpus, corpus_vec, dims)
+    encoded = corpus if code_col in corpus.columns else sq8_encode(
+        corpus, panel, corpus_vec, code_col
+    )
+    q = queries.select(query_id, l2_normalize(query_vec).alias("__q"))
+
+    adc = F.expr(
+        f"aggregate(sequence(0, {dims - 1}), 0.0D, (a, j) -> a + "
+        f"element_at(__q, j + 1) * (element_at(__mins, j + 1) + "
+        f"(CAST(element_at({code_col}, j + 1) AS DOUBLE) + 0.5D) "
+        f"* element_at(__spans, j + 1) / 256.0D))"
+    )
+    scored = (
+        encoded.select(F.col(corpus_id).alias("neighbor_id"), code_col)
+        .crossJoin(F.broadcast(panel))
+        .crossJoin(F.broadcast(q))
+        .select(query_id, "neighbor_id", F.round(adc, 6).alias("adc"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("adc").desc(), F.col("neighbor_id").asc())
+    take = max(k, rerank)
+    cand = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= take)
+    if not rerank:
+        return cand.select(query_id, "neighbor_id", F.col("adc").alias("cosine"), "rank")
+
     exact = (
         corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec))
         .join(F.broadcast(cand.select(query_id, "neighbor_id")), "neighbor_id")

@@ -164,3 +164,59 @@ def test_mips_recall_and_augmentation_semantics(spark, emb):
     for r in got:
         if (r.query_id, r.neighbor_id) in exact:
             assert r.inner_product == exact[(r.query_id, r.neighbor_id)]
+
+
+# ---------------------------------------------------------------- SQ8
+def test_sq8_codes_bounded_and_deterministic(spark, emb):
+    from spark_fuse_spark.operators.quantization import sq8_encode, sq8_minmax_panel
+
+    panel = sq8_minmax_panel(emb, "embedding", dims=64)
+    coded = sq8_encode(emb, panel, "embedding", "sq8_code")
+    stats = coded.select(
+        F.min(F.array_min("sq8_code")).alias("lo"),
+        F.max(F.array_max("sq8_code")).alias("hi"),
+        F.min(F.size("sq8_code")).alias("n"),
+    ).first()
+    assert 0 <= stats.lo and stats.hi <= 255 and stats.n == 64
+    # deterministic: a second encode produces identical codes
+    again = sq8_encode(emb, panel, "embedding", "sq8_code")
+    a = {r.vec_id: r.sq8_code for r in coded.select("vec_id", "sq8_code").collect()}
+    b = {r.vec_id: r.sq8_code for r in again.select("vec_id", "sq8_code").collect()}
+    assert a == b
+
+
+def test_sq8_recall_vs_exact_with_rerank(spark, emb):
+    from spark_fuse_spark.operators.quantization import sq8_adc_topk
+
+    q = _queries(emb)
+    exact = brute_force_topk(emb, q, k=5, corpus_id="vec_id", corpus_vec="embedding")
+    approx = sq8_adc_topk(
+        emb, q, dims=64, k=5, rerank=25, corpus_id="vec_id", corpus_vec="embedding"
+    )
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # 8 bits/dim is a much finer quantizer than PQ's 6-bit subspaces:
+    # with a 5x rerank margin the exact top-5 should fully survive
+    assert recall >= 0.95, f"recall@5 {recall} below floor"
+    es = {(r.query_id, r.neighbor_id): r.cosine for r in exact.collect()}
+    for r in approx.collect():
+        if (r.query_id, r.neighbor_id) in es:
+            assert abs(es[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
+
+
+def test_sq8_reuses_precomputed_codes(spark, emb):
+    from spark_fuse_spark.operators.quantization import (
+        sq8_adc_topk,
+        sq8_encode,
+        sq8_minmax_panel,
+    )
+
+    panel = sq8_minmax_panel(emb, "embedding", dims=64)
+    indexed = sq8_encode(emb, panel, "embedding", "sq8_code")
+    q = _queries(emb)
+    fresh = sq8_adc_topk(emb, q, dims=64, k=5, corpus_id="vec_id",
+                         corpus_vec="embedding", panel=panel)
+    reused = sq8_adc_topk(indexed, q, dims=64, k=5, corpus_id="vec_id",
+                          corpus_vec="embedding", panel=panel)
+    assert sorted(map(tuple, fresh.collect())) == sorted(map(tuple, reused.collect()))
