@@ -1616,3 +1616,52 @@ def x_cms(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("exact_count").desc(), "user_id")
         .limit(10)
     )
+
+
+# ------------------------------------------------------ association rules
+@register(
+    "q_market_basket",
+    oracle="""
+WITH items AS (SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+               FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+pairs AS (SELECT a.item AS item_a, b.item AS item_b,
+                 CAST(COUNT(*) AS BIGINT) AS pair_count
+          FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+          GROUP BY 1, 2 HAVING COUNT(*) >= 50),
+ic AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM items GROUP BY item),
+tot AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets FROM items)
+SELECT item_a, item_b, pair_count, ca.n AS count_a, cb.n AS count_b,
+       ROUND(pair_count / n_baskets, 6) AS support,
+       ROUND(pair_count / ca.n, 6) AS confidence_a_to_b,
+       ROUND(pair_count * n_baskets / (ca.n * cb.n), 6) AS lift
+FROM pairs
+JOIN ic ca ON item_a = ca.item
+JOIN ic cb ON item_b = cb.item
+CROSS JOIN tot
+ORDER BY lift DESC, item_a, item_b
+LIMIT 50
+""",
+    doc="market-basket association rules (Agrawal-Srikant counting step) "
+    "over order baskets of part brands: support / confidence / lift per "
+    "co-occurring brand pair, top-50 by lift.  Scale shape "
+    "(operators/basket.py): distinct (basket, item) first, inverted-"
+    "index self-join equi on the basket key (pair expansion only within "
+    "a basket, item_a < item_b halves it), per-item counts and the "
+    "basket total broadcast back — never an all-pairs join; a "
+    "max_basket_size guard bounds pathological mega-baskets.  The same "
+    "operator profiles co-occurring sources within near-dup clusters in "
+    "a curation pipeline.",
+)
+def q_basket(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.basket import association_rules
+
+    line = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    baskets = line.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        line["l_partkey"] == part["p_partkey"],
+    ).select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
+    rules = association_rules(baskets, "basket", "item", min_support=50)
+    return rules.orderBy(
+        F.col("lift").desc(), F.col("item_a"), F.col("item_b")
+    ).limit(50)
