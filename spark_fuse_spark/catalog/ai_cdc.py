@@ -419,3 +419,64 @@ def c_scd2_temporal(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "c_incremental_agg",
+    oracle="""
+WITH new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 53 = 0 THEN o_custkey + 1 ELSE o_custkey END AS ck,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderkey % 89 <> 0)
+SELECT ck AS o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_price
+FROM new GROUP BY ck
+ORDER BY o_custkey
+""",
+    doc="incremental materialized-view maintenance "
+    "(cdc/diff.incremental_agg_merge): a per-customer (count, sum) view "
+    "built from the OLD snapshot is merged with the I/U/D changelog "
+    "between snapshots — inserts add, deletes retract via the "
+    "before-image, updates retract-and-add (including rows that MOVED "
+    "groups via a custkey reassignment).  The Spark side never rescans "
+    "the new fact table for the view; the ORACLE RECOMPUTES the "
+    "aggregate from the new snapshot directly, so a hash match proves "
+    "incremental maintenance == full recompute, exactly (sums ride "
+    "decimals).  Scale: the merge is O(day's churn) — two narrow "
+    "changelog projections + one grouped sum over view ∪ deltas.",
+)
+def c_incr_agg(spark: SparkSession, sf: str) -> DataFrame:
+    from ..cdc import incremental_agg_merge, snapshot_diff
+
+    orders = load_table(spark, sf, "orders")
+    old = orders.where(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    new = orders.where(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 53 == 0, F.col("o_custkey") + 1)
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + 10.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    base = old.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("total_price"),
+    )
+    log = snapshot_diff(
+        old, new, keys=["o_orderkey"],
+        compare_cols=["o_custkey", "o_totalprice"], include_before=True,
+    )
+    view = incremental_agg_merge(
+        base, log, ["o_custkey"], "o_totalprice",
+        count_col="n_orders", sum_col="total_price",
+    )
+    return view.select(
+        "o_custkey",
+        "n_orders",
+        F.round(F.col("total_price").cast("double"), 2).alias("total_price"),
+    ).orderBy("o_custkey")

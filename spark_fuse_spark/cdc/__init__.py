@@ -15,7 +15,7 @@ Re-expresses the reference's Delta-backed change tracking
   ``change_tracking.py:165-191`` patches classes as an import side effect).
 """
 
-from spark_fuse_spark.cdc.diff import apply_changelog, snapshot_diff
+from spark_fuse_spark.cdc.diff import apply_changelog, incremental_agg_merge, snapshot_diff
 from spark_fuse_spark.cdc.scd import (
     ChangeTrackingMode,
     apply_change_tracking,
@@ -28,6 +28,7 @@ from spark_fuse_spark.cdc.store import ParquetStore, TableStore, get_store
 __all__ = [
     "ChangeTrackingMode",
     "snapshot_diff",
+    "incremental_agg_merge",
     "apply_changelog",
     "apply_change_tracking",
     "change_tracking_writer",

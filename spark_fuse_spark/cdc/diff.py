@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import row_hash
 
-__all__ = ["snapshot_diff", "apply_changelog"]
+__all__ = ["snapshot_diff", "apply_changelog", "incremental_agg_merge"]
 
 
 def snapshot_diff(
@@ -33,6 +33,7 @@ def snapshot_diff(
     keys: list[str],
     compare_cols: "list[str] | None" = None,
     op_col: str = "op",
+    include_before: bool = False,
 ) -> DataFrame:
     """Changelog between two snapshots keyed by ``keys``.
 
@@ -42,6 +43,12 @@ def snapshot_diff(
     omitted.  Null attributes compare equal via the null-normalized row
     hash (``functions.hashing.row_hash``); key columns must be non-null
     (primary-key contract, as in ``cdc/scd.py``).
+
+    With ``include_before=True`` each compare column also ships a
+    ``<col>__before`` twin holding the OLD value (null for I) — the
+    Debezium-style before-image that downstream *delta* consumers need
+    (``incremental_agg_merge`` uses it to retract a changed row's old
+    contribution without re-reading the base table).
     """
     if not keys:
         raise ValueError("keys must be non-empty")
@@ -79,10 +86,18 @@ def snapshot_diff(
         .alias(c)
         for c in compare
     ]
+    out_before = (
+        [
+            F.when(F.col(op_col) != "I", F.col(f"__ov_{c}")).alias(f"{c}__before")
+            for c in compare
+        ]
+        if include_before
+        else []
+    )
     return (
         j.withColumn(op_col, op)
         .where(F.col(op_col).isNotNull())
-        .select(*out_keys, *out_vals, op_col)
+        .select(*out_keys, *out_vals, *out_before, op_col)
     )
 
 
@@ -114,3 +129,64 @@ def apply_changelog(
     kept = snapshot.join(touched, cond, "left_anti")
     upserts = changelog.where(F.col(op_col).isin("I", "U")).select(*cols)
     return kept.unionByName(upserts)
+
+
+def incremental_agg_merge(
+    base_agg: DataFrame,
+    changelog: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    count_col: str = "n_rows",
+    sum_col: str = "total",
+    op_col: str = "op",
+    before_suffix: str = "__before",
+) -> DataFrame:
+    """Incremental materialized-view maintenance: merge an I/U/D
+    changelog into a grouped (count, sum) aggregate WITHOUT recomputing
+    the base table — the standard delta-maintenance rule for
+    distributive aggregates (count/sum/avg-from-sum).
+
+    ``base_agg`` holds ``group_cols + [count_col, sum_col]`` (the view
+    as of the old snapshot); ``changelog`` is the
+    :func:`snapshot_diff(..., include_before=True)` format, where the
+    grouping attributes and ``value_col`` carry NEW values and their
+    ``__before`` twins carry OLD values.  Each change contributes:
+
+    * I → (+1, +value) to the new group;
+    * D → (−1, −value_before) to the old group;
+    * U → both — so a row that MOVED groups retracts from the old group
+      and lands in the new one, and an in-place value change cancels
+      its own count.
+
+    Shape: two narrow projections of the O(changes) changelog unioned
+    under the view, ONE grouped sum, groups whose count reaches zero
+    drop out.  At 100 TB the base view never rescans its fact table —
+    the whole merge is proportional to the day's churn.  Exactness:
+    delta contributions are cast to the view's own count/sum types, so
+    a decimal-summed view stays exact under maintenance (property: the
+    merged view ≡ recomputing the aggregate from the new snapshot — the
+    catalog oracle checks precisely that).
+    """
+    cnt_t = base_agg.schema[count_col].dataType
+    sum_t = base_agg.schema[sum_col].dataType
+    minus = changelog.where(F.col(op_col) != "I").select(
+        *[F.col(f"{g}{before_suffix}").alias(g) for g in group_cols],
+        F.lit(-1).cast(cnt_t).alias(count_col),
+        (-F.col(f"{value_col}{before_suffix}").cast(sum_t)).alias(sum_col),
+    )
+    plus = changelog.where(F.col(op_col) != "D").select(
+        *group_cols,
+        F.lit(1).cast(cnt_t).alias(count_col),
+        F.col(value_col).cast(sum_t).alias(sum_col),
+    )
+    merged = (
+        base_agg.select(*group_cols, count_col, sum_col)
+        .unionByName(minus)
+        .unionByName(plus)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(count_col).cast(cnt_t).alias(count_col),
+            F.sum(sum_col).cast(sum_t).alias(sum_col),
+        )
+    )
+    return merged.where(F.col(count_col) > 0)

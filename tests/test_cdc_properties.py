@@ -105,3 +105,45 @@ def test_scd2_matches_model(spark, tpf, history):
         versions = [r["version"] for r in sorted(rows, key=lambda r: r["version"]) if r["id"] == k]
         assert versions == list(range(1, len(chain) + 1))
         assert sum(1 for c in chain if not c[1]) == 1
+
+
+# ----------------------------------------------- incremental agg merge
+# old/new snapshots over keys 1..8: each key maps to (group, value) or
+# None (absent).  Property: maintaining the (count, sum) view through
+# snapshot_diff + incremental_agg_merge equals recomputing it from new.
+_state = st.fixed_dictionaries({
+    k: st.one_of(
+        st.none(),
+        st.tuples(st.sampled_from(["g1", "g2", "g3"]),
+                  st.integers(min_value=-50, max_value=50)),
+    )
+    for k in range(1, 9)
+})
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(old_state=_state, new_state=_state)
+def test_incremental_agg_merge_equals_recompute(spark, old_state, new_state):
+    from pyspark.sql import functions as F
+
+    from spark_fuse_spark.cdc import incremental_agg_merge, snapshot_diff
+
+    schema = "id long, grp string, val long"
+    old_rows = [(k, g, v) for k, gv in old_state.items() if gv for g, v in [gv]]
+    new_rows = [(k, g, v) for k, gv in new_state.items() if gv for g, v in [gv]]
+    old = spark.createDataFrame(old_rows or [], schema)
+    new = spark.createDataFrame(new_rows or [], schema)
+
+    base = old.groupBy("grp").agg(
+        F.count("*").alias("n_rows"), F.sum("val").alias("total")
+    )
+    log = snapshot_diff(old, new, keys=["id"], compare_cols=["grp", "val"],
+                        include_before=True)
+    view = incremental_agg_merge(base, log, ["grp"], "val")
+    got = {r.grp: (r.n_rows, r.total) for r in view.collect()}
+
+    expect: dict[str, tuple[int, int]] = {}
+    for _, g, v in new_rows:
+        n, t = expect.get(g, (0, 0))
+        expect[g] = (n + 1, t + v)
+    assert got == expect
