@@ -1665,3 +1665,128 @@ def q_basket(spark: SparkSession, sf: str) -> DataFrame:
     return rules.orderBy(
         F.col("lift").desc(), F.col("item_a"), F.col("item_b")
     ).limit(50)
+
+
+# ------------------------------------------------------ weighted sampling
+@register(
+    "t_weighted_sample",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, lang, n_chars,
+         ln((({portable_hash64_sql("CAST(doc_id AS VARCHAR) || 'aes'")} % 1000000) + 1)
+            / 1000000.0) / n_chars AS sk
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, lang, n_chars, ROUND(sk, 6) AS sample_key
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY sk DESC, doc_id) AS rk
+      FROM w)
+WHERE rk <= 20
+ORDER BY lang, sample_key DESC, doc_id
+""",
+    doc="weighted sampling without replacement (Efraimidis-Spirakis A-ES "
+    "exponential sort keys): top-20 documents per language where "
+    "selection probability is proportional to n_chars — the weighted "
+    "eval-slice draw.  The uniform comes from the portable md5 gate "
+    "(operators/sampling.weighted_sample_topk), so there is NO RNG "
+    "state: reruns, retries, and the SQL oracle pick the identical "
+    "sample.  Scale: narrow per-row keying + one top-k window per "
+    "stratum — never a global sort of the corpus.",
+)
+def t_wsample(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.sampling import weighted_sample_topk
+
+    docs = load_table(spark, sf, "documents").where(F.col("n_chars") > 0)
+    out = weighted_sample_topk(
+        docs, "doc_id", "n_chars", k=20, strata_cols=["lang"], salt="aes"
+    )
+    return out.select(
+        "doc_id", "lang", "n_chars", F.round("sample_key", 6).alias("sample_key")
+    ).orderBy("lang", F.col("sample_key").desc(), "doc_id")
+
+
+# ------------------------------------------------------ seasonal baseline
+@register(
+    "e_seasonal_anomaly",
+    oracle="""
+WITH e AS (SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+                  CAST(ROUND(value * 100) AS BIGINT) AS v
+           FROM events),
+s AS (SELECT event_type, hr, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(v) AS sv, SUM(CAST(v * v AS DECIMAL(38,0))) AS sv2
+      FROM e GROUP BY 1, 2),
+b AS (SELECT event_type, hr, n,
+             CAST(sv AS DOUBLE) / n AS mean_c,
+             sqrt(GREATEST((CAST(sv2 AS DOUBLE)
+                            - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n)
+                           / (n - 1), 0)) AS std_c
+      FROM s WHERE n > 1)
+SELECT b.event_type, b.hr AS hour, b.n AS n_events,
+       FLOOR(b.mean_c / 100 * 10000 + 0.5) / 10000 AS mean_value,
+       FLOOR(b.std_c / 100 * 10000 + 0.5) / 10000 AS stddev_value,
+       CAST(SUM(CASE WHEN ABS(e.v - b.mean_c) > 3 * b.std_c
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM e JOIN b ON e.event_type = b.event_type AND e.hr = b.hr
+GROUP BY b.event_type, b.hr, b.n, b.mean_c, b.std_c
+ORDER BY b.event_type, hour
+""",
+    doc="hour-of-day seasonal baseline + 3-sigma anomaly census per "
+    "event type — the seasonal-profile monitoring shape (traffic is "
+    "hourly-periodic; a global mean flags every rush hour).  "
+    "Determinism trick: values quantize to exact cent integers, so "
+    "count/sum/sum-of-squares are EXACT integer/decimal aggregates "
+    "(partial-agg order can't wiggle them), and mean/stddev derive from "
+    "those three numbers in identical IEEE double arithmetic on both "
+    "engines, rounded via floor(x*10^4+0.5) — explicit IEEE rounding, "
+    "immune to the engines' divergent ROUND tie-breaks (Spark HALF_UPs "
+    "the decimal string, DuckDB rounds the binary value) — where "
+    "stddev_samp over raw doubles would be order-dependent and flap "
+    "the hash.  Scale: two grouped aggregates over one events "
+    "scan each; the 24 x n_types baseline panel broadcasts back.",
+)
+def e_seasonal(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "event_type",
+        F.hour("ts").cast("int").alias("hr"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    stats = ev.groupBy("event_type", "hr").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias("sv2"),
+    )
+    base = stats.where(F.col("n") > 1).select(
+        "event_type",
+        "hr",
+        "n",
+        (F.col("sv").cast("double") / F.col("n")).alias("mean_c"),
+        F.sqrt(
+            F.greatest(
+                (
+                    F.col("sv2").cast("double")
+                    - F.col("sv").cast("double") * F.col("sv").cast("double") / F.col("n")
+                )
+                / (F.col("n") - 1),
+                F.lit(0.0),
+            )
+        ).alias("std_c"),
+    )
+    return (
+        ev.join(F.broadcast(base), ["event_type", "hr"])
+        .groupBy("event_type", "hr", "n", "mean_c", "std_c")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("v") - F.col("mean_c")) > 3 * F.col("std_c"), 1
+                ).otherwise(0)
+            ).alias("n_anomalies")
+        )
+        .select(
+            "event_type",
+            F.col("hr").alias("hour"),
+            F.col("n").alias("n_events"),
+            (F.floor(F.col("mean_c") / 100 * 10000 + 0.5) / 10000).alias("mean_value"),
+            (F.floor(F.col("std_c") / 100 * 10000 + 0.5) / 10000).alias("stddev_value"),
+            "n_anomalies",
+        )
+        .orderBy("event_type", "hour")
+    )

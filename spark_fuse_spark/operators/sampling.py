@@ -125,3 +125,50 @@ def resample_weighted(
         n_copies >= 1, F.sequence(F.lit(1), n_copies)
     ).otherwise(F.array().cast("array<int>"))
     return df.withColumn(copy_col, F.explode(copies))
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col: "str | Column",
+    k: int,
+    strata_cols: "list[str] | None" = None,
+    salt: str = "aes",
+    score_col: str = "sample_key",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via exponential sort keys —
+    the A-ES scheme (Efraimidis & Spirakis 2006, "Weighted random
+    sampling with a reservoir", public paper): each row draws a uniform
+    ``u`` and is ranked by ``u^(1/w)``; the top-k of that ranking is an
+    exact weighted sample without replacement.
+
+    Determinism: ``u`` comes from the portable md5 hash of
+    ``key_col || salt`` quantized to millionths in (0, 1] — no RNG
+    state, reruns and SQL twins agree row-for-row.  The rank key is the
+    monotone-equivalent ``ln(u)/w`` (descending), avoiding ``pow``
+    precision traps; rows with non-positive weight never qualify.
+
+    Shape: one hash gate (narrow) + ONE top-k window per stratum —
+    exactly the ``operators.topk`` pattern, so per-stratum state is k
+    rows and the shuffle is on the strata key only.  At 100 TB this is
+    how you draw a 10k-document weighted eval slice per language
+    without a global sort of the corpus.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    key = F.col(key_col).cast("string")
+    h = portable_hash64(F.concat(key, F.lit(salt)))
+    u = ((h % BUCKETS) + 1).cast("double") / F.lit(float(BUCKETS))
+    score = F.log(u) / w
+    from pyspark.sql import Window
+
+    parts = [F.col(c) for c in (strata_cols or [])]
+    win = Window.partitionBy(*parts).orderBy(
+        F.col(score_col).desc(), F.col(key_col).asc()
+    )
+    return (
+        df.where(w > 0)
+        .withColumn(score_col, score)
+        .withColumn("__rk", F.row_number().over(win))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )

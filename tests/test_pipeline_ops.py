@@ -304,3 +304,25 @@ def test_resample_weighted_multiplicities(spark):
     out2 = resample_weighted(df, "id", "rate")
     assert out.exceptAll(out2).count() == 0
     out.unpersist()
+
+
+def test_weighted_sample_topk_props(spark):
+    """A-ES invariants: k per stratum, deterministic reruns, zero/negative
+    weights excluded, and heavier rows oversampled in aggregate."""
+    from pyspark.sql import functions as F
+
+    from spark_fuse_spark.operators.sampling import weighted_sample_topk
+
+    rows = [(i, "s" if i % 2 else "t", 1000.0 if i < 40 else 1.0) for i in range(400)]
+    rows += [(1000, "s", 0.0), (1001, "t", -5.0)]  # never sampled
+    df = spark.createDataFrame(rows, ["id", "stratum", "w"])
+    out = weighted_sample_topk(df, "id", "w", k=10, strata_cols=["stratum"])
+    got = out.groupBy("stratum").count().collect()
+    assert {r.stratum: r["count"] for r in got} == {"s": 10, "t": 10}
+    ids = {r.id for r in out.select("id").collect()}
+    assert 1000 not in ids and 1001 not in ids
+    # heavy rows (ids < 40, weight 1000x) should dominate the sample
+    heavy = sum(1 for i in ids if i < 40)
+    assert heavy >= 14, f"expected heavy-weight dominance, got {heavy}/20"
+    again = weighted_sample_topk(df, "id", "w", k=10, strata_cols=["stratum"])
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
