@@ -2,29 +2,32 @@
 
 The classic association-rule primitives (Agrawal & Srikant 1994, "Fast
 Algorithms for Mining Association Rules" — the a-priori counting step)
-re-expressed as DataFrame joins: which items appear together in the same
+re-expressed as DataFrame ops: which items appear together in the same
 basket more often than chance?  In an LLM-data context the same shape
 answers "which sources/domains co-occur in the same near-dup cluster"
 or "which tags co-fire on the same document"; here it runs over TPC-H
 order baskets.
 
-Scale shape — this is an INVERTED-INDEX self-join, never all-pairs:
+Scale shape — ONE wide shuffle of the fact table, no self-join:
 
-* distinct (basket, item) pairs first — one hash aggregate, map-side
-  partial, kills within-basket duplicate lines before any join;
-* the self-join is equi on the basket key, so pair expansion happens
-  only WITHIN a basket (shuffle O(lines), pair cost Σ per-basket k²
-  with k = basket size, bounded by the largest basket — identical cost
-  model to ``dedup.ngram_jaccard_pairs``'s shingle-bucket join);
-* the ``item_a < item_b`` predicate halves the expansion and canonises
-  pair identity;
-* per-item counts and the basket total are tiny aggregates broadcast
-  back onto the pair relation for confidence/lift.
+* ``collect_set`` gathers each basket's distinct items in the single
+  basket-keyed exchange (map-side partial collection included);
+  every downstream relation (pairs, item frequencies, basket total)
+  derives from that one aggregated subtree, so the fact table is
+  scanned and shuffled once;
+* pair expansion is WITHIN-ROW: the sorted item set unrolls to its
+  ``k·(k−1)/2`` ordered pairs with nested ``transform``/``slice`` +
+  ``explode`` — pure codegen, cost Σ per-basket k², bounded by the
+  largest basket, and the only further shuffles carry (item_a, item_b)
+  pair rows and |items| frequency rows — both tiny next to the fact;
+* the ``item_a < item_b`` canonical order comes free from
+  ``array_sort``.
 
 Skew note: at 100 TB a pathological mega-basket (one basket with 10⁶
 items) would quadratically dominate; ``max_basket_size`` drops such
-baskets up front (standard practice — a basket that large carries no
-association signal), keeping per-key expansion bounded.
+baskets right after the aggregate (standard practice — a basket that
+large carries no association signal), keeping per-row expansion
+bounded.
 """
 
 from __future__ import annotations
@@ -32,7 +35,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["basket_pairs", "association_rules"]
+__all__ = ["basket_item_sets", "basket_pairs", "association_rules"]
+
+
+def basket_item_sets(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket_size: "int | None" = None,
+) -> DataFrame:
+    """One row per basket with its SORTED distinct item array — the
+    single wide aggregate every association relation derives from."""
+    out = df.groupBy(F.col(basket_col).alias("__basket")).agg(
+        F.array_sort(F.collect_set(F.col(item_col))).alias("__items")
+    )
+    if max_basket_size is not None:
+        out = out.where(F.size("__items") <= max_basket_size)
+    return out
+
+
+def _pair_rows(item_sets: DataFrame) -> DataFrame:
+    """Within-row unroll of each sorted item array to its ordered pairs."""
+    pairs = F.flatten(
+        F.expr(
+            "transform(__items, (x, i) -> "
+            "transform(slice(__items, i + 2, size(__items) - i - 1), "
+            "y -> struct(x AS item_a, y AS item_b)))"
+        )
+    )
+    return item_sets.select(F.explode(pairs).alias("__p")).select(
+        F.col("__p.item_a").alias("item_a"), F.col("__p.item_b").alias("item_b")
+    )
 
 
 def basket_pairs(
@@ -41,25 +74,22 @@ def basket_pairs(
     item_col: str,
     min_support: int = 2,
     max_basket_size: "int | None" = None,
+    _item_sets: "DataFrame | None" = None,
 ) -> DataFrame:
     """Co-occurrence pair counts: ``item_a, item_b, pair_count`` for
     unordered item pairs sharing a basket, kept at
-    ``pair_count >= min_support``."""
-    items = df.select(
-        F.col(basket_col).alias("__basket"), F.col(item_col).alias("__item")
-    ).distinct()
-    if max_basket_size is not None:
-        sizes = items.groupBy("__basket").agg(F.count("*").alias("__bsz"))
-        items = (
-            items.join(sizes, "__basket")
-            .where(F.col("__bsz") <= max_basket_size)
-            .drop("__bsz")
-        )
-    a = items.select("__basket", F.col("__item").alias("item_a"))
-    b = items.select("__basket", F.col("__item").alias("item_b"))
+    ``pair_count >= min_support``.
+
+    ``_item_sets`` lets :func:`association_rules` share its aggregated
+    basket relation so all consumers reference the identical subtree.
+    """
+    sets_ = (
+        _item_sets
+        if _item_sets is not None
+        else basket_item_sets(df, basket_col, item_col, max_basket_size)
+    )
     return (
-        a.join(b, "__basket")
-        .where(F.col("item_a") < F.col("item_b"))
+        _pair_rows(sets_)
         .groupBy("item_a", "item_b")
         .agg(F.count("*").alias("pair_count"))
         .where(F.col("pair_count") >= min_support)
@@ -83,14 +113,18 @@ def association_rules(
 
     The item-frequency relation aggregates to |items| rows and the
     basket total to ONE row — both broadcast onto the pair relation, so
-    the only large shuffles are the pair groupBy itself.
+    after the single basket shuffle only pair/frequency rows move.
     """
-    items = df.select(
-        F.col(basket_col).alias("__basket"), F.col(item_col).alias("__item")
-    ).distinct()
-    pairs = basket_pairs(df, basket_col, item_col, min_support, max_basket_size)
-    item_counts = items.groupBy(F.col("__item")).agg(F.count("*").alias("__n"))
-    totals = items.select(F.countDistinct("__basket").alias("__n_baskets"))
+    sets_ = basket_item_sets(df, basket_col, item_col, max_basket_size)
+    pairs = basket_pairs(
+        df, basket_col, item_col, min_support, max_basket_size, _item_sets=sets_
+    )
+    item_counts = (
+        sets_.select(F.explode("__items").alias("__item"))
+        .groupBy("__item")
+        .agg(F.count("*").alias("__n"))
+    )
+    totals = sets_.select(F.count("*").alias("__n_baskets"))
     ca = item_counts.select(F.col("__item").alias("item_a"), F.col("__n").alias("count_a"))
     cb = item_counts.select(F.col("__item").alias("item_b"), F.col("__n").alias("count_b"))
     return (

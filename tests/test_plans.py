@@ -192,6 +192,24 @@ CONTRACTS = {
     # (user,bucket) rollup -> span agg -> grid join -> fill window + sort;
     # every shuffle is on the user key family and partial-agg'd
     "e_resample_1h": PlanExpectation(require_partial_agg=True, max_exchanges=4),
+    # ---- round-5 additions.  market basket: ONE basket-keyed shuffle of
+    # the fact (collect_set), pair expansion within-row, frequency/total
+    # panels broadcast back (static explain counts the shared basket-agg
+    # subtree once per consumer; at runtime AQE reuses the exchange)
+    "q_market_basket": PlanExpectation(
+        min_broadcast_joins=2, require_partial_agg=True, max_exchanges=8
+    ),
+    # SQ8: the min/max training panel is ONE partial-aggregated fold;
+    # scoring broadcasts panels over a single corpus scan
+    "v_sq8_topk": PlanExpectation(require_partial_agg=True, max_exchanges=5),
+    # incremental view maintenance: base view + two narrow changelog
+    # projections into one grouped sum — churn-sized, never a rescan
+    "c_incremental_agg": PlanExpectation(require_partial_agg=True, max_exchanges=7),
+    # A-ES weighted sample: one stratum window shuffle + output sort
+    "t_weighted_sample": PlanExpectation(max_exchanges=2),
+    "e_seasonal_anomaly": PlanExpectation(
+        min_broadcast_joins=1, require_partial_agg=True, max_exchanges=3
+    ),
     # gram hash agg + dup-set broadcast back + island windows + rollup +
     # totals join + sort — the inverted-index family's exchange budget
     "d_span_regions": PlanExpectation(
@@ -286,6 +304,8 @@ NESTED_LOOP_OK = {
     "t_vocab_coverage": "1-row broadcast corpus token total",
     "x_key_skew_profile": "1-row broadcast total/n_keys stats panel",
     "v_mips_topk": "1-row broadcast max-norm panel folded into each hash-table branch",
+    "v_sq8_topk": "1-row broadcast min/span panel + broadcast query panel x corpus code scan",
+    "q_market_basket": "1-row broadcast basket-total panel for support/lift denominators",
     "t_contrastive_triplets": "1-row broadcast doc-count panel for the negative hash offset",
     "q_data_checks": "1-row broadcast row-count panels joined to the unique/ref check results",
 }
