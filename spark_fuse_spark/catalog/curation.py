@@ -1790,3 +1790,114 @@ def e_seasonal(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+# ------------------------------------------------------------- retrieval
+_BM25_TERMS = ["join", "shuffle", "broadcast"]
+
+
+def _bm25_cte(terms: list[str]) -> str:
+    """DuckDB CTE chain replaying operators/retrieval.bm25_scores with
+    the IDENTICAL expression tree (literals written as the same
+    arithmetic, per-term MAX pivots summed in fixed order)."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    pivots = ",\n         ".join(
+        f"MAX(CASE WHEN tk = '{t}' THEN sc END) AS s_{i}"
+        for i, t in enumerate(terms)
+    )
+    total = " + ".join(f"COALESCE(s_{i}, 0.0)" for i in range(len(terms)))
+    return f"""toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS N, SUM(dl) / COUNT(*) AS avgdl FROM dl),
+hits AS (SELECT doc_id, tk, CAST(COUNT(*) AS DOUBLE) AS tf
+         FROM (SELECT doc_id, UNNEST(t) AS tk FROM toks)
+         WHERE tk IN ({in_list}) GROUP BY doc_id, tk),
+dfreq AS (SELECT tk, CAST(COUNT(*) AS DOUBLE) AS df FROM hits GROUP BY tk),
+per AS (SELECT h.doc_id, h.tk,
+               ln(1.0 + (s.N - f.df + 0.5) / (f.df + 0.5))
+               * (h.tf * (1.2 + 1.0))
+               / (h.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl)) AS sc
+        FROM hits h
+        JOIN dfreq f ON h.tk = f.tk
+        JOIN dl d ON h.doc_id = d.doc_id
+        CROSS JOIN stats s),
+pvt AS (SELECT doc_id, {pivots}
+        FROM per GROUP BY doc_id),
+bm25 AS (SELECT doc_id, ROUND({total}, 6) AS score FROM pvt)"""
+
+
+@register(
+    "t_bm25_topk",
+    oracle=f"""
+WITH {_bm25_cte(_BM25_TERMS)}
+SELECT doc_id, score, CAST(rk AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk FROM bm25)
+WHERE rk <= 20
+ORDER BY rank
+""",
+    doc="Okapi BM25 top-20 for a 3-term query (Lucene idf variant) — "
+    "the lexical-retrieval scorer (operators/retrieval.bm25_scores).  "
+    "Scale: the exploded token stream is pruned to the query terms "
+    "BEFORE any shuffle (survivors are a sliver of the corpus), df and "
+    "the avgdl panel broadcast back, and each document's score adds its "
+    "per-term MAX-pivot columns in FIXED order — float row-SUMs whose "
+    "order the engine picks would be irreproducible.  Determinism: tf/"
+    "df/dl are exact counts; idf and the saturation term are identical "
+    "IEEE expression trees on both engines (literals written as the "
+    "same arithmetic, e.g. (1.2 + 1.0), never a pre-folded 2.2).",
+)
+def t_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k=20).orderBy("rank")
+
+
+@register(
+    "v_hybrid_rrf",
+    oracle=f"""
+WITH {_bm25_cte(_BM25_TERMS)},
+lex AS (SELECT doc_id, CAST(rk AS INT) AS rank_0
+        FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+              FROM bm25)
+        WHERE rk <= 100),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qv AS (SELECT v FROM e WHERE vec_id = 0),
+sem AS (SELECT vec_id AS doc_id, CAST(rk AS INT) AS rank_1
+        FROM (SELECT e.vec_id,
+                     ROW_NUMBER() OVER (
+                       ORDER BY ROUND(list_cosine_similarity(e.v, qv.v), 6) DESC,
+                                e.vec_id) AS rk
+              FROM e CROSS JOIN qv)
+        WHERE rk <= 100)
+SELECT lex.doc_id,
+       ROUND(1.0 / (60 + rank_0) + 1.0 / (60 + rank_1), 6) AS rrf_score,
+       rank_0, rank_1
+FROM lex JOIN sem ON lex.doc_id = sem.doc_id
+ORDER BY rrf_score DESC, lex.doc_id
+LIMIT 20
+""",
+    doc="hybrid retrieval via reciprocal-rank fusion (Cormack et al. "
+    "2009): BM25 top-100 fused with embedding-cosine top-100 (query = "
+    "vector 0, ids aligned doc_id == vec_id) by sum(1/(60+rank)) — the "
+    "calibration-free way to combine lexical and semantic rankings.  "
+    "Scale: both input rankings are k-bounded relations, so the fusion "
+    "joins touch ≤100 rows regardless of corpus size; the expensive "
+    "parts (BM25 term prune, ANN scan) each keep their own optimal "
+    "shape and are reused unchanged (operators/retrieval.rrf_fuse).",
+)
+def v_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.retrieval import bm25_topk, rrf_fuse
+    from ..operators.similarity import brute_force_topk
+
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    lex = bm25_topk(docs, _BM25_TERMS, k=100)
+    qv = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    sem = brute_force_topk(
+        emb, qv, k=100, corpus_id="vec_id", corpus_vec="embedding"
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    fused = rrf_fuse([lex.select("doc_id", "rank"), sem], id_col="doc_id")
+    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(20)

@@ -1,0 +1,146 @@
+"""Lexical retrieval scoring: BM25 and reciprocal-rank fusion.
+
+The retrieval half of a RAG/data-curation stack (the vector half lives
+in ``operators.similarity`` / ``operators.quantization``): score
+documents against a term query with Okapi BM25 (Robertson et al., TREC-3
+— the Lucene-default formula) and fuse lexical + semantic rankings with
+RRF (Cormack, Clarke & Buettcher 2009: ``Σ 1/(k + rank)`` beats either
+ranking alone and needs no score calibration).
+
+Scale shape:
+
+* the term set is tiny (a user query) — filtering the exploded token
+  stream to it is a broadcast-free ``isin`` prune that drops ~all rows
+  BEFORE the per-(doc, term) tf aggregate, so the only wide shuffle is
+  keyed by doc_id on the surviving rows;
+* document length and the corpus average come from one narrow aggregate
+  each (1-row avgdl panel broadcast); per-term document frequencies
+  aggregate to |terms| rows, broadcast back;
+* the per-document score adds its per-term contributions in FIXED
+  term order (one MAX-pivot column per term, summed explicitly) — never
+  a float SUM over rows whose order the engine chooses, so scores are
+  bit-reproducible and SQL-twin-checkable;
+* RRF consumes rankings (already k-bounded relations) and is a pair of
+  rank-equi joins — nothing scales with the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+__all__ = ["bm25_scores", "bm25_topk", "rrf_fuse"]
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-document BM25 score for a bag-of-terms query.
+
+    Output: ``id_col, score`` for every document matching ≥1 term.
+    idf is the Lucene variant ``ln(1 + (N − df + 0.5)/(df + 0.5))`` —
+    always positive, so stopword-ish terms dampen rather than flip
+    scores.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    dl = toks.select(id_col, F.size("__toks").cast("double").alias("__dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("__N"),
+        (F.sum("__dl") / F.count("*")).alias("__avgdl"),
+    )
+    hits = (
+        toks.select(F.col(id_col), F.explode("__toks").alias("__term"))
+        .where(F.col("__term").isin(list(terms)))
+        .groupBy(id_col, "__term")
+        .agg(F.count("*").cast("double").alias("__tf"))
+    )
+    dfreq = hits.groupBy("__term").agg(F.count("*").cast("double").alias("__df"))
+    scored = (
+        hits.join(F.broadcast(dfreq), "__term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(1.0 + (F.col("__N") - F.col("__df") + 0.5) / (F.col("__df") + 0.5))
+    tf_part = (F.col("__tf") * (k1 + 1.0)) / (
+        F.col("__tf") + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+    )
+    per_term = scored.select(F.col(id_col), "__term", (idf * tf_part).alias("__s"))
+
+    # fixed-order summation: one exact MAX-pivot column per query term,
+    # added left-to-right — float row-SUM order is engine-chosen and
+    # would make scores irreproducible
+    pivots = [
+        F.max(F.when(F.col("__term") == t, F.col("__s"))).alias(f"__s_{i}")
+        for i, t in enumerate(terms)
+    ]
+    per_doc = per_term.groupBy(id_col).agg(*pivots)
+    total: Column = F.coalesce(F.col("__s_0"), F.lit(0.0))
+    for i in range(1, len(terms)):
+        total = total + F.coalesce(F.col(f"__s_{i}"), F.lit(0.0))
+    return per_doc.select(F.col(id_col), F.round(total, 6).alias("score"))
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k BM25 ranking: ``id_col, score, rank`` with the id tie-break."""
+    scores = bm25_scores(df, terms, id_col, text_col, k1, b)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scores.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= k)
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    how: str = "inner",
+) -> DataFrame:
+    """Reciprocal-rank fusion of ≥2 rankings sharing ``id_col``.
+
+    Output: ``id_col, rrf_score, rank_0..rank_{n-1}`` where
+    ``rrf_score = Σᵢ 1/(k + rankᵢ)`` added in list order (fixed-order
+    float sum, reproducible).  ``how='inner'`` keeps ids present in
+    every ranking; ``'full'`` keeps all, with absent rankings simply
+    contributing nothing (the standard RRF convention).
+    """
+    if len(rankings) < 2:
+        raise ValueError("need at least two rankings to fuse")
+    out = rankings[0].select(F.col(id_col), F.col(rank_col).alias("rank_0"))
+    for i, r in enumerate(rankings[1:], start=1):
+        out = out.join(
+            r.select(F.col(id_col), F.col(rank_col).alias(f"rank_{i}")),
+            id_col,
+            "inner" if how == "inner" else "full_outer",
+        )
+    score: Column = F.when(
+        F.col("rank_0").isNotNull(), 1.0 / (k + F.col("rank_0"))
+    ).otherwise(F.lit(0.0))
+    for i in range(1, len(rankings)):
+        score = score + F.when(
+            F.col(f"rank_{i}").isNotNull(), 1.0 / (k + F.col(f"rank_{i}"))
+        ).otherwise(F.lit(0.0))
+    return out.select(
+        F.col(id_col),
+        F.round(score, 6).alias("rrf_score"),
+        *[F.col(f"rank_{i}") for i in range(len(rankings))],
+    )
