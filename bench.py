@@ -58,6 +58,11 @@ HEADLINE = [
     "t_bigram_surprisal",
     "e_interval_join",
     "v_centroid_outliers",
+    "v_sq8_topk",
+    "q_market_basket",
+    "t_bm25_topk",
+    "c_incremental_agg",
+    "v_hybrid_rrf",
 ]
 
 

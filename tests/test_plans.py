@@ -306,6 +306,8 @@ NESTED_LOOP_OK = {
     "v_mips_topk": "1-row broadcast max-norm panel folded into each hash-table branch",
     "v_sq8_topk": "1-row broadcast min/span panel + broadcast query panel x corpus code scan",
     "q_market_basket": "1-row broadcast basket-total panel for support/lift denominators",
+    "t_bm25_topk": "1-row broadcast N/avgdl stats panel",
+    "v_hybrid_rrf": "1-row broadcast stats + query-vector panels in the fused rankings",
     "t_contrastive_triplets": "1-row broadcast doc-count panel for the negative hash offset",
     "q_data_checks": "1-row broadcast row-count panels joined to the unique/ref check results",
 }
