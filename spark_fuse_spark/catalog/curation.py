@@ -1744,32 +1744,16 @@ ORDER BY b.event_type, hour
     "scan each; the 24 x n_types baseline panel broadcasts back.",
 )
 def e_seasonal(spark: SparkSession, sf: str) -> DataFrame:
-    ev = load_table(spark, sf, "events").select(
+    from ..operators.timeseries import seasonal_profile
+
+    events = load_table(spark, sf, "events")
+    ev = events.select(
         "event_type",
         F.hour("ts").cast("int").alias("hr"),
         F.round(F.col("value") * 100).cast("long").alias("v"),
     )
-    stats = ev.groupBy("event_type", "hr").agg(
-        F.count("*").alias("n"),
-        F.sum("v").alias("sv"),
-        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias("sv2"),
-    )
-    base = stats.where(F.col("n") > 1).select(
-        "event_type",
-        "hr",
-        "n",
-        (F.col("sv").cast("double") / F.col("n")).alias("mean_c"),
-        F.sqrt(
-            F.greatest(
-                (
-                    F.col("sv2").cast("double")
-                    - F.col("sv").cast("double") * F.col("sv").cast("double") / F.col("n")
-                )
-                / (F.col("n") - 1),
-                F.lit(0.0),
-            )
-        ).alias("std_c"),
-    )
+    base = seasonal_profile(events, ts_col="ts", key_col="event_type",
+                            value_col="value", scale=100)
     return (
         ev.join(F.broadcast(base), ["event_type", "hr"])
         .groupBy("event_type", "hr", "n", "mean_c", "std_c")

@@ -19,6 +19,7 @@ the batch twins) and a streaming frame.
 """
 
 from spark_fuse_spark.streaming.ops import (
+    flag_stream_anomalies,
     EVENT_SCHEMA,
     dedup_within_watermark,
     funnel_with_state,
@@ -35,6 +36,7 @@ from spark_fuse_spark.streaming.ops import (
 )
 
 __all__ = [
+    "flag_stream_anomalies",
     "EVENT_SCHEMA",
     "read_event_stream",
     "tumbling_event_counts",

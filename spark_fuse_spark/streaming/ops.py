@@ -42,6 +42,7 @@ __all__ = [
     "funnel_with_state",
     "interval_join_stream",
     "running_totals_with_state",
+    "flag_stream_anomalies",
 ]
 
 # events.parquet schema with ts at micros precision (see tables.py for the
@@ -587,3 +588,50 @@ def changelog_batch_applier(target: str, changelog: str, keys: Sequence[str]):
         os.replace(staged, target)
 
     return apply_batch
+
+
+def flag_stream_anomalies(
+    stream: DataFrame,
+    profile: DataFrame,
+    sigma: float = 3.0,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    scale: int = 100,
+) -> DataFrame:
+    """Stream-static anomaly flagging: each incoming event joins the
+    hour-of-day seasonal ``profile`` (``operators.timeseries.
+    seasonal_profile`` — a SMALL static DataFrame) and is marked
+    ``is_anomaly`` when it deviates more than ``sigma`` sample-stddevs
+    from its (key, hour) baseline.
+
+    This is the stream-static join pattern: the static side is resolved
+    once per micro-batch and broadcast, the join is STATELESS (no
+    watermark, no state store), and the stream side stays append-mode —
+    the standard way to apply a nightly-trained reference table to live
+    traffic.  Retraining = overwrite the profile table; the next
+    micro-batch picks it up.
+
+    The threshold decision replays the profile's own quantization
+    (``round(value·scale)`` vs the scaled-domain mean/std), so batch and
+    stream flag IDENTICAL events — parity-tested against the batch twin
+    (`e_seasonal_anomaly`'s census is this flag aggregated).
+    """
+    v = F.round(F.col(value_col) * scale).cast("long")
+    enriched = stream.withColumn("__hr", F.hour(ts_col).cast("int")).join(
+        F.broadcast(
+            profile.select(
+                F.col(key_col), F.col("hr").alias("__hr"), "mean_c", "std_c"
+            )
+        ),
+        [key_col, "__hr"],
+        "left",
+    )
+    flag = (
+        F.col("std_c").isNotNull()
+        & (F.abs(v - F.col("mean_c")) > F.lit(float(sigma)) * F.col("std_c"))
+    )
+    return (
+        enriched.withColumn("is_anomaly", F.coalesce(flag, F.lit(False)))
+        .drop("__hr", "mean_c", "std_c")
+    )

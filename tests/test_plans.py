@@ -207,6 +207,10 @@ CONTRACTS = {
     "c_incremental_agg": PlanExpectation(require_partial_agg=True, max_exchanges=7),
     # A-ES weighted sample: one stratum window shuffle + output sort
     "t_weighted_sample": PlanExpectation(max_exchanges=2),
+    # BM25: token stream pruned to the term set pre-shuffle; df/avgdl
+    # panels broadcast; one doc-keyed agg + dl join + output sort
+    "t_bm25_topk": PlanExpectation(require_partial_agg=True, max_exchanges=6),
+    "v_hybrid_rrf": PlanExpectation(require_partial_agg=True, max_exchanges=6),
     "e_seasonal_anomaly": PlanExpectation(
         min_broadcast_joins=1, require_partial_agg=True, max_exchanges=3
     ),

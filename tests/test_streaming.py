@@ -344,3 +344,28 @@ def test_stream_changelog_publisher_emits_minimal_deltas(spark, tmp_path):
     assert ops == [(0, 1, "I"), (0, 2, "I"), (1, 2, "U")]
     out = {r.event_id: r.event_type for r in spark.read.parquet(target).collect()}
     assert out == {1: "signup", 2: "purchase"}
+
+
+def test_flag_stream_anomalies_equals_batch(spark, event_dir):
+    """Stream-static join twin: the streamed anomaly flags must match
+    applying the same profile + threshold in batch."""
+    from spark_fuse_spark.operators.timeseries import seasonal_profile
+
+    batch = spark.read.parquet(event_dir)
+    profile = seasonal_profile(batch)
+    stream = st.read_event_stream(spark, event_dir)
+    q = _run_stream(
+        st.flag_stream_anomalies(stream, profile), "t_anom", "append"
+    )
+    got = {
+        (r.event_id, r.is_anomaly)
+        for r in spark.sql("select event_id, is_anomaly from t_anom").collect()
+    }
+    want = {
+        (r.event_id, r.is_anomaly)
+        for r in st.flag_stream_anomalies(batch, profile).collect()
+    }
+    assert got == want and len(want) > 0
+    # the profile is small and hour-bounded: every event got a verdict
+    assert len(got) == batch.count()
+    q.stop()
