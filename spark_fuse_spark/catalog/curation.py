@@ -1885,3 +1885,134 @@ def v_rrf(spark: SparkSession, sf: str) -> DataFrame:
     ).select(F.col("neighbor_id").alias("doc_id"), "rank")
     fused = rrf_fuse([lex.select("doc_id", "rank"), sem], id_col="doc_id")
     return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(20)
+
+
+# ------------------------------------------------------ sequence mining
+@register(
+    "e_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+pairs AS (SELECT prev, event_type AS next, CAST(COUNT(*) AS BIGINT) AS n
+          FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT prev, CAST(SUM(n) AS BIGINT) AS tn FROM pairs GROUP BY prev)
+SELECT p.prev AS prev_type, p.next AS next_type, p.n,
+       ROUND(CAST(p.n AS DOUBLE) / CAST(t.tn AS DOUBLE), 6) AS prob
+FROM pairs p JOIN tot t ON p.prev = t.prev
+ORDER BY prev_type, next_type
+""",
+    doc="first-order Markov transition matrix over per-user event "
+    "sequences: P(next event type | current) with exact pair counts — "
+    "the user-journey / next-action model product analytics starts "
+    "from.  Order within a user is (ts, event_id) so ties are "
+    "deterministic.  Scale: ONE user-keyed sort shuffle for the lag "
+    "window (the same family every sessionization query uses), then "
+    "counts aggregate to |types|^2 rows and the row-total join is a "
+    "broadcast of |types| rows.",
+)
+def e_markov(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).where(F.col("prev").isNotNull())
+    pairs = seq.groupBy(
+        F.col("prev").alias("prev_type"), F.col("event_type").alias("next_type")
+    ).agg(F.count("*").alias("n"))
+    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("tn"))
+    return (
+        pairs.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("tn").cast("double"), 6).alias("prob"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+# ------------------------------------------------------ drift detection
+@register(
+    "q_psi_drift",
+    oracle="""
+WITH bins AS (SELECT UNNEST(range(0, 10)) AS bin),
+e AS (SELECT CAST(LEAST(9, FLOOR(value / 50)) AS BIGINT) AS bin,
+             user_id % 2 = 0 AS is_ref
+      FROM events),
+c AS (SELECT b.bin,
+             CAST(COALESCE(SUM(CASE WHEN is_ref THEN 1 END), 0) AS BIGINT) AS n_ref,
+             CAST(COALESCE(SUM(CASE WHEN NOT is_ref THEN 1 END), 0) AS BIGINT) AS n_cur
+      FROM bins b LEFT JOIN e ON b.bin = e.bin GROUP BY b.bin),
+t AS (SELECT CAST(SUM(n_ref) AS DOUBLE) AS nr, CAST(SUM(n_cur) AS DOUBLE) AS nc FROM c),
+m AS (SELECT c.bin, c.n_ref, c.n_cur,
+             (CAST(c.n_ref AS DOUBLE) + 1.0) / (t.nr + 10.0) AS p,
+             (CAST(c.n_cur AS DOUBLE) + 1.0) / (t.nc + 10.0) AS q
+      FROM c CROSS JOIN t),
+terms AS (SELECT bin, n_ref, n_cur, p, q, (p - q) * ln(p / q) AS term FROM m),
+total AS (SELECT list_sum(list(term ORDER BY bin)) AS psi FROM terms)
+SELECT bin, n_ref, n_cur,
+       ROUND(p, 6) AS p, ROUND(q, 6) AS q, ROUND(term, 6) AS psi_term,
+       ROUND(total.psi, 6) AS psi_total
+FROM terms CROSS JOIN total
+ORDER BY bin
+""",
+    doc="population stability index (PSI) drift report between two "
+    "deterministic event cohorts (user_id parity) over 10 fixed-width "
+    "value bins with Laplace smoothing — the standard "
+    "feature/score-drift monitor (PSI > 0.2 = investigate).  "
+    "Determinism: bin counts are exact; p/q/term derive in identical "
+    "IEEE trees; the PSI total folds the per-bin terms IN BIN ORDER "
+    "(sort_array + aggregate on Spark, list(ORDER BY) + list_sum in "
+    "DuckDB) — a bare float SUM would be reduction-order-dependent.  "
+    "Scale: one partial-agg'd shuffle to 10x2 counts; everything after "
+    "is constant-size.",
+)
+def q_psi(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        F.least(F.lit(9), F.floor(F.col("value") / 50)).cast("long").alias("bin"),
+        (F.col("user_id") % 2 == 0).alias("is_ref"),
+    )
+    bins = spark.range(10).select(F.col("id").alias("bin"))
+    counts = (
+        bins.join(ev, "bin", "left")
+        .groupBy("bin")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("is_ref"), 1)), F.lit(0)).alias("n_ref"),
+            F.coalesce(F.sum(F.when(~F.col("is_ref"), 1)), F.lit(0)).alias("n_cur"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_ref").cast("double").alias("nr"),
+        F.sum("n_cur").cast("double").alias("nc"),
+    )
+    m = counts.crossJoin(F.broadcast(totals)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        ((F.col("n_ref").cast("double") + 1.0) / (F.col("nr") + 10.0)).alias("p"),
+        ((F.col("n_cur").cast("double") + 1.0) / (F.col("nc") + 10.0)).alias("q"),
+    )
+    terms = m.withColumn("term", (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")))
+    total = terms.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("bin", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("psi")
+    )
+    return (
+        terms.crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            F.round("p", 6).alias("p"),
+            F.round("q", 6).alias("q"),
+            F.round("term", 6).alias("psi_term"),
+            F.round("psi", 6).alias("psi_total"),
+        )
+        .orderBy("bin")
+    )

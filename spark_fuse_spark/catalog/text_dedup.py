@@ -963,3 +963,89 @@ def t_fim(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c2").cast("long").alias("c2"),
         psm.alias("psm_text"),
     ).orderBy("doc_id")
+
+
+def _lsh_recall_oracle(k: int, num_hashes: int, bands: int, threshold: float, seed: int) -> str:
+    """Counts-level twin of the MinHash pipeline: exact pairs, LSH
+    candidates (with >= 1 shared shingle, matching the Spark verify
+    join's inner semantics), true positives, recall."""
+    from ..functions.hashing import minhash_coefficients
+
+    coeffs = minhash_coefficients(num_hashes, seed)
+    r = num_hashes // bands
+    mins = ",\n".join(
+        f"  MIN(CAST((CAST(h AS HUGEINT) * {a} + {b}) % {MERSENNE_P} AS BIGINT)) AS m{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {i} AS band, sha256(concat_ws(',', "
+        + ", ".join(f"CAST(m{i * r + j} AS VARCHAR)" for j in range(r))
+        + ")) AS bh FROM sig"
+        for i in range(bands)
+    )
+    return f"""
+WITH {_jaccard_cte(k, threshold)},
+allj AS (
+  SELECT id_a, id_b, shared / (na + nb - shared) AS jaccard FROM pairs),
+hs AS (SELECT doc_id, {portable_hash64_sql('s')} AS h
+       FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+sig AS (SELECT doc_id,
+{mins}
+FROM hs GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                                   AND a.doc_id < b.doc_id),
+cj AS (SELECT c.id_a, c.id_b, j.jaccard
+       FROM cand c JOIN allj j ON c.id_a = j.id_a AND c.id_b = j.id_b),
+nx AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs FROM exact),
+nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs FROM cj),
+tp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_positives
+       FROM cj WHERE jaccard >= {threshold})
+SELECT nx.n_exact_pairs, nc.n_candidate_pairs, tp.n_true_positives,
+       ROUND(CAST(tp.n_true_positives AS DOUBLE)
+             / CAST(nx.n_exact_pairs AS DOUBLE), 6) AS recall
+FROM nx CROSS JOIN nc CROSS JOIN tp
+"""
+
+
+@register(
+    "d_lsh_recall_audit",
+    oracle=_lsh_recall_oracle(k=3, num_hashes=32, bands=8, threshold=0.5, seed=42),
+    doc="in-engine recall audit of the MinHash LSH index: exact "
+    "inverted-index Jaccard pairs (the ground truth) vs the banded "
+    "candidate set — n_exact, n_candidates (>= 1 shared shingle, the "
+    "verify join's reach), true positives, recall@0.5.  This is how an "
+    "operator team MEASURES its approximate-dedup quality instead of "
+    "trusting the 1-(1-s^r)^b formula: run the audit on a sample "
+    "stratum, tune bands/rows, then roll out.  Scale: both pipelines "
+    "are the existing O(docs x bands) / inverted-index shapes; the "
+    "audit adds only count aggregates and a pair equi-join.",
+)
+def d_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf, "documents")
+    exact = ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    cands = minhash_lsh_pairs(
+        docs, k=3, num_hashes=32, bands=8, threshold=0.0, seed=42
+    )
+    nx = exact.agg(F.count("*").alias("n_exact_pairs"))
+    nc = cands.agg(F.count("*").alias("n_candidate_pairs"))
+    tp = cands.where(F.col("jaccard") >= 0.5).agg(
+        F.count("*").alias("n_true_positives")
+    )
+    return (
+        nx.crossJoin(nc)
+        .crossJoin(tp)
+        .select(
+            "n_exact_pairs",
+            "n_candidate_pairs",
+            "n_true_positives",
+            F.round(
+                F.col("n_true_positives").cast("double")
+                / F.col("n_exact_pairs").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )

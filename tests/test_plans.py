@@ -211,6 +211,13 @@ CONTRACTS = {
     # panels broadcast; one doc-keyed agg + dl join + output sort
     "t_bm25_topk": PlanExpectation(require_partial_agg=True, max_exchanges=6),
     "v_hybrid_rrf": PlanExpectation(require_partial_agg=True, max_exchanges=6),
+    # markov: one user-keyed window sort + pair agg + broadcast totals
+    # (static explain re-counts the shared pairs subtree under the
+    # row-total branch; runtime exchange reuse collapses it)
+    "e_markov_transitions": PlanExpectation(
+        min_broadcast_joins=1, require_partial_agg=True, max_exchanges=6
+    ),
+    "q_psi_drift": PlanExpectation(require_partial_agg=True),
     "e_seasonal_anomaly": PlanExpectation(
         min_broadcast_joins=1, require_partial_agg=True, max_exchanges=3
     ),
@@ -312,6 +319,8 @@ NESTED_LOOP_OK = {
     "q_market_basket": "1-row broadcast basket-total panel for support/lift denominators",
     "t_bm25_topk": "1-row broadcast N/avgdl stats panel",
     "v_hybrid_rrf": "1-row broadcast stats + query-vector panels in the fused rankings",
+    "q_psi_drift": "1-row broadcast cohort-total and PSI-fold panels",
+    "d_lsh_recall_audit": "1-row count panels crossed into the single audit row",
     "t_contrastive_triplets": "1-row broadcast doc-count panel for the negative hash offset",
     "q_data_checks": "1-row broadcast row-count panels joined to the unique/ref check results",
 }
