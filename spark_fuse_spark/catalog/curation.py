@@ -2016,3 +2016,53 @@ def q_psi(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ------------------------------------------------------ time-range frames
+@register(
+    "e_trailing_1h",
+    oracle=f"""
+WITH e AS (SELECT event_id, user_id, ts,
+                  CAST(ROUND(value * 100) AS BIGINT) AS v
+           FROM events)
+SELECT event_id, user_id, strftime(ts, '{_TS_SQL}') AS ts_s,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       CAST(SUM(v) OVER w AS BIGINT) AS sum_1h_cents
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+""",
+    doc="trailing 1-hour per-user activity at every event via a "
+    "time-RANGE window frame (RANGE BETWEEN INTERVAL ... PRECEDING) — "
+    "the rate-limit / burst-detection feature shape.  RANGE frames are "
+    "VALUE-based, so simultaneous events are all in or all out together "
+    "regardless of tie order — semantics row frames can't express, "
+    "deterministic on both engines.  Values ride exact cent integers.  "
+    "Scale: ONE user-keyed sort shuffle; the frame is evaluated by "
+    "sliding accumulation within the partition, never a self-join "
+    "(compare: the naive formulation is an interval self-join per "
+    "event).",
+)
+def e_trailing(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", _TS_SPARK).alias("ts_s"),
+            F.count("*").over(w).alias("n_1h"),
+            F.sum("v").over(w).alias("sum_1h_cents"),
+        )
+        .orderBy("event_id")
+    )
