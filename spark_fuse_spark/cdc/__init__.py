@@ -24,11 +24,13 @@ from spark_fuse_spark.cdc.scd import (
     track_history_upsert,
 )
 from spark_fuse_spark.cdc.store import ParquetStore, TableStore, get_store
+from spark_fuse_spark.cdc.versioned import VersionedParquetStore
 
 __all__ = [
     "ChangeTrackingMode",
     "snapshot_diff",
     "incremental_agg_merge",
+    "VersionedParquetStore",
     "apply_changelog",
     "apply_change_tracking",
     "change_tracking_writer",

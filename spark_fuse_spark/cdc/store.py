@@ -120,9 +120,18 @@ class DeltaStore(TableStore):
 
 
 def get_store(backend: str = "auto") -> TableStore:
-    """Resolve the storage backend: ``auto`` prefers Delta when importable."""
+    """Resolve the storage backend: ``auto`` prefers Delta when importable.
+
+    ``versioned`` selects :class:`~spark_fuse_spark.cdc.versioned.
+    VersionedParquetStore` — parquet with manifest-pointer commits, time
+    travel, rollback and vacuum (the no-delta table format).
+    """
     if backend == "delta" or (backend == "auto" and _has_delta()):
         return DeltaStore()
+    if backend == "versioned":
+        from .versioned import VersionedParquetStore
+
+        return VersionedParquetStore()
     if backend in ("auto", "parquet"):
         return ParquetStore()
     raise ValueError(f"unknown change-tracking backend {backend!r}")
