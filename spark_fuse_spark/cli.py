@@ -55,6 +55,15 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="after the run, print executed-plan metrics (rows scanned, shuffle records/bytes)",
     )
+
+    table = sub.add_parser(
+        "table", help="inspect/maintain a versioned parquet table (cdc.versioned)"
+    )
+    table.add_argument("action", choices=["history", "show", "rollback", "vacuum"])
+    table.add_argument("--path", required=True, help="table directory")
+    table.add_argument("--version", type=int, default=None, help="version for show/rollback")
+    table.add_argument("--keep", type=int, default=2, help="versions to retain on vacuum")
+    table.add_argument("--show", type=int, default=20)
     return parser
 
 
@@ -143,6 +152,38 @@ def _cmd_run(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_table(args: argparse.Namespace) -> int:
+    from spark_fuse_spark.cdc import VersionedParquetStore
+
+    store = VersionedParquetStore()
+    if args.action == "history":
+        for m in store.history(args.path):
+            print(json.dumps(m))
+        return 0
+    if args.action == "rollback":
+        if args.version is None:
+            print("rollback requires --version", file=sys.stderr)
+            return 2
+        new_v = store.rollback(args.path, args.version)
+        print(f"committed v{new_v} (content of v{args.version})")
+        return 0
+    if args.action == "vacuum":
+        deleted = store.vacuum(args.path, keep_last=args.keep)
+        print(f"deleted {len(deleted)} segment(s): {deleted}")
+        return 0
+    # show
+    from spark_fuse_spark.session import create_session
+
+    spark = create_session(app_name="cli-table-show")
+    df = (
+        store.read_version(spark, args.path, args.version)
+        if args.version is not None
+        else store.read(spark, args.path)
+    )
+    df.show(args.show, truncate=False)
+    return 0
+
+
 def main(argv: "list[str] | None" = None) -> int:
     args = build_parser().parse_args(argv)
     if args.command == "datasources":
@@ -153,6 +194,8 @@ def main(argv: "list[str] | None" = None) -> int:
         return _cmd_queries()
     if args.command == "run":
         return _cmd_run(args)
+    if args.command == "table":
+        return _cmd_table(args)
     return 2
 
 

@@ -90,3 +90,21 @@ def test_scd1_runs_on_versioned_backend(spark, tmp_path):
     assert store.latest_version(t) >= 2
     v1 = {(r.k, r.v) for r in store.read_version(spark, t, 1).select("k", "v").collect()}
     assert v1 == {(1, "x"), (2, "y")}
+
+
+def test_cli_table_commands(spark, tmp_path, capsys):
+    from spark_fuse_spark.cli import main
+
+    t = str(tmp_path / "clit")
+    store = VersionedParquetStore()
+    store.overwrite(spark.createDataFrame([(1, "a")], ["id", "v"]), t)
+    store.append(spark.createDataFrame([(2, "b")], ["id", "v"]), t)
+
+    assert main(["table", "history", "--path", t]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 2 and '"op": "append"' in out[1]
+
+    assert main(["table", "rollback", "--path", t, "--version", "1"]) == 0
+    assert store.latest_version(t) == 3
+    assert main(["table", "vacuum", "--path", t, "--keep", "2"]) == 0
+    assert main(["table", "rollback", "--path", t]) == 2
