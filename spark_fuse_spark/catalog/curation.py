@@ -2066,3 +2066,54 @@ def e_trailing(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ------------------------------------------------------ k-fold assignment
+@register(
+    "t_kfold_assign",
+    oracle=f"""
+WITH f AS (
+  SELECT lang,
+         CAST({portable_hash64_sql("CAST(doc_id AS VARCHAR) || 'fold'")} % 5 AS INT) AS fold,
+         CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+  FROM documents),
+t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM f)
+SELECT fold, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       ROUND(COUNT(*) / t.total, 6) AS doc_share
+FROM f CROSS JOIN t
+GROUP BY fold, lang, t.total
+ORDER BY fold, lang
+""",
+    doc="deterministic 5-fold cross-validation assignment "
+    "(operators/sampling.kfold_assign): every doc_id hashes to exactly "
+    "one fold, stable across runs/engines/row order, so duplicated "
+    "documents can never straddle train/eval.  The report shows "
+    "per-(fold, lang) doc counts, token mass, and share — the balance "
+    "check before training.  Scale: the assignment is a pure per-row "
+    "expression (no shuffle, no RNG); the report is one partial-agg'd "
+    "groupBy to 5 x |langs| rows.",
+)
+def t_kfold(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.sampling import kfold_assign
+
+    docs = kfold_assign(load_table(spark, sf, "documents"), "doc_id", k=5)
+    withtok = docs.select("fold", "lang", token_count("text").alias("n_tokens"))
+    total = withtok.agg(F.count("*").cast("double").alias("total"))
+    return (
+        withtok.crossJoin(F.broadcast(total))
+        .groupBy("fold", "lang", "total")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .select(
+            "fold",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_docs") / F.col("total"), 6).alias("doc_share"),
+        )
+        .orderBy("fold", "lang")
+    )

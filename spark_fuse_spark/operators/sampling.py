@@ -172,3 +172,27 @@ def weighted_sample_topk(
         .where(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    key_col: str,
+    k: int = 5,
+    salt: str = "fold",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold assignment by key hash: every key lands in
+    exactly one of ``k`` folds, stable across runs, engines, and row
+    order — the cross-validation / sharded-eval split that cannot leak
+    (same key always lands in the same fold, so a document duplicated
+    across batches never straddles train/test).
+
+    Same portable-hash contract as :func:`sample_gate`; change ``salt``
+    to draw an independent fold assignment.  Pure per-row expression —
+    no shuffle, no RNG state.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    key = F.col(key_col).cast("string")
+    h = portable_hash64(F.concat(key, F.lit(salt)))
+    return df.withColumn(fold_col, (h % k).cast("int"))

@@ -326,3 +326,22 @@ def test_weighted_sample_topk_props(spark):
     assert heavy >= 14, f"expected heavy-weight dominance, got {heavy}/20"
     again = weighted_sample_topk(df, "id", "w", k=10, strata_cols=["stratum"])
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_kfold_assign_props(spark):
+    from spark_fuse_spark.operators.sampling import kfold_assign
+
+    df = spark.createDataFrame([(i,) for i in range(500)], ["id"])
+    out = kfold_assign(df, "id", k=5)
+    folds = out.groupBy("fold").count().collect()
+    assert {r.fold for r in folds} == {0, 1, 2, 3, 4}
+    # roughly balanced (hash uniformity): each fold within 60-140 of 100
+    assert all(60 <= r["count"] <= 140 for r in folds)
+    # stable rerun, and a different salt draws a different assignment
+    a = {r.id: r.fold for r in out.collect()}
+    b = {r.id: r.fold for r in kfold_assign(df, "id", k=5).collect()}
+    c = {r.id: r.fold for r in kfold_assign(df, "id", k=5, salt="other").collect()}
+    assert a == b and a != c
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        kfold_assign(df, "id", k=1)
