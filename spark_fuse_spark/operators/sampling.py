@@ -150,25 +150,28 @@ def weighted_sample_topk(
 
     Shape: one hash gate (narrow) + ONE top-k window per stratum —
     exactly the ``operators.topk`` pattern, so per-stratum state is k
-    rows and the shuffle is on the strata key only.  At 100 TB this is
-    how you draw a 10k-document weighted eval slice per language
-    without a global sort of the corpus.
+    rows and the shuffle is on the strata key only.  Without strata the
+    global draw goes through ``orderBy().limit(k)`` instead, which
+    Catalyst executes as TakeOrderedAndProject — per-partition top-k
+    then a k-row merge, never a single-partition window.  At 100 TB
+    this is how you draw a 10k-document weighted eval slice (per
+    language or corpus-wide) without a global sort of the corpus.
     """
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     key = F.col(key_col).cast("string")
     h = portable_hash64(F.concat(key, F.lit(salt)))
     u = ((h % BUCKETS) + 1).cast("double") / F.lit(float(BUCKETS))
     score = F.log(u) / w
+    scored = df.where(w > 0).withColumn(score_col, score)
+    if not strata_cols:
+        return scored.orderBy(F.col(score_col).desc(), F.col(key_col).asc()).limit(k)
     from pyspark.sql import Window
 
-    parts = [F.col(c) for c in (strata_cols or [])]
-    win = Window.partitionBy(*parts).orderBy(
+    win = Window.partitionBy(*[F.col(c) for c in strata_cols]).orderBy(
         F.col(score_col).desc(), F.col(key_col).asc()
     )
     return (
-        df.where(w > 0)
-        .withColumn(score_col, score)
-        .withColumn("__rk", F.row_number().over(win))
+        scored.withColumn("__rk", F.row_number().over(win))
         .where(F.col("__rk") <= k)
         .drop("__rk")
     )

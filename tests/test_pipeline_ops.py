@@ -345,3 +345,13 @@ def test_kfold_assign_props(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         kfold_assign(df, "id", k=1)
+
+
+def test_weighted_sample_global_path_is_take_ordered(spark):
+    from spark_fuse_spark.operators.sampling import weighted_sample_topk
+
+    df = spark.createDataFrame([(i, float(i % 7 + 1)) for i in range(200)], ["id", "w"])
+    out = weighted_sample_topk(df, "id", "w", k=5)
+    assert out.count() == 5
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
