@@ -2117,3 +2117,41 @@ def t_kfold(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("fold", "lang")
     )
+
+
+# ------------------------------------------------------ recursive CTE
+# One SQL text, two engines: the dialect-shared subset (WITH RECURSIVE,
+# UNION ALL, FLOOR division) runs verbatim on Spark 4 and DuckDB.
+_RECURSIVE_SQL = """
+WITH RECURSIVE walk AS (
+  SELECT o_orderkey, o_orderkey AS node, 0 AS depth
+  FROM orders WHERE o_orderkey < 1000
+  UNION ALL
+  SELECT o_orderkey, CAST(FLOOR(node / 2) AS BIGINT) AS node, depth + 1 AS depth
+  FROM walk WHERE node > 1
+)
+SELECT o_orderkey, CAST(MAX(depth) AS INT) AS depth_to_root
+FROM walk
+GROUP BY o_orderkey
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "q_recursive_hierarchy",
+    oracle=_RECURSIVE_SQL,
+    doc="recursive CTE hierarchy walk (Spark 4 WITH RECURSIVE): each "
+    "order key climbs its synthetic binary-tree ancestry (parent = "
+    "floor(key/2)) to the root, reporting depth — the BOM/org-chart "
+    "traversal shape SQL engines are asked for daily, newly expressible "
+    "in Spark 4 without iterative driver loops.  The SAME SQL text runs "
+    "verbatim on both engines (dialect-shared subset: UNION ALL "
+    "recursion, FLOOR division), so the oracle is literally the query.  "
+    "Scale: recursion depth is log2(max key); each round is one "
+    "self-join shuffle on the frontier — for unbounded-depth graphs "
+    "prefer the dedicated CC/PageRank operators (operators/graph.py), "
+    "which add convergence checks and lineage truncation.",
+)
+def q_recursive(spark: SparkSession, sf: str) -> DataFrame:
+    load_table(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_RECURSIVE_SQL)
