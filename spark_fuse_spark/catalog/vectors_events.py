@@ -631,3 +631,43 @@ def v_mips(spark: SparkSession, sf: str) -> DataFrame:
         corpus_id="vec_id", corpus_vec="embedding",
     )
     return out.orderBy("query_id", "rank")
+
+
+@register(
+    "e_variant_props",
+    oracle="""
+WITH v AS (SELECT event_type,
+                  CAST(json_extract(props, '$.k') AS BIGINT) AS k
+           FROM events)
+SELECT event_type, CAST(FLOOR(k / 10) AS BIGINT) AS k_decade,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(k) AS BIGINT) AS k_min,
+       CAST(MAX(k) AS BIGINT) AS k_max
+FROM v
+GROUP BY event_type, CAST(FLOOR(k / 10) AS BIGINT)
+ORDER BY event_type, k_decade
+""",
+    doc="semi-structured analytics through the Spark 4 VARIANT type: "
+    "props parses ONCE to a binary variant (parse_json), fields extract "
+    "with typed variant_get — the open-schema ingestion shape (Parquet "
+    "variant shredding makes this columnar at rest), upgraded from "
+    "per-query string re-parsing (e_json_props / get_json_object).  The "
+    "extracted measure then drives a normal grouped aggregate, showing "
+    "variants compose with the relational layer.  Oracle extracts the "
+    "same paths via DuckDB's JSON type.",
+)
+def e_variant(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events").select(
+        "event_type", F.parse_json("props").alias("vp")
+    )
+    k = F.expr("variant_get(vp, '$.k', 'bigint')")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type", F.floor(F.col("k") / 10).cast("long").alias("k_decade"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type", "k_decade")
+    )
