@@ -2155,3 +2155,49 @@ ORDER BY o_orderkey
 def q_recursive(spark: SparkSession, sf: str) -> DataFrame:
     load_table(spark, sf, "orders").createOrReplaceTempView("orders")
     return spark.sql(_RECURSIVE_SQL)
+
+
+# ------------------------------------------------------ SQL-defined UDFs
+@register(
+    "q_sql_udf",
+    oracle=f"""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+             AS DOUBLE), 2) AS net_revenue,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+             AS DECIMAL(18,6))) AS DOUBLE), 2) AS charged_revenue
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    doc="SQL-defined scalar functions (Spark 4 CREATE FUNCTION ... "
+    "RETURN): net_price/charged_price declared ONCE in SQL and reused "
+    "across the aggregate.  Unlike Python UDFs, SQL UDFs INLINE into "
+    "the Catalyst plan — whole-stage codegen, pushdown, and partial "
+    "aggregation all still apply, so shared business logic costs "
+    "nothing at 100 TB.  The oracle inlines the same expressions "
+    "(that inlining IS the semantics); sums ride decimals per the "
+    "catalog's money convention.",
+)
+def q_sqludf(spark: SparkSession, sf: str) -> DataFrame:
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charged_price(p DOUBLE, d DOUBLE, t DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d) * (1 + t)"
+    )
+    load_table(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(net_price(l_extendedprice, l_discount) AS DECIMAL(18,6)))
+             AS DOUBLE), 2) AS net_revenue,
+       ROUND(CAST(SUM(CAST(charged_price(l_extendedprice, l_discount, l_tax)
+             AS DECIMAL(18,6))) AS DOUBLE), 2) AS charged_revenue
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""")
