@@ -2201,3 +2201,59 @@ FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """)
+
+
+# ------------------------------------------------------ char entropy
+@register(
+    "t_char_entropy",
+    oracle="""
+WITH c AS (SELECT doc_id, UNNEST(string_split(text, '')) AS ch FROM documents),
+cnt AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+        FROM c WHERE ch <> '' GROUP BY doc_id, ch),
+tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY doc_id),
+term AS (SELECT cnt.doc_id, cnt.ch, tot.n,
+                (CAST(cnt.c AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                * ln(CAST(cnt.c AS DOUBLE) / CAST(tot.n AS DOUBLE)) AS t
+         FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id)
+SELECT doc_id, MAX(n) AS n_chars,
+       CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+       ROUND(-list_sum(list(t ORDER BY ch)), 6) AS char_entropy
+FROM term
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    doc="per-document character-level Shannon entropy — the CCNet/"
+    "Gopher-family garbage detector (binary blobs and keyboard-mash "
+    "score far from natural-language entropy; near-constant text "
+    "scores near 0).  Determinism: per-char counts are exact; each "
+    "p·ln(p) term derives from an exact integer ratio, and the per-doc "
+    "fold runs IN CHARACTER ORDER on both engines (sort_array + "
+    "aggregate vs list(ORDER BY) + list_sum) — never an order-free "
+    "float SUM.  Scale: the explode is O(total chars) of (doc_id, "
+    "1-char) rows — the same cost class as the shingle stages — with "
+    "ONE doc-keyed shuffle; alphabet size bounds per-doc state.",
+)
+def t_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    chars = docs.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).where(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("ch", "c"))).alias("lst"),
+        F.count("*").alias("distinct_chars"),
+    )
+    n = F.aggregate(F.col("lst"), F.lit(0).cast("long"), lambda a, x: a + x["c"])
+    ent = F.aggregate(
+        F.col("lst"),
+        F.lit(0.0),
+        lambda a, x: a
+        + (x["c"].cast("double") / F.col("n_chars").cast("double"))
+        * F.log(x["c"].cast("double") / F.col("n_chars").cast("double")),
+    )
+    return (
+        per_doc.withColumn("n_chars", n)
+        .withColumn("char_entropy", F.round(-ent, 6))
+        .select("doc_id", "n_chars", "distinct_chars", "char_entropy")
+        .orderBy("doc_id")
+    )
