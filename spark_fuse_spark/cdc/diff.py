@@ -140,6 +140,7 @@ def incremental_agg_merge(
     sum_col: str = "total",
     op_col: str = "op",
     before_suffix: str = "__before",
+    nonnull_col: "str | None" = None,
 ) -> DataFrame:
     """Incremental materialized-view maintenance: merge an I/U/D
     changelog into a grouped (count, sum) aggregate WITHOUT recomputing
@@ -166,27 +167,59 @@ def incremental_agg_merge(
     a decimal-summed view stays exact under maintenance (property: the
     merged view ≡ recomputing the aggregate from the new snapshot — the
     catalog oracle checks precisely that).
+
+    Null values: delta arithmetic alone cannot distinguish a group whose
+    values are ALL null (SQL ``SUM`` = NULL) from one whose deltas
+    cancel to 0.  Pass ``nonnull_col`` naming a maintained count of
+    non-null values (``base_agg`` must carry it, e.g. built with
+    ``F.count(value)``); the merge then reports ``sum = NULL`` exactly
+    when that counter reaches 0, matching a recompute bit-for-bit even
+    under all-null transitions.  Without it the view is exact whenever
+    ``value_col`` is non-nullable (the common measures case) and
+    reports 0 instead of NULL otherwise — found by fuzzing, pinned in
+    ``tests/test_cdc_properties.py``.
     """
+    track = nonnull_col is not None
+    if track and nonnull_col not in base_agg.columns:
+        raise ValueError(f"base_agg lacks nonnull_col {nonnull_col!r}")
     cnt_t = base_agg.schema[count_col].dataType
     sum_t = base_agg.schema[sum_col].dataType
+    before_val = F.col(f"{value_col}{before_suffix}")
     minus = changelog.where(F.col(op_col) != "I").select(
         *[F.col(f"{g}{before_suffix}").alias(g) for g in group_cols],
         F.lit(-1).cast(cnt_t).alias(count_col),
-        (-F.col(f"{value_col}{before_suffix}").cast(sum_t)).alias(sum_col),
+        (-before_val.cast(sum_t)).alias(sum_col),
+        *(
+            [(-before_val.isNotNull().cast(cnt_t)).alias(nonnull_col)]
+            if track
+            else []
+        ),
     )
     plus = changelog.where(F.col(op_col) != "D").select(
         *group_cols,
         F.lit(1).cast(cnt_t).alias(count_col),
         F.col(value_col).cast(sum_t).alias(sum_col),
+        *(
+            [F.col(value_col).isNotNull().cast(cnt_t).alias(nonnull_col)]
+            if track
+            else []
+        ),
     )
+    carried = [count_col, sum_col] + ([nonnull_col] if track else [])
     merged = (
-        base_agg.select(*group_cols, count_col, sum_col)
+        base_agg.select(*group_cols, *carried)
         .unionByName(minus)
         .unionByName(plus)
         .groupBy(*group_cols)
         .agg(
             F.sum(count_col).cast(cnt_t).alias(count_col),
             F.sum(sum_col).cast(sum_t).alias(sum_col),
+            *([F.sum(nonnull_col).cast(cnt_t).alias(nonnull_col)] if track else []),
         )
     )
+    if track:
+        merged = merged.withColumn(
+            sum_col,
+            F.when(F.col(nonnull_col) > 0, F.col(sum_col)),
+        )
     return merged.where(F.col(count_col) > 0)

@@ -114,16 +114,20 @@ def test_scd2_matches_model(spark, tpf, history):
 _state = st.fixed_dictionaries({
     k: st.one_of(
         st.none(),
-        st.tuples(st.sampled_from(["g1", "g2", "g3"]),
-                  st.integers(min_value=-50, max_value=50)),
+        st.tuples(st.sampled_from(["g1", "g2", "g3", None]),
+                  st.one_of(st.none(),
+                            st.integers(min_value=-50, max_value=50))),
     )
     for k in range(1, 9)
 })
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
 @given(old_state=_state, new_state=_state)
 def test_incremental_agg_merge_equals_recompute(spark, old_state, new_state):
+    """With the non-null counter maintained, the merged view matches a
+    recompute EXACTLY — including null groups, null values, and groups
+    whose values become all-null (SUM must come back NULL, not 0)."""
     from pyspark.sql import functions as F
 
     from spark_fuse_spark.cdc import incremental_agg_merge, snapshot_diff
@@ -135,15 +139,17 @@ def test_incremental_agg_merge_equals_recompute(spark, old_state, new_state):
     new = spark.createDataFrame(new_rows or [], schema)
 
     base = old.groupBy("grp").agg(
-        F.count("*").alias("n_rows"), F.sum("val").alias("total")
+        F.count("*").alias("n_rows"),
+        F.sum("val").alias("total"),
+        F.count("val").alias("n_vals"),
     )
     log = snapshot_diff(old, new, keys=["id"], compare_cols=["grp", "val"],
                         include_before=True)
-    view = incremental_agg_merge(base, log, ["grp"], "val")
+    view = incremental_agg_merge(base, log, ["grp"], "val", nonnull_col="n_vals")
     got = {r.grp: (r.n_rows, r.total) for r in view.collect()}
 
-    expect: dict[str, tuple[int, int]] = {}
+    expect: dict = {}
     for _, g, v in new_rows:
-        n, t = expect.get(g, (0, 0))
-        expect[g] = (n + 1, t + v)
+        n, t = expect.get(g, (0, None))
+        expect[g] = (n + 1, t if v is None else (v if t is None else t + v))
     assert got == expect
