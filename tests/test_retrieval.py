@@ -71,3 +71,15 @@ def test_rrf_requires_two_rankings(spark):
     a = spark.createDataFrame([(1, 1)], ["doc_id", "rank"])
     with pytest.raises(ValueError):
         rrf_fuse([a])
+
+
+def test_rrf_three_way_fusion(spark):
+    a = spark.createDataFrame([(1, 1), (2, 2)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(1, 2), (2, 1)], ["doc_id", "rank"])
+    c = spark.createDataFrame([(1, 3), (3, 1)], ["doc_id", "rank"])
+    full = {r.doc_id: r.rrf_score for r in rrf_fuse([a, b, c], how="full").collect()}
+    assert full[1] == round(1 / 61 + 1 / 62 + 1 / 63, 6)
+    assert full[2] == round(1 / 62 + 1 / 61, 6)
+    assert full[3] == round(1 / 61, 6)
+    inner = rrf_fuse([a, b, c]).collect()
+    assert {r.doc_id for r in inner} == {1}

@@ -148,3 +148,41 @@ def test_stream_to_scd_on_versioned_store(spark, tmp_path):
         first = {(r.k, r.v) for r in store.read_version(spark, target, 1)
                  .select("k", "v").collect()}
         assert first <= final | {(2, "b")}
+
+
+def test_versioned_store_random_op_sequence_matches_model(spark, tmp_path):
+    """Seeded random overwrite/append/rollback sequence vs a pure-Python
+    model of per-version content; every historical version stays
+    readable until vacuumed."""
+    import random
+
+    rng = random.Random(23)
+    t = str(tmp_path / "model")
+    store = VersionedParquetStore()
+    versions: list[list[int]] = []  # model: content (list of ids) per version
+    next_id = 0
+
+    for _ in range(12):
+        op = rng.choice(["overwrite", "append", "rollback"] if versions else ["overwrite"])
+        if op == "overwrite":
+            batch = list(range(next_id, next_id + rng.randint(1, 3))); next_id += len(batch)
+            store.overwrite(spark.createDataFrame([(i,) for i in batch], ["id"]), t)
+            versions.append(list(batch))
+        elif op == "append":
+            batch = list(range(next_id, next_id + rng.randint(1, 3))); next_id += len(batch)
+            store.append(spark.createDataFrame([(i,) for i in batch], ["id"]), t)
+            versions.append(versions[-1] + batch)
+        else:
+            v = rng.randint(1, len(versions))
+            store.rollback(t, v)
+            versions.append(list(versions[v - 1]))
+
+    assert store.latest_version(t) == len(versions)
+    for v, want in enumerate(versions, start=1):
+        got = sorted(r.id for r in store.read_version(spark, t, v).collect())
+        assert got == sorted(want), f"v{v}"
+    # vacuum keeps the last 3 readable and exact
+    store.vacuum(t, keep_last=3)
+    for v in range(len(versions) - 2, len(versions) + 1):
+        got = sorted(r.id for r in store.read_version(spark, t, v).collect())
+        assert got == sorted(versions[v - 1])
