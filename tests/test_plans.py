@@ -428,3 +428,33 @@ def test_executed_metrics_quantify_partial_aggregation(spark, sf_small):
     nodes = executed_metrics(df)
     assert any(n["node"].startswith("Scan") for n in nodes)
     assert any(n["node"] == "Exchange" for n in nodes)
+
+
+def test_executed_metrics_basket_one_fact_shuffle(spark, sf_small):
+    """Measured scale contract for the round-5 market basket: the fact
+    table shuffles ONCE into the basket collect_set (records ≈ distinct
+    (basket, item) rows, far below scanned lineitem rows even though the
+    static plan re-counts the shared subtree per consumer), and the
+    pair/frequency relations add only small shuffles on top."""
+    from spark_fuse_spark.plans import shuffle_summary
+
+    df = load_all()["q_market_basket"].spark(spark, sf_small)
+    df.collect()
+    s = shuffle_summary(df)
+    assert s["rows_scanned"] > 1000
+    # the dominant shuffle carries collect_set partials + pair rows —
+    # bounded by a small multiple of scanned rows, never pairs x rows
+    assert 0 < s["shuffle_records"] < 3 * s["rows_scanned"]
+
+
+def test_executed_metrics_sq8_corpus_never_shuffles(spark, sf_small):
+    """SQ8 ANN's measured contract: scoring broadcasts panels over the
+    corpus scan, so shuffle records stay O(queries x candidates) — a
+    sliver of the corpus — and never the corpus itself."""
+    from spark_fuse_spark.plans import shuffle_summary
+
+    df = load_all()["v_sq8_topk"].spark(spark, sf_small)
+    df.collect()
+    s = shuffle_summary(df)
+    assert s["rows_scanned"] >= 500            # corpus (+ rerank re-scan)
+    assert s["shuffle_records"] <= 1000        # top-k rows only
