@@ -2333,3 +2333,91 @@ def e_cuped(spark: SparkSession, sf: str) -> DataFrame:
         (F.floor(adj * 100 + 0.5) / 100).alias("var_adj_cents2"),
         (F.floor((1.0 - adj / F.col("var_y")) * 1000000 + 0.5) / 1000000).alias("var_reduction"),
     )
+
+
+# ------------------------------------------------------ cohort LTV
+@register(
+    "e_cohort_ltv",
+    oracle="""
+WITH cohort AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id),
+sizes AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_users
+          FROM cohort GROUP BY cohort_week),
+rev AS (
+  SELECT c.cohort_week,
+         CAST(date_diff('day', c.cohort_week, date_trunc('week', e.ts)) // 7
+              AS BIGINT) AS week_offset,
+         CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM events e JOIN cohort c ON e.user_id = c.user_id
+  GROUP BY 1, 2),
+cum AS (
+  SELECT cohort_week, week_offset, rev_cents,
+         CAST(SUM(rev_cents) OVER (PARTITION BY cohort_week ORDER BY week_offset)
+              AS BIGINT) AS cum_cents
+  FROM rev)
+SELECT strftime(cum.cohort_week, '%Y-%m-%d') AS cohort_week,
+       week_offset, s.n_users, rev_cents, cum_cents,
+       FLOOR(CAST(cum_cents AS DOUBLE) / CAST(s.n_users AS DOUBLE) / 100
+             * 10000 + 0.5) / 10000 AS ltv_per_user
+FROM cum JOIN sizes s ON cum.cohort_week = s.cohort_week
+ORDER BY cohort_week, week_offset
+""",
+    doc="cohort lifetime-value curves: users bucketed by first-event "
+    "week; per (cohort, week-offset) revenue, its running cumulative, "
+    "and LTV-per-user — the growth-analytics complement of "
+    "e_retention's headcount matrix.  Determinism: revenue rides exact "
+    "cent integers end-to-end (weekly sums AND the cumulative window "
+    "are integer arithmetic); only the final per-user division is "
+    "float, with explicit floor-rounding.  Scale: one user-keyed "
+    "shuffle for cohort labels, one (cohort, offset) rollup, a "
+    "cohort-keyed cumulative window over the TINY rollup, and a "
+    "broadcast of cohort sizes.",
+)
+def e_ltv(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id")
+    labeled = e.withColumn(
+        "cohort_week", F.date_trunc("week", F.min("ts").over(w))
+    )
+    sizes = (
+        labeled.select("user_id", "cohort_week")
+        .distinct()
+        .groupBy("cohort_week")
+        .agg(F.count("*").alias("n_users"))
+    )
+    rev = (
+        labeled.select(
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", "ts"), F.col("cohort_week"))
+                .cast("long") / 7
+            ).cast("long").alias("week_offset"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.sum("v").alias("rev_cents"))
+    )
+    cw = Window.partitionBy("cohort_week").orderBy("week_offset")
+    cum = rev.withColumn("cum_cents", F.sum("rev_cents").over(cw))
+    return (
+        cum.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+            "rev_cents",
+            "cum_cents",
+            (
+                F.floor(
+                    F.col("cum_cents").cast("double")
+                    / F.col("n_users").cast("double")
+                    / 100
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
