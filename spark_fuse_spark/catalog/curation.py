@@ -2421,3 +2421,125 @@ def e_ltv(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ------------------------------------------------------ span-cut APPLY
+@register(
+    "t_span_cut_apply",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
+           AS t
+  FROM documents),
+pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t)-7)) AS i
+  FROM toks WHERE len(t) >= 8),
+g AS (
+  SELECT doc_id, i AS s, i + 7 AS e,
+         {portable_hash64_sql("concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5], t[i+6], t[i+7])")}
+           AS h
+  FROM pos),
+dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+hits AS (SELECT g.doc_id, g.s, g.e FROM g JOIN dup ON g.h = dup.h),
+isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e + 1) OVER (
+                PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS newf
+  FROM hits),
+lab AS (
+  SELECT doc_id, s, e,
+         SUM(newf) OVER (PARTITION BY doc_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isle
+  FROM lab_src),
+reg AS (
+  SELECT doc_id, isle, CAST(MIN(s) AS BIGINT) AS rs, CAST(MAX(e) AS BIGINT) AS re
+  FROM lab GROUP BY doc_id, isle),
+regs AS (SELECT doc_id, list({{'rs': rs, 're': re}} ORDER BY rs) AS regs
+         FROM reg GROUP BY doc_id),
+app AS (
+  SELECT tk.doc_id, tk.t,
+         COALESCE(r.regs, CAST([] AS STRUCT(rs BIGINT, re BIGINT)[])) AS regs
+  FROM toks tk LEFT JOIN regs r ON tk.doc_id = r.doc_id),
+cut AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         list_filter(list_transform(t, (x, i) -> {{'tok': x, 'p': i}}),
+                     sp -> len(list_filter(regs,
+                             rg -> sp.p >= rg.rs AND sp.p <= rg.re)) = 0) AS kept
+  FROM app)
+SELECT doc_id, n_tokens,
+       CAST(n_tokens - len(kept) AS BIGINT) AS removed_tokens,
+       COALESCE(array_to_string(list_transform(kept, sp -> sp.tok), ' '), '')
+         AS cleaned_text
+FROM cut
+ORDER BY doc_id
+""".replace("lab_src", "isl"),
+    doc="APPLY the exact-substring cut list (the step after "
+    "d_span_regions reports it): duplicated 8-token regions are merged "
+    "per doc and the tokens inside them are REMOVED, emitting the "
+    "cleaned text plus removal accounting — Lee et al. 2022's "
+    "deduplicate-the-span policy made executable.  Scale: region lists "
+    "per doc are tiny (collect_list of merged islands) and join back "
+    "broadcast-ably; the cut itself is a per-row higher-order filter — "
+    "per-token x per-region work bounded by the island count, no "
+    "shuffle beyond the region pipeline's own.",
+)
+def t_span_cut(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.timeseries import merge_intervals
+
+    docs = load_table(spark, sf, "documents")
+    t_all = docs.select("doc_id", tokens("text").alias("t"))
+    t8 = t_all.where(F.size("t") >= 8)
+    occ = t8.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(t)-7), i -> concat_ws(' ', slice(t, i, 8)))"
+            )
+        ).alias("i0", "gram"),
+    )
+    spans = occ.select(
+        "doc_id",
+        (F.col("i0") + 1).alias("start"),
+        (F.col("i0") + 8).alias("end"),
+        portable_hash64("gram").alias("h"),
+    )
+    dup = (
+        spans.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    hits = spans.join(dup, "h")
+    regions = merge_intervals(hits.select("doc_id", "start", "end"), "doc_id")
+    regs = regions.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("region_start").cast("long").alias("rs"),
+                    F.col("region_end").cast("long").alias("re"),
+                )
+            )
+        ).alias("regs")
+    )
+    empty = F.expr("CAST(array() AS array<struct<rs:bigint,re:bigint>>)")
+    app = (
+        t_all.join(regs, "doc_id", "left")
+        .withColumn("regs", F.coalesce(F.col("regs"), empty))
+    )
+    kept = F.expr(
+        "filter(transform(t, (x, i) -> struct(x AS tok, CAST(i + 1 AS BIGINT) AS p)), "
+        "sp -> size(filter(regs, rg -> sp.p >= rg.rs AND sp.p <= rg.re)) = 0)"
+    )
+    return (
+        app.withColumn("kept", kept)
+        .select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tokens"),
+            (F.size("t") - F.size("kept")).cast("long").alias("removed_tokens"),
+            F.expr("concat_ws(' ', transform(kept, sp -> sp.tok))").alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )
