@@ -936,3 +936,75 @@ def d_semantic(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("vec_id", "cluster_id", "cluster_size", "is_canonical").orderBy(
         "vec_id"
     )
+
+
+@register(
+    "t_dedup_impact",
+    oracle=f"""
+WITH RECURSIVE {_jaccard_cte(3, 0.5)},
+edges AS (SELECT id_a AS u, id_b AS v FROM exact
+          UNION SELECT id_b, id_a FROM exact),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+labels AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+           FROM reach GROUP BY u),
+assigned AS (
+  SELECT d.doc_id, d.source,
+         CAST(len({_TOKS.format(col="d.text")}) AS BIGINT) AS n_tokens,
+         COALESCE(l.cluster_id, d.doc_id) = d.doc_id AS keep
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+       CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+       ROUND(1.0 - CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(n_tokens) AS DOUBLE), 6) AS token_savings
+FROM assigned
+GROUP BY source
+ORDER BY source
+""",
+    doc="dedup impact report: the near-dup clustering's canonical "
+    "keep-list (d_dedup_clusters) rolled up per source — docs/tokens "
+    "before vs after, token savings fraction — the executive number a "
+    "dedup run is judged by, and the per-source attribution that tells "
+    "you WHICH feed is redundant.  Scale: the cluster pipeline's own "
+    "shapes plus one broadcast label join and a partial-agg'd source "
+    "rollup; exact token counts.",
+)
+def t_dedup_impact(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    clusters = dedup_clusters(docs, pairs, broadcast_labels=True).select(
+        "doc_id", "is_canonical"
+    )
+    labeled = docs.join(clusters, "doc_id").select(
+        "source",
+        token_count("text").alias("n_tokens"),
+        F.col("is_canonical").alias("keep"),
+    )
+    return (
+        labeled.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.sum("n_tokens").alias("tokens"),
+            F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0)).alias("tokens_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            "tokens",
+            "tokens_kept",
+            F.round(
+                1.0 - F.col("tokens_kept").cast("double") / F.col("tokens").cast("double"),
+                6,
+            ).alias("token_savings"),
+        )
+        .orderBy("source")
+    )
