@@ -2543,3 +2543,59 @@ def t_span_cut(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------------ class rebalancing
+@register(
+    "t_class_balance",
+    oracle=f"""
+WITH counts AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+                FROM documents GROUP BY lang),
+m AS (SELECT MIN(n) AS target FROM counts),
+gated AS (
+  SELECT d.doc_id, d.lang, c.n, m.target,
+         ({portable_hash64_sql("CAST(d.doc_id AS VARCHAR) || 'balance'")} % 1000000)
+           < CAST(CAST(m.target AS DOUBLE) / CAST(c.n AS DOUBLE) * 1000000 AS BIGINT)
+           AS keep
+  FROM documents d JOIN counts c ON d.lang = c.lang CROSS JOIN m)
+SELECT lang, MAX(n) AS n_docs, MAX(target) AS target_per_class,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM gated
+GROUP BY lang
+ORDER BY lang
+""",
+    doc="deterministic class rebalancing: every language is "
+    "down-sampled toward the MINORITY class size via the portable hash "
+    "gate with a per-class fraction (target/n, quantized to millionths "
+    "exactly like sample_gate) — the imbalanced-training fix that "
+    "stays reproducible across runs, engines and row order, unlike "
+    "df.sampleBy's RNG.  Scale: one count aggregate, a broadcast "
+    "(class, fraction) panel, and a narrow per-row gate; the minority "
+    "target is a 1-row panel, never a driver action.",
+)
+def t_balance(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.hashing import portable_hash64
+
+    docs = load_table(spark, sf, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    m = counts.agg(F.min("n").alias("target"))
+    h = portable_hash64(F.concat(F.col("doc_id").cast("string"), F.lit("balance")))
+    gated = (
+        docs.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(m))
+        .withColumn(
+            "keep",
+            (h % 1000000)
+            < (F.col("target").cast("double") / F.col("n").cast("double") * 1000000)
+            .cast("long"),
+        )
+    )
+    return (
+        gated.groupBy("lang")
+        .agg(
+            F.max("n").alias("n_docs"),
+            F.max("target").alias("target_per_class"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )

@@ -322,6 +322,7 @@ NESTED_LOOP_OK = {
     "q_psi_drift": "1-row broadcast cohort-total and PSI-fold panels",
     "d_lsh_recall_audit": "1-row count panels crossed into the single audit row",
     "t_kfold_assign": "1-row broadcast doc-total panel for the share denominator",
+    "t_class_balance": "1-row broadcast minority-target panel for the per-class fractions",
     "t_contrastive_triplets": "1-row broadcast doc-count panel for the negative hash offset",
     "q_data_checks": "1-row broadcast row-count panels joined to the unique/ref check results",
 }
