@@ -2599,3 +2599,55 @@ def t_balance(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ------------------------------------------------------ SRM check
+@register(
+    "e_srm_check",
+    oracle="""
+WITH a AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM events GROUP BY event_type)
+SELECT event_type, n_a, n_b,
+       FLOOR(((CAST(n_a AS DOUBLE) - (n_a + n_b) / 2.0)
+              * (CAST(n_a AS DOUBLE) - (n_a + n_b) / 2.0)
+              / ((n_a + n_b) / 2.0)
+              + (CAST(n_b AS DOUBLE) - (n_a + n_b) / 2.0)
+              * (CAST(n_b AS DOUBLE) - (n_a + n_b) / 2.0)
+              / ((n_a + n_b) / 2.0)) * 1000000 + 0.5) / 1000000 AS chi2,
+       ABS(CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))
+         / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) >= 0.05 AS flag_srm
+FROM a
+ORDER BY event_type
+""",
+    doc="sample-ratio-mismatch (SRM) check per event type: assignment "
+    "arms from deterministic user parity, exact arm counts, the "
+    "2-cell chi-square statistic against the expected 50/50 split "
+    "(floor-truncated to keep the float deterministic), and a "
+    "practical 5% imbalance flag — the guardrail every A/B readout "
+    "runs FIRST (a mismatched split invalidates the experiment before "
+    "any metric is read; compare chi2 against the 3.84 critical value "
+    "for alpha=0.05).  Scale: one partial-agg'd rollup to |types| "
+    "rows; everything derived.",
+)
+def e_srm(spark: SparkSession, sf: str) -> DataFrame:
+    a = (
+        load_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)).alias("n_b"),
+        )
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    exp = (F.col("n_a") + F.col("n_b")) / 2.0
+    chi2 = (na - exp) * (na - exp) / exp + (nb - exp) * (nb - exp) / exp
+    return a.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        (F.floor(chi2 * 1000000 + 0.5) / 1000000).alias("chi2"),
+        (F.abs(na - nb) / (na + nb) >= 0.05).alias("flag_srm"),
+    ).orderBy("event_type")
