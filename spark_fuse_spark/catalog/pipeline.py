@@ -1008,3 +1008,145 @@ def t_dedup_impact(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_DECONTAM_SPANS_ORACLE = (
+    f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
+           AS t
+  FROM documents),
+tr AS (SELECT * FROM toks WHERE NOT (__GATE__)),
+evt AS (SELECT * FROM toks WHERE __GATE__),
+evh AS (SELECT DISTINCT __H64__ AS h
+        FROM (SELECT unnest({_shingle_sql(5)}) AS s FROM evt WHERE len(t) >= 5)),
+pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
+        FROM tr WHERE len(t) >= 5),
+g AS (SELECT doc_id, i AS s, i + 4 AS e,
+             __H64G__ AS h
+      FROM pos),
+hits AS (SELECT g.doc_id, g.s, g.e FROM g JOIN evh ON g.h = evh.h),
+isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e + 1) OVER (
+                PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS newf
+  FROM hits),
+lab AS (
+  SELECT doc_id, s, e,
+         SUM(newf) OVER (PARTITION BY doc_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isle
+  FROM isl),
+reg AS (
+  SELECT doc_id, isle, CAST(MIN(s) AS BIGINT) AS rs, CAST(MAX(e) AS BIGINT) AS re
+  FROM lab GROUP BY doc_id, isle),
+regs AS (SELECT doc_id, list({{'rs': rs, 're': re}} ORDER BY rs) AS regs
+         FROM reg GROUP BY doc_id),
+app AS (
+  SELECT tk.doc_id, tk.t,
+         COALESCE(r.regs, CAST([] AS STRUCT(rs BIGINT, re BIGINT)[])) AS regs
+  FROM tr tk LEFT JOIN regs r ON tk.doc_id = r.doc_id),
+cut AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         list_filter(list_transform(t, (x, i) -> {{'tok': x, 'p': i}}),
+                     sp -> len(list_filter(regs,
+                             rg -> sp.p >= rg.rs AND sp.p <= rg.re)) = 0) AS kept
+  FROM app)
+SELECT doc_id, n_tokens,
+       CAST(n_tokens - len(kept) AS BIGINT) AS removed_tokens,
+       COALESCE(array_to_string(list_transform(kept, sp -> sp.tok), ' '), '')
+         AS cleaned_text
+FROM cut
+ORDER BY doc_id
+"""
+    .replace("__GATE__", _GATE)
+    .replace("__H64__", portable_hash64_sql("s"))
+    .replace(
+        "__H64G__",
+        portable_hash64_sql("concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])"),
+    )
+)
+
+
+@register(
+    "t_decontaminate_spans",
+    oracle=_DECONTAM_SPANS_ORACLE,
+    doc="span-level eval decontamination (the GPT-3 appendix-C policy, "
+    "5-gram formulation): instead of DROPPING training docs that "
+    "overlap the eval set (t_decontaminate), only the overlapping "
+    "spans are removed — eval 5-gram hashes (a compact broadcast set) "
+    "mark train positions, hit windows merge into disjoint regions, "
+    "and a per-row higher-order filter cuts them from the text, "
+    "emitting every train doc with removal accounting.  Preserves far "
+    "more tokens than doc-level dropping on mildly-contaminated "
+    "corpora.  Scale: the train side shuffles once for region merging; "
+    "the eval fingerprint set stays broadcast-sized (|eval| x grams).",
+)
+def t_decontam_spans(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.hashing import portable_hash64
+    from ..functions.text import tokens
+    from ..operators.sampling import sample_gate
+    from ..operators.timeseries import merge_intervals
+
+    docs = load_table(spark, sf, "documents")
+    gate = sample_gate("doc_id", 0.05, salt="ev")
+    train = docs.where(~gate).select("doc_id", tokens("text").alias("t"))
+    ev = docs.where(gate).select(tokens("text").alias("t")).where(F.size("t") >= 5)
+    evh = (
+        ev.select(
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(1, size(t)-4), "
+                    "i -> concat_ws(' ', slice(t, i, 5))))"
+                )
+            ).alias("s")
+        )
+        .select(portable_hash64("s").alias("h"))
+        .distinct()
+    )
+    tr5 = train.where(F.size("t") >= 5)
+    g = tr5.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(t)-4), i -> concat_ws(' ', slice(t, i, 5)))"
+            )
+        ).alias("i0", "gram"),
+    ).select(
+        "doc_id",
+        (F.col("i0") + 1).alias("start"),
+        (F.col("i0") + 5).alias("end"),
+        portable_hash64("gram").alias("h"),
+    )
+    hits = g.join(F.broadcast(evh), "h")
+    regions = merge_intervals(hits.select("doc_id", "start", "end"), "doc_id")
+    regs = regions.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("region_start").cast("long").alias("rs"),
+                    F.col("region_end").cast("long").alias("re"),
+                )
+            )
+        ).alias("regs")
+    )
+    empty = F.expr("CAST(array() AS array<struct<rs:bigint,re:bigint>>)")
+    app = train.join(regs, "doc_id", "left").withColumn(
+        "regs", F.coalesce(F.col("regs"), empty)
+    )
+    kept = F.expr(
+        "filter(transform(t, (x, i) -> struct(x AS tok, CAST(i + 1 AS BIGINT) AS p)), "
+        "sp -> size(filter(regs, rg -> sp.p >= rg.rs AND sp.p <= rg.re)) = 0)"
+    )
+    return (
+        app.withColumn("kept", kept)
+        .select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tokens"),
+            (F.size("t") - F.size("kept")).cast("long").alias("removed_tokens"),
+            F.expr("concat_ws(' ', transform(kept, sp -> sp.tok))").alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )
