@@ -2514,35 +2514,9 @@ def t_span_cut(spark: SparkSession, sf: str) -> DataFrame:
     )
     hits = spans.join(dup, "h")
     regions = merge_intervals(hits.select("doc_id", "start", "end"), "doc_id")
-    regs = regions.groupBy("doc_id").agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct(
-                    F.col("region_start").cast("long").alias("rs"),
-                    F.col("region_end").cast("long").alias("re"),
-                )
-            )
-        ).alias("regs")
-    )
-    empty = F.expr("CAST(array() AS array<struct<rs:bigint,re:bigint>>)")
-    app = (
-        t_all.join(regs, "doc_id", "left")
-        .withColumn("regs", F.coalesce(F.col("regs"), empty))
-    )
-    kept = F.expr(
-        "filter(transform(t, (x, i) -> struct(x AS tok, CAST(i + 1 AS BIGINT) AS p)), "
-        "sp -> size(filter(regs, rg -> sp.p >= rg.rs AND sp.p <= rg.re)) = 0)"
-    )
-    return (
-        app.withColumn("kept", kept)
-        .select(
-            "doc_id",
-            F.size("t").cast("long").alias("n_tokens"),
-            (F.size("t") - F.size("kept")).cast("long").alias("removed_tokens"),
-            F.expr("concat_ws(' ', transform(kept, sp -> sp.tok))").alias("cleaned_text"),
-        )
-        .orderBy("doc_id")
-    )
+    from ..operators.timeseries import apply_span_cuts
+
+    return apply_span_cuts(t_all, regions).orderBy("doc_id")
 
 
 # ------------------------------------------------------ class rebalancing
