@@ -185,3 +185,27 @@ def test_resample_and_audit_handle_empty_input(spark):
     assert resample_time_grid(empty, "user_id", "ts", "value", 3600).count() == 0
     empty_e = spark.createDataFrame([], "event_id long, ts timestamp")
     assert watermark_audit(empty_e, "ts", "event_id", 60).count() == 0
+
+
+def test_apply_span_cuts_edges(spark):
+    from pyspark.sql import functions as F
+
+    from spark_fuse_spark.operators.timeseries import apply_span_cuts
+
+    toks = spark.createDataFrame(
+        [
+            (1, ["a", "b", "c", "d", "e"]),   # cut [2,3] -> a d e
+            (2, ["x", "y"]),                   # no regions -> untouched
+            (3, ["q", "r", "s"]),              # cut [1,3] -> everything
+        ],
+        "doc_id long, t array<string>",
+    )
+    regions = spark.createDataFrame(
+        [(1, 2, 3, 1), (3, 1, 3, 1)],
+        "doc_id long, region_start long, region_end long, n_intervals long",
+    )
+    out = {r.doc_id: r for r in apply_span_cuts(toks, regions).collect()}
+    assert out[1].cleaned_text == "a d e" and out[1].removed_tokens == 2
+    assert out[2].cleaned_text == "x y" and out[2].removed_tokens == 0
+    assert out[3].cleaned_text == "" and out[3].removed_tokens == 3
+    assert all(out[d].n_tokens == n for d, n in [(1, 5), (2, 2), (3, 3)])
