@@ -2625,3 +2625,48 @@ def e_srm(spark: SparkSession, sf: str) -> DataFrame:
         (F.floor(chi2 * 1000000 + 0.5) / 1000000).alias("chi2"),
         (F.abs(na - nb) / (na + nb) >= 0.05).alias("flag_srm"),
     ).orderBy("event_type")
+
+
+# ------------------------------------------------------ nearest as-of join
+@register(
+    "q_asof_nearest",
+    oracle="""
+WITH marks AS (SELECT unnest(generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '2001-01-01',
+                                             INTERVAL 1 YEAR)) AS mark_ts)
+SELECT o_orderkey, strftime(mark_ts, '%Y-%m-%d') AS nearest_mark,
+       CAST(ABS(date_diff('day', mark_ts, o_orderdate)) AS BIGINT) AS days_away
+FROM orders
+CROSS JOIN marks
+QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                           ORDER BY ABS(date_diff('day', mark_ts, o_orderdate)),
+                                    mark_ts) = 1
+ORDER BY o_orderkey
+""",
+    doc="NEAREST-direction as-of join (pandas merge_asof "
+    "direction='nearest'): each event pairs with the closest calendar "
+    "mark in EITHER direction, tie-broken toward the earlier mark — "
+    "the sensor-fusion/alignment semantics the backward-only as-of "
+    "(q_asof_join) can't express.  Scale: marks are a tiny broadcast "
+    "panel, the per-event choice is one keep-nearest window on the "
+    "event key (already the join's output partitioning) — never an "
+    "event x event join.",
+)
+def q_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    marks = spark.createDataFrame(
+        [(f"{y}-01-01 00:00:00",) for y in range(1995, 2002)], "mark string"
+    ).select(F.to_timestamp("mark").alias("mark_ts"))
+    joined = o.crossJoin(F.broadcast(marks)).withColumn(
+        "days_away", F.abs(F.datediff(F.col("mark_ts"), F.col("o_orderdate"))).cast("long")
+    )
+    w = Window.partitionBy("o_orderkey").orderBy("days_away", "mark_ts")
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "o_orderkey",
+            F.date_format("mark_ts", "yyyy-MM-dd").alias("nearest_mark"),
+            "days_away",
+        )
+        .orderBy("o_orderkey")
+    )

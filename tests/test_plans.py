@@ -323,6 +323,7 @@ NESTED_LOOP_OK = {
     "d_lsh_recall_audit": "1-row count panels crossed into the single audit row",
     "t_kfold_assign": "1-row broadcast doc-total panel for the share denominator",
     "t_class_balance": "1-row broadcast minority-target panel for the per-class fractions",
+    "q_asof_nearest": "intentional broadcast of the 7-row calendar-mark panel",
     "t_contrastive_triplets": "1-row broadcast doc-count panel for the negative hash offset",
     "q_data_checks": "1-row broadcast row-count panels joined to the unique/ref check results",
 }
