@@ -2670,3 +2670,73 @@ def q_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# ------------------------------------------------------ gaps and islands
+@register(
+    "q_order_streaks",
+    oracle="""
+WITH months AS (
+  SELECT DISTINCT o_custkey,
+         CAST(EXTRACT(year FROM o_orderdate) * 12 + EXTRACT(month FROM o_orderdate) - 1
+              AS BIGINT) AS m
+  FROM orders),
+isl AS (
+  SELECT o_custkey, m,
+         m - ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY m) AS grp
+  FROM months),
+streaks AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS streak_months,
+         CAST(MIN(m) AS BIGINT) AS start_m
+  FROM isl GROUP BY o_custkey, grp),
+best AS (
+  SELECT o_custkey, streak_months, start_m
+  FROM streaks
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                             ORDER BY streak_months DESC, start_m) = 1)
+SELECT o_custkey, streak_months,
+       CAST(start_m // 12 AS BIGINT) AS start_year,
+       CAST(start_m % 12 + 1 AS BIGINT) AS start_month
+FROM best
+ORDER BY streak_months DESC, o_custkey
+LIMIT 25
+""",
+    doc="gaps-and-islands: each customer's LONGEST streak of "
+    "consecutive order months, via the classic month-minus-row_number "
+    "grouping (consecutive months share a constant difference) — the "
+    "subscription/engagement-streak shape that needs no self-join and "
+    "no recursion.  Scale: one distinct on (cust, month) — O(rows) "
+    "with map-side partial — then two windows over the same "
+    "customer-key sort shuffle; top-25 by TakeOrdered.",
+)
+def q_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    months = (
+        load_table(spark, sf, "orders")
+        .select(
+            "o_custkey",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("m"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("m")
+    isl = months.withColumn("grp", F.col("m") - F.row_number().over(w))
+    streaks = isl.groupBy("o_custkey", "grp").agg(
+        F.count("*").alias("streak_months"), F.min("m").alias("start_m")
+    )
+    wb = Window.partitionBy("o_custkey").orderBy(
+        F.col("streak_months").desc(), F.col("start_m")
+    )
+    return (
+        streaks.withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "o_custkey",
+            "streak_months",
+            F.expr("start_m DIV 12").alias("start_year"),
+            (F.col("start_m") % 12 + 1).alias("start_month"),
+        )
+        .orderBy(F.col("streak_months").desc(), "o_custkey")
+        .limit(25)
+    )
