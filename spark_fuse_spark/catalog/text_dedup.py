@@ -9,7 +9,7 @@ same coefficient family the Spark side uses.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import MERSENNE_P, minhash_coefficients, portable_hash64, portable_hash64_sql
@@ -1048,4 +1048,57 @@ def d_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
                 6,
             ).alias("recall"),
         )
+    )
+
+
+@register(
+    "t_lang_confusion",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, lang, {_TOKS.format(col="text")} AS t FROM documents),
+hits AS (
+  SELECT doc_id, lang,
+{", ".join(f"    len(list_filter(t, tk -> list_contains({_sw_sql(code)}, tk))) AS h_{code}"
+           for code in sorted(STOPWORDS))}
+  FROM toks),
+best AS (
+  SELECT doc_id, lang,
+         greatest({", ".join(f"h_{c}" for c in sorted(STOPWORDS))}) AS mx,
+{chr(10).join(f"         h_{c}," for c in sorted(STOPWORDS))}
+         1 AS _dummy
+  FROM hits),
+pred AS (
+  SELECT doc_id, lang AS lang_true,
+         CASE WHEN mx <= 0 THEN 'und'
+{chr(10).join(f"              WHEN h_{c} = mx THEN '{c}'" for c in sorted(STOPWORDS))}
+         END AS lang_pred
+  FROM best)
+SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER (PARTITION BY lang_true) AS DOUBLE), 6)
+         AS row_share
+FROM pred
+GROUP BY lang_true, lang_pred
+ORDER BY lang_true, lang_pred
+""",
+    doc="language-ID confusion matrix: the stopword-argmax classifier "
+    "(t_language_id) evaluated against the stored lang label — per "
+    "(true, predicted) counts and row-normalized shares, the "
+    "classifier-evaluation rollup every heuristic filter should ship "
+    "with before it gates a corpus.  Scale: per-row prediction is "
+    "pure codegen; the matrix is one partial-agg'd rollup to "
+    "|langs|^2 rows with a window over that tiny relation.",
+)
+def t_lang_conf(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    pred = d.select(
+        F.col("lang").alias("lang_true"), language_id("text").alias("lang_pred")
+    )
+    counts = pred.groupBy("lang_true", "lang_pred").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang_true")
+    return (
+        counts.withColumn(
+            "row_share",
+            F.round(F.col("n").cast("double") / F.sum("n").over(w).cast("double"), 6),
+        )
+        .orderBy("lang_true", "lang_pred")
     )
