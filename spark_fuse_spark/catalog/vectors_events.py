@@ -671,3 +671,185 @@ def e_variant(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type", "k_decade")
     )
+
+
+@register(
+    "v_matryoshka_cascade",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+coarse AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(e.v[1:16], q.qv[1:16]), 6) AS c16
+  FROM e CROSS JOIN q),
+cand AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY c16 DESC, neighbor_id) AS rk
+        FROM coarse)
+  WHERE rk <= 50),
+exact AS (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND(list_cosine_similarity(ev.v, qv.v), 6) AS cosine
+  FROM cand c
+  JOIN e ev ON c.neighbor_id = ev.vec_id
+  JOIN e qv ON c.query_id = qv.vec_id)
+SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM exact)
+WHERE rk <= 5
+ORDER BY query_id, rank
+""",
+    doc="Matryoshka cascade retrieval (Kusupati et al. 2022 MRL): "
+    "stage-1 ranks on the 16-dim embedding PREFIX (cosine is "
+    "scale-invariant, so prefix cosine == truncate-renormalize cosine "
+    "at a quarter of the fold cost), stage-2 re-scores only the top-50 "
+    "candidates with the full 64-dim cosine — the modern two-stage "
+    "pattern for MRL-trained encoders.  Fully closed-form, so the "
+    "oracle replays both stages.  Scale: stage 1 is the "
+    "broadcast-queries x one-corpus-scan shape at 1/4 the flops; stage "
+    "2 touches 50 rows per query.",
+)
+def v_matryoshka_cascade(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    coarse = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), "v")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(F.slice("v", 1, 16), F.slice("qv", 1, 16)), 6
+            ).alias("c16"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.col("c16").desc(), F.col("neighbor_id"))
+    cand = (
+        coarse.withColumn("rk", F.row_number().over(w1))
+        .where(F.col("rk") <= 50)
+        .select("query_id", "neighbor_id")
+    )
+    exact = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), "v")
+        .join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("v"), F.col("qv")), 6).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def _ann_recall_oracle(dims: int, k: int) -> str:
+    """Exact top-k vs raw SQ8 ADC top-k (no re-rank) per query — the
+    quantization-loss measurement, sharing the _sq8_oracle arithmetic."""
+    dequant = (
+        "(p.mins[i + 1] + (CAST(LEAST(255, GREATEST(0, "
+        "CAST(FLOOR((c.cu[i + 1] - p.mins[i + 1]) "
+        "/ p.spans[i + 1] * 256.0) AS INT))) AS DOUBLE) + 0.5) "
+        "* p.spans[i + 1] / 256.0)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+u AS (SELECT vec_id,
+             CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) = 0 THEN v
+                  ELSE list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y))))
+             END AS cu
+      FROM e),
+d AS (SELECT UNNEST(range(1, {dims + 1})) AS dim),
+mm AS (SELECT dim, MIN(cu[dim]) AS mn, MAX(cu[dim]) AS mx
+       FROM u CROSS JOIN d GROUP BY dim),
+p AS (SELECT list(mn ORDER BY dim) AS mins,
+             list(CASE WHEN mx - mn > 0 THEN mx - mn ELSE 1.0 END ORDER BY dim) AS spans
+      FROM mm),
+q AS (SELECT vec_id AS query_id, cu AS qu FROM u WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, cu FROM u),
+adc AS (
+  SELECT q.query_id, c.neighbor_id,
+         ROUND(list_sum(list_transform(range(0, {dims}),
+               i -> q.qu[i + 1] * {dequant})), 6) AS s
+  FROM c CROSS JOIN q CROSS JOIN p),
+sq8top AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, neighbor_id) AS rk FROM adc)
+  WHERE rk <= {k}),
+ex AS (
+  SELECT qq.query_id, ee.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(ee.v, qv.v), 6) AS cosine
+  FROM e ee CROSS JOIN q qq JOIN e qv ON qq.query_id = qv.vec_id),
+extop AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rk FROM ex)
+  WHERE rk <= {k})
+SELECT extop.query_id,
+       CAST({k} AS BIGINT) AS k,
+       CAST(COUNT(sq8top.neighbor_id) AS BIGINT) AS n_overlap,
+       ROUND(COUNT(sq8top.neighbor_id) / {k}.0, 6) AS recall
+FROM extop
+LEFT JOIN sq8top ON extop.query_id = sq8top.query_id
+                AND extop.neighbor_id = sq8top.neighbor_id
+GROUP BY extop.query_id
+ORDER BY extop.query_id
+"""
+
+
+@register(
+    "v_ann_recall_audit",
+    oracle=_ann_recall_oracle(dims=64, k=5),
+    doc="in-engine ANN recall audit for the vector family: exact "
+    "cosine top-5 vs the RAW SQ8 ADC top-5 (no re-rank) per query — "
+    "the quantization-loss number that tells you whether a re-rank "
+    "stage is needed and how big its candidate margin must be "
+    "(compare d_lsh_recall_audit for the MinHash index).  Both "
+    "rankings are closed-form, so even the recall measurement is "
+    "differentially verified.  Scale: two broadcast-queries x "
+    "corpus-scan rankings + a k-bounded overlap join.",
+)
+def v_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.quantization import sq8_adc_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = brute_force_topk(
+        emb, queries, k=5, corpus_id="vec_id", corpus_vec="embedding"
+    ).select("query_id", "neighbor_id")
+    approx = sq8_adc_topk(
+        emb, queries, dims=64, k=5, rerank=0, corpus_id="vec_id", corpus_vec="embedding"
+    ).select(
+        F.col("query_id").alias("__aq"), F.col("neighbor_id").alias("sq8_neighbor")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("__aq"))
+            & (F.col("neighbor_id") == F.col("sq8_neighbor")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.lit(5).cast("long").alias("k"),
+            F.count("sq8_neighbor").alias("n_overlap"),
+            F.round(F.count("sq8_neighbor") / 5.0, 6).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
