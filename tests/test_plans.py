@@ -324,6 +324,8 @@ NESTED_LOOP_OK = {
     "t_kfold_assign": "1-row broadcast doc-total panel for the share denominator",
     "t_class_balance": "1-row broadcast minority-target panel for the per-class fractions",
     "q_asof_nearest": "intentional broadcast of the 7-row calendar-mark panel",
+    "v_matryoshka_cascade": "broadcast query panel x corpus scan in the coarse stage",
+    "v_ann_recall_audit": "broadcast query/min-span panels in both audited rankings",
     "t_contrastive_triplets": "1-row broadcast doc-count panel for the negative hash offset",
     "q_data_checks": "1-row broadcast row-count panels joined to the unique/ref check results",
 }
