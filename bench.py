@@ -63,6 +63,10 @@ HEADLINE = [
     "t_bm25_topk",
     "c_incremental_agg",
     "v_hybrid_rrf",
+    "v_matryoshka_cascade",
+    "t_span_cut_apply",
+    "t_decontaminate_spans",
+    "d_lsh_recall_audit",
 ]
 
 
