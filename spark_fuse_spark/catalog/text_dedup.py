@@ -1102,3 +1102,58 @@ def t_lang_conf(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang_true", "lang_pred")
     )
+
+
+@register(
+    "t_bpe_first_merges",
+    oracle=f"""
+WITH toks AS (SELECT {_TOKS.format(col="text")} AS t FROM documents),
+words AS (SELECT unnest(t) AS w FROM toks),
+wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+       FROM words WHERE length(w) >= 2 GROUP BY w),
+pairs AS (
+  SELECT w, freq, unnest(generate_series(1, length(w) - 1)) AS i
+  FROM wf),
+pc AS (
+  SELECT substr(w, i, 1) AS left_sym, substr(w, i + 1, 1) AS right_sym,
+         CAST(SUM(freq) AS BIGINT) AS pair_freq
+  FROM pairs GROUP BY 1, 2)
+SELECT left_sym, right_sym, pair_freq
+FROM pc
+ORDER BY pair_freq DESC, left_sym, right_sym
+LIMIT 30
+""",
+    doc="the first BPE merge round (Sennrich et al. 2016): adjacent "
+    "character-pair frequencies over the word-frequency table — the "
+    "top pair IS the first merge a tokenizer trainer would make; "
+    "iterating this (re-tokenize, re-count) trains the vocabulary.  "
+    "Counting over DISTINCT words weighted by frequency (not raw "
+    "tokens) is the standard trick: the pair stage is O(|vocab| x "
+    "word-length), independent of corpus size once the word-frequency "
+    "table exists.  Scale: one word-count shuffle (map-side partial), "
+    "then the pair rollup on the vocabulary relation only; top-30 via "
+    "TakeOrdered.",
+)
+def t_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    wf = (
+        d.select(F.explode(tokens("text")).alias("w"))
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = wf.select(
+        "freq",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), "
+                "i -> struct(substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r))"
+            )
+        ).alias("__i", "p"),
+    ).select(F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym"), "freq")
+    return (
+        pairs.groupBy("left_sym", "right_sym")
+        .agg(F.sum("freq").alias("pair_freq"))
+        .orderBy(F.col("pair_freq").desc(), "left_sym", "right_sym")
+        .limit(30)
+    )
