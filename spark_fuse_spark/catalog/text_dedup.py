@@ -1157,3 +1157,82 @@ def t_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("pair_freq").desc(), "left_sym", "right_sym")
         .limit(30)
     )
+
+
+@register(
+    "t_novelty_curve",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS.format(col="text")} AS t FROM documents),
+sh AS (SELECT doc_id, {_shingle_sql(8)} AS sh FROM toks WHERE len(t) >= 8),
+ex AS (SELECT doc_id, {portable_hash64_sql('s')} AS h
+       FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+first AS (SELECT h, MIN(doc_id) AS first_doc FROM ex GROUP BY h),
+per_doc AS (
+  SELECT ex.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN first.first_doc = ex.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS novel_grams
+  FROM ex JOIN first ON ex.h = first.h
+  GROUP BY ex.doc_id)
+SELECT CAST(doc_id // 50 AS BIGINT) AS doc_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_grams) AS BIGINT) AS grams,
+       CAST(SUM(novel_grams) AS BIGINT) AS novel,
+       ROUND(CAST(SUM(novel_grams) AS DOUBLE) / CAST(SUM(n_grams) AS DOUBLE), 6)
+         AS novelty
+FROM per_doc
+GROUP BY CAST(doc_id // 50 AS BIGINT)
+ORDER BY doc_bucket
+""",
+    doc="corpus novelty decay curve: per ingestion bucket (doc_id "
+    "order), the micro-averaged fraction of distinct 8-gram shingles "
+    "whose FIRST corpus occurrence is in that document — how fast a "
+    "growing corpus stops contributing new content, the curve that "
+    "justifies dedup budgets and crawl-stopping rules.  Micro-average "
+    "(exact integer gram sums per bucket, ONE final division) rather "
+    "than a mean of per-doc floats, so reduction order can't move it.  "
+    "Scale: the gram explode is the standard shingle-stage cost; "
+    "first-occurrence is ONE min-aggregate on the gram hash; no "
+    "self-join.",
+)
+def t_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    t = d.select("doc_id", tokens("text").alias("t")).where(F.size("t") >= 8)
+    ex = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, size(t)-7), "
+                "i -> concat_ws(' ', slice(t, i, 8))))"
+            )
+        ).alias("s"),
+    ).select("doc_id", portable_hash64("s").alias("h"))
+    first = ex.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        ex.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("novel_grams"),
+        )
+    )
+    return (
+        per_doc.groupBy(F.expr("doc_id DIV 50").alias("doc_bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_grams").alias("grams"),
+            F.sum("novel_grams").alias("novel"),
+        )
+        .select(
+            "doc_bucket",
+            "n_docs",
+            "grams",
+            "novel",
+            F.round(
+                F.col("novel").cast("double") / F.col("grams").cast("double"), 6
+            ).alias("novelty"),
+        )
+        .orderBy("doc_bucket")
+    )
