@@ -2740,3 +2740,44 @@ def q_streaks(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("streak_months").desc(), "o_custkey")
         .limit(25)
     )
+
+
+# ------------------------------------------------------ skyline operator
+@register(
+    "q_skyline_parts",
+    oracle="""
+WITH pp AS (SELECT p_retailprice AS price, CAST(MAX(p_size) AS BIGINT) AS best_size
+            FROM part GROUP BY p_retailprice),
+r AS (SELECT price, best_size,
+             MAX(best_size) OVER (ORDER BY price
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM pp)
+SELECT price, best_size
+FROM r
+WHERE prev_max IS NULL OR best_size > prev_max
+ORDER BY price
+""",
+    doc="skyline (Pareto frontier) over parts: minimize price, maximize "
+    "size — a point survives iff NO strictly cheaper point matches its "
+    "size (Borzsony et al. 2001's operator).  The naive formulation is "
+    "an O(n^2) dominance self-join; this one is per-price max + ONE "
+    "running-max window over the distinct-price relation — O(n log n) "
+    "with a single small-key shuffle, the window-replaces-quadratic "
+    "pattern this engine uses everywhere (cf. gaps-and-islands, "
+    "keep-latest).  Both engines run the identical frame, so the "
+    "frontier is hash-checked point-for-point.",
+)
+def q_skyline(spark: SparkSession, sf: str) -> DataFrame:
+    pp = (
+        load_table(spark, sf, "part")
+        .groupBy(F.col("p_retailprice").alias("price"))
+        .agg(F.max("p_size").cast("long").alias("best_size"))
+    )
+    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+    r = pp.withColumn("prev_max", F.max("best_size").over(w))
+    return (
+        r.where(F.col("prev_max").isNull() | (F.col("best_size") > F.col("prev_max")))
+        .select("price", "best_size")
+        .orderBy("price")
+    )
