@@ -2781,3 +2781,67 @@ def q_skyline(spark: SparkSession, sf: str) -> DataFrame:
         .select("price", "best_size")
         .orderBy("price")
     )
+
+
+# ------------------------------------------------------ inter-arrival times
+@register(
+    "e_interarrival",
+    oracle="""
+WITH seq AS (
+  SELECT event_type,
+         CAST(date_diff('second',
+              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+              AS BIGINT) AS gap_s
+  FROM events)
+SELECT event_type,
+       CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+       CAST(MAX(gap_s) AS BIGINT) AS max_gap_s,
+       FLOOR(CAST(SUM(gap_s) AS DOUBLE) / COUNT(gap_s) * 100 + 0.5) / 100
+         AS mean_gap_s
+FROM seq
+WHERE gap_s IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="per-user inter-arrival gaps rolled up by event type — the "
+    "traffic-shape statistic behind session-gap and watermark-delay "
+    "choices (pick sessionize gap_seconds and withWatermark delay from "
+    "THIS table, not folklore).  Gaps are exact integer seconds from a "
+    "lag window; min/max/sum stay integers, the mean divides once with "
+    "explicit floor-rounding.  Scale: one user-keyed sort shuffle "
+    "(shared family with every sessionization query), one partial-"
+    "agg'd rollup to |types| rows.",
+)
+def e_interarrival(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        load_table(spark, sf, "events")
+        .select(
+            "event_type",
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+            ).cast("long").alias("gap_s"),
+        )
+        .where(F.col("gap_s").isNotNull())
+    )
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.min("gap_s").alias("min_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+            F.sum("gap_s").alias("__sum"),
+        )
+        .select(
+            "event_type",
+            "n_gaps",
+            "min_gap_s",
+            "max_gap_s",
+            (
+                F.floor(F.col("__sum").cast("double") / F.col("n_gaps") * 100 + 0.5)
+                / 100
+            ).alias("mean_gap_s"),
+        )
+        .orderBy("event_type")
+    )
