@@ -2529,7 +2529,7 @@ m AS (SELECT MIN(n) AS target FROM counts),
 gated AS (
   SELECT d.doc_id, d.lang, c.n, m.target,
          ({portable_hash64_sql("CAST(d.doc_id AS VARCHAR) || 'balance'")} % 1000000)
-           < CAST(CAST(m.target AS DOUBLE) / CAST(c.n AS DOUBLE) * 1000000 AS BIGINT)
+           < CAST(FLOOR(CAST(m.target AS DOUBLE) / CAST(c.n AS DOUBLE) * 1000000) AS BIGINT)
            AS keep
   FROM documents d JOIN counts c ON d.lang = c.lang CROSS JOIN m)
 SELECT lang, MAX(n) AS n_docs, MAX(target) AS target_per_class,
@@ -2559,9 +2559,13 @@ def t_balance(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(F.broadcast(m))
         .withColumn(
             "keep",
+            # FLOOR on both engines — a bare BIGINT cast truncates in Spark
+            # but rounds in DuckDB, so the gates would differ by one bucket
+            # whenever the fraction's millionths part is >= .5
             (h % 1000000)
-            < (F.col("target").cast("double") / F.col("n").cast("double") * 1000000)
-            .cast("long"),
+            < F.floor(
+                F.col("target").cast("double") / F.col("n").cast("double") * 1000000
+            ).cast("long"),
         )
     )
     return (
@@ -2761,21 +2765,26 @@ ORDER BY price
     doc="skyline (Pareto frontier) over parts: minimize price, maximize "
     "size — a point survives iff NO strictly cheaper point matches its "
     "size (Borzsony et al. 2001's operator).  The naive formulation is "
-    "an O(n^2) dominance self-join; this one is per-price max + ONE "
-    "running-max window over the distinct-price relation — O(n log n) "
-    "with a single small-key shuffle, the window-replaces-quadratic "
-    "pattern this engine uses everywhere (cf. gaps-and-islands, "
-    "keep-latest).  Both engines run the identical frame, so the "
-    "frontier is hash-checked point-for-point.",
+    "an O(n^2) dominance self-join; this one is per-price max + a "
+    "running max over the distinct-price relation — O(n log n) with "
+    "small-key shuffles, the window-replaces-quadratic pattern this "
+    "engine uses everywhere (cf. gaps-and-islands, keep-latest).  The "
+    "running max itself is the two-phase distributed prefix max "
+    "(operators/packing.with_prefix_max: range partition + local "
+    "windows + bounded offsets broadcast), NOT an unpartitioned "
+    "window — so no single task ever sorts the whole price domain.  "
+    "The result is frame-identical to the oracle's exclusive running "
+    "max, so the frontier is hash-checked point-for-point.",
 )
 def q_skyline(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.packing import with_prefix_max
+
     pp = (
         load_table(spark, sf, "part")
         .groupBy(F.col("p_retailprice").alias("price"))
         .agg(F.max("p_size").cast("long").alias("best_size"))
     )
-    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
-    r = pp.withColumn("prev_max", F.max("best_size").over(w))
+    r = with_prefix_max(pp, "price", "best_size", out_col="prev_max")
     return (
         r.where(F.col("prev_max").isNull() | (F.col("best_size") > F.col("prev_max")))
         .select("price", "best_size")

@@ -664,7 +664,7 @@ WITH r AS (
 c AS (
   SELECT doc_id, lang,
          CAST(floor(rate) AS INT)
-           + CASE WHEN (h % 1000000) < CAST((rate - floor(rate)) * 1000000 AS BIGINT)
+           + CASE WHEN (h % 1000000) < CAST(FLOOR((rate - floor(rate)) * 1000000) AS BIGINT)
                   THEN 1 ELSE 0 END AS n
   FROM r),
 o AS (

@@ -735,12 +735,17 @@ ORDER BY anchor_id
     "engines with no RNG state (the hash offset never lands on the "
     "anchor itself; a rare collision with the positive is harmless "
     "noise, standard for in-batch negatives).  Scale: pairs come from "
-    "the inverted-index Jaccard join, the rank is one global sort of "
-    "(id) pairs — replaceable by id arithmetic when the id space is "
-    "dense — and the negative join is rank-equi.",
+    "the inverted-index Jaccard join; the dense corpus rank comes from "
+    "the two-phase distributed prefix sum (operators/packing."
+    "with_prefix_sum: range partition + per-partition local windows + a "
+    "bounded per-partition offsets broadcast) — NEVER a global "
+    "single-partition row_number over the corpus — and the negative "
+    "join is rank-equi.",
 )
 def t_triplets(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
+
+    from ..operators.packing import with_prefix_sum
 
     docs = load_table(spark, sf, "documents")
     pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5)
@@ -759,9 +764,16 @@ def t_triplets(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("rk") == 1)
         .drop("rk")
     )
-    ranked = docs.select(
-        "doc_id", F.row_number().over(Window.orderBy("doc_id")).alias("rk")
-    )
+    # dense rank 1..n over doc_id WITHOUT a single-partition window:
+    # rank = exclusive-prefix-count of earlier docs + 1 (two bounded
+    # shuffles; identical to ROW_NUMBER() OVER (ORDER BY doc_id) because
+    # doc_id is unique)
+    ranked = with_prefix_sum(
+        docs.select("doc_id").withColumn("__one", F.lit(1)),
+        order_col="doc_id",
+        value_col="__one",
+        out_col="__rk0",
+    ).select("doc_id", (F.col("__rk0") + 1).alias("rk"))
     n_panel = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n")))
     h = portable_hash64(F.concat(F.col("anchor_id").cast("string"), F.lit("neg")))
     neg = (

@@ -453,20 +453,31 @@ def m_binary_meta(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "m_payload_features",
-    oracle=None,  # array<float> histogram features — not SQL-expressible;
+    oracle=None,  # histogram feature VECTOR — not SQL-expressible as a
+    # whole (the per-bucket math IS oracle-checked via m_payload_histogram);
     # determinism is tested instead (tests/test_dedup_similarity.py)
     doc="multimodal feature extraction: binary payload → normalized "
     "byte-histogram feature vector (array<float>) via Arrow-batched "
     "mapInPandas; the real-codec version swaps in a CLIP/audio encoder "
-    "with the identical schema/batch shape.  Output feeds the "
-    "similarity/ANN layer directly.",
+    "with the identical schema/batch shape.  The operator API "
+    "(operators/multimodal.extract_features) keeps the array<float> "
+    "surface that feeds the similarity/ANN layer; THIS registered query "
+    "projects the vector through a deterministic JSON serialization so "
+    "the driver's rows-only harness (which hashes row values) gets a "
+    "hashable scalar — values are float32-quantized before "
+    "serialization, so the string is reproducible bit-for-bit.",
 )
 def m_payload_features(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.multimodal import extract_features
 
     d = load_table(spark, sf, "documents")
     with_payload = attach_binary_payload(d, "text", "payload")
-    return extract_features(with_payload, "doc_id", "payload", dim=16)
+    feats = extract_features(with_payload, "doc_id", "payload", dim=16)
+    return feats.select(
+        "doc_id",
+        F.size("features").cast("long").alias("dim"),
+        F.to_json(F.col("features")).alias("features_json"),
+    )
 
 
 @register(

@@ -19,7 +19,7 @@ after the join — output is O(changes), not O(rows).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import row_hash
@@ -182,11 +182,33 @@ def incremental_agg_merge(
     track = nonnull_col is not None
     if track and nonnull_col not in base_agg.columns:
         raise ValueError(f"base_agg lacks nonnull_col {nonnull_col!r}")
+    if f"{value_col}{before_suffix}" not in changelog.columns:
+        raise ValueError(
+            f"changelog lacks {value_col}{before_suffix!r}: build it with "
+            f"snapshot_diff(..., include_before=True) and include "
+            f"{value_col!r} in compare_cols"
+        )
+
+    def before_col(g: str) -> Column:
+        # a group col that was a snapshot_diff KEY has no __before twin
+        # (keys cannot change, so its own value IS the before-image);
+        # anything else missing is a mis-built changelog — fail clearly
+        # instead of the opaque unresolved-column AnalysisException later
+        if f"{g}{before_suffix}" in changelog.columns:
+            return F.col(f"{g}{before_suffix}")
+        if g in changelog.columns:
+            return F.col(g)
+        raise ValueError(
+            f"group col {g!r} has neither a {before_suffix} twin nor its "
+            f"own column in the changelog; include it in snapshot_diff's "
+            f"compare_cols (or keys)"
+        )
+
     cnt_t = base_agg.schema[count_col].dataType
     sum_t = base_agg.schema[sum_col].dataType
     before_val = F.col(f"{value_col}{before_suffix}")
     minus = changelog.where(F.col(op_col) != "I").select(
-        *[F.col(f"{g}{before_suffix}").alias(g) for g in group_cols],
+        *[before_col(g).alias(g) for g in group_cols],
         F.lit(-1).cast(cnt_t).alias(count_col),
         (-before_val.cast(sum_t)).alias(sum_col),
         *(

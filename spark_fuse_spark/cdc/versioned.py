@@ -94,7 +94,20 @@ class VersionedParquetStore(TableStore):
         tmp = _manifest_path(target, version) + f".tmp_{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
-        os.rename(tmp, _manifest_path(target, version))  # atomic commit point
+        # atomic commit point with loud conflict detection: os.link fails
+        # with FileExistsError if the version already exists (os.rename
+        # would silently REPLACE it on POSIX — a violated single-writer
+        # contract must lose loudly, not overwrite a committed version)
+        final = _manifest_path(target, version)
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise RuntimeError(
+                f"concurrent commit detected: version {version} already "
+                f"exists at {target} (single-writer contract violated)"
+            ) from None
+        finally:
+            os.unlink(tmp)
         return version
 
     def _write_segment(self, df: DataFrame, target: str) -> str:

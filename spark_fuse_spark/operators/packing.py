@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["with_prefix_sum", "pack_sequences"]
+__all__ = ["with_prefix_sum", "with_prefix_max", "pack_sequences"]
 
 
 def with_prefix_sum(
@@ -66,6 +66,48 @@ def with_prefix_sum(
     return (
         local.join(F.broadcast(offsets), "__pid")
         .withColumn(out_col, (F.col("__local") + F.col("__offset")).cast("long"))
+        .drop("__pid", "__local", "__offset")
+    )
+
+
+def with_prefix_max(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "prefix_max",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE global running max of ``value_col`` in ``order_col``
+    order (max over all strictly-earlier rows; NULL for the first row).
+
+    Same two-phase shape as :func:`with_prefix_sum` — max is associative,
+    so per-partition running maxes combine with a bounded per-partition
+    offset max (``greatest`` ignores NULLs, which gives the exclusive
+    frame's empty-prefix NULL for free).  Identical to
+    ``max(value).over(Window.orderBy(order).rowsBetween(unboundedPreceding,
+    -1))`` for any unique ``order_col``, at two bounded shuffles instead
+    of a single-task global sort.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local_w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn("__local", F.max(value_col).over(local_w))
+    # per-partition maxes: num_partitions rows — the only single-task
+    # window in the plan runs over this bounded set, never the data
+    totals = local.groupBy("__pid").agg(F.max(value_col).alias("__total"))
+    offset_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn("__offset", F.max("__total").over(offset_w)).select(
+        "__pid", "__offset"
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.greatest("__local", "__offset"))
         .drop("__pid", "__local", "__offset")
     )
 

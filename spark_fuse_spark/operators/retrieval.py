@@ -99,13 +99,21 @@ def bm25_topk(
     b: float = 0.75,
     rank_col: str = "rank",
 ) -> DataFrame:
-    """Top-k BM25 ranking: ``id_col, score, rank`` with the id tie-break."""
+    """Top-k BM25 ranking: ``id_col, score, rank`` with the id tie-break.
+
+    Scale shape: the cutoff is ``orderBy().limit(k)`` — Catalyst plans a
+    distributed TakeOrderedAndProject (per-partition top-k, then a k-row
+    merge), so every document containing a common term never funnels into
+    one task.  Ranks are then assigned by a window over the ≤ k surviving
+    rows — bounded by the constant k, never by the corpus.  (The naive
+    ``row_number().over(Window.orderBy(score))`` + filter plans a
+    single-partition WindowExec over ALL scored documents — the classic
+    scale-killer this function exists to avoid.)
+    """
     scores = bm25_scores(df, terms, id_col, text_col, k1, b)
+    top = scores.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
-    return (
-        scores.withColumn(rank_col, F.row_number().over(w))
-        .where(F.col(rank_col) <= k)
-    )
+    return top.withColumn(rank_col, F.row_number().over(w))
 
 
 def rrf_fuse(

@@ -113,13 +113,19 @@ def resample_weighted(
     Scale shape: pure per-row expressions + one explode — no shuffle,
     no RNG; the gate quantizes fractions to millionths exactly like
     ``sample_gate`` so SQL twins stay bit-identical.
+
+    Quantization convention: the fractional-part threshold is
+    ``FLOOR(frac * 1e6)`` — floor, never a bare integer cast, because
+    Spark's ``CAST(x AS BIGINT)`` truncates while DuckDB's rounds to
+    nearest; SQL twins must write ``CAST(FLOOR(...) AS BIGINT)`` to stay
+    bit-identical for non-dyadic rates (e.g. 1/3).
     """
     rate = F.col(rate_col) if isinstance(rate_col, str) else rate_col
     key = F.col(key_col)
     h = portable_hash64(F.concat(key.cast("string"), F.lit(salt)))
     base = F.floor(rate).cast("int")
     frac = rate - F.floor(rate)
-    extra = ((h % BUCKETS) < (frac * BUCKETS).cast("long")).cast("int")
+    extra = ((h % BUCKETS) < F.floor(frac * BUCKETS).cast("long")).cast("int")
     n_copies = base + extra
     copies = F.when(
         n_copies >= 1, F.sequence(F.lit(1), n_copies)

@@ -44,6 +44,7 @@ __all__ = [
     "codegen_span_count",
     "PlanExpectation",
     "check_plan",
+    "unbounded_global_windows",
 ]
 
 
@@ -208,6 +209,54 @@ def check_plan(df: DataFrame, exp: PlanExpectation) -> list[str]:
     if exp.require_partial_agg and not has_partial_aggregate(df):
         problems.append("no partial (map-side) aggregate in plan")
     return problems
+
+
+_WINDOW_BOUNDING_NODES = ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")
+_AGG_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+
+
+def _walk_plan(n):
+    yield n
+    it = n.children().iterator()
+    while it.hasNext():
+        yield from _walk_plan(it.next())
+
+
+def unbounded_global_windows(df: DataFrame) -> list[str]:
+    """Window nodes with an EMPTY partition spec whose input subtree has no
+    bounding node — the single-task scale-killer class (every row funnels
+    into ONE partition to be sorted by ONE task).
+
+    A global window is considered BOUNDED (fine at any scale) when its
+    input subtree contains:
+
+    * ``TakeOrderedAndProject`` / ``GlobalLimit`` / ``CollectLimit`` — a
+      constant-k top-k/limit, so the window sees ≤ k rows (the
+      ``orderBy().limit(k)``-then-rank pattern); or
+    * an aggregate grouped on ``__pid`` (``spark_partition_id``) — the
+      two-phase prefix-scan offsets table, ≤ num_partitions rows by
+      construction (``operators/packing.with_prefix_sum/max``).
+
+    Anything else is returned as a violation string.  Static check only —
+    reads the pre-execution ``sparkPlan``, nothing executes.
+    """
+    out: list[str] = []
+    root = df._jdf.queryExecution().sparkPlan()
+    for n in _walk_plan(root):
+        if n.nodeName() != "Window" or not n.partitionSpec().isEmpty():
+            continue
+        bounded = False
+        cit = n.children().iterator()
+        while cit.hasNext():
+            for c in _walk_plan(cit.next()):
+                nm = c.nodeName()
+                if any(nm.startswith(b) for b in _WINDOW_BOUNDING_NODES):
+                    bounded = True
+                elif nm in _AGG_NODES and "__pid" in c.simpleString(30):
+                    bounded = True
+        if not bounded:
+            out.append(n.simpleString(10))
+    return out
 
 
 def _unwrap_exec_node(n):

@@ -331,6 +331,77 @@ NESTED_LOOP_OK = {
 }
 
 
+# Queries whose plan legitimately contains a GLOBAL (unpartitioned) window
+# over an input the static detector can't prove bounded — each input is an
+# aggregate whose group count is structurally tiny.  Everything else in the
+# catalog must partition its windows or bound their input with a constant-k
+# limit / partition-count offsets table; a new entry here needs a reason.
+GLOBAL_WINDOW_OK = {
+    "e_watermark_audit": "running max over per-BATCH maxes — rows = number of ingest batches, not events",
+    "t_shard_manifest": "share window over the 16-row shard table (constant shard count)",
+}
+
+
+def test_no_unbounded_global_window(spark, sf_small):
+    """Catalog-wide scale discipline: no WindowExec may receive the whole
+    relation in a single partition.  This is the gate behind the round-2
+    stragglers (bm25_topk / t_contrastive_triplets / q_skyline_parts, all
+    rewritten as TakeOrdered / two-phase-prefix shapes) — any future query
+    that plans an unpartitioned, unbounded window fails here."""
+    from spark_fuse_spark.plans import unbounded_global_windows
+
+    problems = []
+    for name, spec in sorted(load_all().items()):
+        if name in GLOBAL_WINDOW_OK:
+            continue
+        for v in unbounded_global_windows(spec.spark(spark, sf_small)):
+            problems.append(f"{name}: unbounded global window: {v[:200]}")
+    assert not problems, "\n".join(problems)
+
+
+def test_executed_metrics_bm25_topk_shuffles_stay_small(spark, sf_small):
+    """Measured contract for the rewritten bm25_topk: the ranking cutoff is
+    a distributed TakeOrdered, so shuffle records stay O(matching docs)
+    from the tf aggregate — never re-shuffling the corpus into one task —
+    and the plan has NO unbounded global window."""
+    from spark_fuse_spark.plans import shuffle_summary, unbounded_global_windows
+
+    df = load_all()["t_bm25_topk"].spark(spark, sf_small)
+    assert unbounded_global_windows(df) == []
+    df.collect()
+    s = shuffle_summary(df)
+    assert s["rows_scanned"] >= 500
+    # term-pruned (doc, term) partials + dl rows + k ranked rows only
+    assert 0 < s["shuffle_records"] < 3 * s["rows_scanned"]
+
+
+def test_executed_metrics_triplets_rank_is_distributed(spark, sf_small):
+    """Measured contract for the rewritten t_contrastive_triplets: the
+    corpus rank rides the two-phase prefix sum (range partition + bounded
+    offsets), so no single exchange carries the corpus into one partition
+    and the plan has NO unbounded global window."""
+    from spark_fuse_spark.plans import (
+        executed_metrics,
+        shuffle_summary,
+        unbounded_global_windows,
+    )
+
+    df = load_all()["t_contrastive_triplets"].spark(spark, sf_small)
+    assert unbounded_global_windows(df) == []
+    df.collect()
+    s = shuffle_summary(df)
+    assert s["rows_scanned"] >= 500
+    # per-exchange partition usage: no data-sized exchange may write all
+    # its records into a single partition (the offsets table is exempt —
+    # it is <= num_partitions rows by construction)
+    for n in executed_metrics(df):
+        if n["node"] != "Exchange":
+            continue
+        rec = n["metrics"].get("shuffleRecordsWritten", 0)
+        parts = n["metrics"].get("numPartitions", None)
+        assert rec <= 1000 or (parts is None or parts > 1), n
+
+
 def test_no_accidental_cartesian_or_nested_loop(spark, sf_small):
     """Catalog-wide scale discipline: no CartesianProduct ever; nested-loop
     joins only where declared (plan-only — nothing executes)."""
