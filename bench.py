@@ -67,6 +67,13 @@ HEADLINE = [
     "t_span_cut_apply",
     "t_decontaminate_spans",
     "d_lsh_recall_audit",
+    # iterative / loop-driven family (fixpoint + recursion + merge loops)
+    "x_pagerank_suppliers",
+    "q_recursive_hierarchy",
+    "t_bpe_first_merges",
+    # data-layout planning + corpus governance
+    "x_zorder_layout",
+    "d_cross_source_leakage",
 ]
 
 
@@ -77,6 +84,10 @@ def main() -> None:
         app_name="spark-fuse-spark-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
+        # local[N] puts driver+executors in ONE JVM: the 1g driver default
+        # starves broadcasts and localCheckpoint storage (the iterative
+        # queries checkpoint per round).  Size like a real node.
+        extra_configs={"spark.driver.memory": os.environ.get("SPARK_GRAFT_MEM", "20g")},
     )
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()

@@ -1,0 +1,358 @@
+"""Round-3 scale-operations suite: data-layout planning and corpus
+governance — the table-maintenance and provenance jobs a 100 TB
+deployment runs CONTINUOUSLY, not the queries it serves.
+
+* ``x_zorder_layout`` — multi-dimensional Z-order clustering audit: the
+  data-skipping layout Delta/Iceberg ``OPTIMIZE ZORDER BY`` provides,
+  re-expressed as plain integer arithmetic so the file-span benefit is
+  measurable (and oracle-checkable) in any engine.
+* ``x_compaction_plan`` — small-file compaction planning as a prefix-sum
+  bin-packing over segment sizes (reuses ``operators/packing``'s
+  two-phase distributed prefix machinery in a second context).
+* ``e_attribution_linear`` — multi-touch revenue attribution (linear
+  model) over the events stream, with integer micro-unit accounting so
+  the float split stays engine-portable.
+* ``d_cross_source_leakage`` — which corpus sources copy from each
+  other: the cross-source verbatim-overlap matrix from 8-token span
+  fingerprints (the governance rollup of the Lee et al. 2022 span-dedup
+  machinery in ``d_duplicate_spans``).
+
+Registered after ``curation`` in ``load_all`` so older never-sampled
+queries keep their place at the head of the driver's budgeted walk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64_sql
+from ..functions.text import tokens
+from ..tables import load_table
+from . import register
+
+# --------------------------------------------------------------- Z-order
+_ZBITS = 8  # 8 bits per dimension -> 16-bit z-value -> 256 z-ranges max
+
+
+def _interleave_sql(x: str, y: str) -> str:
+    """16-bit Morton code from two 8-bit ints — identical arithmetic text
+    for DuckDB (operators ``>>``/``&`` shared with Spark's oracle twin
+    below via per-engine rendering)."""
+    terms = []
+    for i in range(_ZBITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+def _interleave_col(x, y):
+    """Spark twin of :func:`_interleave_sql` — same bit plan, same
+    fixed-order integer sum (order-independent anyway: ints are exact)."""
+    total = F.lit(0).cast("long")
+    for i in range(_ZBITS):
+        total = total + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        total = total + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i)
+    return total
+
+
+_ZFILES = 16  # target file count for the audit layout
+
+
+@register(
+    "x_zorder_layout",
+    oracle=f"""
+WITH p AS (
+  SELECT CAST(MIN(CAST(l_shipdate AS DATE)) AS DATE) AS d0,
+         date_diff('day', MIN(CAST(l_shipdate AS DATE)), MAX(CAST(l_shipdate AS DATE))) AS dspan,
+         MIN(l_partkey) AS pk0,
+         MAX(l_partkey) - MIN(l_partkey) AS pkspan
+  FROM lineitem),
+b AS (
+  SELECT CAST(l_shipdate AS DATE) AS ship_d, l_partkey,
+         CAST(FLOOR(date_diff('day', p.d0, CAST(l_shipdate AS DATE)) * 256.0
+                    / (p.dspan + 1)) AS BIGINT) AS dx,
+         CAST(FLOOR((l_partkey - p.pk0) * 256.0 / (p.pkspan + 1)) AS BIGINT) AS dp
+  FROM lineitem CROSS JOIN p),
+z AS (SELECT ship_d, l_partkey,
+             ({_interleave_sql("dx", "dp")}) AS zval
+      FROM b)
+SELECT CAST(zval // {65536 // _ZFILES} AS BIGINT) AS file_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       strftime(MIN(ship_d), '%Y-%m-%d') AS min_ship,
+       strftime(MAX(ship_d), '%Y-%m-%d') AS max_ship,
+       CAST(MIN(l_partkey) AS BIGINT) AS min_pk,
+       CAST(MAX(l_partkey) AS BIGINT) AS max_pk,
+       CAST(date_diff('day', MIN(ship_d), MAX(ship_d)) AS BIGINT) AS ship_span_days,
+       CAST(MAX(l_partkey) - MIN(l_partkey) AS BIGINT) AS pk_span
+FROM z
+GROUP BY 1
+ORDER BY file_id
+""",
+    doc="Z-order (Morton-curve) clustering audit over lineitem on "
+    "(ship date, part key): both dimensions quantize to 8-bit lattice "
+    "coordinates (via a 1-row min/max panel), interleave into a 16-bit "
+    "z-value, and rows land in 16 equal z-range files.  The per-file "
+    "min/max spans of BOTH dimensions are the payoff metric — a "
+    "single-column sort bounds one dimension and leaves the other "
+    "full-range, while the z-layout bounds both, which is exactly why "
+    "lakehouse OPTIMIZE ZORDER exists (file-skipping works for date "
+    "predicates AND part predicates from one layout).  The WRITE path "
+    "lives in operators/layout.zorder_value / write_zordered (same "
+    "Morton construction, N columns, optional known-bounds fast path); "
+    "this query is its differential AUDIT twin — panel-broadcast stats "
+    "(no driver action) and pure integer arithmetic so DuckDB replays "
+    "the layout bit-for-bit.  At 100 TB: repartitionByRange(zval) + "
+    "sortWithinPartitions + write.  "
+    "Determinism: pure integer bit arithmetic after FLOOR quantization "
+    "— hash-checkable bit-for-bit.  Scale: one scan, a 1-row broadcast "
+    "panel, one partial-agg'd rollup to <= 16 file rows.",
+)
+def x_zorder(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select(
+        F.to_date("l_shipdate").alias("ship_d"), "l_partkey"
+    )
+    p = li.agg(
+        F.min("ship_d").alias("d0"),
+        F.datediff(F.max("ship_d"), F.min("ship_d")).alias("dspan"),
+        F.min("l_partkey").alias("pk0"),
+        (F.max("l_partkey") - F.min("l_partkey")).alias("pkspan"),
+    )
+    b = li.crossJoin(F.broadcast(p)).select(
+        "ship_d",
+        "l_partkey",
+        F.floor(
+            F.datediff(F.col("ship_d"), F.col("d0")) * 256.0 / (F.col("dspan") + 1)
+        ).alias("dx"),
+        F.floor(
+            (F.col("l_partkey") - F.col("pk0")) * 256.0 / (F.col("pkspan") + 1)
+        ).alias("dp"),
+    )
+    z = b.select(
+        "ship_d", "l_partkey", _interleave_col(F.col("dx"), F.col("dp")).alias("zval")
+    )
+    return (
+        z.groupBy((F.col("zval") / (65536 // _ZFILES)).cast("long").alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.date_format(F.min("ship_d"), "yyyy-MM-dd").alias("min_ship"),
+            F.date_format(F.max("ship_d"), "yyyy-MM-dd").alias("max_ship"),
+            F.min("l_partkey").cast("long").alias("min_pk"),
+            F.max("l_partkey").cast("long").alias("max_pk"),
+            F.datediff(F.max("ship_d"), F.min("ship_d")).cast("long").alias(
+                "ship_span_days"
+            ),
+            (F.max("l_partkey") - F.min("l_partkey")).cast("long").alias("pk_span"),
+        )
+        .orderBy("file_id")
+    )
+
+
+# ----------------------------------------------------- compaction planner
+_COMPACT_TARGET = 10_000  # rows per output file (proxy for target bytes)
+
+
+@register(
+    "x_compaction_plan",
+    oracle=f"""
+WITH seg AS (
+  SELECT (CAST(strftime(l_shipdate, '%Y') AS BIGINT) * 12
+          + CAST(strftime(l_shipdate, '%m') AS BIGINT) - 1) AS m,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY 1),
+pre AS (
+  SELECT m, n_rows,
+         COALESCE(SUM(n_rows) OVER (ORDER BY m
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM seg),
+binned AS (SELECT m, n_rows, CAST(prefix // {_COMPACT_TARGET} AS BIGINT) AS bin FROM pre)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+       CAST(MIN(m) // 12 AS BIGINT) AS first_year,
+       CAST(MIN(m) % 12 + 1 AS BIGINT) AS first_month,
+       CAST(MAX(m) // 12 AS BIGINT) AS last_year,
+       CAST(MAX(m) % 12 + 1 AS BIGINT) AS last_month
+FROM binned
+GROUP BY bin
+ORDER BY bin
+""",
+    doc="small-file compaction planning: month-partition segments are "
+    "bin-packed into ~{target}-row output files by NEXT-FIT over the "
+    "exclusive prefix sum of segment sizes (bin = prefix DIV target — "
+    "each segment lands in the bin where its first row falls, the "
+    "deterministic one-pass packing a table-maintenance service "
+    "actually ships).  This is the OPTIMIZE/compaction planner every "
+    "lakehouse table needs continuously at 100 TB: thousands of tiny "
+    "ingest files -> bounded file count with time-adjacent data "
+    "co-located (bins are contiguous month ranges, so time-range "
+    "pruning survives compaction; the WRITE path is operators/layout."
+    "write_compacted).  The prefix sum is the two-phase "
+    "distributed machinery (operators/packing.with_prefix_sum: range "
+    "partition + local windows + bounded offsets broadcast) — NEVER a "
+    "single-partition window, even though the segment table is small "
+    "here, because at a million files it isn't.  Scale: one "
+    "partial-agg'd rollup to |segments| rows, two bounded shuffles for "
+    "the prefix, one rollup to |bins|.".replace("{target}", str(_COMPACT_TARGET)),
+)
+def x_compaction(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.packing import with_prefix_sum
+
+    seg = (
+        load_table(spark, sf, "lineitem")
+        .groupBy(
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1).cast("long").alias("m")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    pre = with_prefix_sum(seg, order_col="m", value_col="n_rows", out_col="prefix")
+    binned = pre.select(
+        "m", "n_rows", (F.col("prefix") / _COMPACT_TARGET).cast("long").alias("bin")
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum("n_rows").cast("long").alias("total_rows"),
+            F.expr("MIN(m) DIV 12").cast("long").alias("first_year"),
+            (F.min("m") % 12 + 1).cast("long").alias("first_month"),
+            F.expr("MAX(m) DIV 12").cast("long").alias("last_year"),
+            (F.max("m") % 12 + 1).cast("long").alias("last_month"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ----------------------------------------------- multi-touch attribution
+@register(
+    "e_attribution_linear",
+    oracle="""
+WITH conv AS (
+  SELECT event_id AS conv_id, user_id, ts AS conv_ts, value
+  FROM events WHERE event_type = 'purchase'),
+touch AS (
+  SELECT user_id, event_id AS touch_id, event_type, ts
+  FROM events WHERE event_type IN ('view', 'click')),
+hits AS (
+  SELECT c.conv_id, c.value, t.event_type
+  FROM conv c JOIN touch t
+    ON c.user_id = t.user_id
+   AND t.ts >= c.conv_ts - INTERVAL 1 HOUR AND t.ts < c.conv_ts),
+n AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_touches FROM hits GROUP BY conv_id),
+credit AS (
+  SELECT h.event_type,
+         CAST(FLOOR(h.value * 1000000 / n.n_touches) AS BIGINT) AS micro
+  FROM hits h JOIN n ON h.conv_id = n.conv_id)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_credits,
+       ROUND(SUM(micro) / 1000000.0, 6) AS attributed_value
+FROM credit
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="linear multi-touch attribution: every purchase's value is split "
+    "EQUALLY across the same user's view/click touchpoints in the "
+    "preceding hour — the standard alternative to last-touch that "
+    "marketing/ads pipelines reconcile revenue with.  Exactness: each "
+    "touch's share is floored to integer MICRO-units before summation "
+    "(FLOOR(value*1e6/n) — identical IEEE division then exact bigint "
+    "sums), so the rollup is engine-portable bit-for-bit where a raw "
+    "float SUM over engine-ordered rows would not be.  Scale: the "
+    "conversions relation is a filtered sliver — it broadcasts into the "
+    "touch scan as a user-key equi-join with the hour-range residual "
+    "(the e_interval_join family); per-conversion touch counts roll up "
+    "to |conversions| rows; everything else is a |event_types|-row agg.",
+)
+def e_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("conv_ts"),
+        "value",
+    )
+    touch = ev.where(F.col("event_type").isin("view", "click")).select(
+        "user_id", "event_type", "ts"
+    )
+    hits = touch.join(
+        F.broadcast(conv),
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("ts") >= F.col("conv_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("ts") < F.col("conv_ts")),
+    ).select("conv_id", "value", "event_type")
+    n = hits.groupBy("conv_id").agg(F.count(F.lit(1)).cast("long").alias("n_touches"))
+    credit = hits.join(F.broadcast(n), "conv_id").select(
+        "event_type",
+        F.floor(F.col("value") * 1000000 / F.col("n_touches")).cast("long").alias("micro"),
+    )
+    return (
+        credit.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_credits"),
+            F.round(F.sum("micro") / 1000000.0, 6).alias("attributed_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------- cross-source leakage matrix
+@register(
+    "d_cross_source_leakage",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
+           AS t
+  FROM documents),
+g AS (
+  SELECT source,
+         unnest(list_transform(generate_series(1, len(t)-7),
+                i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                                    t[i+4], t[i+5], t[i+6], t[i+7]))) AS gram
+  FROM toks WHERE len(t) >= 8),
+d AS (SELECT DISTINCT {portable_hash64_sql("gram")} AS h, source FROM g),
+p AS (SELECT a.source AS src_a, b.source AS src_b
+      FROM d a JOIN d b ON a.h = b.h AND a.source < b.source)
+SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+FROM p
+GROUP BY src_a, src_b
+HAVING COUNT(*) >= 5
+ORDER BY n_shared_grams DESC, src_a, src_b
+""",
+    doc="cross-source verbatim-leakage matrix: for every pair of corpus "
+    "sources, how many distinct 8-token spans they share — the "
+    "provenance governance readout that catches mirror sites, syndicated "
+    "boilerplate, and license-block propagation BEFORE per-document "
+    "dedup decisions are made (a source pair with massive overlap wants "
+    "a source-level policy, not a million pairwise verdicts).  Same "
+    "span fingerprints as d_duplicate_spans (Lee et al. 2022, n-gram "
+    "formulation).  Scale: the exploded gram stream reduces to DISTINCT "
+    "(hash, source) — at most |sources| rows per gram — so the "
+    "inverted-index self-join output is bounded by collisions x "
+    "|sources|^2, never documents^2; one partial-agg'd rollup to the "
+    "<= |sources|^2/2 matrix.",
+)
+def d_cross_source(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.hashing import portable_hash64
+
+    docs = load_table(spark, sf, "documents")
+    t = docs.select("source", tokens("text").alias("t")).where(F.size("t") >= 8)
+    grams = t.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t)-7), i -> concat_ws(' ', slice(t, i, 8)))"
+            )
+        ).alias("gram"),
+    )
+    d = grams.select(portable_hash64("gram").alias("h"), "source").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source"))
+    ).select(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+    return (
+        pairs.groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
+        .where(F.col("n_shared_grams") >= 5)
+        .orderBy(F.col("n_shared_grams").desc(), "src_a", "src_b")
+    )

@@ -47,6 +47,8 @@ __all__ = [
     "track_history_upsert",
     "apply_change_tracking",
     "change_tracking_writer",
+    "scd1_merge_spec",
+    "scd2_close_merge_spec",
 ]
 
 HASH_COL = "row_hash"
@@ -211,6 +213,39 @@ def current_only_upsert(
     store.overwrite(survivors.unionByName(upserts, allowMissingColumns=True), target)
 
 
+def scd1_merge_spec(business_keys: Sequence[str]) -> dict:
+    """The SCD1 ``MERGE INTO`` choreography as data (target alias ``t``,
+    source alias ``s``) — pure string construction so tests can pin the
+    exact condition/action shapes even when delta-spark is absent
+    (reference semantics: ``change_tracking.py:463,483-496``).
+
+    * match on null-safe key equality;
+    * matched rows update ALL columns only when the row hash changed
+      (unchanged rows must not be rewritten — data skipping depends on it);
+    * unmatched source rows insert ALL columns.
+    """
+    return {
+        "condition": " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in business_keys),
+        "when_matched_update_all_condition": f"NOT (t.`{HASH_COL}` <=> s.`{HASH_COL}`)",
+        "when_not_matched": "insert_all",
+    }
+
+
+def scd2_close_merge_spec(business_keys: Sequence[str]) -> dict:
+    """The SCD2 close-step ``MERGE INTO`` choreography as data (reference
+    ``change_tracking.py:318-333``): only CURRENT rows participate, a
+    changed hash closes the row by setting ``end_ts`` to the SOURCE
+    batch's load timestamp (so old.end_ts == new.start_ts exactly) and
+    flipping ``is_current``.  No insert clause — inserts happen in the
+    follow-up append with grouped-max versioning."""
+    keys_cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in business_keys)
+    return {
+        "condition": f"({keys_cond}) AND t.`{CURRENT_COL}` = true",
+        "when_matched_update_condition": f"NOT (t.`{HASH_COL}` <=> s.`{HASH_COL}`)",
+        "when_matched_update_set": {END_COL: f"s.`{LOAD_TS_COL}`", CURRENT_COL: "false"},
+    }
+
+
 def _delta_merge_scd1(
     spark: SparkSession,
     src: DataFrame,
@@ -233,11 +268,11 @@ def _delta_merge_scd1(
         if DeltaStore._is_path(target)
         else DeltaTable.forName(spark, target)
     )
-    cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in business_keys)
+    spec = scd1_merge_spec(business_keys)
     (
         dt.alias("t")
-        .merge(src.alias("s"), cond)
-        .whenMatchedUpdateAll(condition=f"NOT (t.`{HASH_COL}` <=> s.`{HASH_COL}`)")
+        .merge(src.alias("s"), spec["condition"])
+        .whenMatchedUpdateAll(condition=spec["when_matched_update_all_condition"])
         .whenNotMatchedInsertAll()
         .execute()
     )
@@ -395,13 +430,13 @@ def _delta_scd2_batch(
         if DeltaStore._is_path(target)
         else DeltaTable.forName(spark, target)
     )
-    keys_cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in business_keys)
+    spec = scd2_close_merge_spec(business_keys)
     (
         dt.alias("t")
-        .merge(batch.alias("s"), f"({keys_cond}) AND t.`{CURRENT_COL}` = true")
+        .merge(batch.alias("s"), spec["condition"])
         .whenMatchedUpdate(
-            condition=f"NOT (t.`{HASH_COL}` <=> s.`{HASH_COL}`)",
-            set={END_COL: f"s.`{LOAD_TS_COL}`", CURRENT_COL: "false"},
+            condition=spec["when_matched_update_condition"],
+            set=spec["when_matched_update_set"],
         )
         .execute()
     )

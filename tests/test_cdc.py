@@ -276,3 +276,174 @@ def test_changelog_roundtrip_property(spark):
         i for i, n, s in old_rows if (i, n, s) in set(new_rows)
     }
     assert changed.isdisjoint(same)
+
+
+# ------------------------------------------------ Delta MERGE choreography
+# This container may lack delta-spark; these pin the EXACT merge strings and
+# the DeltaTable call chain with a recording fake, so the fast path cannot
+# drift where the jar is absent (test_delta_merge_fast_path executes the
+# real path wherever delta IS installed).
+
+
+def test_scd1_merge_spec_strings():
+    from spark_fuse_spark.cdc.scd import scd1_merge_spec
+
+    spec = scd1_merge_spec(["id", "region"])
+    assert spec["condition"] == "t.`id` <=> s.`id` AND t.`region` <=> s.`region`"
+    assert (
+        spec["when_matched_update_all_condition"]
+        == "NOT (t.`row_hash` <=> s.`row_hash`)"
+    )
+    assert spec["when_not_matched"] == "insert_all"
+
+
+def test_scd2_close_merge_spec_strings():
+    from spark_fuse_spark.cdc.scd import scd2_close_merge_spec
+
+    spec = scd2_close_merge_spec(["id"])
+    assert spec["condition"] == "(t.`id` <=> s.`id`) AND t.`is_current` = true"
+    assert spec["when_matched_update_condition"] == "NOT (t.`row_hash` <=> s.`row_hash`)"
+    # close ts is the SOURCE batch's load_ts: old.end_ts == new.start_ts
+    assert spec["when_matched_update_set"] == {
+        "effective_end_ts": "s.`load_ts`",
+        "is_current": "false",
+    }
+
+
+class _MergeRecorder:
+    def __init__(self, log):
+        self.log = log
+
+    def alias(self, a):
+        return self
+
+    def merge(self, src, cond):
+        self.log.append(("merge", cond))
+        return self
+
+    def whenMatchedUpdateAll(self, condition=None):
+        self.log.append(("whenMatchedUpdateAll", condition))
+        return self
+
+    def whenMatchedUpdate(self, condition=None, set=None):
+        self.log.append(("whenMatchedUpdate", condition, dict(set)))
+        return self
+
+    def whenNotMatchedInsertAll(self):
+        self.log.append(("whenNotMatchedInsertAll",))
+        return self
+
+    def execute(self):
+        self.log.append(("execute",))
+
+
+def _install_fake_delta(monkeypatch, log):
+    import sys
+    import types
+
+    tables = types.ModuleType("delta.tables")
+
+    class DeltaTable:
+        @staticmethod
+        def forPath(spark, target):
+            log.append(("forPath", target))
+            return _MergeRecorder(log)
+
+        @staticmethod
+        def forName(spark, target):
+            log.append(("forName", target))
+            return _MergeRecorder(log)
+
+    tables.DeltaTable = DeltaTable
+    delta = types.ModuleType("delta")
+    delta.tables = tables
+    monkeypatch.setitem(sys.modules, "delta", delta)
+    monkeypatch.setitem(sys.modules, "delta.tables", tables)
+
+
+def test_delta_scd1_merge_call_shape(spark, monkeypatch):
+    from spark_fuse_spark.cdc.scd import _delta_merge_scd1
+    from spark_fuse_spark.cdc.store import DeltaStore
+
+    log = []
+    _install_fake_delta(monkeypatch, log)
+    src = _rows(spark, [(1, "ann", "berlin")])
+    assert _delta_merge_scd1(spark, src, "/delta/t", ["id"], DeltaStore()) is True
+    assert log[0] == ("forPath", "/delta/t")
+    assert ("merge", "t.`id` <=> s.`id`") in log
+    assert ("whenMatchedUpdateAll", "NOT (t.`row_hash` <=> s.`row_hash`)") in log
+    assert ("whenNotMatchedInsertAll",) in log
+    assert log[-1] == ("execute",)
+    # catalog-name targets route through forName (reference path heuristic,
+    # change_tracking.py:218-227)
+    log.clear()
+    _delta_merge_scd1(spark, src, "db.tbl", ["id"], DeltaStore())
+    assert log[0] == ("forName", "db.tbl")
+    # non-Delta stores decline so the generic rewrite runs
+    from spark_fuse_spark.cdc.store import ParquetStore
+
+    assert _delta_merge_scd1(spark, src, "/x", ["id"], ParquetStore()) is False
+
+
+def test_delta_scd2_batch_call_shape_and_versioning(spark, monkeypatch):
+    """Pins the full SCD2 fast-path choreography on a recording fake:
+    (1) close-MERGE with the exact spec strings; (2) current-key left-join
+    excludes unchanged keys; (3) grouped-max versioning over the FULL
+    history; (4) one append of the stamped inserts."""
+    import datetime
+
+    from spark_fuse_spark.cdc.scd import _delta_scd2_batch
+    from spark_fuse_spark.cdc.store import DeltaStore
+
+    log = []
+    _install_fake_delta(monkeypatch, log)
+    ts1 = datetime.datetime(2024, 1, 1)
+    ts2 = datetime.datetime(2024, 2, 1)
+
+    batch = spark.createDataFrame(
+        [
+            (1, "ann", "madrid", "h1new", ts2),  # changed (merge already closed v1)
+            (2, "bob", "rome", "h2", ts2),       # unchanged -> must NOT insert
+            (3, "carol", "oslo", "h3", ts2),     # brand new -> version 1
+        ],
+        "id long, name string, city string, row_hash string, load_ts timestamp",
+    )
+    # target AS OF after the close-merge: id=1 closed, id=2 still current
+    tgt = spark.createDataFrame(
+        [
+            (1, "ann", "berlin", "h1old", ts1, ts1, ts2, False, 1),
+            (2, "bob", "rome", "h2", ts1, ts1, None, True, 1),
+        ],
+        "id long, name string, city string, row_hash string, load_ts timestamp,"
+        " effective_start_ts timestamp, effective_end_ts timestamp,"
+        " is_current boolean, version int",
+    )
+    appended = []
+
+    class FakeDeltaStore(DeltaStore):
+        def read(self, spark, target):
+            return tgt
+
+        def append(self, df, target, merge_schema=False):
+            appended.append((target, df))
+
+    out_cols = list(tgt.columns)
+    assert _delta_scd2_batch(spark, batch, "/delta/h", ["id"], FakeDeltaStore(), out_cols)
+    assert log[0] == ("forPath", "/delta/h")
+    assert ("merge", "(t.`id` <=> s.`id`) AND t.`is_current` = true") in log
+    assert (
+        "whenMatchedUpdate",
+        "NOT (t.`row_hash` <=> s.`row_hash`)",
+        {"effective_end_ts": "s.`load_ts`", "is_current": "false"},
+    ) in log
+    assert ("execute",) in log
+
+    assert len(appended) == 1
+    target, df = appended[0]
+    assert target == "/delta/h"
+    assert df.columns == out_cols
+    rows = {r["id"]: r.asDict() for r in df.collect()}
+    assert set(rows) == {1, 3}  # unchanged id=2 never reinserted
+    assert rows[1]["version"] == 2 and rows[1]["is_current"] is True
+    assert rows[1]["effective_start_ts"] == ts2  # == old row's end_ts
+    assert rows[3]["version"] == 1 and rows[3]["city"] == "oslo"

@@ -80,6 +80,27 @@ def test_prefix_sum_matches_global_window(spark):
     assert set(got.columns) == {"id", "v", "ps"}  # no helper-column leaks
 
 
+def test_prefix_max_matches_global_window(spark):
+    from spark_fuse_spark.operators.packing import with_prefix_max
+
+    # non-monotone values so the running max actually changes hands, plus
+    # a value that never beats the running max (exercises the greatest())
+    df = spark.range(0, 2000).withColumn("v", (F.col("id") * 104729) % 500)
+    got = with_prefix_max(df, "id", "v", out_col="pm", num_partitions=7)
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    ref = df.withColumn("pm", F.max("v").over(w))
+    assert (
+        got.select("id", "pm")
+        .join(ref.select("id", F.col("pm").alias("want")), "id")
+        .where(~F.col("pm").eqNullSafe(F.col("want")))
+        .count()
+        == 0
+    )
+    # exclusive frame: the first row's prefix max is NULL
+    assert got.orderBy("id").first().pm is None
+    assert set(got.columns) == {"id", "v", "pm"}  # no helper-column leaks
+
+
 def test_pack_sequences_straddles_budget_boundary(spark):
     from spark_fuse_spark.operators.packing import pack_sequences
 

@@ -243,6 +243,25 @@ CONTRACTS = {
     # LSH pairs lineage-truncated by CC checkpoints; final plan is
     # label-broadcast + cluster-size window + sort (d_dedup_clusters shape)
     "d_semantic_dedup": PlanExpectation(min_broadcast_joins=1, max_exchanges=5),
+    # ---- round-6 layout/governance suite.  z-order: one scan, the 1-row
+    # lattice panel's global agg (SinglePartition exchange over partials),
+    # one partial-agg'd rollup + sort
+    "x_zorder_layout": PlanExpectation(require_partial_agg=True, max_exchanges=3),
+    # compaction: month rollup + two-phase prefix (range repartition,
+    # __pid totals agg, bounded offsets window) + bin rollup + sort;
+    # static explain re-counts the shared prefix subtree under both the
+    # local-window and totals branches (runtime exchange reuse collapses it)
+    "x_compaction_plan": PlanExpectation(
+        min_broadcast_joins=1, require_partial_agg=True, max_exchanges=9
+    ),
+    # attribution: conversions broadcast into the touch scan twice
+    # (hits + credit), |conversions| rollup, |types| rollup, sort
+    "e_attribution_linear": PlanExpectation(
+        min_broadcast_joins=2, require_partial_agg=True, max_exchanges=4
+    ),
+    # leakage matrix: distinct (hash, source) then an equi self-join on
+    # the hash — the inverted-index family's shape, never docs^2
+    "d_cross_source_leakage": PlanExpectation(require_partial_agg=True, max_exchanges=5),
 }
 
 
@@ -328,6 +347,7 @@ NESTED_LOOP_OK = {
     "v_ann_recall_audit": "broadcast query/min-span panels in both audited rankings",
     "t_contrastive_triplets": "1-row broadcast doc-count panel for the negative hash offset",
     "q_data_checks": "1-row broadcast row-count panels joined to the unique/ref check results",
+    "x_zorder_layout": "1-row broadcast min/max lattice panel over the fact scan",
 }
 
 

@@ -186,3 +186,66 @@ def test_versioned_store_random_op_sequence_matches_model(spark, tmp_path):
     for v in range(len(versions) - 2, len(versions) + 1):
         got = sorted(r.id for r in store.read_version(spark, t, v).collect())
         assert got == sorted(versions[v - 1])
+
+
+def test_stream_versioned_batch_parity_per_commit(spark, tmp_path):
+    """End-to-end round trip: file stream → stream_to_scd on the versioned
+    store → time-travel reads.  The SAME micro-batches applied in batch
+    mode to a second versioned target must produce an IDENTICAL table
+    state at EVERY commit — batch==stream per version, not just at the
+    end (a replayed/reordered stream would break an intermediate version
+    long before it breaks the final state)."""
+    import spark_fuse_spark.streaming as st
+    from spark_fuse_spark.cdc import apply_change_tracking
+
+    ts = "to_timestamp('2024-01-01 00:00:00')"
+    batches = [
+        [(1, "a", 1), (2, "b", 1)],
+        [(2, "B", 2), (3, "c", 2)],
+        [(1, "A", 3), (4, "d", 3)],
+    ]
+    src = str(tmp_path / "src")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, ["k", "v", "seq"]).coalesce(1).write.parquet(
+            os.path.join(src, f"batch{i}")
+        )
+
+    s_target, b_target = str(tmp_path / "stream_t"), str(tmp_path / "batch_t")
+    s_store, b_store = get_store("versioned"), get_store("versioned")
+    stream = (
+        spark.readStream.schema("k long, v string, seq long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        st.stream_to_scd(
+            stream, s_target, ["k"], mode="scd1",
+            checkpoint=str(tmp_path / "ck"), store=s_store, load_ts_expr=ts,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    for rows in batches:
+        apply_change_tracking(
+            spark, spark.createDataFrame(rows, ["k", "v", "seq"]),
+            b_target, ["k"], mode="scd1", store=b_store, load_ts_expr=ts,
+        )
+
+    n = b_store.latest_version(b_target)
+    assert s_store.latest_version(s_target) == n == len(batches)
+    for v in range(1, n + 1):
+        sv = {
+            (r.k, r.v, r.seq)
+            for r in s_store.read_version(spark, s_target, v).select("k", "v", "seq").collect()
+        }
+        bv = {
+            (r.k, r.v, r.seq)
+            for r in b_store.read_version(spark, b_target, v).select("k", "v", "seq").collect()
+        }
+        assert sv == bv, f"version {v}: stream {sv} != batch {bv}"
+    assert {(r.k, r.v) for r in s_store.read(spark, s_target).select("k", "v").collect()} == {
+        (1, "A"), (2, "B"), (3, "c"), (4, "d")
+    }
