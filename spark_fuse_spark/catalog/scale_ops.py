@@ -356,3 +356,234 @@ def d_cross_source(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("n_shared_grams") >= 5)
         .orderBy(F.col("n_shared_grams").desc(), "src_a", "src_b")
     )
+
+
+# ------------------------------------------------------- filtered ANN
+@register(
+    "v_ann_filtered",
+    oracle="""
+WITH ok AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10),
+c AS (SELECT e.vec_id AS neighbor_id, CAST(e.embedding AS DOUBLE[]) AS cv
+      FROM embeddings e JOIN ok ON e.vec_id = ok.doc_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_cosine_similarity(cv, qv), 6) AS cosine
+  FROM c CROSS JOIN q)
+SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored)
+WHERE rk <= 5
+ORDER BY query_id, rank
+""",
+    doc="FILTERED vector search — cosine top-5 per query restricted to "
+    "corpus vectors whose linked document is English (ids aligned "
+    "vec_id == doc_id) — the metadata-predicate + ANN combination every "
+    "production vector store is asked for (pre-filtering, not "
+    "post-filtering: filtering AFTER top-k silently returns < k "
+    "results when the predicate is selective).  Scale: the predicate "
+    "reduces to a keys-only semi-join BEFORE scoring, so the filter "
+    "also CUTS the scoring flops instead of adding a pass; queries "
+    "broadcast over the one filtered corpus scan; only (|Q| x k) "
+    "ranked rows shuffle.",
+)
+def v_ann_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    ok = (
+        load_table(spark, sf, "documents")
+        .where(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("__ok_id"))
+    )
+    corpus = emb.join(ok, emb.vec_id == F.col("__ok_id"), "left_semi")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return brute_force_topk(
+        corpus, queries, k=5, corpus_id="vec_id", corpus_vec="embedding"
+    ).orderBy("query_id", "rank")
+
+
+# ------------------------------------------- funnel latency percentiles
+@register(
+    "e_funnel_latency",
+    oracle="""
+WITH s AS (SELECT user_id, MIN(ts) AS signup_ts FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT e.user_id,
+             CAST(date_diff('second', s.signup_ts, MIN(e.ts)) AS BIGINT) AS latency_s
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      GROUP BY e.user_id, s.signup_ts)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       CAST(MIN(latency_s) AS BIGINT) AS min_s,
+       ROUND(quantile_cont(latency_s, 0.50), 2) AS p50_s,
+       ROUND(quantile_cont(latency_s, 0.90), 2) AS p90_s,
+       ROUND(quantile_cont(latency_s, 0.99), 2) AS p99_s,
+       CAST(MAX(latency_s) AS BIGINT) AS max_s
+FROM p
+""",
+    doc="funnel latency distribution: per user, seconds from FIRST "
+    "signup to FIRST subsequent purchase; the converted population's "
+    "min/p50/p90/p99/max — the time-to-convert readout that sits next "
+    "to the conversion-rate funnel (e_funnel) in every product review, "
+    "and the empirical basis for choosing attribution windows (cf. "
+    "e_attribution_linear's 1-hour horizon).  Determinism: latencies "
+    "are exact integer seconds; Spark percentile and DuckDB "
+    "quantile_cont share linear interpolation (t_winsorize's "
+    "convention).  Scale: two user-keyed grouped aggregates sharing "
+    "one key family + a 1-row rollup; the signup panel joins the "
+    "purchase scan key-for-key, no window over the corpus.",
+)
+def e_funnel_latency(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+        .select(
+            (
+                F.unix_timestamp("first_purchase_ts") - F.unix_timestamp("signup_ts")
+            ).cast("long").alias("latency_s")
+        )
+    )
+    return p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.min("latency_s").cast("long").alias("min_s"),
+        F.round(F.expr("percentile(latency_s, 0.50)"), 2).alias("p50_s"),
+        F.round(F.expr("percentile(latency_s, 0.90)"), 2).alias("p90_s"),
+        F.round(F.expr("percentile(latency_s, 0.99)"), 2).alias("p99_s"),
+        F.max("latency_s").cast("long").alias("max_s"),
+    )
+
+
+# --------------------------------------------------- LSH band planner
+def _pow_chain(expr: str, n: int) -> str:
+    """x^n as an explicit left-associated multiplication chain — the SAME
+    expression text runs on both engines, so there is no dependence on
+    pow()/power() libm agreement."""
+    return "(" + " * ".join([expr] * n) + ")"
+
+
+def _lsh_prob_sql(s: str, r: int, b: int) -> str:
+    """P[candidate] = 1 - (1 - s^r)^b, multiplication-chain form."""
+    return f"(1.0 - {_pow_chain(f'(1.0 - {_pow_chain(s, r)})', b)})"
+
+
+_BAND_CONFIGS = [(4, 8), (8, 4), (16, 2)]  # (bands, rows) splits of 32 hashes
+
+
+def _band_planner_case(col_bands: str, s: str) -> str:
+    branches = "\n".join(
+        f"  WHEN {col_bands} = {b} THEN {_lsh_prob_sql(s, r, b)}"
+        for b, r in _BAND_CONFIGS
+    )
+    return f"CASE\n{branches}\nEND"
+
+
+def _band_planner_oracle() -> str:
+    # the canonical exact-jaccard CTE (same tokenizer/shingle/ROUND as
+    # operators/dedup.ngram_jaccard_pairs — hand-rolling it here would
+    # risk a divergent tokenizer) at threshold 0.0 = every pair sharing
+    # >= 1 shingle
+    from .text_dedup import _jaccard_cte
+
+    return f"""
+WITH {_jaccard_cte(3, 0.0)},
+hist AS (
+  SELECT LEAST(CAST(FLOOR(jaccard * 20) AS BIGINT), 19) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM exact GROUP BY 1),
+cfg AS (SELECT * FROM (VALUES (4, 8), (8, 4), (16, 2)) AS c(bands, rows_per_band)),
+xp AS (
+  SELECT cfg.bands, cfg.rows_per_band, hist.bucket, hist.cnt,
+         CAST(FLOOR(hist.cnt * {_band_planner_case("cfg.bands", "((CAST(hist.bucket AS DOUBLE) + 0.5) / 20.0)")} * 1000000) AS BIGINT)
+           AS micro
+  FROM hist CROSS JOIN cfg)
+SELECT bands, rows_per_band,
+       CAST(SUM(cnt) AS BIGINT) AS n_pairs_total,
+       ROUND(SUM(micro) / 1000000.0, 6) AS expected_candidates,
+       ROUND(SUM(CASE WHEN bucket >= 10 THEN micro ELSE 0 END)
+             / (1000000.0 * SUM(CASE WHEN bucket >= 10 THEN cnt ELSE 0 END)), 6)
+         AS expected_recall_at_05,
+       ROUND(SUM(CASE WHEN bucket < 10 THEN micro ELSE 0 END) / 1000000.0, 6)
+         AS expected_false_candidates
+FROM xp
+GROUP BY bands, rows_per_band
+ORDER BY bands
+"""
+
+
+@register(
+    "d_lsh_band_planner",
+    oracle=_band_planner_oracle(),
+    doc="LSH band tuning from MEASURED corpus similarity, not folklore: "
+    "the exact 3-shingle Jaccard distribution of all >= 1-shared-shingle "
+    "pairs (inverted index, 0.05-wide buckets) is pushed through the "
+    "banding probability 1-(1-s^r)^b for each (bands, rows) split of 32 "
+    "hashes, yielding per-config expected candidates, expected "
+    "recall@0.5, and expected sub-threshold false candidates — pick the "
+    "config, then run d_lsh_recall_audit to confirm.  Determinism: the "
+    "probability is an explicit multiplication CHAIN (no pow(), whose "
+    "libm may differ across engines) on exact bucket midpoints, and "
+    "per-bucket expectations floor to integer micro-units before "
+    "summation.  Scale: one inverted-index pair stage (the d_ngram_"
+    "jaccard shape), a <= 20-row histogram, and a 3x20 expectation "
+    "table — the planner itself costs one dedup-pipeline pass on a "
+    "SAMPLE stratum, which is the point: measure cheap, then commit "
+    "the full-corpus run to the right config.",
+)
+def d_band_planner(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf, "documents")
+    jac = ngram_jaccard_pairs(docs, k=3, threshold=0.0).select("jaccard")
+    hist = (
+        jac.select(
+            F.least(F.floor(F.col("jaccard") * 20).cast("long"), F.lit(19)).alias(
+                "bucket"
+            )
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    cfg = spark.createDataFrame(_BAND_CONFIGS, "bands int, rows_per_band int")
+    s_mid = "((CAST(bucket AS DOUBLE) + 0.5) / 20.0)"
+    xp = hist.crossJoin(F.broadcast(cfg)).selectExpr(
+        "bands",
+        "rows_per_band",
+        "bucket",
+        "cnt",
+        f"CAST(FLOOR(cnt * {_band_planner_case('bands', s_mid)} * 1000000) AS BIGINT) AS micro",
+    )
+    return (
+        xp.groupBy("bands", "rows_per_band")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_pairs_total"),
+            F.round(F.sum("micro") / 1000000.0, 6).alias("expected_candidates"),
+            F.round(
+                F.sum(F.when(F.col("bucket") >= 10, F.col("micro")).otherwise(0))
+                / (
+                    1000000.0
+                    * F.sum(F.when(F.col("bucket") >= 10, F.col("cnt")).otherwise(0))
+                ),
+                6,
+            ).alias("expected_recall_at_05"),
+            F.round(
+                F.sum(F.when(F.col("bucket") < 10, F.col("micro")).otherwise(0))
+                / 1000000.0,
+                6,
+            ).alias("expected_false_candidates"),
+        )
+        .orderBy("bands")
+    )

@@ -1043,13 +1043,17 @@ def d_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
         docs, k=3, num_hashes=32, bands=8, threshold=0.0, seed=42
     )
     nx = exact.agg(F.count("*").alias("n_exact_pairs"))
-    nc = cands.agg(F.count("*").alias("n_candidate_pairs"))
-    tp = cands.where(F.col("jaccard") >= 0.5).agg(
-        F.count("*").alias("n_true_positives")
+    # ONE aggregate over the candidate pipeline: counting candidates and
+    # true positives in separate aggregates would re-run the whole
+    # MinHash signature/banding/verify pipeline twice
+    nc_tp = cands.agg(
+        F.count("*").alias("n_candidate_pairs"),
+        F.coalesce(
+            F.sum((F.col("jaccard") >= 0.5).cast("long")), F.lit(0)
+        ).alias("n_true_positives"),
     )
     return (
-        nx.crossJoin(nc)
-        .crossJoin(tp)
+        nx.crossJoin(nc_tp)
         .select(
             "n_exact_pairs",
             "n_candidate_pairs",

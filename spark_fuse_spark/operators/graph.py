@@ -228,37 +228,36 @@ def pagerank(
     )
     e = e.persist()
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("__deg"))
-    nodes = (
-        e.select(F.col("u").alias("node"))
-        .union(e.select(F.col("v").alias("node")))
-        .distinct()
-        .persist()
-    )
-    n = nodes.count()  # one job; also materializes the persisted edge set
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    # out-degree per node, 0 for dangling (no out-edges)
+    nodes = e.select(F.col("u").alias("node")).union(
+        e.select(F.col("v").alias("node"))
+    ).distinct()
+    # out-degree per node, 0 for dangling (no out-edges) — the degree
+    # rides INSIDE the iterated state table, so no per-iteration
+    # rank-onto-degree join exists at all (one fewer shuffle per round)
     nd = nodes.join(deg, nodes.node == deg.u, "left").select(
         "node", F.coalesce("__deg", F.lit(0)).alias("__deg")
     ).persist()
+    n = nd.count()  # one job; also materializes the persisted edge set
+    state = nd.withColumn("rank", F.lit(1.0 / n))
 
     for i in range(iterations):
-        r = ranks.join(nd, "node")
         # dangling mass as a 1-row aggregate folded into the SAME plan
         # (broadcast scalar panel) — not a per-iteration driver collect
-        dangling = r.where(F.col("__deg") == 0).agg(
+        dangling = state.where(F.col("__deg") == 0).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
         )
         contrib = (
-            e.join(r.where(F.col("__deg") > 0), e.u == F.col("node"))
+            e.join(state.where(F.col("__deg") > 0), e.u == F.col("node"))
             .select(F.col("v").alias("node"), (F.col("rank") / F.col("__deg")).alias("__c"))
             .groupBy("node")
             .agg(F.sum("__c").alias("__in"))
         )
-        ranks = (
-            nodes.join(contrib, "node", "left")
+        state = (
+            nd.join(contrib, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "__deg",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
@@ -267,8 +266,7 @@ def pagerank(
             )
         )
         if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            state = state.localCheckpoint(eager=True)
     e.unpersist()
     nd.unpersist()
-    nodes.unpersist()
-    return ranks
+    return state.select("node", "rank")

@@ -348,6 +348,8 @@ NESTED_LOOP_OK = {
     "t_contrastive_triplets": "1-row broadcast doc-count panel for the negative hash offset",
     "q_data_checks": "1-row broadcast row-count panels joined to the unique/ref check results",
     "x_zorder_layout": "1-row broadcast min/max lattice panel over the fact scan",
+    "v_ann_filtered": "broadcast query-vector panel x filtered corpus scan",
+    "d_lsh_band_planner": "3-row broadcast config panel x 20-row histogram",
 }
 
 
