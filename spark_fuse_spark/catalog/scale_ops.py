@@ -587,3 +587,159 @@ def d_band_planner(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("bands")
     )
+
+
+# ------------------------------------- sampled dedup-rate extrapolation
+_AUDIT_RATE = 0.2  # doc-sampling rate for the audit (millionths gate)
+
+
+@register(
+    "d_dedup_sample_extrapolation",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, text FROM documents
+  WHERE ({portable_hash64_sql("CAST(doc_id AS VARCHAR) || 'dupaudit'")} % 1000000)
+        < {int(_AUDIT_RATE * 1000000)}),
+toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
+           AS t
+  FROM s),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t)-7),
+                i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                                    t[i+4], t[i+5], t[i+6], t[i+7]))) AS gram
+  FROM toks WHERE len(t) >= 8),
+d AS (SELECT DISTINCT {portable_hash64_sql("gram")} AS h, doc_id FROM g),
+grp AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY h),
+agg AS (
+  SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_sample_docs,
+         CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c * (c - 1) // 2 END), 0) AS BIGINT)
+           AS sample_dup_pairs
+  FROM grp)
+SELECT n_sample_docs, sample_dup_pairs,
+       CAST(FLOOR(sample_dup_pairs / (CAST({_AUDIT_RATE} AS DOUBLE) * CAST({_AUDIT_RATE} AS DOUBLE))) AS BIGINT)
+         AS est_corpus_dup_pairs,
+       CAST(FLOOR(GREATEST(sample_dup_pairs
+              - 1.96 * sqrt(CAST(sample_dup_pairs AS DOUBLE)), 0)
+            / (CAST({_AUDIT_RATE} AS DOUBLE) * CAST({_AUDIT_RATE} AS DOUBLE))) AS BIGINT) AS ci_low,
+       CAST(FLOOR((sample_dup_pairs
+              + 1.96 * sqrt(CAST(sample_dup_pairs AS DOUBLE)))
+            / (CAST({_AUDIT_RATE} AS DOUBLE) * CAST({_AUDIT_RATE} AS DOUBLE))) AS BIGINT) AS ci_high
+FROM agg
+""",
+    doc="sampled duplication audit: a deterministic {rate}-rate hash-gate "
+    "doc sample (portable md5 gate — the same sample on every engine and "
+    "every rerun) runs the 8-gram span-dup pipeline, counts cross-doc "
+    "duplicated-gram PAIRS in the sample, and extrapolates the corpus "
+    "total as pairs/q^2 (a pair survives doc-sampling with probability "
+    "q^2) with a Poisson-approx 95% interval — 'measure the dup rate on "
+    "1/25th of the cost, decide whether the full dedup run pays for "
+    "itself'.  The planner companion to d_lsh_band_planner, and at "
+    "100 TB the FIRST thing to run on a new crawl snapshot.  "
+    "Determinism: counts exact; the interval derives from sqrt on an "
+    "exact integer then FLOORs — identical IEEE trees on both engines.  "
+    "Scale: the gate prunes the scan BEFORE the explode, so the whole "
+    "audit is q x the dedup pipeline's cost; one gram-hash shuffle, "
+    "partial-agg'd.".replace("{rate}", str(_AUDIT_RATE)),
+)
+def d_dedup_extrapolate(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.hashing import portable_hash64
+    from ..operators.sampling import sample_gate
+
+    docs = load_table(spark, sf, "documents").where(
+        sample_gate("doc_id", _AUDIT_RATE, "dupaudit")
+    )
+    t = docs.select("doc_id", tokens("text").alias("t")).where(F.size("t") >= 8)
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t)-7), i -> concat_ws(' ', slice(t, i, 8)))"
+            )
+        ).alias("gram"),
+    )
+    d = grams.select(portable_hash64("gram").alias("h"), "doc_id").distinct()
+    grp = d.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_sample_docs"))
+    pairs = grp.agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("c") >= 2, (F.col("c") * (F.col("c") - 1)) / 2)
+            ).cast("long"),
+            F.lit(0),
+        ).alias("sample_dup_pairs")
+    )
+    q2 = _AUDIT_RATE * _AUDIT_RATE
+    sd = F.sqrt(F.col("sample_dup_pairs").cast("double"))
+    return (
+        n_docs.crossJoin(F.broadcast(pairs))
+        .select(
+            "n_sample_docs",
+            "sample_dup_pairs",
+            F.floor(F.col("sample_dup_pairs") / q2).cast("long").alias(
+                "est_corpus_dup_pairs"
+            ),
+            F.floor(
+                F.greatest(
+                    F.col("sample_dup_pairs") - 1.96 * sd, F.lit(0.0)
+                ) / q2
+            ).cast("long").alias("ci_low"),
+            F.floor((F.col("sample_dup_pairs") + 1.96 * sd) / q2).cast("long").alias(
+                "ci_high"
+            ),
+        )
+    )
+
+
+# -------------------------------------------------- tokenizer fertility
+@register(
+    "t_token_fertility",
+    oracle="""
+WITH t AS (
+  SELECT lang,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CAST(len(regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT)
+           AS n_toks
+  FROM documents)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(n_bytes) AS DOUBLE) / CAST(SUM(n_toks) AS DOUBLE), 4)
+         AS bytes_per_token
+FROM t
+GROUP BY lang
+ORDER BY lang
+""",
+    doc="tokenizer fertility by language: bytes per (whitespace) token — "
+    "the compression-budget statistic behind context-window and "
+    "cost-per-language planning (a language whose tokens carry fewer "
+    "bytes burns more sequence positions per document; pair with "
+    "t_vocab_coverage when sizing a vocabulary).  Exact integer byte "
+    "and token sums; ONE division per language at the end.  Scale: one "
+    "scan, one partial-agg'd rollup to |languages| rows — no explode "
+    "(token counts come from counting separators, not materializing "
+    "tokens).",
+)
+def t_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import token_count
+
+    d = load_table(spark, sf, "documents").select(
+        "lang",
+        F.octet_length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+        token_count("text").alias("n_toks"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum("n_bytes").cast("double") / F.sum("n_toks").cast("double"), 4
+            ).alias("bytes_per_token"),
+        )
+        .orderBy("lang")
+    )

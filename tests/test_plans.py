@@ -350,6 +350,7 @@ NESTED_LOOP_OK = {
     "x_zorder_layout": "1-row broadcast min/max lattice panel over the fact scan",
     "v_ann_filtered": "broadcast query-vector panel x filtered corpus scan",
     "d_lsh_band_planner": "3-row broadcast config panel x 20-row histogram",
+    "d_dedup_sample_extrapolation": "1-row broadcast pair-count panel x 1-row doc-count panel",
 }
 
 

