@@ -743,3 +743,241 @@ def t_fertility(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------- peak concurrency
+@register(
+    "e_peak_concurrency",
+    oracle="""
+WITH iv AS (
+  SELECT event_type, ts AS start_ts, ts + INTERVAL 30 MINUTE AS end_ts
+  FROM events),
+pts AS (
+  SELECT event_type, start_ts AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT event_type, end_ts AS t, -1 AS delta FROM iv),
+swept AS (
+  SELECT event_type, t,
+         SUM(delta) OVER (PARTITION BY event_type
+                          ORDER BY t, delta
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS concurrent
+  FROM pts),
+peak AS (
+  SELECT event_type, CAST(MAX(concurrent) AS BIGINT) AS peak_concurrent
+  FROM swept GROUP BY event_type)
+SELECT s.event_type, p.peak_concurrent,
+       strftime(MIN(s.t), '%Y-%m-%d %H:%M:%S') AS first_peak_ts
+FROM swept s JOIN peak p
+  ON s.event_type = p.event_type AND s.concurrent = p.peak_concurrent
+GROUP BY s.event_type, p.peak_concurrent
+ORDER BY s.event_type
+""",
+    doc="peak concurrency via the interval endpoint sweep: every event "
+    "opens a 30-minute presence interval; +1/-1 endpoint deltas are "
+    "running-summed IN TIME ORDER per event type, and the maximum of "
+    "that sweep is the peak number of simultaneously-open intervals — "
+    "the capacity-planning statistic (max concurrent sessions/"
+    "connections) computed WITHOUT the naive interval self-join "
+    "(O(n^2) at 100 TB; the sweep is O(n log n) with one "
+    "partition-keyed sort shuffle).  Ends sort before starts at the "
+    "same instant (delta -1 < +1), the half-open-interval convention.  "
+    "Determinism: integer deltas, exact integer running sums; the "
+    "first-peak timestamp is a deterministic MIN.  Scale: one "
+    "event-type-keyed window (partitioned — never global) over 2n "
+    "endpoint rows, one rollup.",
+)
+def e_peak_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events").select("event_type", "ts")
+    iv = ev.select(
+        "event_type",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("end_ts"),
+    )
+    pts = iv.select(
+        "event_type", F.col("start_ts").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select("event_type", F.col("end_ts").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = pts.withColumn("concurrent", F.sum("delta").over(w))
+    peak = swept.groupBy("event_type").agg(
+        F.max("concurrent").cast("long").alias("peak_concurrent")
+    )
+    first_peak = (
+        swept.join(
+            F.broadcast(peak.withColumnRenamed("event_type", "__et")),
+            (F.col("event_type") == F.col("__et"))
+            & (F.col("concurrent") == F.col("peak_concurrent")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.date_format(F.min("t"), "yyyy-MM-dd HH:mm:ss").alias("first_peak_ts")
+        )
+    )
+    return (
+        peak.join(first_peak, "event_type")
+        .select("event_type", "peak_concurrent", "first_peak_ts")
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------- audience overlap
+@register(
+    "e_audience_overlap",
+    oracle="""
+WITH a AS (SELECT DISTINCT event_type, user_id FROM events),
+p AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM a x JOIN a y ON x.user_id = y.user_id AND x.event_type < y.event_type
+      GROUP BY 1, 2),
+sz AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM a GROUP BY 1)
+SELECT p.type_a, p.type_b, p.n_shared,
+       sa.n AS n_a, sb.n AS n_b,
+       ROUND(CAST(p.n_shared AS DOUBLE)
+             / CAST(sa.n + sb.n - p.n_shared AS DOUBLE), 6) AS jaccard
+FROM p JOIN sz sa ON p.type_a = sa.event_type
+       JOIN sz sb ON p.type_b = sb.event_type
+ORDER BY type_a, type_b
+""",
+    doc="pairwise audience overlap: for every pair of event types, how "
+    "many distinct users do both, and the Jaccard of the two audiences "
+    "— the segment-overlap matrix behind funnel design and campaign "
+    "targeting, and structurally the events-side twin of "
+    "d_cross_source_leakage (distinct (key, group) inverted index "
+    "self-joined group_a < group_b — output bounded by users x "
+    "|types|^2, never users^2).  Exact distinct counts; one division "
+    "at the end.  Scale: the distinct reduces the stream to <= "
+    "users x types rows; the self-join is user-keyed; size panels "
+    "broadcast back onto the <= |types|^2/2 matrix.",
+)
+def e_audience_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select("event_type", "user_id").distinct()
+    x, y = ev.alias("x"), ev.alias("y")
+    p = (
+        x.join(
+            y,
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"), F.col("y.event_type").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sz = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sa = F.broadcast(sz.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a")))
+    sb = F.broadcast(sz.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b")))
+    return (
+        p.join(sa, "type_a")
+        .join(sb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# --------------------------------------------------- CUSUM change point
+@register(
+    "e_cusum_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(FLOOR(SUM(cnt) * 1000000.0 / COUNT(*)) AS BIGINT) AS mean_micro
+  FROM daily GROUP BY event_type),
+dev AS (
+  SELECT d.event_type, d.day, d.cnt, m.n_days, m.mean_micro,
+         d.cnt * 1000000 - m.mean_micro AS dev_micro
+  FROM daily d JOIN m ON d.event_type = m.event_type),
+cs AS (
+  SELECT event_type, day, n_days, mean_micro,
+         SUM(dev_micro) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cusum_micro
+  FROM dev),
+pk AS (
+  SELECT event_type, CAST(MAX(ABS(cusum_micro)) AS BIGINT) AS peak_micro
+  FROM cs GROUP BY event_type)
+SELECT cs.event_type,
+       CAST(MAX(cs.n_days) AS BIGINT) AS n_days,
+       ROUND(MAX(cs.mean_micro) / 1000000.0, 6) AS mean_per_day,
+       strftime(MIN(cs.day), '%Y-%m-%d') AS change_day,
+       ROUND(MAX(pk.peak_micro) / 1000000.0, 6) AS cusum_peak
+FROM cs JOIN pk
+  ON cs.event_type = pk.event_type AND ABS(cs.cusum_micro) = pk.peak_micro
+GROUP BY cs.event_type
+ORDER BY cs.event_type
+""",
+    doc="CUSUM change-point detection on daily event volumes: per type, "
+    "the running sum of (daily count - overall daily mean) peaks in "
+    "magnitude AT the day the level shifts (Page 1954's cumulative-sum "
+    "statistic) — the monitoring readout that finds WHEN a pipeline's "
+    "traffic changed, not just that it did (pair with e_seasonal_"
+    "anomaly, which flags pointwise outliers).  Determinism: the mean "
+    "is floored to integer micro-units, deviations and the running sum "
+    "stay exact bigints, ties on the peak resolve to the earliest day.  "
+    "Scale: one partial-agg'd daily rollup, a |types|-row mean panel "
+    "joined back, ONE type-partitioned window over |types| x |days| "
+    "rows (partitioned — never global), and a |types|-row result.",
+)
+def e_cusum(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.floor(F.sum("cnt") * 1000000.0 / F.count(F.lit(1))).cast("long").alias(
+            "mean_micro"
+        ),
+    )
+    dev = daily.join(F.broadcast(m), "event_type").withColumn(
+        "dev_micro", F.col("cnt") * 1000000 - F.col("mean_micro")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cs = dev.withColumn("cusum_micro", F.sum("dev_micro").over(w))
+    pk = cs.groupBy(F.col("event_type").alias("__et")).agg(
+        F.max(F.abs("cusum_micro")).cast("long").alias("peak_micro")
+    )
+    return (
+        cs.join(
+            F.broadcast(pk),
+            (F.col("event_type") == F.col("__et"))
+            & (F.abs("cusum_micro") == F.col("peak_micro")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("n_days").cast("long").alias("n_days"),
+            F.round(F.max("mean_micro") / 1000000.0, 6).alias("mean_per_day"),
+            F.date_format(F.min("day"), "yyyy-MM-dd").alias("change_day"),
+            F.round(F.max("peak_micro") / 1000000.0, 6).alias("cusum_peak"),
+        )
+        .orderBy("event_type")
+    )
