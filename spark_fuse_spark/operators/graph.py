@@ -111,16 +111,23 @@ def connected_components(
     for _ in range(max_iterations):
         ls = _large_star(_symmetrize(edges))
         new_edges = _small_star(ls).localCheckpoint(eager=True)
-        # fixpoint when the directed edge sets match: both sides are
-        # deduped, so equal counts + new⊆old ⇒ set equality (one
-        # exceptAll, not two — counts on checkpointed frames are cheap)
+        # fixpoint when the directed edge sets match.  Both sides are
+        # deduped, so tag each side ±1 and group: any (u, v) whose tag
+        # sum is nonzero is in exactly one side — ONE job decides set
+        # equality (the old count+exceptAll formulation cost 2–3 driver
+        # jobs per round, which dominates late rounds whose edge lists
+        # are already near-stars)
         old_directed = edges.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         ).distinct()
-        converged = (
-            new_edges.count() == old_directed.count()
-            and new_edges.exceptAll(old_directed).limit(1).count() == 0
+        diff = (
+            new_edges.select("u", "v", F.lit(1).alias("__side"))
+            .unionByName(old_directed.select("u", "v", F.lit(-1).alias("__side")))
+            .groupBy("u", "v")
+            .agg(F.sum("__side").alias("__d"))
+            .where(F.col("__d") != 0)
         )
+        converged = diff.limit(1).count() == 0
         edges = new_edges
         if converged:
             break
