@@ -106,6 +106,14 @@ def main() -> None:
     for name in HEADLINE:
         registry[name].spark(spark, sf_dir).count()
 
+    # the warm pass leaves ~50 queries' worth of torn-down broadcasts and
+    # shuffle files awaiting GC-driven cleanup in the single local JVM;
+    # collect them NOW so the timed pass doesn't pay another query's
+    # garbage (measured: the memory-bandwidth-heavy quantization family
+    # ran up to 2.5x slower late in the run without this)
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(2)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = registry[name]

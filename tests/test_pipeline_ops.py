@@ -376,3 +376,40 @@ def test_weighted_sample_global_path_is_take_ordered(spark):
     assert out.count() == 5
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_resample_weighted_floor_convention_non_dyadic_rates(spark):
+    """The millionths gate FLOORs on both engines (Spark's bare BIGINT
+    cast truncates, DuckDB's rounds — the divergence class the round-2
+    advice flagged).  Non-dyadic rates like 1/3 and 2/3 are exactly the
+    inputs where a round-vs-truncate mismatch flips gates; pin the
+    operator against the documented SQL-twin formula replayed in DuckDB."""
+    import duckdb
+
+    from spark_fuse_spark.operators.sampling import resample_weighted
+
+    df = spark.createDataFrame(
+        [(i, [1 / 3, 2 / 3, 5 / 3][i % 3]) for i in range(300)], "doc_id long, rate double"
+    )
+    out = resample_weighted(df, "doc_id", "rate", salt="mix")
+    got = {
+        r.doc_id: r.n for r in out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    want_rows = duckdb.sql(
+        """
+        WITH r AS (
+          SELECT i AS doc_id,
+                 CASE i % 3 WHEN 0 THEN 1.0/3.0 WHEN 1 THEN 2.0/3.0 ELSE 5.0/3.0 END AS rate,
+                 CAST('0x' || substr(md5(CAST(i AS VARCHAR) || 'mix'), 1, 15) AS BIGINT) AS h
+          FROM range(300) t(i))
+        SELECT doc_id,
+               CAST(floor(rate) AS INT)
+                 + CASE WHEN (h % 1000000)
+                             < CAST(FLOOR((rate - floor(rate)) * 1000000) AS BIGINT)
+                        THEN 1 ELSE 0 END AS n
+        FROM r
+        """
+    ).fetchall()
+    want = {doc_id: n for doc_id, n in want_rows}
+    # rows with n == 0 emit nothing from the explode
+    assert got == {k: v for k, v in want.items() if v >= 1}
