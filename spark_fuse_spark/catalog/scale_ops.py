@@ -261,7 +261,11 @@ ORDER BY event_type
     "conversions relation is a filtered sliver — it broadcasts into the "
     "touch scan as a user-key equi-join with the hour-range residual "
     "(the e_interval_join family); per-conversion touch counts roll up "
-    "to |conversions| rows; everything else is a |event_types|-row agg.",
+    "to |conversions| rows; everything else is a |event_types|-row agg.  "
+    "The broadcast hints assume purchase-rate selectivity (the usual "
+    "sub-1% case); for conversion-heavy workloads drop them — both "
+    "joins carry an equality key (user_id / conv_id), so they degrade "
+    "to co-partitioned shuffle joins, never to a cartesian.",
 )
 def e_attribution(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")

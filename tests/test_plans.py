@@ -262,6 +262,29 @@ CONTRACTS = {
     # leakage matrix: distinct (hash, source) then an equi self-join on
     # the hash — the inverted-index family's shape, never docs^2
     "d_cross_source_leakage": PlanExpectation(require_partial_agg=True, max_exchanges=5),
+    # endpoint sweep: type-partitioned running sum + peak panel join + sort
+    "e_peak_concurrency": PlanExpectation(require_partial_agg=True, max_exchanges=4),
+    # distinct (user, type) + user-keyed self-join + broadcast size panels
+    # (static explain re-counts the shared distinct subtree per consumer)
+    "e_audience_overlap": PlanExpectation(
+        min_broadcast_joins=2, require_partial_agg=True, max_exchanges=8
+    ),
+    # daily rollup reused under mean panel / sweep / peak panel branches
+    "e_cusum_changepoint": PlanExpectation(
+        min_broadcast_joins=2, require_partial_agg=True, max_exchanges=9
+    ),
+    # hash-gate BEFORE the explode; gram-hash agg; two 1-row panels
+    "d_dedup_sample_extrapolation": PlanExpectation(
+        require_partial_agg=True, max_exchanges=4
+    ),
+    # one scan, one rollup + sort; no explode (separator counting)
+    "t_token_fertility": PlanExpectation(require_partial_agg=True, max_exchanges=2),
+    # predicate as keys-only semi-join BEFORE scoring; queries broadcast
+    "v_ann_filtered": PlanExpectation(min_broadcast_joins=1, max_exchanges=2),
+    # two user-keyed grouped aggs sharing one key family + 1-row rollup
+    "e_funnel_latency": PlanExpectation(require_partial_agg=True, max_exchanges=3),
+    # inverted-index pair stage + 20-row histogram x 3-row config panel
+    "d_lsh_band_planner": PlanExpectation(require_partial_agg=True, max_exchanges=4),
 }
 
 
