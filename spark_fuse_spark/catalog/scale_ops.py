@@ -985,3 +985,91 @@ def e_cusum(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------------------ SLO burn rate
+@register(
+    "e_slo_burn",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN value < 10 THEN 1 ELSE 0 END) AS BIGINT) AS bad
+  FROM events GROUP BY 1, 2),
+rates AS (
+  SELECT event_type, hr, n, bad,
+         CAST(SUM(bad) OVER w6 AS BIGINT) AS bad_6h,
+         CAST(SUM(n) OVER w6 AS BIGINT) AS n_6h
+  FROM hourly
+  WINDOW w6 AS (PARTITION BY event_type ORDER BY hr
+                ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)),
+burn AS (
+  SELECT event_type, hr, n, bad,
+         CAST(FLOOR(bad * 1000000.0 / n) AS BIGINT) AS rate_1h_micro,
+         CAST(FLOOR(bad_6h * 1000000.0 / n_6h) AS BIGINT) AS rate_6h_micro
+  FROM rates)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       ROUND(MAX(rate_1h_micro) / 10000.0, 4) AS peak_1h_bad_pct,
+       ROUND(MAX(rate_6h_micro) / 10000.0, 4) AS peak_6h_bad_pct,
+       CAST(SUM(CASE WHEN rate_1h_micro > 200000 AND rate_6h_micro > 100000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_page_alerts
+FROM burn
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="multi-window SLO burn-rate alerting (the Google SRE workbook "
+    "policy): per event type and hour, the bad-event rate (value < 10 "
+    "as the 'bad' proxy) over the last 1h and 6h windows; an alert "
+    "pages only when BOTH windows burn hot (1h > 20%, 6h > 10%) — the "
+    "short window for responsiveness, the long one to suppress blips.  "
+    "Determinism: rates floor to integer micro-units from exact "
+    "counts before any comparison or max.  Scale: one partial-agg'd "
+    "hourly rollup, ONE type-partitioned bounded-frame window "
+    "(6 rows deep — never a global or unbounded window), a "
+    "|types|-row result.",
+)
+def e_slo_burn(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    hourly = (
+        load_table(spark, sf, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("value") < 10, 1).otherwise(0)).cast("long").alias("bad"),
+        )
+    )
+    w6 = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-5, Window.currentRow)
+    )
+    rates = hourly.withColumn("bad_6h", F.sum("bad").over(w6)).withColumn(
+        "n_6h", F.sum("n").over(w6)
+    )
+    burn = rates.select(
+        "event_type",
+        F.floor(F.col("bad") * 1000000.0 / F.col("n")).cast("long").alias(
+            "rate_1h_micro"
+        ),
+        F.floor(F.col("bad_6h") * 1000000.0 / F.col("n_6h")).cast("long").alias(
+            "rate_6h_micro"
+        ),
+    )
+    return (
+        burn.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.round(F.max("rate_1h_micro") / 10000.0, 4).alias("peak_1h_bad_pct"),
+            F.round(F.max("rate_6h_micro") / 10000.0, 4).alias("peak_6h_bad_pct"),
+            F.sum(
+                F.when(
+                    (F.col("rate_1h_micro") > 200000)
+                    & (F.col("rate_6h_micro") > 100000),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_page_alerts"),
+        )
+        .orderBy("event_type")
+    )
