@@ -183,6 +183,7 @@ def load_all() -> dict[str, QuerySpec]:
         pipeline,
         curation,
         scale_ops,
+        stats_graph,
     )
 
     fresh = {n: s for n, s in REGISTRY.items() if n not in _DRIVER_SAMPLED}

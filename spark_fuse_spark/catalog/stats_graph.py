@@ -1,0 +1,359 @@
+"""Round-3 statistics + graph suite: regression, triangle counting,
+Bloom-style join pruning, and streaming-order smoothing — four shapes the
+catalog did not yet cover.
+
+* ``q_ols_trend`` — per-group ordinary-least-squares trend (slope /
+  intercept of monthly order revenue), computed from exact integer
+  moment sums so the fit is engine-portable (the ``regr_slope`` family
+  re-derived on the repo's exact-cents convention).
+* ``x_triangle_count`` — distributed triangle counting over the
+  part-co-purchase graph with DEGREE ORIENTATION (Suri & Vassilvitskii
+  2011 "Counting Triangles and the Curse of the Last Reducer"): every
+  edge points low-degree → high-degree endpoint, bounding the wedge
+  fan-out per node by O(sqrt(m)) so no reducer sees a hub's full
+  neighborhood square.
+* ``x_bloom_join_prune`` — Bloom-style pre-shuffle pruning audit: hash
+  the dim-side keys into a fixed bucket space, semi-join the fact side
+  on bucket membership BEFORE the expensive key shuffle, and report the
+  false-positive overhead vs the true semi-join — the run-time-filter /
+  dynamic-partition-pruning trade Spark's own runtime filters make.
+* ``e_ewma_smooth`` — per-user exponentially-weighted moving average of
+  click values as a bounded 8-tap FIR (alpha = 1/2, so every weight is
+  an exactly-representable binary fraction), over a partitioned window
+  — never a global sort.
+
+No reference counterpart: these extend the curation/analytics surface
+beyond `/root/reference` (which has no relational query layer at all);
+they follow the same QuerySpec + DuckDB-oracle contract as the rest of
+the catalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64, portable_hash64_sql
+from ..tables import load_table
+from . import register
+
+# ------------------------------------------------------ per-group OLS trend
+@register(
+    "q_ols_trend",
+    oracle="""
+WITH pts AS (
+  SELECT n.n_name,
+         CAST((EXTRACT(YEAR FROM o.o_orderdate) - 1995) * 12
+              + EXTRACT(MONTH FROM o.o_orderdate) - 1 AS BIGINT) AS x,
+         CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS y
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+s AS (
+  SELECT n_name,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy
+  FROM pts GROUP BY n_name),
+m AS (
+  SELECT n_name, n,
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+           / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) AS slope,
+         CAST(sx AS DOUBLE) / n AS mx,
+         CAST(sy AS DOUBLE) / n AS my
+  FROM s)
+SELECT n_name,
+       n AS n_orders,
+       FLOOR(slope / 100 * 10000 + 0.5) / 10000 AS slope_dollars_per_month,
+       FLOOR((my - slope * mx) / 100 * 10000 + 0.5) / 10000 AS intercept_dollars
+FROM m
+ORDER BY n_name
+""",
+    doc="per-nation OLS trend of order revenue vs month index — the "
+    "regr_slope/regr_intercept aggregate family re-derived from exact "
+    "integer moment sums (cents as BIGINT, the one cross-term as "
+    "DECIMAL(38,0)/HUGEINT so a 100 TB row count cannot overflow it).  "
+    "Determinism: the five moments are exact integers, so partial-agg "
+    "order cannot move them; slope/intercept derive in identical IEEE "
+    "trees with explicit floor-rounding (the e_cuped_adjust recipe).  "
+    "Scale: ONE nation-keyed partial-agg'd shuffle after broadcast dim "
+    "joins — the fact table is scanned once, and per-group state is "
+    "five numbers regardless of group size.",
+)
+def q_ols_trend(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    x = (
+        (F.year("o_orderdate") - F.lit(1995)) * 12 + F.month("o_orderdate") - 1
+    ).cast("long")
+    y = F.round(F.col("o_totalprice") * 100).cast("long")
+    pts = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(F.col("n_name"), x.alias("x"), y.alias("y"))
+    )
+    s = pts.groupBy("n_name").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+    )
+    nn = F.col("n")
+    slope = (
+        F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double") / nn
+    ) / (
+        F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double") / nn
+    )
+    m = s.select(
+        "n_name",
+        nn.alias("n"),
+        slope.alias("slope"),
+        (F.col("sx").cast("double") / nn).alias("mx"),
+        (F.col("sy").cast("double") / nn).alias("my"),
+    )
+    return m.select(
+        "n_name",
+        F.col("n").alias("n_orders"),
+        (F.floor(F.col("slope") / 100 * 10000 + 0.5) / 10000).alias(
+            "slope_dollars_per_month"
+        ),
+        (
+            F.floor((F.col("my") - F.col("slope") * F.col("mx")) / 100 * 10000 + 0.5)
+            / 10000
+        ).alias("intercept_dollars"),
+    ).orderBy("n_name")
+
+
+# ------------------------------------------------------ triangle counting
+@register(
+    "x_triangle_count",
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey),
+edges AS (SELECT u, v FROM pairs GROUP BY u, v HAVING COUNT(*) >= 2),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+          SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges) __n
+        GROUP BY node),
+oriented AS (
+  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+              THEN e.u ELSE e.v END AS src,
+         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+              THEN e.v ELSE e.u END AS dst
+  FROM edges e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node),
+okey AS (SELECT o.src, o.dst, d.deg AS dst_deg
+         FROM oriented o JOIN deg d ON o.dst = d.node),
+wedges AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM okey e1 JOIN okey e2 ON e1.src = e2.src
+  WHERE e1.dst_deg < e2.dst_deg OR (e1.dst_deg = e2.dst_deg AND e1.dst < e2.dst)),
+tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+        FROM wedges w JOIN oriented o ON w.b = o.src AND w.c = o.dst)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM wedges) AS wedges,
+       (SELECT triangles FROM tri) AS triangles
+""",
+    doc="triangle count over the part-co-purchase graph (parts co-ordered "
+    "in >= 2 distinct orders), via DEGREE-ORIENTED wedge closure (Suri & "
+    "Vassilvitskii 2011): orient every edge from its (degree, id)-smaller "
+    "endpoint, enumerate ordered out-wedges per source, and close them "
+    "against the oriented edge list — each triangle is produced exactly "
+    "once from its minimum vertex.  Scale: the support-2 HAVING filter "
+    "is a partial-agg'd density control on the pair stream; orientation "
+    "bounds per-node wedge fan-out by O(sqrt(m)) so hub parts cannot "
+    "melt one reducer (the 'curse of the last reducer'); all joins are "
+    "node-keyed equi-joins.",
+)
+def x_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+    edges = (
+        pairs.groupBy("u", "v").agg(F.count("*").alias("c")).where("c >= 2").drop("c")
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du")
+    dv = deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    okey = oriented.join(
+        deg.withColumnRenamed("node", "dst").withColumnRenamed("deg", "dst_deg"), "dst"
+    )
+    e1 = okey.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("dst_deg").alias("bd")
+    )
+    e2 = okey.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"), F.col("dst_deg").alias("cd")
+    )
+    wedges = e1.join(e2, "a").where(
+        (F.col("bd") < F.col("cd")) | ((F.col("bd") == F.col("cd")) & (F.col("b") < F.col("c")))
+    ).select("a", "b", "c")
+    closing = oriented.withColumnRenamed("src", "b").withColumnRenamed("dst", "c")
+    tri = wedges.join(closing, ["b", "c"]).agg(F.count("*").alias("triangles"))
+    counts = (
+        deg.agg(F.count("*").alias("nodes"))
+        .crossJoin(edges.agg(F.count("*").alias("edges")))
+        .crossJoin(wedges.agg(F.count("*").alias("wedges")))
+        .crossJoin(tri)
+    )
+    return counts.select("nodes", "edges", "wedges", "triangles")
+
+
+# ------------------------------------------------------ Bloom-style pruning
+_BLOOM_BUCKETS = 8192
+
+
+@register(
+    "x_bloom_join_prune",
+    oracle=f"""
+WITH dim AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+buckets AS (SELECT DISTINCT
+              {portable_hash64_sql("CAST(c_custkey AS VARCHAR)")} % {_BLOOM_BUCKETS} AS b
+            FROM dim),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_rows FROM orders),
+cand AS (SELECT CAST(COUNT(*) AS BIGINT) AS candidate_rows FROM orders
+         WHERE {portable_hash64_sql("CAST(o_custkey AS VARCHAR)")} % {_BLOOM_BUCKETS}
+               IN (SELECT b FROM buckets)),
+tru AS (SELECT CAST(COUNT(*) AS BIGINT) AS matched_rows FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM dim))
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dim) AS dim_keys,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM buckets) AS buckets_set,
+       total_rows, candidate_rows, matched_rows,
+       candidate_rows - matched_rows AS false_positive_rows,
+       FLOOR(CAST(candidate_rows - matched_rows AS DOUBLE)
+             / candidate_rows * 1000000 + 0.5) / 1000000 AS fp_rate,
+       FLOOR((1.0 - CAST(candidate_rows AS DOUBLE) / total_rows) * 1000000 + 0.5)
+         / 1000000 AS scan_reduction
+FROM tot, cand, tru
+""",
+    doc="Bloom-style pre-shuffle pruning audit: project the BUILDING-"
+    "segment customer keys into a fixed 8192-bucket hash space, prune "
+    "the orders fact on bucket membership BEFORE any key shuffle, and "
+    "compare against the true semi-join — reporting false-positive rate "
+    "and scan reduction, i.e. exactly the trade Spark's runtime bloom "
+    "filters / dynamic partition pruning make.  Scale: the bucket panel "
+    "is at most 8192 values regardless of dim cardinality (broadcast, "
+    "never shuffled); the fact side is scanned once per count with the "
+    "membership test map-side; counts are partial-agg'd.",
+)
+def x_bloom_join_prune(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    dim = load_table(spark, sf, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    bucket_of = lambda col: portable_hash64(F.col(col).cast("string")) % _BLOOM_BUCKETS  # noqa: E731
+    buckets = dim.select(bucket_of("c_custkey").alias("b")).distinct()
+    cand = (
+        orders.join(
+            F.broadcast(buckets),
+            bucket_of("o_custkey") == F.col("b"),
+            "left_semi",
+        ).agg(F.count("*").alias("candidate_rows"))
+    )
+    tru = orders.join(
+        F.broadcast(dim), orders.o_custkey == dim.c_custkey, "left_semi"
+    ).agg(F.count("*").alias("matched_rows"))
+    panel = (
+        dim.agg(F.count("*").alias("dim_keys"))
+        .crossJoin(buckets.agg(F.count("*").alias("buckets_set")))
+        .crossJoin(orders.agg(F.count("*").alias("total_rows")))
+        .crossJoin(cand)
+        .crossJoin(tru)
+    )
+    fp = F.col("candidate_rows") - F.col("matched_rows")
+    return panel.select(
+        "dim_keys",
+        "buckets_set",
+        "total_rows",
+        "candidate_rows",
+        "matched_rows",
+        fp.alias("false_positive_rows"),
+        (
+            F.floor(fp.cast("double") / F.col("candidate_rows") * 1000000 + 0.5)
+            / 1000000
+        ).alias("fp_rate"),
+        (
+            F.floor(
+                (1.0 - F.col("candidate_rows").cast("double") / F.col("total_rows"))
+                * 1000000
+                + 0.5
+            )
+            / 1000000
+        ).alias("scan_reduction"),
+    )
+
+
+# ------------------------------------------------------ EWMA smoothing
+_EWMA_TAPS = 8  # alpha = 1/2 -> weights 2^-j, exactly representable doubles
+
+
+@register(
+    "e_ewma_smooth",
+    oracle=f"""
+WITH c AS (
+  SELECT event_id, user_id, value,
+         {", ".join(f"lag(value, {j}) OVER w AS v{j}" for j in range(1, _EWMA_TAPS))}
+  FROM events WHERE event_type = 'click'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, user_id, value,
+       FLOOR((value * 1.0{"".join(f" + COALESCE(v{j}, 0.0) * {0.5 ** j!r}" for j in range(1, _EWMA_TAPS))})
+             / (1.0{"".join(f" + CASE WHEN v{j} IS NULL THEN 0.0 ELSE {0.5 ** j!r} END" for j in range(1, _EWMA_TAPS))})
+             * 1000000 + 0.5) / 1000000 AS ewma
+FROM c
+ORDER BY event_id
+""",
+    doc="per-user exponentially-weighted moving average of click values "
+    "as a bounded 8-tap FIR (alpha = 1/2): ewma_t = sum(2^-j * x_(t-j)) "
+    "/ sum(2^-j) over the taps that exist — the truncated form of the "
+    "recursive EWMA, chosen because the infinite recursion is order-"
+    "serial and unbounded state while the FIR is a fixed-width lag "
+    "window.  Determinism: every weight 2^-j is an exactly-representable "
+    "binary double and both engines fold the taps in the same written "
+    "order, so the quotient is bit-identical before floor-rounding.  "
+    "Scale: ONE user-partitioned window (never a global sort); state per "
+    "row is 7 lags.",
+)
+def e_ewma_smooth(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    clicks = load_table(spark, sf, "events").where(F.col("event_type") == "click")
+    lagged = clicks.select(
+        "event_id",
+        "user_id",
+        "value",
+        *[F.lag("value", j).over(w).alias(f"v{j}") for j in range(1, _EWMA_TAPS)],
+    )
+    num = F.col("value") * F.lit(1.0)
+    den = F.lit(1.0)
+    for j in range(1, _EWMA_TAPS):
+        num = num + F.coalesce(F.col(f"v{j}"), F.lit(0.0)) * F.lit(0.5**j)
+        den = den + F.when(F.col(f"v{j}").isNull(), F.lit(0.0)).otherwise(F.lit(0.5**j))
+    return lagged.select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.floor(num / den * 1000000 + 0.5) / 1000000).alias("ewma"),
+    ).orderBy("event_id")

@@ -368,6 +368,8 @@ NESTED_LOOP_OK = {
     "q_asof_nearest": "intentional broadcast of the 7-row calendar-mark panel",
     "v_matryoshka_cascade": "broadcast query panel x corpus scan in the coarse stage",
     "v_ann_recall_audit": "broadcast query/min-span panels in both audited rankings",
+    "x_triangle_count": "1-row node/edge/wedge/triangle count panels crossed into the audit row",
+    "x_bloom_join_prune": "1-row count panels crossed into the single pruning-audit row",
     "t_contrastive_triplets": "1-row broadcast doc-count panel for the negative hash offset",
     "q_data_checks": "1-row broadcast row-count panels joined to the unique/ref check results",
     "x_zorder_layout": "1-row broadcast min/max lattice panel over the fact scan",
