@@ -357,3 +357,146 @@ def e_ewma_smooth(spark: SparkSession, sf: str) -> DataFrame:
         "value",
         (F.floor(num / den * 1000000 + 0.5) / 1000000).alias("ewma"),
     ).orderBy("event_id")
+
+
+# ------------------------------------------------------ k-means Lloyd step
+_KM_K = 8
+_KM_SCALE = 1_000_000  # micro-unit quantization -> exact integer geometry
+
+
+@register(
+    "v_kmeans_step",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(FLOOR(x * {_KM_SCALE} + 0.5) AS BIGINT)) AS v
+  FROM embeddings),
+seeds AS (
+  SELECT vec_id AS cid, v AS c
+  FROM e ORDER BY {portable_hash64_sql("CAST(vec_id AS VARCHAR)")}, vec_id
+  LIMIT {_KM_K}),
+ex AS (SELECT vec_id, unnest(v) AS x,
+              unnest(generate_series(1, len(v))) AS pos FROM e),
+cx AS (SELECT cid, unnest(c) AS cx,
+              unnest(generate_series(1, len(c))) AS pos FROM seeds),
+d AS (SELECT ex.vec_id, cx.cid,
+             SUM(CAST((ex.x - cx.cx) * (ex.x - cx.cx) AS DECIMAL(38,0))) AS d2
+      FROM ex JOIN cx ON ex.pos = cx.pos
+      GROUP BY ex.vec_id, cx.cid),
+assign AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT vec_id, cid, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+    FROM d) __r
+  WHERE rk = 1),
+upd AS (SELECT a.cid, ex.pos,
+               CAST(SUM(ex.x) AS BIGINT) AS sx, CAST(COUNT(*) AS BIGINT) AS n
+        FROM assign a JOIN ex ON a.vec_id = ex.vec_id
+        GROUP BY a.cid, ex.pos),
+shift AS (SELECT u.cid, MAX(u.n) AS n_assigned,
+                 SUM(CAST((u.sx - u.n * c.cx) * (u.sx - u.n * c.cx)
+                     AS DECIMAL(38,0))) AS s2num
+          FROM upd u JOIN cx c ON u.cid = c.cid AND u.pos = c.pos
+          GROUP BY u.cid),
+inert AS (SELECT cid, SUM(d2) AS inertia FROM assign GROUP BY cid)
+SELECT s.cid AS cluster_id, s.n_assigned,
+       FLOOR(CAST(i.inertia AS DOUBLE) / {_KM_SCALE * _KM_SCALE}
+             * 1000000 + 0.5) / 1000000 AS inertia_unit2,
+       FLOOR(sqrt(CAST(s.s2num AS DOUBLE)) / s.n_assigned / {_KM_SCALE}
+             * 1000000 + 0.5) / 1000000 AS centroid_shift
+FROM shift s JOIN inert i ON s.cid = i.cid
+ORDER BY cluster_id
+""",
+    doc="one exactly-verified Lloyd iteration of k-means over the "
+    "embeddings table: hash-gate TakeOrdered picks the 8 seed vectors, "
+    "every vector is assigned to its nearest seed, and the centroid "
+    "update + inertia + per-cluster centroid shift come out of the SAME "
+    "query — the oracle-paired twin of the engine-specific KMeans/"
+    "AutoKMeans operators (operators/similarity.py:78,94; reference "
+    "src/spark_fuse/similarity/partitioners.py), turning the rows-only "
+    "M5/M6 family member into a hash-checked one.  Determinism: "
+    "components quantize to micro-unit BIGINTs up front, so distances, "
+    "argmin (d2 then cid tie-break), centroid sums, and the shift "
+    "numerator sum((sx - n*cx)^2) are ALL exact integers — no float "
+    "fold anywhere before the final sqrt/divide, which both engines "
+    "evaluate on identical inputs.  Scale: seeds ride a distributed "
+    "TakeOrdered (per-partition top-8, never a global sort); the "
+    "assignment join is a 512-row broadcast panel against the skinny "
+    "(vec_id, pos, x) stream; every groupBy is partial-agg'd; no "
+    "collect_list — per-group state is one integer per (cluster, dim).",
+)
+def v_kmeans_step(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * _KM_SCALE + 0.5).cast("long"),
+        ).alias("v"),
+    )
+    seeds = (
+        e.orderBy(portable_hash64(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_KM_K)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("c"))
+    )
+    ex = e.select("vec_id", F.posexplode("v").alias("pos", "x"))
+    cx = seeds.select("cid", F.posexplode("c").alias("pos", "cx"))
+    d = (
+        ex.join(F.broadcast(cx), "pos")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum(
+                ((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    assign = (
+        d.select("vec_id", "cid", "d2", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+    upd = (
+        assign.join(ex, "vec_id")
+        .groupBy("cid", "pos")
+        .agg(F.sum("x").alias("sx"), F.count("*").alias("n"))
+    )
+    diff = F.col("sx") - F.col("n") * F.col("cx")
+    shift = (
+        upd.join(F.broadcast(cx), ["cid", "pos"])
+        .groupBy("cid")
+        .agg(
+            F.max("n").alias("n_assigned"),
+            F.sum((diff * diff).cast("decimal(38,0)")).alias("s2num"),
+        )
+    )
+    inert = assign.groupBy("cid").agg(F.sum("d2").alias("inertia"))
+    return (
+        shift.join(inert, "cid")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_assigned",
+            (
+                F.floor(
+                    F.col("inertia").cast("double")
+                    / (_KM_SCALE * _KM_SCALE)
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000
+            ).alias("inertia_unit2"),
+            (
+                F.floor(
+                    F.sqrt(F.col("s2num").cast("double"))
+                    / F.col("n_assigned")
+                    / _KM_SCALE
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000
+            ).alias("centroid_shift"),
+        )
+        .orderBy("cluster_id")
+    )
