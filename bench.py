@@ -74,6 +74,10 @@ HEADLINE = [
     # data-layout planning + corpus governance
     "x_zorder_layout",
     "d_cross_source_leakage",
+    # stats + graph suite (regression, triangles, exactly-verified kmeans)
+    "q_ols_trend",
+    "x_triangle_count",
+    "v_kmeans_step",
 ]
 
 

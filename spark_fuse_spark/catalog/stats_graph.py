@@ -181,6 +181,13 @@ def x_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     edges = (
         pairs.groupBy("u", "v").agg(F.count("*").alias("c")).where("c >= 2").drop("c")
     )
+    # The edge list feeds SIX consumers (degree table, orientation, the
+    # closing-edge join, and the count panels); without lineage truncation
+    # Catalyst replicates the expensive pair self-join into every branch
+    # (measured: 72 FileScans / 147 Exchanges in the composed plan).
+    # localCheckpoint materializes it once — the same pattern the
+    # connected-components machinery uses (operators/graph.py).
+    edges = edges.localCheckpoint()
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -200,6 +207,8 @@ def x_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
     )
+    # oriented is likewise read three times (both wedge arms + closing).
+    oriented = oriented.localCheckpoint()
     okey = oriented.join(
         deg.withColumnRenamed("node", "dst").withColumnRenamed("deg", "dst_deg"), "dst"
     )

@@ -285,6 +285,29 @@ CONTRACTS = {
     "e_funnel_latency": PlanExpectation(require_partial_agg=True, max_exchanges=3),
     # inverted-index pair stage + 20-row histogram x 3-row config panel
     "d_lsh_band_planner": PlanExpectation(require_partial_agg=True, max_exchanges=4),
+    # ---- round-3 stats/graph suite.  OLS: broadcast dims, ONE nation-keyed
+    # partial-agg'd shuffle, sort
+    "q_ols_trend": PlanExpectation(
+        min_broadcast_joins=2, require_partial_agg=True, max_exchanges=4
+    ),
+    # triangle: edge/orientation frames are localCheckpointed (Scan
+    # ExistingRDD has no stats, so static explain plans SMJ and re-counts
+    # the panel branches; AQE broadcasts + reuses at runtime — executed
+    # plan measured at 30 exchanges incl. reuse)
+    "x_triangle_count": PlanExpectation(require_partial_agg=True, max_exchanges=40),
+    # bloom prune: bucket panel + dim broadcast into both semi-joins;
+    # static explain re-counts the orders scan under each count panel
+    "x_bloom_join_prune": PlanExpectation(
+        min_broadcast_joins=2, require_partial_agg=True, max_exchanges=14
+    ),
+    # ewma: ONE user-keyed window partition exchange + output sort
+    "e_ewma_smooth": PlanExpectation(max_exchanges=4),
+    # kmeans step: 512-row centroid panel broadcast into assignment and
+    # shift branches; every groupBy partial-agg'd; static re-count of the
+    # quantized scan under assign/update/inertia branches
+    "v_kmeans_step": PlanExpectation(
+        min_broadcast_joins=2, require_partial_agg=True, max_exchanges=16
+    ),
 }
 
 
