@@ -1,0 +1,138 @@
+"""Hand-case semantics tests for the stats/graph catalog suite — the
+DuckDB parity gate proves Spark == oracle; these pin that BOTH equal the
+textbook definition on inputs small enough to reason about."""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spark_fuse_spark.catalog import load_all
+
+SF = "/root/testdata/sf0.001"
+SF_MED = "/root/testdata/sf0.01"
+
+
+def test_ols_trend_matches_numpy_polyfit(spark):
+    """The exact-integer moment formulation equals numpy's float lstsq fit
+    to well within the published 1e-4 rounding grain."""
+    import duckdb
+
+    rows = load_all()["q_ols_trend"].spark(spark, SF_MED).collect()
+    pts = duckdb.sql(
+        f"""
+        SELECT n.n_name,
+               (EXTRACT(YEAR FROM o.o_orderdate) - 1995) * 12
+                 + EXTRACT(MONTH FROM o.o_orderdate) - 1 AS x,
+               ROUND(o.o_totalprice * 100) / 100 AS y
+        FROM read_parquet('{SF_MED}/orders.parquet') o
+        JOIN read_parquet('{SF_MED}/customer.parquet') c ON o.o_custkey = c.c_custkey
+        JOIN read_parquet('{SF_MED}/nation.parquet') n ON c.c_nationkey = n.n_nationkey
+        """
+    ).df()
+    assert len(rows) == 25
+    for r in rows:
+        grp = pts[pts.n_name == r.n_name]
+        slope, intercept = np.polyfit(grp.x.to_numpy(), grp.y.to_numpy(), 1)
+        assert r.slope_dollars_per_month == pytest.approx(slope, abs=2e-4)
+        assert r.intercept_dollars == pytest.approx(intercept, abs=2e-4)
+        assert r.n_orders == len(grp)
+
+
+def test_triangle_count_on_known_graph(spark):
+    """K4 minus one edge has exactly 2 triangles; the full pipeline —
+    pair extraction, support filter, degree orientation, wedge closure —
+    reproduces that from a hand-built order/part incidence list."""
+    import tempfile
+
+    # orders {10,11,12,13,14} each co-purchase a part pair TWICE (support-2
+    # filter keeps each); pairs form K4-minus-{3,4}: triangles 123 and 124.
+    pair_list = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)]
+    rows = []
+    order = 10
+    for u, v in pair_list:
+        for _ in range(2):  # two distinct orders per pair -> support 2
+            rows.append((order, u))
+            rows.append((order, v))
+            order += 1
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/lineitem.parquet")
+        # satisfy load_table for the one table the query reads
+        out = load_all()["x_triangle_count"].spark(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.nodes, r.edges, r.triangles) == (4, 5, 2)
+
+
+def test_bloom_prune_candidates_superset_of_true_matches(spark):
+    """Bucket pre-filtering may only ADD false positives — it can never
+    drop a true match (the defining Bloom-filter guarantee)."""
+    r = load_all()["x_bloom_join_prune"].spark(spark, SF).collect()[0]
+    assert r.candidate_rows >= r.matched_rows
+    assert r.false_positive_rows == r.candidate_rows - r.matched_rows
+    assert 0 <= r.fp_rate <= 1 and 0 <= r.scan_reduction <= 1
+    assert r.buckets_set <= min(r.dim_keys, 8192)
+
+
+def test_ewma_matches_python_loop(spark):
+    """The 8-tap FIR equals a per-user python replay of the same formula."""
+    out = {r.event_id: r for r in load_all()["e_ewma_smooth"].spark(spark, SF).collect()}
+    ev = (
+        load_all()["e_ewma_smooth"]
+        .spark(spark, SF)
+        .sparkSession.read.parquet(f"{SF}/events.parquet")
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select("event_id", "user_id", F.col("ts").alias("t"), "value")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in sorted(clicks, key=lambda r: (r.user_id, r.t, r.event_id)):
+        hist = by_user.setdefault(r.user_id, [])
+        hist.append((r.event_id, r.value))
+        taps = hist[-8:][::-1]  # current first
+        num = sum(v * 0.5**j for j, (_, v) in enumerate(taps))
+        den = sum(0.5**j for j in range(len(taps)))
+        expect = math.floor(num / den * 1e6 + 0.5) / 1e6
+        assert out[r.event_id].ewma == pytest.approx(expect, abs=2e-6), r.event_id
+
+
+def test_kmeans_step_matches_numpy(spark):
+    """Assignment, counts, inertia, and centroid shift equal a numpy
+    replay of the quantized Lloyd iteration (same seeds, same tie-break)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet").to_pydict()
+    ids = tbl["vec_id"]
+    vecs = {
+        i: np.array([math.floor(x * 1e6 + 0.5) for x in v], dtype=np.int64)
+        for i, v in zip(ids, tbl["embedding"])
+    }
+
+    def h(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    seed_ids = sorted(ids, key=lambda i: (h(i), i))[:8]
+    assign: dict = {}
+    for i, v in vecs.items():
+        best = min(
+            ((int(((v - vecs[c]) ** 2).sum()), c) for c in seed_ids)
+        )
+        assign[i] = best
+    out = {r.cluster_id: r for r in load_all()["v_kmeans_step"].spark(spark, SF).collect()}
+    assert set(out) == set(seed_ids)
+    for c in seed_ids:
+        members = [i for i, (_, cc) in assign.items() if cc == c]
+        inertia = sum(d for i, (d, cc) in assign.items() if cc == c)
+        mean = np.mean([vecs[i] for i in members], axis=0)
+        shift = float(np.sqrt(((mean - vecs[c]) ** 2).sum()) / 1e6)
+        r = out[c]
+        assert r.n_assigned == len(members)
+        assert r.inertia_unit2 == pytest.approx(inertia / 1e12, abs=2e-6)
+        assert r.centroid_shift == pytest.approx(shift, abs=2e-6)
