@@ -21,6 +21,11 @@ catalog did not yet cover.
   click values as a bounded 8-tap FIR (alpha = 1/2, so every weight is
   an exactly-representable binary fraction), over a partitioned window
   — never a global sort.
+* ``v_kmeans_step`` — one exactly-verified Lloyd iteration (micro-unit
+  integer geometry end-to-end).
+* ``x_bfs_levels`` — frontier BFS from hub seeds, recursive-CTE oracle.
+* ``e_survival_curve`` — Kaplan-Meier product-limit estimator with an
+  order-pinned factor fold.
 
 No reference counterpart: these extend the curation/analytics surface
 beyond `/root/reference` (which has no relational query layer at all);
@@ -129,6 +134,29 @@ def q_ols_trend(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ------------------------------------------------------ triangle counting
+def _copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Support-2 part-co-purchase edge list (u < v), localCheckpointed.
+
+    The edge list feeds many consumers (degree table, orientation, the
+    closing-edge join, count panels, BFS frontiers); without lineage
+    truncation Catalyst replicates the expensive pair self-join into
+    every branch (measured: 72 FileScans / 147 Exchanges in the composed
+    triangle plan).  localCheckpoint materializes it once — the same
+    pattern the connected-components machinery uses (operators/graph.py).
+    """
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+    edges = (
+        pairs.groupBy("u", "v").agg(F.count("*").alias("c")).where("c >= 2").drop("c")
+    )
+    return edges.localCheckpoint()
+
+
 @register(
     "x_triangle_count",
     oracle="""
@@ -171,23 +199,7 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS nodes,
     "node-keyed equi-joins.",
 )
 def x_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
-    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-    edges = (
-        pairs.groupBy("u", "v").agg(F.count("*").alias("c")).where("c >= 2").drop("c")
-    )
-    # The edge list feeds SIX consumers (degree table, orientation, the
-    # closing-edge join, and the count panels); without lineage truncation
-    # Catalyst replicates the expensive pair self-join into every branch
-    # (measured: 72 FileScans / 147 Exchanges in the composed plan).
-    # localCheckpoint materializes it once — the same pattern the
-    # connected-components machinery uses (operators/graph.py).
-    edges = edges.localCheckpoint()
+    edges = _copurchase_edges(spark, sf)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -508,4 +520,211 @@ def v_kmeans_step(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("centroid_shift"),
         )
         .orderBy("cluster_id")
+    )
+
+
+# ------------------------------------------------------ BFS reach levels
+_EDGES_CTE = """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey),
+edges AS (SELECT u, v FROM pairs GROUP BY u, v HAVING COUNT(*) >= 2)"""
+
+_BFS_DEPTH = 3
+_BFS_SEEDS = 4
+
+
+@register(
+    "x_bfs_levels",
+    oracle=f"""
+WITH RECURSIVE {_EDGES_CTE},
+adj AS (SELECT u AS src, v AS dst FROM edges
+        UNION ALL SELECT v AS src, u AS dst FROM edges),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM adj GROUP BY src),
+seeds AS (SELECT node FROM deg ORDER BY deg DESC, node LIMIT {_BFS_SEEDS}),
+walk(node, lvl) AS (
+  SELECT node, 0 FROM seeds
+  UNION ALL
+  SELECT a.dst, w.lvl + 1
+  FROM walk w JOIN adj a ON w.node = a.src
+  WHERE w.lvl < {_BFS_DEPTH}),
+reached AS (SELECT node, CAST(MIN(lvl) AS BIGINT) AS lvl FROM walk GROUP BY node)
+SELECT lvl AS level,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(node) AS BIGINT) AS node_checksum
+FROM reached GROUP BY lvl ORDER BY level
+""",
+    doc="breadth-first reach levels from the 4 highest-degree hub parts "
+    "over the support-2 co-purchase graph, depth 3 — the 'blast radius' "
+    "walk behind recall/contamination spread audits.  Spark runs true "
+    "frontier BFS (per-level distinct + left-anti against the visited "
+    "set, localCheckpoint per level, one bounded loop); the oracle is a "
+    "recursive CTE whose MIN(lvl) aggregation recovers the identical "
+    "first-reached-level semantics.  Scale: each level is one equi-join "
+    "on the frontier + one distinct + one anti-join — all partial-agg'd "
+    "node-keyed shuffles; the visited set stays key-only; depth bounds "
+    "the loop, and per-level checkpoints keep lineage O(1).",
+)
+def x_bfs_levels(spark: SparkSession, sf: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf)
+    adj = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).localCheckpoint()
+    deg = adj.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    seeds = (
+        deg.orderBy(F.col("deg").desc(), "node").limit(_BFS_SEEDS).select("node")
+    )
+    visited = seeds.select("node", F.lit(0).alias("lvl")).localCheckpoint()
+    frontier = visited.select("node")
+    for lvl in range(1, _BFS_DEPTH + 1):
+        frontier = (
+            frontier.join(adj, frontier.node == adj.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint()
+        )
+        # visited is a union of already-checkpointed frontiers — its
+        # lineage stays depth-bounded without another materialization
+        visited = visited.unionAll(frontier.select("node", F.lit(lvl).alias("lvl")))
+    return (
+        visited.groupBy(F.col("lvl").cast("long").alias("level"))
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum("node").alias("node_checksum"),
+        )
+        .orderBy("level")
+    )
+
+
+# ------------------------------------------------------ Kaplan-Meier survival
+_KM_CUT_US = 86_400_000_000  # censor users still active in the last 24h
+_HOUR_US = 3_600_000_000
+
+
+@register(
+    "e_survival_curve",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // {_HOUR_US} AS dur,
+         MAX(epoch_us(ts)) AS last_us
+  FROM events GROUP BY user_id),
+cut AS (SELECT MAX(epoch_us(ts)) - {_KM_CUT_US} AS cutoff FROM events),
+subj AS (SELECT u.dur, CASE WHEN u.last_us < cut.cutoff THEN 1 ELSE 0 END AS churned
+         FROM u, cut),
+steps AS (SELECT dur AS t, CAST(SUM(churned) AS BIGINT) AS d,
+                 CAST(COUNT(*) AS BIGINT) AS ended
+          FROM subj GROUP BY dur),
+panel AS (SELECT list({{'t': t, 'd': d, 'ended': ended}} ORDER BY t) AS lst FROM steps),
+arrs AS (
+  SELECT lst,
+         CAST(list_sum(list_transform(lst, x -> x.ended)) AS BIGINT) AS total,
+         list_transform(lst, (x, i) ->
+           CAST(list_sum(list_transform(lst, (y, j) ->
+             CASE WHEN j < i THEN y.ended ELSE 0 END)) AS BIGINT)) AS before_i
+  FROM panel),
+arrs2 AS (
+  SELECT lst, total, before_i,
+         list_transform(lst, (x, i) ->
+           CASE WHEN x.d > 0
+                THEN 1.0 - CAST(x.d AS DOUBLE) / (total - before_i[i])
+                ELSE 1.0 END) AS factors
+  FROM arrs),
+km AS (SELECT lst, total, before_i, factors,
+              generate_subscripts(lst, 1) AS i FROM arrs2)
+SELECT lst[i].t AS duration_hours,
+       total - before_i[i] AS n_risk,
+       lst[i].d AS n_churned,
+       FLOOR(list_reduce(list_slice(factors, 1, i), (a, b) -> a * b)
+             * 1000000 + 0.5) / 1000000 AS survival
+FROM km
+WHERE lst[i].d > 0
+ORDER BY duration_hours
+""",
+    doc="Kaplan-Meier survival curve over user lifetimes (hours between "
+    "first and last event; users still active in the final 24 h are "
+    "right-censored): S(t) = prod over churn times <= t of (1 - d/n) — "
+    "the product-limit estimator (Kaplan & Meier 1958) behind every "
+    "churn/retention duration model.  Determinism: lifetimes are exact "
+    "integer micros div hours; d/ended/n are exact integers; the factor "
+    "product folds LEFT-TO-RIGHT over the duration-sorted step list on "
+    "both engines (F.aggregate vs list_reduce — same pairwise multiply "
+    "sequence), so the double is bit-identical before floor-rounding.  "
+    "Scale: one user-keyed partial-agg'd shuffle, then the step panel "
+    "(bounded by distinct lifetime hours) folds in a SINGLE row — no "
+    "global window, no per-subject state beyond the grouped agg.",
+)
+def e_survival_curve(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    # ts may surface as TIMESTAMP or TIMESTAMP_NTZ depending on the
+    # session's parquet nanos handling; the NTZ->TIMESTAMP cast applies a
+    # constant session-tz shift that cancels in every expression below
+    # (durations and the cutoff comparison are pure differences).
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    u = ev.groupBy("user_id").agg(
+        F.expr(
+            "(max(unix_micros(cast(ts as timestamp)))"
+            f" - min(unix_micros(cast(ts as timestamp)))) div {_HOUR_US}"
+        ).alias("dur"),
+        F.max(us).alias("last_us"),
+    )
+    cut = ev.agg((F.max(us) - F.lit(_KM_CUT_US)).alias("cutoff"))
+    subj = u.crossJoin(F.broadcast(cut)).select(
+        "dur", F.when(F.col("last_us") < F.col("cutoff"), 1).otherwise(0).alias("churned")
+    )
+    steps = subj.groupBy(F.col("dur").alias("t")).agg(
+        F.sum("churned").alias("d"), F.count("*").alias("ended")
+    )
+    panel = steps.agg(
+        F.sort_array(F.collect_list(F.struct("t", "d", "ended"))).alias("lst")
+    )
+    lst = F.col("lst")
+    total = F.aggregate(lst, F.lit(0).cast("long"), lambda a, x: a + x["ended"])
+    # before_i[i] = subjects ended strictly before step i: elements
+    # 0..i-1 == slice(lst, 1, i) with Spark's 0-based lambda index
+    before_i = F.transform(
+        lst,
+        lambda x, i: F.aggregate(
+            F.slice(lst, F.lit(1), i),
+            F.lit(0).cast("long"),
+            lambda a, y: a + y["ended"],
+        ),
+    )
+    arrs = panel.select(
+        lst.alias("lst"), total.alias("total"), before_i.alias("before_i")
+    )
+    factors = F.transform(
+        F.col("lst"),
+        lambda x, i: F.when(
+            x["d"] > 0,
+            F.lit(1.0)
+            - x["d"].cast("double")
+            / (F.col("total") - F.element_at(F.col("before_i"), i + 1)),
+        ).otherwise(F.lit(1.0)),
+    )
+    arrs2 = arrs.select("lst", "total", "before_i", factors.alias("factors"))
+    km = arrs2.select(
+        "total", "before_i", "factors", F.posexplode("lst").alias("i0", "s")
+    )
+    # survival(i) = left fold of factors[0..i]; seeding the fold with the
+    # FIRST factor (not 1.0) matches DuckDB list_reduce's pairwise order
+    # exactly — though 1.0*f is exact either way.
+    surv = F.aggregate(
+        F.slice(F.col("factors"), F.lit(1), F.col("i0") + 1),
+        F.lit(1.0),
+        lambda a, f: a * f,
+    )
+    return (
+        km.where(F.col("s")["d"] > 0)
+        .select(
+            F.col("s")["t"].alias("duration_hours"),
+            (F.col("total") - F.element_at(F.col("before_i"), F.col("i0") + 1)).alias(
+                "n_risk"
+            ),
+            F.col("s")["d"].alias("n_churned"),
+            (F.floor(surv * 1000000 + 0.5) / 1000000).alias("survival"),
+        )
+        .orderBy("duration_hours")
     )

@@ -308,6 +308,12 @@ CONTRACTS = {
     "v_kmeans_step": PlanExpectation(
         min_broadcast_joins=2, require_partial_agg=True, max_exchanges=16
     ),
+    # bfs: final rollup over checkpointed per-level frontiers (the loop's
+    # joins/distincts already ran eagerly into the checkpoints)
+    "x_bfs_levels": PlanExpectation(require_partial_agg=True, max_exchanges=6),
+    # KM: user-keyed lifetime agg + 1-row cutoff panel + single-row step
+    # fold; the panel branches re-count the grouped scan statically
+    "e_survival_curve": PlanExpectation(require_partial_agg=True, max_exchanges=10),
 }
 
 
@@ -393,6 +399,7 @@ NESTED_LOOP_OK = {
     "v_ann_recall_audit": "broadcast query/min-span panels in both audited rankings",
     "x_triangle_count": "1-row node/edge/wedge/triangle count panels crossed into the audit row",
     "x_bloom_join_prune": "1-row count panels crossed into the single pruning-audit row",
+    "e_survival_curve": "1-row censoring-cutoff panel broadcast into the per-user lifetimes",
     "t_contrastive_triplets": "1-row broadcast doc-count panel for the negative hash offset",
     "q_data_checks": "1-row broadcast row-count panels joined to the unique/ref check results",
     "x_zorder_layout": "1-row broadcast min/max lattice panel over the fact scan",
