@@ -728,3 +728,176 @@ def e_survival_curve(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("duration_hours")
     )
+
+
+# ------------------------------------------------- event-flow conformance
+@register(
+    "e_flow_conformance",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(SUM(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT) AS prior_browse
+  FROM events),
+per_user AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                        AND COALESCE(prior_browse, 0) > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS valid_purchases,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                        AND COALESCE(prior_browse, 0) = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_violations,
+         CAST(SUM(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_browse,
+         CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_signup,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_errors
+  FROM ev GROUP BY user_id)
+SELECT user_id, n_events,
+       CASE WHEN valid_purchases > 0 THEN 'converted'
+            WHEN n_browse > 0 THEN 'browsing'
+            WHEN n_signup > 0 THEN 'registered'
+            ELSE 'inactive' END AS final_state,
+       n_violations, n_errors
+FROM per_user
+ORDER BY user_id
+""",
+    doc="per-user event-flow conformance: a monotone funnel state machine "
+    "(inactive -> registered -> browsing -> converted) folded over each "
+    "user's time-ordered event sequence; a purchase with NO prior "
+    "view/click is a conformance violation (it does not convert).  The "
+    "Spark side runs the REAL operator shape — an ordered higher-order "
+    "aggregate fold carrying (state, violations, errors) — while the "
+    "oracle derives the identical answer from a declarative cumulative-"
+    "window formulation; their agreement is a two-formulation "
+    "differential proof, not a translation.  Determinism: the fold order "
+    "is the total (ts, event_id) order; all counters are exact integers.  "
+    "Scale: ONE user-keyed shuffle; the fold state is 3 counters.  The "
+    "collect_list is bounded by per-user history length — for unbounded "
+    "histories the streaming twin (sessionize_with_state / "
+    "applyInPandasWithState, streaming/ops.py) is the right surface.",
+)
+def e_flow_conformance(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("seq")
+    )
+    # fold: acc = (state-rank 0..3, violations, errors); monotone ranks
+    # inactive=0 registered=1 browsing=2 converted=3
+    init = F.struct(
+        F.lit(0).alias("st"), F.lit(0).cast("long").alias("viol"),
+        F.lit(0).cast("long").alias("err"),
+    )
+
+    def step(acc, x):
+        et = x["event_type"]
+        st = acc["st"]
+        new_st = (
+            F.when((et == "purchase") & (st >= 2), F.lit(3))
+            .when((et == "view") | (et == "click"), F.greatest(st, F.lit(2)))
+            .when(et == "signup", F.greatest(st, F.lit(1)))
+            .otherwise(st)
+        )
+        viol = acc["viol"] + F.when(
+            (et == "purchase") & (st < 2), F.lit(1)
+        ).otherwise(F.lit(0)).cast("long")
+        err = acc["err"] + F.when(et == "error", F.lit(1)).otherwise(F.lit(0)).cast(
+            "long"
+        )
+        return F.struct(new_st.alias("st"), viol.alias("viol"), err.alias("err"))
+
+    folded = per_user.select(
+        "user_id",
+        F.size("seq").cast("long").alias("n_events"),
+        F.aggregate(F.col("seq"), init, step).alias("acc"),
+    )
+    state_name = (
+        F.when(F.col("acc.st") == 3, "converted")
+        .when(F.col("acc.st") == 2, "browsing")
+        .when(F.col("acc.st") == 1, "registered")
+        .otherwise("inactive")
+    )
+    return folded.select(
+        "user_id",
+        "n_events",
+        state_name.alias("final_state"),
+        F.col("acc.viol").alias("n_violations"),
+        F.col("acc.err").alias("n_errors"),
+    ).orderBy("user_id")
+
+
+# ------------------------------------------------ difference-in-differences
+_DID_CUT = "2024-01-16 00:00:00"
+
+
+@register(
+    "e_did_estimate",
+    oracle=f"""
+WITH cells AS (
+  SELECT {portable_hash64_sql("CAST(user_id AS VARCHAR)")} % 2 AS arm,
+         CASE WHEN ts >= TIMESTAMP '{_DID_CUT}' THEN 1 ELSE 0 END AS post,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events),
+s AS (SELECT arm, post, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS total
+      FROM cells GROUP BY arm, post),
+m AS (SELECT
+        MAX(CASE WHEN arm = 1 AND post = 1 THEN CAST(total AS DOUBLE) / n END) AS tp,
+        MAX(CASE WHEN arm = 1 AND post = 0 THEN CAST(total AS DOUBLE) / n END) AS tr,
+        MAX(CASE WHEN arm = 0 AND post = 1 THEN CAST(total AS DOUBLE) / n END) AS cp,
+        MAX(CASE WHEN arm = 0 AND post = 0 THEN CAST(total AS DOUBLE) / n END) AS cr,
+        CAST(SUM(n) AS BIGINT) AS n_events
+      FROM s)
+SELECT n_events,
+       FLOOR(tp / 100 * 1000000 + 0.5) / 1000000 AS treat_post_mean,
+       FLOOR(tr / 100 * 1000000 + 0.5) / 1000000 AS treat_pre_mean,
+       FLOOR(cp / 100 * 1000000 + 0.5) / 1000000 AS ctrl_post_mean,
+       FLOOR(cr / 100 * 1000000 + 0.5) / 1000000 AS ctrl_pre_mean,
+       FLOOR(((tp - tr) - (cp - cr)) / 100 * 1000000 + 0.5) / 1000000 AS did_estimate
+FROM m
+""",
+    doc="difference-in-differences estimate over the events stream: arms "
+    "by portable user hash, pre/post split at the CUPED cut, DiD = "
+    "(treat_post - treat_pre) - (ctrl_post - ctrl_pre) — the 2x2 causal "
+    "panel (Card & Krueger 1994 design) next to the platform's CUPED/"
+    "SRM guardrails.  Determinism: the four cell sums are exact cent "
+    "integers; every mean and the DiD derive in identical IEEE trees "
+    "with explicit floor-rounding.  Scale: one (arm, post)-keyed "
+    "partial-agg'd shuffle to a 4-row panel — the stream is scanned "
+    "once.",
+)
+def e_did_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    cells = ev.select(
+        (portable_hash64(F.col("user_id").cast("string")) % 2).alias("arm"),
+        F.when(F.col("ts") >= _DID_CUT, 1).otherwise(0).alias("post"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    s = cells.groupBy("arm", "post").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("total")
+    )
+    mean = F.col("total").cast("double") / F.col("n")
+    m = s.agg(
+        F.max(F.when((F.col("arm") == 1) & (F.col("post") == 1), mean)).alias("tp"),
+        F.max(F.when((F.col("arm") == 1) & (F.col("post") == 0), mean)).alias("tr"),
+        F.max(F.when((F.col("arm") == 0) & (F.col("post") == 1), mean)).alias("cp"),
+        F.max(F.when((F.col("arm") == 0) & (F.col("post") == 0), mean)).alias("cr"),
+        F.sum("n").alias("n_events"),
+    )
+    r6 = lambda c: F.floor(c / 100 * 1000000 + 0.5) / 1000000  # noqa: E731
+    return m.select(
+        "n_events",
+        r6(F.col("tp")).alias("treat_post_mean"),
+        r6(F.col("tr")).alias("treat_pre_mean"),
+        r6(F.col("cp")).alias("ctrl_post_mean"),
+        r6(F.col("cr")).alias("ctrl_pre_mean"),
+        r6((F.col("tp") - F.col("tr")) - (F.col("cp") - F.col("cr"))).alias(
+            "did_estimate"
+        ),
+    )

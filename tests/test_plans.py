@@ -314,6 +314,10 @@ CONTRACTS = {
     # KM: user-keyed lifetime agg + 1-row cutoff panel + single-row step
     # fold; the panel branches re-count the grouped scan statically
     "e_survival_curve": PlanExpectation(require_partial_agg=True, max_exchanges=10),
+    # flow conformance: ONE user-keyed shuffle + ordered fold + sort
+    "e_flow_conformance": PlanExpectation(require_partial_agg=True, max_exchanges=4),
+    # DiD: (arm, post) partial-agg'd rollup to a 4-row panel, then 1-row agg
+    "e_did_estimate": PlanExpectation(require_partial_agg=True, max_exchanges=4),
 }
 
 
