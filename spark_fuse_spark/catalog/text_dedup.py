@@ -27,6 +27,7 @@ from ..functions.text import (
     STOPWORDS,
 )
 from ..operators.dedup import (
+    containment_pairs,
     dedup_exact,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -357,6 +358,32 @@ def d_exact(spark: SparkSession, sf: str) -> DataFrame:
 )
 def d_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return ngram_jaccard_pairs(load_table(spark, sf, "documents"), k=3, threshold=0.5)
+
+
+@register(
+    "d_containment",
+    oracle=f"""
+WITH {_jaccard_cte(3, 0.0).split("exact AS")[0].rstrip().rstrip(",")},
+cont AS (
+  SELECT id_a, id_b, na, nb,
+         ROUND(shared / LEAST(na, nb), 6) AS containment
+  FROM pairs WHERE shared / LEAST(na, nb) >= 0.9)
+SELECT CASE WHEN na < nb OR (na = nb AND id_a < id_b) THEN id_a ELSE id_b END
+         AS id_contained,
+       CASE WHEN na < nb OR (na = nb AND id_a < id_b) THEN id_b ELSE id_a END
+         AS id_container,
+       containment
+FROM cont
+""",
+    doc="EXACT shingle-containment pairs >= 0.9 — the asymmetric dedup "
+    "companion to d_ngram_jaccard: a short doc embedded in a long one "
+    "has containment ~1 while its Jaccard is diluted below any usable "
+    "threshold by the union denominator.  Same inverted-index plan "
+    "(documents only meet on shared shingles); output orients each pair "
+    "as (contained, container) by distinct-shingle count.",
+)
+def d_containment(spark: SparkSession, sf: str) -> DataFrame:
+    return containment_pairs(load_table(spark, sf, "documents"), k=3, threshold=0.9)
 
 
 def _minhash_oracle(

@@ -40,6 +40,7 @@ from ..functions.text import doc_fingerprint, word_shingles
 __all__ = [
     "dedup_exact",
     "ngram_jaccard_pairs",
+    "containment_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash_signatures",
@@ -112,6 +113,58 @@ def ngram_jaccard_pairs(
         shared.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """EXACT shingle-containment pairs: |A∩B| / min(|A|,|B|) ≥ threshold.
+
+    The asymmetric companion to :func:`ngram_jaccard_pairs`: a short
+    document fully embedded in a long one has near-1 containment but a
+    Jaccard diluted by the union denominator below any usable threshold —
+    this is the quote/boilerplate/subset-dedup detector (the set-
+    similarity-join containment variant, cf. Broder 1997's resemblance
+    vs containment).  Same inverted-index plan as Jaccard: documents
+    only meet when they share a shingle; shuffle is keyed by 8-byte
+    shingle hashes.  Output: (id_contained, id_container, containment)
+    where the contained doc is the one with fewer distinct shingles
+    (ties break to the smaller id).
+    """
+    e = _exploded_shingles(df, text_col, id_col, k)
+    a = e.select(
+        F.col("__id").alias("id_a"), F.col("__n").alias("na"), F.col("__h").alias("__h")
+    )
+    b = e.select(
+        F.col("__id").alias("id_b"), F.col("__n").alias("nb"), F.col("__h").alias("__h")
+    )
+    shared = (
+        a.join(b, "__h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    cont = F.col("shared") / F.least(F.col("na"), F.col("nb"))
+    a_contained = (F.col("na") < F.col("nb")) | (
+        (F.col("na") == F.col("nb")) & (F.col("id_a") < F.col("id_b"))
+    )
+    return (
+        shared.withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select(
+            F.when(a_contained, F.col("id_a")).otherwise(F.col("id_b")).alias(
+                "id_contained"
+            ),
+            F.when(a_contained, F.col("id_b")).otherwise(F.col("id_a")).alias(
+                "id_container"
+            ),
+            F.round("containment", 6).alias("containment"),
+        )
     )
 
 

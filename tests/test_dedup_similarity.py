@@ -249,3 +249,31 @@ def test_contrastive_triplets_never_self_negative(spark, sf_small):
     for r in rows:
         assert r.negative_id != r.anchor_id
         assert r.positive_id != r.anchor_id
+
+
+def test_containment_catches_embedded_doc(spark):
+    """A short doc verbatim inside a long one: containment ~1 while its
+    Jaccard is diluted far below threshold by the union denominator."""
+    from spark_fuse_spark.operators.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = (
+        "intro words before the quote " + short + " and then a very long tail "
+        "of additional unrelated prose that keeps growing the shingle union "
+        "so the symmetric jaccard similarity drops well under one half"
+    )
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "entirely different content here today")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r.id_contained, r.id_container): r.containment
+        for r in containment_pairs(docs, k=3, threshold=0.9).collect()
+    }
+    assert cont[(1, 2)] == 1.0  # every shingle of the short doc is in the long
+    assert (1, 3) not in cont and (2, 3) not in cont
+    jac = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    }
+    assert (1, 2) not in jac  # the symmetric metric misses it
