@@ -1279,3 +1279,76 @@ def t_novelty(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_bucket")
     )
+
+
+@register(
+    "t_preference_pairs",
+    oracle=f"""
+WITH n AS (
+  SELECT doc_id, lang, text, CAST(length(text) AS DOUBLE) AS len,
+         {_TOKS.format(col="text")} AS toks
+  FROM documents),
+m AS (
+  SELECT doc_id, lang,
+    CASE WHEN len >= 50 AND len <= 20000 THEN 1.0 ELSE least(len / 50.0, 1.0) END AS length_ok,
+    (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) / greatest(length(text), 1)
+      + (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / greatest(length(text), 1)
+      AS noise,
+    len(list_filter(toks, tk -> list_contains({_sw_sql('en')}, tk))) / greatest(len(toks), 1)
+      AS swr
+  FROM n),
+q AS (SELECT doc_id, lang,
+             ROUND(length_ok * 0.4 + greatest(0.0, 1.0 - noise * 4) * 0.4
+                   + least(swr * 5, 1.0) * 0.2, 6) AS quality
+      FROM m),
+ranked AS (
+  SELECT doc_id, lang, quality,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id)
+              AS BIGINT) AS rk_top,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality ASC, doc_id)
+              AS BIGINT) AS rk_bot
+  FROM q)
+SELECT t.lang, t.rk_top AS pair_rank,
+       t.doc_id AS chosen_doc, b.doc_id AS rejected_doc,
+       ROUND(t.quality - b.quality, 6) AS quality_gap
+FROM ranked t JOIN ranked b ON t.lang = b.lang AND t.rk_top = b.rk_bot
+WHERE t.rk_top <= 8 AND t.quality > b.quality AND t.doc_id <> b.doc_id
+ORDER BY t.lang, pair_rank
+""",
+    doc="preference-pair construction (DPO/RLHF-style): per language, the "
+    "i-th HIGHEST-quality document is paired with the i-th LOWEST as "
+    "(chosen, rejected), i <= 8, keeping only pairs with a strictly "
+    "positive quality gap — the deterministic skeleton of preference-"
+    "dataset mining (ranks replace sampling so both engines agree "
+    "exactly).  Scale: quality is pure per-row codegen; both rank "
+    "windows partition by lang (never global); the pair join is "
+    "k-bounded per group.",
+)
+def t_preference_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", F.round(quality_score("text"), 6).alias("quality")
+    )
+    w_top = Window.partitionBy("lang").orderBy(F.col("quality").desc(), "doc_id")
+    w_bot = Window.partitionBy("lang").orderBy(F.col("quality").asc(), "doc_id")
+    ranked = d.select(
+        "doc_id", "lang", "quality",
+        F.row_number().over(w_top).cast("long").alias("rk_top"),
+        F.row_number().over(w_bot).cast("long").alias("rk_bot"),
+    )
+    t = ranked.select(
+        "lang", F.col("rk_top").alias("pair_rank"),
+        F.col("doc_id").alias("chosen_doc"), F.col("quality").alias("q_top"),
+    ).where(F.col("pair_rank") <= 8)
+    b = ranked.select(
+        "lang", F.col("rk_bot").alias("pair_rank"),
+        F.col("doc_id").alias("rejected_doc"), F.col("quality").alias("q_bot"),
+    )
+    return (
+        t.join(b, ["lang", "pair_rank"])
+        .where((F.col("q_top") > F.col("q_bot")) & (F.col("chosen_doc") != F.col("rejected_doc")))
+        .select(
+            "lang", "pair_rank", "chosen_doc", "rejected_doc",
+            F.round(F.col("q_top") - F.col("q_bot"), 6).alias("quality_gap"),
+        )
+        .orderBy("lang", "pair_rank")
+    )

@@ -318,6 +318,9 @@ CONTRACTS = {
     "e_flow_conformance": PlanExpectation(require_partial_agg=True, max_exchanges=4),
     # DiD: (arm, post) partial-agg'd rollup to a 4-row panel, then 1-row agg
     "e_did_estimate": PlanExpectation(require_partial_agg=True, max_exchanges=4),
+    # preference pairs: two lang-PARTITIONED rank windows (never global),
+    # k-bounded top/bottom join; the quality scan re-counts per branch
+    "t_preference_pairs": PlanExpectation(min_broadcast_joins=1, max_exchanges=8),
 }
 
 
