@@ -78,6 +78,10 @@ HEADLINE = [
     "q_ols_trend",
     "x_triangle_count",
     "v_kmeans_step",
+    # containment dedup, frontier BFS, and survival analytics
+    "d_containment",
+    "x_bfs_levels",
+    "e_survival_curve",
 ]
 
 
