@@ -56,6 +56,7 @@ _FORCE_TOTAL_ORDER = frozenset(
         "q_window_running_total", "v_ann_bruteforce", "v_sq8_topk",
         # no top-level Sort in the logical plan — order was incidental
         "d_embedding_neardup", "e_json_props", "m_binary_metadata",
+        "m_payload_neardup",
         "q06_forecast_revenue", "q14_promo_revenue", "q17_small_qty_revenue",
         "q_anti_join", "q_calendar_dim", "q_case_when_bands",
         "q_column_toolkit", "q_cross_join_small", "q_full_outer_join",

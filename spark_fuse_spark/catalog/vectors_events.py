@@ -864,3 +864,57 @@ def v_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "m_payload_neardup",
+    oracle="""
+WITH ch AS (
+  SELECT doc_id, ascii(c) % 60 AS b
+  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+  WHERE c <> ''),
+hist AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c FROM ch GROUP BY doc_id, b),
+tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM hist GROUP BY doc_id),
+corpus AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cb FROM hist GROUP BY b),
+nt AS (SELECT CAST(SUM(cb) AS BIGINT) AS ntot FROM corpus),
+sig AS (
+  SELECT hist.doc_id,
+         CAST(SUM(CASE WHEN CAST(hist.c AS HUGEINT) * nt.ntot
+                          > CAST(tot.n AS HUGEINT) * corpus.cb
+                       THEN (CAST(1 AS BIGINT) << hist.b) ELSE 0 END) AS BIGINT)
+           AS s
+  FROM hist JOIN tot ON hist.doc_id = tot.doc_id
+            JOIN corpus ON hist.b = corpus.b
+            CROSS JOIN nt
+  GROUP BY hist.doc_id),
+blocks AS (
+  SELECT doc_id, s, 0 AS blk, (((s >> 0) & 1) << 0) + (((s >> 4) & 1) << 1) + (((s >> 8) & 1) << 2) + (((s >> 12) & 1) << 3) + (((s >> 16) & 1) << 4) + (((s >> 20) & 1) << 5) + (((s >> 24) & 1) << 6) + (((s >> 28) & 1) << 7) + (((s >> 32) & 1) << 8) + (((s >> 36) & 1) << 9) + (((s >> 40) & 1) << 10) + (((s >> 44) & 1) << 11) + (((s >> 48) & 1) << 12) + (((s >> 52) & 1) << 13) + (((s >> 56) & 1) << 14) AS bv FROM sig
+  UNION ALL
+  SELECT doc_id, s, 1 AS blk, (((s >> 1) & 1) << 0) + (((s >> 5) & 1) << 1) + (((s >> 9) & 1) << 2) + (((s >> 13) & 1) << 3) + (((s >> 17) & 1) << 4) + (((s >> 21) & 1) << 5) + (((s >> 25) & 1) << 6) + (((s >> 29) & 1) << 7) + (((s >> 33) & 1) << 8) + (((s >> 37) & 1) << 9) + (((s >> 41) & 1) << 10) + (((s >> 45) & 1) << 11) + (((s >> 49) & 1) << 12) + (((s >> 53) & 1) << 13) + (((s >> 57) & 1) << 14) AS bv FROM sig
+  UNION ALL
+  SELECT doc_id, s, 2 AS blk, (((s >> 2) & 1) << 0) + (((s >> 6) & 1) << 1) + (((s >> 10) & 1) << 2) + (((s >> 14) & 1) << 3) + (((s >> 18) & 1) << 4) + (((s >> 22) & 1) << 5) + (((s >> 26) & 1) << 6) + (((s >> 30) & 1) << 7) + (((s >> 34) & 1) << 8) + (((s >> 38) & 1) << 9) + (((s >> 42) & 1) << 10) + (((s >> 46) & 1) << 11) + (((s >> 50) & 1) << 12) + (((s >> 54) & 1) << 13) + (((s >> 58) & 1) << 14) AS bv FROM sig
+  UNION ALL
+  SELECT doc_id, s, 3 AS blk, (((s >> 3) & 1) << 0) + (((s >> 7) & 1) << 1) + (((s >> 11) & 1) << 2) + (((s >> 15) & 1) << 3) + (((s >> 19) & 1) << 4) + (((s >> 23) & 1) << 5) + (((s >> 27) & 1) << 6) + (((s >> 31) & 1) << 7) + (((s >> 35) & 1) << 8) + (((s >> 39) & 1) << 9) + (((s >> 43) & 1) << 10) + (((s >> 47) & 1) << 11) + (((s >> 51) & 1) << 12) + (((s >> 55) & 1) << 13) + (((s >> 59) & 1) << 14) AS bv FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.bv = b.bv
+                              AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+""",
+    doc="multimodal near-dup detection over binary payloads: 60-bit "
+    "byte-histogram signature sign-quantized against the CORPUS "
+    "distribution (the aHash/pHash recipe, centered so the shared "
+    "language profile cancels — exact integer cross-multiply, 60-row "
+    "broadcast panel), 4x15-bit pigeonhole blocks (hamming <= 3 "
+    "cannot dirty all four), exact bit_count(xor) verify — dedup runs "
+    "BEFORE any decode, the ordering that makes image/audio dedup "
+    "affordable at corpus scale.  Pure Catalyst end-to-end; shuffle is "
+    "O(total bytes) skinny histogram rows, then O(docs x 4 blocks).",
+)
+def m_payload_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.multimodal import payload_signature_pairs
+
+    return payload_signature_pairs(
+        load_table(spark, sf, "documents"), max_hamming=3
+    )

@@ -37,6 +37,7 @@ from pyspark.sql.types import (
 
 __all__ = [
     "attach_binary_payload",
+    "payload_signature_pairs",
     "binary_metadata",
     "decode_media",
     "extract_features",
@@ -245,3 +246,105 @@ def sample_frames(df: DataFrame, stride: int = 2, max_frames: "int | None" = Non
     if max_frames is not None:
         out = out.where(F.col(index_col) < max_frames * stride)
     return out
+
+
+def payload_signature_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Perceptual-hash-style near-dup pairs over binary payloads.
+
+    The multimodal dedup member: a 60-bit signature from the payload's
+    byte-value histogram (bit b set iff bucket b is over-represented vs
+    the uniform expectation — sign quantization, the aHash/pHash recipe
+    applied to the distribution instead of pixels), then pigeonhole
+    block banding (4 x 15 bits: hamming <= 3 guarantees one identical
+    block) and an exact ``bit_count(xor)`` verify — the d_simhash
+    machinery pointed at payload bytes, so SAMPLING/DEDUP RUNS BEFORE
+    ANY DECODE (the scale-critical ordering for image/audio corpora).
+    Pure Catalyst: explode chars -> bucket counts -> one integer
+    signature per doc; shuffle is O(total bytes) skinny rows then
+    O(docs x 4 blocks).
+    """
+    chars = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.col(text_col), "")).alias("__ch"),
+    ).where(F.col("__ch") != "").select("__id", (F.ascii("__ch") % 60).alias("__b"))
+    hist = chars.groupBy("__id", "__b").agg(F.count(F.lit(1)).alias("__c"))
+    tot = hist.groupBy("__id").agg(F.sum("__c").alias("__n"))
+    # corpus profile: bit b is set iff the DOC's bucket share exceeds the
+    # CORPUS share (exact integer cross-multiply c*N > n*C in decimal so
+    # corpus-scale totals cannot overflow).  Centering on the corpus
+    # removes the common language letter profile — uniform-mean
+    # quantization sets near-identical bits for every natural-language
+    # doc (measured: 35k candidate pairs over 1k docs) while corpus
+    # centering leaves only doc-specific deviations.
+    corpus = hist.groupBy("__b").agg(F.sum("__c").alias("__cb"))
+    n_total = corpus.agg(F.sum("__cb").alias("__nt"))
+    bit_set = (F.col("__c").cast("decimal(38,0)") * F.col("__nt")) > (
+        F.col("__n").cast("decimal(38,0)") * F.col("__cb")
+    )
+    sig = (
+        hist.join(tot, "__id")
+        .join(F.broadcast(corpus), "__b")
+        .crossJoin(F.broadcast(n_total))
+        .groupBy("__id")
+        .agg(
+            F.sum(
+                F.when(
+                    bit_set,
+                    # shiftleft with a COLUMN bit position must go through
+                    # SQL (the python wrapper only takes int numBits)
+                    F.expr("shiftleft(cast(1 as bigint), __b)"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("__sig")
+        )
+    )
+    # INTERLEAVED block assignment (block i takes bits i, i+4, i+8, ...):
+    # contiguous 15-bit blocks collide catastrophically because byte
+    # buckets rare in the corpus yield bits that are 0 for every doc — a
+    # block covering only dead bits is constant and its band join becomes
+    # all-pairs (measured: C(n,2) candidates).  Striding mixes live and
+    # dead bits into every block, so each block retains discriminating
+    # entropy.  Pigeonhole still holds: 4 disjoint blocks, hamming <= 3
+    # leaves at least one block untouched.
+    def _interleaved_bv(sig_col, i: int):
+        bv = F.lit(0).cast("long")
+        for k in range(15):
+            bit = F.shiftright(sig_col, 4 * k + i).bitwiseAND(F.lit(1))
+            bv = bv + F.shiftleft(bit, k)
+        return bv
+
+    blocks = sig.select(
+        "__id",
+        "__sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    _interleaved_bv(F.col("__sig"), i).alias("bv"),
+                )
+                for i in range(4)
+            ])
+        ).alias("__blk"),
+    ).select("__id", "__sig", F.col("__blk.blk").alias("blk"), F.col("__blk.bv").alias("bv"))
+    a = blocks.select(
+        F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"), "blk", "bv"
+    )
+    b = blocks.select(
+        F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b"), "blk", "bv"
+    )
+    cand = (
+        a.join(b, ["blk", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.expr("sig_a ^ sig_b"))
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

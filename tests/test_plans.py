@@ -321,6 +321,10 @@ CONTRACTS = {
     # preference pairs: two lang-PARTITIONED rank windows (never global),
     # k-bounded top/bottom join; the quality scan re-counts per branch
     "t_preference_pairs": PlanExpectation(min_broadcast_joins=1, max_exchanges=8),
+    # payload neardup: corpus-centered signature + interleaved block band
+    # join; static explain replays the signature subtree under both band
+    # arms and the verify (runtime exchange reuse collapses them)
+    "m_payload_neardup": PlanExpectation(min_broadcast_joins=2, max_exchanges=52),
 }
 
 
@@ -407,6 +411,7 @@ NESTED_LOOP_OK = {
     "x_triangle_count": "1-row node/edge/wedge/triangle count panels crossed into the audit row",
     "x_bloom_join_prune": "1-row count panels crossed into the single pruning-audit row",
     "e_survival_curve": "1-row censoring-cutoff panel broadcast into the per-user lifetimes",
+    "m_payload_neardup": "1-row corpus-total panel crossed into the signature quantization",
     "t_contrastive_triplets": "1-row broadcast doc-count panel for the negative hash offset",
     "q_data_checks": "1-row broadcast row-count panels joined to the unique/ref check results",
     "x_zorder_layout": "1-row broadcast min/max lattice panel over the fact scan",

@@ -136,3 +136,22 @@ def test_kmeans_step_matches_numpy(spark):
         assert r.n_assigned == len(members)
         assert r.inertia_unit2 == pytest.approx(inertia / 1e12, abs=2e-6)
         assert r.centroid_shift == pytest.approx(shift, abs=2e-6)
+
+
+def test_payload_neardup_finds_shuffled_bytes(spark):
+    """Two payloads with the SAME byte multiset (shuffled order) are
+    byte-histogram twins (hamming 0); a different distribution is not."""
+    from spark_fuse_spark.operators.multimodal import payload_signature_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    shuffled = "".join(sorted(base))  # same multiset, different order
+    other = "zzzzqqqqxxxxjjjj1234567890!!!???" * 25
+    docs = spark.createDataFrame(
+        [(1, base), (2, shuffled), (3, other)], "doc_id long, text string"
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in payload_signature_pairs(docs, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
