@@ -623,3 +623,44 @@ def test_executed_metrics_sq8_corpus_never_shuffles(spark, sf_small):
     s = shuffle_summary(df)
     assert s["rows_scanned"] >= 500            # corpus (+ rerank re-scan)
     assert s["shuffle_records"] <= 1000        # top-k rows only
+
+
+def test_executed_metrics_containment_inverted_index(spark, sf_small):
+    """Measured contract for d_containment: the shuffle carries exploded
+    shingle-hash rows (O(total shingles), ~12 per scanned doc at this SF)
+    plus the grouped pair partials — NEVER the all-pairs matrix (which
+    would be ~500k records for 1k docs)."""
+    from spark_fuse_spark.plans import shuffle_summary
+
+    df = load_all()["d_containment"].spark(spark, sf_small)
+    df.collect()
+    s = shuffle_summary(df)
+    assert s["rows_scanned"] >= 500
+    assert 0 < s["shuffle_records"] < 30 * s["rows_scanned"]
+
+
+def test_executed_metrics_kmeans_step_broadcast_assignment(spark, sf_small):
+    """Measured contract for v_kmeans_step: the centroid panel broadcasts,
+    so shuffles carry only grouped partials over the skinny (vec, pos)
+    stream — bounded well below rows x K x dims (the naive assignment
+    shuffle would be 500 x 8 x 64 = 256k records)."""
+    from spark_fuse_spark.plans import shuffle_summary
+
+    df = load_all()["v_kmeans_step"].spark(spark, sf_small)
+    df.collect()
+    s = shuffle_summary(df)
+    assert s["rows_scanned"] >= 500
+    assert 0 < s["shuffle_records"] < 20_000
+
+
+def test_executed_metrics_payload_neardup_no_allpairs(spark, sf_small):
+    """Measured contract for m_payload_neardup: shuffle records are the
+    byte-histogram partials + banded candidates (~50 per scanned doc at
+    this SF), never the raw char stream (~500 chars/doc) nor all-pairs."""
+    from spark_fuse_spark.plans import shuffle_summary
+
+    df = load_all()["m_payload_neardup"].spark(spark, sf_small)
+    df.collect()
+    s = shuffle_summary(df)
+    assert s["rows_scanned"] >= 500
+    assert 0 < s["shuffle_records"] < 60 * s["rows_scanned"]
