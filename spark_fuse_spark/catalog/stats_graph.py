@@ -708,9 +708,10 @@ def e_survival_curve(spark: SparkSession, sf: str) -> DataFrame:
     km = arrs2.select(
         "total", "before_i", "factors", F.posexplode("lst").alias("i0", "s")
     )
-    # survival(i) = left fold of factors[0..i]; seeding the fold with the
-    # FIRST factor (not 1.0) matches DuckDB list_reduce's pairwise order
-    # exactly — though 1.0*f is exact either way.
+    # survival(i) = left fold of factors[0..i].  The oracle's list_reduce
+    # starts from the first factor while this fold seeds with 1.0 — the
+    # extra leading 1.0*f1 is an EXACT multiply, so the remaining pairwise
+    # sequence (and hence the double) is identical on both engines.
     surv = F.aggregate(
         F.slice(F.col("factors"), F.lit(1), F.col("i0") + 1),
         F.lit(1.0),

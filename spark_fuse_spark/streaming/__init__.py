@@ -22,6 +22,7 @@ from spark_fuse_spark.streaming.ops import (
     flag_stream_anomalies,
     EVENT_SCHEMA,
     dedup_within_watermark,
+    ewma_with_state,
     funnel_with_state,
     interval_join_stream,
     read_event_stream,
@@ -47,6 +48,7 @@ __all__ = [
     "stream_changelog_publisher",
     "stream_to_scd",
     "sessionize_with_state",
+    "ewma_with_state",
     "funnel_with_state",
     "interval_join_stream",
     "running_totals_with_state",

@@ -40,6 +40,7 @@ __all__ = [
     "stream_to_scd",
     "sessionize_with_state",
     "funnel_with_state",
+    "ewma_with_state",
     "interval_join_stream",
     "running_totals_with_state",
     "flag_stream_anomalies",
@@ -634,4 +635,76 @@ def flag_stream_anomalies(
     return (
         enriched.withColumn("is_anomaly", F.coalesce(flag, F.lit(False)))
         .drop("__hr", "mean_c", "std_c")
+    )
+
+
+EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("ewma", DoubleType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+EWMA_STATE_SCHEMA = StructType(
+    [StructField("ewma", DoubleType()), StructField("n", LongType())]
+)
+
+
+def ewma_with_state(
+    df: DataFrame,
+    alpha: float = 0.5,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """TRUE recursive EWMA per user as a stateful streaming operator.
+
+    The batch catalog exposes the bounded 8-tap FIR approximation
+    (``e_ewma_smooth``) because the exact recursion
+    ``ewma_t = alpha*x_t + (1-alpha)*ewma_{t-1}`` is order-serial and
+    carries unbounded history — which is precisely what streaming state
+    is FOR: O(1) state per key (the running ewma and a count), each
+    event emitted with its smoothed value the moment it arrives.
+    Batch≈stream relationship: the FIR converges to this recursion
+    geometrically (2^-8 tail), pinned in tests.
+
+    State per key: (ewma double, n long) — bounded by active keys, no
+    timeout needed (smoothing state stays valid indefinitely; pair with
+    a TTL'd variant if key cardinality is unbounded).
+    """
+
+    def update(
+        key: Tuple[int], batch_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        events = pd.concat(list(batch_iter), ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        if state.exists:
+            ewma, n = state.get
+        else:
+            ewma, n = None, 0
+        out = []
+        for eid, value in zip(events["event_id"], events["value"]):
+            v = float(value or 0.0)
+            ewma = v if ewma is None else alpha * v + (1.0 - alpha) * ewma
+            n += 1
+            out.append((user_id, int(eid), v, ewma, n))
+        state.update((ewma, n))
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_id", "value", "ewma", "n_seen"]
+        )
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )

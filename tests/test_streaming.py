@@ -369,3 +369,63 @@ def test_flag_stream_anomalies_equals_batch(spark, event_dir):
     # the profile is small and hour-bounded: every event got a verdict
     assert len(got) == batch.count()
     q.stop()
+
+
+def test_ewma_with_state_carries_across_batches(spark, tmp_path):
+    """The stateful recursion continues across micro-batches: batch 2's
+    first smoothed value folds batch 1's final state, matching a python
+    replay of the full sequence."""
+    src = str(tmp_path / "ewma_events")
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    batch1 = [
+        (1, base, 7, "click", 10.0, None),
+        (2, base + dt.timedelta(seconds=10), 7, "click", 20.0, None),
+    ]
+    batch2 = [
+        (3, base + dt.timedelta(seconds=20), 7, "click", 40.0, None),
+        (4, base + dt.timedelta(seconds=5), 9, "view", 8.0, None),
+    ]
+    spark.createDataFrame(batch1, st.EVENT_SCHEMA).coalesce(1).write.parquet(src)
+    stream = st.ewma_with_state(st.read_event_stream(spark, src), alpha=0.5)
+    q = _run_stream(stream, "t_ewma1", "append")
+    q.stop()
+    spark.createDataFrame(batch2, st.EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    # restartable: same checkpoint-free memory sink reprocesses all files,
+    # so just run a fresh query over both files in ONE pass and check the
+    # full-sequence recursion; then verify the two-batch path via state by
+    # streaming with maxFilesPerTrigger=1 (one micro-batch per file).
+    one_per_trigger = spark.readStream.schema(st.EVENT_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q2 = _run_stream(st.ewma_with_state(one_per_trigger, alpha=0.5), "t_ewma2", "append")
+    out = {r.event_id: r for r in spark.sql("select * from t_ewma2").collect()}
+    q2.stop()
+    # python replay for user 7: 10 -> .5*20+.5*10=15 -> .5*40+.5*15=27.5
+    assert out[1].ewma == pytest.approx(10.0)
+    assert out[2].ewma == pytest.approx(15.0)
+    assert out[3].ewma == pytest.approx(27.5)
+    assert out[3].n_seen == 3  # state carried across micro-batches
+    assert out[4].ewma == pytest.approx(8.0)  # independent key
+
+
+def test_ewma_fir_converges_to_recursion():
+    """Pin the batch-FIR ≈ streaming-recursion claim: after the 8-tap
+    horizon, the truncated normalized FIR differs from the exact
+    recursion by at most the 2^-8 geometric tail times the value range."""
+    import random
+
+    rng = random.Random(7)
+    xs = [rng.uniform(0, 100) for _ in range(200)]
+    alpha = 0.5
+    rec = None
+    max_err = 0.0
+    for t, x in enumerate(xs):
+        rec = x if rec is None else alpha * x + (1 - alpha) * rec
+        taps = xs[max(0, t - 7): t + 1][::-1]
+        num = sum(v * 0.5**j for j, v in enumerate(taps))
+        den = sum(0.5**j for j in range(len(taps)))
+        if t >= 8:
+            max_err = max(max_err, abs(num / den - rec))
+    assert max_err <= (0.5**8) * 100 * 2
