@@ -1,0 +1,76 @@
+"""Property pins for the stats/graph suite: brute-force equivalence on
+randomized small graphs and estimator-shape invariants on the real data."""
+from __future__ import annotations
+
+import itertools
+import tempfile
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as hst
+
+from spark_fuse_spark.catalog import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=hst.sets(
+        hst.tuples(hst.integers(1, 7), hst.integers(1, 7)).filter(lambda p: p[0] < p[1]),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_triangle_count_equals_bruteforce(spark, edges):
+    """Degree-oriented wedge closure == itertools brute force on random
+    graphs of ≤7 nodes (each edge encoded as two co-purchase orders so it
+    survives the support-2 filter)."""
+    rows = []
+    order = 100
+    for u, v in sorted(edges):
+        for _ in range(2):
+            rows.append((order, u)); rows.append((order, v)); order += 1
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    nodes = sorted({n for e in edges for n in e})
+    eset = set(edges)
+    expected = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/lineitem.parquet")
+        out = load_all()["x_triangle_count"].spark(spark, d).collect()[0]
+    assert out.triangles == expected
+    assert out.edges == len(edges)
+
+
+def test_survival_curve_shape_invariants(spark):
+    """Kaplan-Meier invariants: survival in (0,1], strictly decreasing
+    across churn steps; n_risk strictly decreasing; d <= n everywhere."""
+    rows = load_all()["e_survival_curve"].spark(spark, SF).collect()
+    assert rows, "no churn steps at sf0.001?"
+    prev_s, prev_n = 1.0 + 1e-9, None
+    for r in rows:
+        assert 0 < r.survival < prev_s
+        assert r.n_churned <= r.n_risk
+        if prev_n is not None:
+            assert r.n_risk < prev_n
+        prev_s, prev_n = r.survival, r.n_risk
+
+
+def test_flow_conformance_counter_invariants(spark):
+    """State-machine outputs are internally consistent on the real data:
+    violations+conversions bounded by events; converted implies a prior
+    browse event existed."""
+    rows = load_all()["e_flow_conformance"].spark(spark, SF).collect()
+    assert rows
+    assert any(r.final_state == "converted" for r in rows)
+    for r in rows:
+        assert r.n_violations + r.n_errors <= r.n_events
+        assert r.final_state in {"inactive", "registered", "browsing", "converted"}
