@@ -902,3 +902,109 @@ def e_did_estimate(spark: SparkSession, sf: str) -> DataFrame:
             "did_estimate"
         ),
     )
+
+
+# ------------------------------------------- mergeable histogram quantiles
+_HQ_BINS = 256
+
+
+@register(
+    "x_histogram_quantiles",
+    oracle=f"""
+WITH span AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders),
+b AS (
+  SELECT o_orderstatus AS status,
+         LEAST({_HQ_BINS - 1},
+               CAST(FLOOR((o_totalprice - span.lo) / (span.hi - span.lo)
+                          * {_HQ_BINS}) AS BIGINT)) AS bin
+  FROM orders, span),
+h AS (SELECT status, bin, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY status, bin),
+n AS (SELECT status, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY status),
+cum AS (
+  SELECT h.status, h.bin, h.c, n.n,
+         CAST(SUM(h.c) OVER (PARTITION BY h.status ORDER BY h.bin) AS BIGINT) AS cc
+  FROM h JOIN n ON h.status = n.status),
+qs AS (SELECT * FROM (VALUES (0.5), (0.95)) v(q)),
+hit AS (
+  SELECT status, q, bin,
+         ROW_NUMBER() OVER (PARTITION BY status, q ORDER BY bin) AS rk
+  FROM cum CROSS JOIN qs WHERE cc >= q * n),
+est AS (
+  SELECT h.status, h.q,
+         span.lo + (h.bin + 0.5) * (span.hi - span.lo) / {_HQ_BINS} AS est
+  FROM hit h, span WHERE h.rk = 1),
+exact AS (
+  SELECT o_orderstatus AS status,
+         ROUND(quantile_cont(o_totalprice, 0.5), 2) AS x50,
+         ROUND(quantile_cont(o_totalprice, 0.95), 2) AS x95
+  FROM orders GROUP BY o_orderstatus)
+SELECT e.status, e.q AS quantile,
+       FLOOR(e.est * 100 + 0.5) / 100 AS histogram_estimate,
+       CASE WHEN e.q = 0.5 THEN x.x50 ELSE x.x95 END AS exact_value,
+       FLOOR(ABS(e.est - CASE WHEN e.q = 0.5 THEN x.x50 ELSE x.x95 END)
+             * 100 + 0.5) / 100 AS abs_err
+FROM est e JOIN exact x ON e.status = x.status
+ORDER BY e.status, e.q
+""",
+    doc="mergeable equi-width histogram quantiles WITH an in-engine error "
+    "audit: one min/max panel, one (status, bin) partial-agg'd count "
+    "table (256 bins — commutative, mergeable across shards/days, the "
+    "way percentiles survive 100 TB without a global sort), bin-midpoint "
+    "estimates for p50/p95, and the exact `percentile` twin computed in "
+    "the SAME query so the approximation error is part of the audited "
+    "output (the d_lsh_recall_audit pattern applied to quantiles).  All "
+    "windows partition by (status[, q]) over <= 256 bin rows.",
+)
+def x_histogram_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    span = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    b = o.crossJoin(F.broadcast(span)).select(
+        F.col("o_orderstatus").alias("status"),
+        F.least(
+            F.lit(_HQ_BINS - 1),
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * _HQ_BINS
+            ),
+        ).alias("bin"),
+    )
+    h = b.groupBy("status", "bin").agg(F.count("*").alias("c"))
+    n = h.groupBy("status").agg(F.sum("c").alias("n"))
+    w_cum = Window.partitionBy("status").orderBy("bin")
+    cum = h.join(n, "status").select(
+        "status", "bin", "c", "n", F.sum("c").over(w_cum).alias("cc")
+    )
+    qs = spark.createDataFrame([(0.5,), (0.95,)], "q double")
+    w_hit = Window.partitionBy("status", "q").orderBy("bin")
+    hit = (
+        cum.crossJoin(F.broadcast(qs))
+        .where(F.col("cc") >= F.col("q") * F.col("n"))
+        .select("status", "q", "bin", F.row_number().over(w_hit).alias("rk"))
+        .where(F.col("rk") == 1)
+    )
+    est = hit.crossJoin(F.broadcast(span)).select(
+        "status",
+        "q",
+        (
+            F.col("lo") + (F.col("bin") + 0.5) * (F.col("hi") - F.col("lo")) / _HQ_BINS
+        ).alias("est"),
+    )
+    exact = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("x50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 2).alias("x95"),
+    )
+    xval = F.when(F.col("q") == 0.5, F.col("x50")).otherwise(F.col("x95"))
+    return (
+        est.join(exact, "status")
+        .select(
+            "status",
+            F.col("q").alias("quantile"),
+            (F.floor(F.col("est") * 100 + 0.5) / 100).alias("histogram_estimate"),
+            xval.alias("exact_value"),
+            (F.floor(F.abs(F.col("est") - xval) * 100 + 0.5) / 100).alias("abs_err"),
+        )
+        .orderBy("status", "quantile")
+    )

@@ -325,6 +325,12 @@ CONTRACTS = {
     # join; static explain replays the signature subtree under both band
     # arms and the verify (runtime exchange reuse collapses them)
     "m_payload_neardup": PlanExpectation(min_broadcast_joins=2, max_exchanges=52),
+    # histogram quantiles: span/quantile panels broadcast; (status, bin)
+    # partial-agg'd counts; all windows partition by status[, q] over
+    # <= 256 bin rows; static replays the scan under est/exact branches
+    "x_histogram_quantiles": PlanExpectation(
+        min_broadcast_joins=2, require_partial_agg=True, max_exchanges=30
+    ),
 }
 
 
@@ -412,6 +418,7 @@ NESTED_LOOP_OK = {
     "x_bloom_join_prune": "1-row count panels crossed into the single pruning-audit row",
     "e_survival_curve": "1-row censoring-cutoff panel broadcast into the per-user lifetimes",
     "m_payload_neardup": "1-row corpus-total panel crossed into the signature quantization",
+    "x_histogram_quantiles": "1-row min/max span panel + 2-row quantile panel crossed into binning",
     "t_contrastive_triplets": "1-row broadcast doc-count panel for the negative hash offset",
     "q_data_checks": "1-row broadcast row-count panels joined to the unique/ref check results",
     "x_zorder_layout": "1-row broadcast min/max lattice panel over the fact scan",
