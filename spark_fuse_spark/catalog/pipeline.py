@@ -1125,3 +1125,94 @@ def t_decontam_spans(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.timeseries import apply_span_cuts
 
     return apply_span_cuts(train, regions).orderBy("doc_id")
+
+
+@register(
+    "d_cluster_survivorship",
+    oracle=f"""
+WITH RECURSIVE {_jaccard_cte(3, 0.5)},
+edges AS (SELECT id_a AS u, id_b AS v FROM exact
+          UNION SELECT id_b, id_a FROM exact),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+labels AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+           FROM reach GROUP BY u),
+nq AS (
+  SELECT doc_id, CAST(length(text) AS DOUBLE) AS len, text,
+         {_TOKS.format(col="text")} AS toks
+  FROM documents),
+mq AS (
+  SELECT doc_id,
+    CASE WHEN len >= 50 AND len <= 20000 THEN 1.0 ELSE least(len / 50.0, 1.0) END AS length_ok,
+    (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) / greatest(length(text), 1)
+      + (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / greatest(length(text), 1)
+      AS noise,
+    len(list_filter(toks, tk -> list_contains({_sw_sql('en')}, tk))) / greatest(len(toks), 1)
+      AS swr
+  FROM nq),
+q AS (SELECT doc_id,
+             ROUND(length_ok * 0.4 + greatest(0.0, 1.0 - noise * 4) * 0.4
+                   + least(swr * 5, 1.0) * 0.2, 6) AS quality
+      FROM mq),
+members AS (
+  SELECT l.cluster_id, l.doc_id, q.quality
+  FROM labels l JOIN q ON l.doc_id = q.doc_id),
+ranked AS (
+  SELECT cluster_id, doc_id, quality,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY quality DESC, doc_id) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+         CAST(MIN(doc_id) OVER (PARTITION BY cluster_id) AS BIGINT) AS min_doc_id
+  FROM members)
+SELECT cluster_id, cluster_size,
+       doc_id AS rep_doc_id, quality AS rep_quality, min_doc_id
+FROM ranked WHERE rk = 1
+ORDER BY cluster_id
+""",
+    doc="duplicate-cluster SURVIVORSHIP: instead of keeping the min-id "
+    "canonical doc (d_dedup_clusters), keep the HIGHEST-QUALITY member "
+    "of each near-dup cluster (quality-desc, doc_id tie-break) — the "
+    "policy real corpus builds use so dedup doesn't systematically keep "
+    "the worst copy.  Composes the CC cluster machinery with the "
+    "quality-score operator; the oracle replays the closure recursively "
+    "and ranks with the identical quality formula.  Scale: clusters come "
+    "from the star-contraction CC (2 node-keyed shuffles/round); the "
+    "rank window partitions by cluster_id; only multi-member clusters "
+    "reach the output.",
+)
+def d_cluster_survivorship(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import quality_score
+    from ..operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    clusters = dedup_clusters(docs, pairs, broadcast_labels=True).where(
+        F.col("cluster_size") >= 2
+    )
+    q = docs.select("doc_id", F.round(quality_score("text"), 6).alias("quality"))
+    members = clusters.select("cluster_id", "doc_id").join(q, "doc_id")
+    w_rank = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), "doc_id"
+    )
+    w_clu = Window.partitionBy("cluster_id")
+    return (
+        members.select(
+            "cluster_id",
+            "doc_id",
+            "quality",
+            F.row_number().over(w_rank).alias("rk"),
+            F.count("*").over(w_clu).cast("long").alias("cluster_size"),
+            F.min("doc_id").over(w_clu).cast("long").alias("min_doc_id"),
+        )
+        .where(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            "cluster_size",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("quality").alias("rep_quality"),
+            "min_doc_id",
+        )
+        .orderBy("cluster_id")
+    )

@@ -331,6 +331,9 @@ CONTRACTS = {
     "x_histogram_quantiles": PlanExpectation(
         min_broadcast_joins=2, require_partial_agg=True, max_exchanges=30
     ),
+    # survivorship: CC labels checkpointed + broadcast back; quality join
+    # broadcast; rank/size windows partition by cluster_id
+    "d_cluster_survivorship": PlanExpectation(min_broadcast_joins=1, max_exchanges=12),
 }
 
 
