@@ -26,6 +26,11 @@ catalog did not yet cover.
 * ``x_bfs_levels`` — frontier BFS from hub seeds, recursive-CTE oracle.
 * ``e_survival_curve`` — Kaplan-Meier product-limit estimator with an
   order-pinned factor fold.
+* ``e_flow_conformance`` — funnel state machine folded per user; the
+  oracle is an independent cumulative-window formulation.
+* ``e_did_estimate`` — difference-in-differences 2x2 causal panel.
+* ``x_histogram_quantiles`` — mergeable 256-bin quantiles with the
+  exact-percentile error audit in the same query.
 
 No reference counterpart: these extend the curation/analytics surface
 beyond `/root/reference` (which has no relational query layer at all);
