@@ -429,3 +429,38 @@ def test_ewma_fir_converges_to_recursion():
         if t >= 8:
             max_err = max(max_err, abs(num / den - rec))
     assert max_err <= (0.5**8) * 100 * 2
+
+
+def test_histogram_bins_merge_across_microbatches(spark, event_dir):
+    """The mergeable-bin property behind x_histogram_quantiles, proven in
+    streaming: per-micro-batch (bin) counts summed across an arbitrary
+    file split equal the one-shot batch histogram — late or reordered
+    shards just ADD, which is why histogram quantiles survive streaming
+    and 100 TB sharding where exact percentiles cannot."""
+    from pyspark.sql import functions as F
+
+    batch = spark.read.parquet(event_dir)
+    lo, hi = batch.agg(F.min("value"), F.max("value")).first()
+    bin_of = F.least(F.lit(255), F.floor((F.col("value") - lo) / (hi - lo) * 256))
+    expected = {
+        r.bin: r.c
+        for r in batch.groupBy(bin_of.alias("bin")).agg(F.count("*").alias("c")).collect()
+    }
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)  # one micro-batch per shard
+        .parquet(event_dir)
+        .groupBy(bin_of.alias("bin"))
+        .agg(F.count("*").alias("c"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_bins")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.bin: r.c for r in spark.sql("select * from t_bins").collect()}
+    q.stop()
+    assert got == expected
