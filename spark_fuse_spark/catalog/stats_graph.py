@@ -1013,3 +1013,78 @@ def x_histogram_quantiles(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("status", "quantile")
     )
+
+
+# ------------------------------------------------- rolling N-day retention
+_RET_DAYS = 7
+
+
+@register(
+    "e_rolling_retention",
+    oracle=f"""
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+ret AS (
+  SELECT DISTINCT a.user_id, a.day
+  FROM days a JOIN days b
+    ON a.user_id = b.user_id
+   AND b.day > a.day
+   AND b.day <= a.day + INTERVAL {_RET_DAYS} DAY)
+SELECT CAST(d.day AS VARCHAR) AS day,
+       CAST(COUNT(*) AS BIGINT) AS active_users,
+       CAST(COUNT(r.user_id) AS BIGINT) AS retained_users,
+       FLOOR(CAST(COUNT(r.user_id) AS DOUBLE) / COUNT(*) * 1000000 + 0.5)
+         / 1000000 AS retention_rate
+FROM days d LEFT JOIN ret r ON d.user_id = r.user_id AND d.day = r.day
+GROUP BY d.day
+ORDER BY day
+""",
+    doc="rolling N-day retention: for every calendar day, the fraction of "
+    "that day's active users who return within the next 7 days — the "
+    "product-metric companion to cohort retention (e_retention tracks "
+    "fixed signup cohorts; this tracks a sliding window over ALL active "
+    "users).  Semantics via a user-keyed day self-join with a bounded "
+    "date-range predicate — never a per-user window over unbounded "
+    "history.  Determinism: day grain is exact; counts are integers; "
+    "one floor-rounded division per output row.  Scale: distinct "
+    "(user, day) is one partial-agg'd shuffle; the range self-join is "
+    "user-keyed equi-join with a 7-day bounded band; final rollup is "
+    "day-keyed.",
+)
+def e_rolling_retention(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    a, b = days.alias("a"), days.alias("b")
+    ret = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.day") > F.col("a.day"))
+            & (F.col("b.day") <= F.date_add(F.col("a.day"), _RET_DAYS)),
+        )
+        .select(F.col("a.user_id").alias("user_id"), F.col("a.day").alias("day"))
+        .distinct()
+        .withColumn("retained", F.lit(1))
+    )
+    return (
+        days.join(ret, ["user_id", "day"], "left")
+        .groupBy(F.col("day").cast("string").alias("day"))
+        .agg(
+            F.count("*").alias("active_users"),
+            F.count("retained").alias("retained_users"),
+        )
+        .select(
+            "day",
+            "active_users",
+            "retained_users",
+            (
+                F.floor(
+                    F.col("retained_users").cast("double")
+                    / F.col("active_users")
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000
+            ).alias("retention_rate"),
+        )
+        .orderBy("day")
+    )

@@ -334,6 +334,10 @@ CONTRACTS = {
     # survivorship: CC labels checkpointed + broadcast back; quality join
     # broadcast; rank/size windows partition by cluster_id
     "d_cluster_survivorship": PlanExpectation(min_broadcast_joins=1, max_exchanges=12),
+    # rolling retention: distinct (user, day) partial-agg'd, user-keyed
+    # banded self-join, day-keyed rollup; static re-counts the distinct
+    # subtree under both join arms
+    "e_rolling_retention": PlanExpectation(require_partial_agg=True, max_exchanges=12),
 }
 
 
