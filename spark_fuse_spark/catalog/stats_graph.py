@@ -1088,3 +1088,76 @@ def e_rolling_retention(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ------------------------------------------------- experiment power panel
+_PW_CUT = "2024-01-16 00:00:00"  # the CUPED pre-period cut
+
+
+@register(
+    "e_power_analysis",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '{_PW_CUT}'
+                       THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS x
+  FROM events GROUP BY user_id),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx
+      FROM u),
+m AS (SELECT n,
+             CAST(sx AS DOUBLE) / n AS mean_c,
+             (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+               / (n - 1) AS var_c
+      FROM s)
+SELECT n AS n_users,
+       FLOOR(mean_c / 100 * 10000 + 0.5) / 10000 AS mean_dollars,
+       FLOOR(var_c / 10000 * 10000 + 0.5) / 10000 AS var_dollars2,
+       FLOOR(mean_c * 0.05 / 100 * 10000 + 0.5) / 10000 AS mde_dollars,
+       CAST(CEIL(16.0 * var_c / ((mean_c * 0.05) * (mean_c * 0.05))) AS BIGINT)
+         AS n_required_per_arm,
+       (CAST(CEIL(16.0 * var_c / ((mean_c * 0.05) * (mean_c * 0.05))) AS BIGINT)
+          <= n / 2) AS adequately_powered
+FROM m
+""",
+    doc="experiment power analysis from the pre-period spend panel: "
+    "per-user exact cent sums -> sample variance -> required n per arm "
+    "for a 5% MDE via the 16*sigma^2/delta^2 rule (two-sided alpha .05, "
+    "power .8 — van Belle's rule of thumb), plus whether the current "
+    "user base could power the test.  Completes the experimentation "
+    "family (e_srm_check guards allocation, e_cuped_adjust shrinks "
+    "variance, e_did_estimate reads the effect — this sizes the test "
+    "BEFORE it runs).  Determinism: the two moments are exact integers; "
+    "the IEEE tail is identical both engines with explicit rounding.  "
+    "Scale: one user-keyed partial-agg'd shuffle to a 1-row panel.",
+)
+def e_power_analysis(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    v = F.round(F.col("value") * 100).cast("long")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < _PW_CUT, v).otherwise(F.lit(0))).alias("x")
+    )
+    s = u.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+    )
+    n = F.col("n")
+    mean_c = F.col("sx").cast("double") / n
+    var_c = (
+        F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double") / n
+    ) / (n - 1)
+    m = s.select(n.alias("n"), mean_c.alias("mean_c"), var_c.alias("var_c"))
+    req = F.ceil(16.0 * F.col("var_c") / ((F.col("mean_c") * 0.05) * (F.col("mean_c") * 0.05))).cast("long")
+    return m.select(
+        F.col("n").alias("n_users"),
+        (F.floor(F.col("mean_c") / 100 * 10000 + 0.5) / 10000).alias("mean_dollars"),
+        (F.floor(F.col("var_c") / 10000 * 10000 + 0.5) / 10000).alias("var_dollars2"),
+        (F.floor(F.col("mean_c") * 0.05 / 100 * 10000 + 0.5) / 10000).alias(
+            "mde_dollars"
+        ),
+        req.alias("n_required_per_arm"),
+        (req <= F.col("n") / 2).alias("adequately_powered"),
+    )

@@ -338,6 +338,8 @@ CONTRACTS = {
     # banded self-join, day-keyed rollup; static re-counts the distinct
     # subtree under both join arms
     "e_rolling_retention": PlanExpectation(require_partial_agg=True, max_exchanges=12),
+    # power panel: one user-keyed partial-agg'd shuffle to a 1-row panel
+    "e_power_analysis": PlanExpectation(require_partial_agg=True, max_exchanges=3),
 }
 
 
