@@ -340,6 +340,11 @@ CONTRACTS = {
     "e_rolling_retention": PlanExpectation(require_partial_agg=True, max_exchanges=12),
     # power panel: one user-keyed partial-agg'd shuffle to a 1-row panel
     "e_power_analysis": PlanExpectation(require_partial_agg=True, max_exchanges=3),
+    # BQ: 8-query word panel broadcast over one corpus code scan; only
+    # |Q| x 50 candidates join back to full vectors (both joins broadcast)
+    "v_bq_topk": PlanExpectation(
+        min_broadcast_joins=3, require_partial_agg=True, max_exchanges=20
+    ),
 }
 
 
@@ -428,6 +433,7 @@ NESTED_LOOP_OK = {
     "e_survival_curve": "1-row censoring-cutoff panel broadcast into the per-user lifetimes",
     "m_payload_neardup": "1-row corpus-total panel crossed into the signature quantization",
     "x_histogram_quantiles": "1-row min/max span panel + 2-row quantile panel crossed into binning",
+    "v_bq_topk": "8-row query word panel crossed over the corpus code scan",
     "t_contrastive_triplets": "1-row broadcast doc-count panel for the negative hash offset",
     "q_data_checks": "1-row broadcast row-count panels joined to the unique/ref check results",
     "x_zorder_layout": "1-row broadcast min/max lattice panel over the fact scan",
