@@ -82,6 +82,8 @@ HEADLINE = [
     "d_containment",
     "x_bfs_levels",
     "e_survival_curve",
+    # binary-quantization ANN (completes the BQ/SQ8/PQ/Matryoshka ladder)
+    "v_bq_topk",
 ]
 
 

@@ -31,6 +31,10 @@ catalog did not yet cover.
 * ``e_did_estimate`` — difference-in-differences 2x2 causal panel.
 * ``x_histogram_quantiles`` — mergeable 256-bin quantiles with the
   exact-percentile error audit in the same query.
+* ``e_rolling_retention`` — per-day 7-day return rate via a user-keyed
+  banded self-join.
+* ``e_power_analysis`` — experiment sizing from exact pre-period
+  moments (16σ²/δ² rule).
 
 No reference counterpart: these extend the curation/analytics surface
 beyond `/root/reference` (which has no relational query layer at all);
