@@ -67,7 +67,7 @@ s AS (
   SELECT n_name,
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(x) AS BIGINT) AS sx,
-         CAST(SUM(y) AS BIGINT) AS sy,
+         SUM(CAST(y AS DECIMAL(38,0))) AS sy,
          CAST(SUM(x * x) AS BIGINT) AS sxx,
          SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy
   FROM pts GROUP BY n_name),
@@ -112,7 +112,10 @@ def q_ols_trend(spark: SparkSession, sf: str) -> DataFrame:
     s = pts.groupBy("n_name").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
+        # the cent sum rides DECIMAL(38): a 100 TB orders table times
+        # ~5e7 max cents is past signed-64, and non-ANSI Spark would
+        # wrap a long sum SILENTLY
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
     )
@@ -663,7 +666,11 @@ ORDER BY duration_hours
     "sequence), so the double is bit-identical before floor-rounding.  "
     "Scale: one user-keyed partial-agg'd shuffle, then the step panel "
     "(bounded by distinct lifetime hours) folds in a SINGLE row — no "
-    "global window, no per-subject state beyond the grouped agg.",
+    "global window, no per-subject state beyond the grouped agg.  The "
+    "prefix computation is O(k^2) in the panel size k; at hour grain "
+    "k stays in the thousands for year-long spans — coarsen the "
+    "duration grain (days/weeks) as observation spans grow so the "
+    "panel, not the corpus, stays the bounded object.",
 )
 def e_survival_curve(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
