@@ -897,7 +897,11 @@ def e_did_estimate(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     s = cells.groupBy("arm", "post").agg(
-        F.count("*").alias("n"), F.sum("cents").alias("total")
+        F.count("*").alias("n"),
+        # DECIMAL(38) so a corpus-scale cell sum cannot wrap a long
+        # silently under non-ANSI Spark (DuckDB's SUM already rides
+        # HUGEINT internally)
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("total"),
     )
     mean = F.col("total").cast("double") / F.col("n")
     m = s.agg(
