@@ -2272,9 +2272,9 @@ WITH u AS (
   FROM events GROUP BY user_id),
 s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-             SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
-             SUM(CAST(y * y AS DECIMAL(38,0))) AS syy,
-             SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
       FROM u),
 m AS (SELECT n,
              (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1) AS var_x,
@@ -2316,9 +2316,12 @@ def e_cuped(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
-        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        # cast BEFORE the multiply: a whale user's squared cent sum can
+        # pass signed-64 on its own, and long*long wraps pre-cast under
+        # non-ANSI Spark (the oracle's HUGEINT multiply is the twin)
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
     )
     n = F.col("n")
     var_x = (F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double") / n) / (n - 1)

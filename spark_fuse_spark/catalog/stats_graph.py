@@ -428,8 +428,8 @@ upd AS (SELECT a.cid, ex.pos,
         FROM assign a JOIN ex ON a.vec_id = ex.vec_id
         GROUP BY a.cid, ex.pos),
 shift AS (SELECT u.cid, MAX(u.n) AS n_assigned,
-                 SUM(CAST((u.sx - u.n * c.cx) * (u.sx - u.n * c.cx)
-                     AS DECIMAL(38,0))) AS s2num
+                 SUM(CAST(u.sx - u.n * c.cx AS HUGEINT)
+                     * (u.sx - u.n * c.cx)) AS s2num
           FROM upd u JOIN cx c ON u.cid = c.cid AND u.pos = c.pos
           GROUP BY u.cid),
 inert AS (SELECT cid, SUM(d2) AS inertia FROM assign GROUP BY cid)
@@ -496,13 +496,16 @@ def v_kmeans_step(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("cid", "pos")
         .agg(F.sum("x").alias("sx"), F.count("*").alias("n"))
     )
-    diff = F.col("sx") - F.col("n") * F.col("cx")
+    diff = (F.col("sx") - F.col("n") * F.col("cx")).cast("decimal(38,0)")
     shift = (
         upd.join(F.broadcast(cx), ["cid", "pos"])
         .groupBy("cid")
         .agg(
             F.max("n").alias("n_assigned"),
-            F.sum((diff * diff).cast("decimal(38,0)")).alias("s2num"),
+            # the diff is cast to DECIMAL(38) BEFORE squaring — a big
+            # cluster's (sx - n*cx) alone can near signed-64, and the
+            # long square would wrap pre-cast
+            F.sum(diff * diff).alias("s2num"),
         )
     )
     inert = assign.groupBy("cid").agg(F.sum("d2").alias("inertia"))
@@ -1119,8 +1122,8 @@ WITH u AS (
               AS BIGINT) AS x
   FROM events GROUP BY user_id),
 s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(x) AS BIGINT) AS sx,
-             SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx
+             SUM(CAST(x AS HUGEINT)) AS sx,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx
       FROM u),
 m AS (SELECT n,
              CAST(sx AS DOUBLE) / n AS mean_c,
@@ -1156,8 +1159,10 @@ def e_power_analysis(spark: SparkSession, sf: str) -> DataFrame:
     )
     s = u.agg(
         F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        # cast BEFORE the multiply: a whale user's squared cent sum can
+        # pass signed-64 on its own, and long*long wraps pre-cast
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
     )
     n = F.col("n")
     mean_c = F.col("sx").cast("double") / n
