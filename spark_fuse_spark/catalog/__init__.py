@@ -46,7 +46,7 @@ _FORCE_TOTAL_ORDER = frozenset(
         # tie-ambiguous natural order observed at sf0.01 (grouped/windowed/
         # set-op results)
         "c_scd2_snapshot", "d_containment", "d_dedup_exact", "d_jaccard_prefix",
-        "d_minhash_lsh", "d_ngram_jaccard",
+        "d_minhash_bbit", "d_minhash_lsh", "d_ngram_jaccard",
         "d_simhash", "e_first_event_dedup", "e_session_window",
         "e_sliding_window", "e_tumbling_window", "q_asof_join",
         "q_count_distinct", "q_cube", "q_dedup_keep_latest", "q_except",

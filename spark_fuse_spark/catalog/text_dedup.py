@@ -1352,3 +1352,66 @@ def t_preference_pairs(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang", "pair_rank")
     )
+
+
+def _bbit_oracle(k: int, num_hashes: int, bands: int, threshold: float, seed: int) -> str:
+    coeffs = minhash_coefficients(num_hashes, seed)
+    r = num_hashes // bands
+    mins = ",\n".join(
+        f"  MIN(CAST((CAST(h AS HUGEINT) * {a} + {b}) % {MERSENNE_P} AS BIGINT)) % 4 AS b{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {i} AS band, "
+        + ", ".join(f"b{i * r + j} AS v{j}" for j in range(r))
+        + " FROM sig"
+        for i in range(bands)
+    )
+    band_eq = " AND ".join(f"a.v{j} = b.v{j}" for j in range(r))
+    agree = " + ".join(
+        f"CASE WHEN sa.b{i} = sb.b{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+WITH {_jaccard_cte(k, threshold)},
+hs AS (SELECT doc_id, {portable_hash64_sql('s')} AS h
+       FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+sig AS (SELECT doc_id,
+{mins}
+FROM hs GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b ON a.band = b.band AND {band_eq}
+                                   AND a.doc_id < b.doc_id),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         ROUND(GREATEST(0.0,
+           (CAST(({agree}) AS DOUBLE) / {num_hashes} - 0.25) / 0.75), 6)
+           AS bbit_estimate
+  FROM cand c JOIN sig sa ON c.id_a = sa.doc_id
+              JOIN sig sb ON c.id_b = sb.doc_id)
+SELECT s.id_a, s.id_b, s.bbit_estimate, e.jaccard
+FROM scored s JOIN exact e ON s.id_a = e.id_a AND s.id_b = e.id_b
+"""
+
+
+@register(
+    "d_minhash_bbit",
+    oracle=_bbit_oracle(k=3, num_hashes=30, bands=6, threshold=0.5, seed=42),
+    doc="b-bit MinHash near-dup pairs (b = 2, Li & Koenig 2010): keep only "
+    "the low 2 bits of each of 30 permutation minima — the whole "
+    "signature fits in 60 bits, an 8x memory cut over full minima, "
+    "which at corpus scale keeps the dedup index in memory.  Banded "
+    "candidates (6 bands x 5 b-bit rows) admit extra chance collisions "
+    "(1/4 per value); exact Jaccard verifies them away, and every "
+    "output pair carries BOTH the bias-corrected b-bit estimate "
+    "(s_hat = (agree - 1/4)/(3/4)) and the exact Jaccard so the "
+    "compression error is auditable per pair.  The oracle replays the "
+    "identical portable-hash permutation family in SQL.",
+)
+def d_bbit(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.dedup import bbit_minhash_pairs
+
+    docs = load_table(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return bbit_minhash_pairs(docs, k=3, num_hashes=30, bands=6, threshold=0.5, seed=42)

