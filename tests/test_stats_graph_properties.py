@@ -74,3 +74,76 @@ def test_flow_conformance_counter_invariants(spark):
     for r in rows:
         assert r.n_violations + r.n_errors <= r.n_events
         assert r.final_state in {"inactive", "registered", "browsing", "converted"}
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=hst.lists(
+        hst.lists(hst.sampled_from("abcdefgh"), min_size=5, max_size=30).map(
+            lambda cs: " ".join(cs)
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_containment_equals_python_bruteforce(spark, texts):
+    """containment_pairs == a python set computation over distinct
+    3-shingles on random word sequences."""
+    from spark_fuse_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.id_contained, r.id_container): r.containment
+        for r in containment_pairs(docs, k=3, threshold=0.5).collect()
+    }
+
+    def shingles(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sh = {i: shingles(t) for i, t in enumerate(texts)}
+    expected = {}
+    for a in sh:
+        for b in sh:
+            if a >= b or not sh[a] or not sh[b]:
+                continue
+            inter = len(sh[a] & sh[b])
+            cont = inter / min(len(sh[a]), len(sh[b]))
+            if cont >= 0.5:
+                contained, container = (
+                    (a, b)
+                    if (len(sh[a]), a) <= (len(sh[b]), b)
+                    else (b, a)
+                )
+                expected[(contained, container)] = round(cont, 6)
+    assert got == pytest.approx(expected)
+
+
+def test_histogram_quantile_error_bounded_by_bin_width(spark):
+    """The bin-midpoint estimate can miss the exact quantile by at most
+    one bin width (the exact value lies in or adjacent to the hit bin)."""
+    import duckdb
+
+    rows = load_all()["x_histogram_quantiles"].spark(spark, SF).collect()
+    lo, hi = duckdb.sql(
+        f"SELECT MIN(o_totalprice), MAX(o_totalprice) "
+        f"FROM read_parquet('{SF}/orders.parquet')"
+    ).fetchone()
+    bin_width = (hi - lo) / 256
+    assert rows
+    for r in rows:
+        assert r.abs_err <= bin_width, (r, bin_width)
+
+
+def test_rolling_retention_invariants(spark):
+    rows = load_all()["e_rolling_retention"].spark(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.retained_users <= r.active_users
+        assert 0 <= r.retention_rate <= 1
