@@ -1181,3 +1181,114 @@ def e_power_analysis(spark: SparkSession, sf: str) -> DataFrame:
         req.alias("n_required_per_arm"),
         (req <= F.col("n") / 2).alias("adequately_powered"),
     )
+
+
+# ------------------------------------------------- revenue concentration
+@register(
+    "q_revenue_concentration",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey AS custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT custkey, cents,
+         CAST(ROW_NUMBER() OVER (ORDER BY cents, custkey) - 1 AS BIGINT) AS rank0
+  FROM spend),
+panel AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(cents) AS BIGINT) AS total FROM spend),
+dec AS (
+  SELECT CAST(FLOOR(r.rank0 * 10 / p.n) AS BIGINT) AS decile,
+         CAST(COUNT(*) AS BIGINT) AS customers,
+         CAST(SUM(r.cents) AS BIGINT) AS revenue_cents
+  FROM ranked r, panel p GROUP BY 1),
+cum AS (
+  SELECT d1.decile, d1.customers, d1.revenue_cents,
+         CAST(SUM(d2.revenue_cents) AS BIGINT) AS cum_cents
+  FROM dec d1 JOIN dec d2 ON d2.decile <= d1.decile
+  GROUP BY d1.decile, d1.customers, d1.revenue_cents)
+SELECT c.decile, c.customers,
+       FLOOR(CAST(c.revenue_cents AS DOUBLE) / p.total * 1000000 + 0.5)
+         / 1000000 AS revenue_share,
+       FLOOR(CAST(c.cum_cents AS DOUBLE) / p.total * 1000000 + 0.5)
+         / 1000000 AS cumulative_share
+FROM cum c, panel p
+ORDER BY decile
+""",
+    doc="revenue concentration (Lorenz deciles): customers ranked by "
+    "exact lifetime cents ascending, cut into deciles, each with its "
+    "revenue share and the cumulative (Lorenz-curve) share — the "
+    "whale-analysis panel behind Gini/Pareto dashboards.  The global "
+    "rank rides the repo's two-phase distributed prefix machinery "
+    "(operators/packing.with_prefix_sum: range partition + parallel "
+    "local windows + bounded per-partition offsets) — NEVER a "
+    "single-partition row_number over the customer table — and the "
+    "cumulative share is a triangular self-join over the 10 decile "
+    "rows, not a window.  Rank ties break on custkey via a fixed-width "
+    "zero-padded sort key, identical to the oracle's (cents, custkey) "
+    "window order.",
+)
+def q_revenue_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.packing import with_prefix_sum
+
+    spend = (
+        load_table(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    # fixed-width zero-padded (cents, custkey) string: lexicographic
+    # order == numeric order for non-negative fixed-width fields, and
+    # with_prefix_sum needs ONE unique range-partitionable order column
+    okey = F.concat(
+        F.lpad(F.col("cents").cast("string"), 15, "0"),
+        F.lit("-"),
+        F.lpad(F.col("custkey").cast("string"), 12, "0"),
+    )
+    ranked = with_prefix_sum(
+        spend.withColumn("__okey", okey).withColumn("__one", F.lit(1)),
+        order_col="__okey",
+        value_col="__one",
+        out_col="rank0",
+    )
+    panel = spend.agg(
+        F.count("*").alias("n"), F.sum("cents").alias("total")
+    )
+    dec = (
+        ranked.crossJoin(F.broadcast(panel))
+        .groupBy(F.floor(F.col("rank0") * 10 / F.col("n")).alias("decile"))
+        .agg(
+            F.count("*").alias("customers"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+    d1, d2 = dec.alias("d1"), dec.alias("d2")
+    cum = (
+        d1.join(F.broadcast(d2), F.col("d2.decile") <= F.col("d1.decile"))
+        .groupBy(
+            F.col("d1.decile").alias("decile"),
+            F.col("d1.customers").alias("customers"),
+            F.col("d1.revenue_cents").alias("revenue_cents"),
+        )
+        .agg(F.sum(F.col("d2.revenue_cents")).alias("cum_cents"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(panel))
+        .select(
+            "decile",
+            "customers",
+            (
+                F.floor(
+                    F.col("revenue_cents").cast("double") / F.col("total") * 1000000
+                    + 0.5
+                )
+                / 1000000
+            ).alias("revenue_share"),
+            (
+                F.floor(
+                    F.col("cum_cents").cast("double") / F.col("total") * 1000000 + 0.5
+                )
+                / 1000000
+            ).alias("cumulative_share"),
+        )
+        .orderBy("decile")
+    )

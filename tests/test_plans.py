@@ -349,6 +349,13 @@ CONTRACTS = {
     # plan re-counts the persisted shingle subtree under the signature,
     # estimate, and verify branches
     "d_minhash_bbit": PlanExpectation(require_partial_agg=True, max_exchanges=28),
+    # Lorenz deciles: two-phase prefix rank (range partition + local
+    # windows + bounded offsets broadcast) + 10-row triangular self-join;
+    # static explain re-counts the spend rollup under the rank/panel/
+    # decile branches (runtime exchange reuse collapses them)
+    "q_revenue_concentration": PlanExpectation(
+        min_broadcast_joins=2, require_partial_agg=True, max_exchanges=58
+    ),
 }
 
 
@@ -438,6 +445,7 @@ NESTED_LOOP_OK = {
     "m_payload_neardup": "1-row corpus-total panel crossed into the signature quantization",
     "x_histogram_quantiles": "1-row min/max span panel + 2-row quantile panel crossed into binning",
     "v_bq_topk": "8-row query word panel crossed over the corpus code scan",
+    "q_revenue_concentration": "1-row n/total panel crossed into decile cut and shares",
     "t_contrastive_triplets": "1-row broadcast doc-count panel for the negative hash offset",
     "q_data_checks": "1-row broadcast row-count panels joined to the unique/ref check results",
     "x_zorder_layout": "1-row broadcast min/max lattice panel over the fact scan",

@@ -147,3 +147,17 @@ def test_rolling_retention_invariants(spark):
     for r in rows:
         assert 0 <= r.retained_users <= r.active_users
         assert 0 <= r.retention_rate <= 1
+
+
+def test_revenue_concentration_lorenz_invariants(spark):
+    """Lorenz-curve invariants: deciles 0..9 ascending, shares sum to ~1,
+    cumulative share monotone and convex-ish (top decile's share is the
+    largest since customers are ranked ascending by spend)."""
+    rows = load_all()["q_revenue_concentration"].spark(spark, SF).collect()
+    assert [r.decile for r in rows] == list(range(10))
+    assert abs(sum(r.revenue_share for r in rows) - 1.0) < 1e-4
+    cums = [r.cumulative_share for r in rows]
+    assert all(b > a for a, b in zip(cums, cums[1:]))
+    assert abs(cums[-1] - 1.0) < 1e-5
+    shares = [r.revenue_share for r in rows]
+    assert shares[-1] == max(shares)
