@@ -84,6 +84,9 @@ HEADLINE = [
     "e_survival_curve",
     # binary-quantization ANN (completes the BQ/SQ8/PQ/Matryoshka ladder)
     "v_bq_topk",
+    # compressed-signature dedup + distributed-prefix econometrics
+    "d_minhash_bbit",
+    "q_revenue_concentration",
 ]
 
 
