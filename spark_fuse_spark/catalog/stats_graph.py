@@ -35,6 +35,18 @@ catalog did not yet cover.
   banded self-join.
 * ``e_power_analysis`` — experiment sizing from exact pre-period
   moments (16σ²/δ² rule).
+* ``q_revenue_concentration`` — Lorenz-decile revenue shares on the
+  two-phase distributed prefix rank.
+* ``e_bootstrap_ci`` — Poisson-bootstrap confidence intervals: B
+  deterministic hash-drawn Poisson(1) weights per record, replicate
+  means by map-side partial aggregation (never a materialized
+  resample).
+* ``q_chi2_independence`` — chi-square independence test + Cramér's V
+  from one contingency reduce.
+* ``x_kmv_sketch`` — k-minimum-values distinct sketch per group with
+  an in-query exact-count audit (salted two-phase bottom-k).
+* ``q_corr_matrix`` — pairwise Pearson correlations from one scan's
+  exact integer moment panel.
 
 No reference counterpart: these extend the curation/analytics surface
 beyond `/root/reference` (which has no relational query layer at all);
@@ -1292,3 +1304,482 @@ def q_revenue_concentration(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ------------------------------------------------- Poisson bootstrap CI
+# Poisson(1) inverse-CDF thresholds on the portable 60-bit hash scale:
+# _POIS_T[k] = floor(CDF(k) * 2^60), so `h < _POIS_T[k]` <=> `draw <= k`
+# for a hash uniform on [0, 2^60).  Identical integer literals on both
+# engines make the per-record bootstrap weights exactly reproducible.
+_POIS_T = [
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+    1152236456152946176,
+    1152825534095764608,
+    1152909688087595776,
+]
+_BOOT_B = 32  # bootstrap replicates
+
+
+def _pois_case_sql(h_expr: str) -> str:
+    arms = "\n".join(
+        f"       WHEN {h_expr} < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    return f"CASE\n{arms}\n       ELSE 8 END"
+
+
+@register(
+    "e_bootstrap_ci",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders),
+reps AS (SELECT unnest(range(0, {_BOOT_B})) AS b),
+drawn AS (
+  SELECT o_orderpriority, b, y,
+         {_pois_case_sql(portable_hash64_sql(
+             "CAST(o_orderkey AS VARCHAR) || '|' || CAST(b AS VARCHAR)"))} AS w
+  FROM base CROSS JOIN reps),
+rep_means AS (
+  SELECT o_orderpriority, b,
+         CAST(SUM(CAST(w * y AS DECIMAL(38,0))) AS DOUBLE)
+           / CAST(SUM(w) AS BIGINT) AS mean_b
+  FROM drawn GROUP BY o_orderpriority, b),
+boot AS (
+  SELECT o_orderpriority,
+         AVG(mean_b) AS boot_mean,
+         STDDEV_SAMP(mean_b) AS boot_se
+  FROM rep_means GROUP BY o_orderpriority),
+point AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*) AS est
+  FROM base GROUP BY o_orderpriority)
+SELECT p.o_orderpriority,
+       p.n_orders,
+       FLOOR(p.est / 100 * 10000 + 0.5) / 10000 AS est_mean_dollars,
+       FLOOR(b.boot_se / 100 * 10000 + 0.5) / 10000 AS boot_se_dollars,
+       FLOOR((p.est - 1.96 * b.boot_se) / 100 * 10000 + 0.5) / 10000 AS ci_lo_dollars,
+       FLOOR((p.est + 1.96 * b.boot_se) / 100 * 10000 + 0.5) / 10000 AS ci_hi_dollars
+FROM point p JOIN boot b ON p.o_orderpriority = b.o_orderpriority
+ORDER BY p.o_orderpriority
+""",
+    doc="Poisson-bootstrap confidence interval for mean order value per "
+    "priority — THE resampling shape that scales: instead of "
+    "materializing B resampled copies of the corpus, every record draws "
+    "B independent Poisson(1) weights from a deterministic 60-bit hash "
+    "of (orderkey, replicate) and contributes w*y to each replicate's "
+    "weighted mean (Chamandy et al., 'Estimating Uncertainty for "
+    "Massive Data Streams', Google 2012).  Scale: the x32 posexplode is "
+    "map-side and immediately partial-aggregated, so the shuffle "
+    "carries exactly B rows per (priority, partition) — never the "
+    "corpus; replicate means are exact DECIMAL cent-sums over exact "
+    "integer weights, so partial-agg order cannot move them; the final "
+    "normal-approximation CI derives from 32-value panels.  "
+    "Determinism: weights come from integer threshold compares on the "
+    "portable hash (Poisson inverse-CDF thresholds pre-scaled to the "
+    "hash range as integer literals), identical in DuckDB.",
+)
+def e_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
+    base = load_table(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+    )
+    drawn = base.select(
+        "o_orderpriority",
+        "y",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        F.col("o_orderkey"),
+    )
+    h = portable_hash64(
+        F.concat_ws(
+            "|", F.col("o_orderkey").cast("string"), F.col("b").cast("string")
+        )
+    )
+    w = F.lit(8)
+    for k in range(len(_POIS_T) - 1, -1, -1):
+        w = F.when(h < F.lit(_POIS_T[k]), F.lit(k)).otherwise(w)
+    rep_means = (
+        drawn.withColumn("w", w)
+        .groupBy("o_orderpriority", "b")
+        .agg(
+            F.sum((F.col("w") * F.col("y")).cast("decimal(38,0)")).alias("swy"),
+            F.sum("w").alias("sw"),
+        )
+        .select(
+            "o_orderpriority",
+            "b",
+            (F.col("swy").cast("double") / F.col("sw")).alias("mean_b"),
+        )
+    )
+    boot = rep_means.groupBy("o_orderpriority").agg(
+        F.avg("mean_b").alias("boot_mean"),
+        F.stddev_samp("mean_b").alias("boot_se"),
+    )
+    point = base.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        (F.sum(F.col("y").cast("decimal(38,0)")).cast("double") / F.count("*")).alias(
+            "est"
+        ),
+    )
+    dollars = lambda c: F.floor(c / 100 * 10000 + 0.5) / 10000  # noqa: E731
+    return (
+        point.join(F.broadcast(boot), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            dollars(F.col("est")).alias("est_mean_dollars"),
+            dollars(F.col("boot_se")).alias("boot_se_dollars"),
+            dollars(F.col("est") - 1.96 * F.col("boot_se")).alias("ci_lo_dollars"),
+            dollars(F.col("est") + 1.96 * F.col("boot_se")).alias("ci_hi_dollars"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------- chi-square independence
+@register(
+    "q_chi2_independence",
+    oracle="""
+WITH cells AS (
+  SELECT o_orderpriority AS r, o_orderstatus AS c,
+         CAST(COUNT(*) AS BIGINT) AS obs
+  FROM orders GROUP BY o_orderpriority, o_orderstatus),
+rowtot AS (SELECT r, CAST(SUM(obs) AS BIGINT) AS rt FROM cells GROUP BY r),
+coltot AS (SELECT c, CAST(SUM(obs) AS BIGINT) AS ct FROM cells GROUP BY c),
+tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_cells FROM cells),
+grid AS (SELECT rowtot.r, rowtot.rt, coltot.c, coltot.ct
+         FROM rowtot CROSS JOIN coltot),
+terms AS (
+  SELECT COALESCE(cells.obs, 0) AS obs,
+         CAST(grid.rt AS DOUBLE) * grid.ct / tot.n AS exp
+  FROM grid LEFT JOIN cells ON grid.r = cells.r AND grid.c = cells.c
+            CROSS JOIN tot),
+panel AS (
+  SELECT CAST(SUM((obs - exp) * (obs - exp) / exp) AS DOUBLE) AS chi2
+  FROM terms),
+dims AS (
+  SELECT CAST(COUNT(DISTINCT r) AS BIGINT) AS r_levels,
+         CAST(COUNT(DISTINCT c) AS BIGINT) AS c_levels
+  FROM cells)
+SELECT t.n AS n_rows,
+       t.n_cells,
+       d.r_levels,
+       d.c_levels,
+       (d.r_levels - 1) * (d.c_levels - 1) AS dof,
+       FLOOR(p.chi2 * 10000 + 0.5) / 10000 AS chi2,
+       FLOOR(SQRT(p.chi2 / (t.n * CAST(LEAST(d.r_levels, d.c_levels) - 1 AS DOUBLE)))
+             * 1000000 + 0.5) / 1000000 AS cramers_v
+FROM panel p CROSS JOIN tot t CROSS JOIN dims d
+""",
+    doc="chi-square test of independence between order priority and "
+    "order status, plus Cramér's V effect size — the categorical-drift "
+    "check a data-quality gate runs between corpus snapshots.  Scale: "
+    "ONE partial-aggregated shuffle reduces the fact table to the "
+    "R x C contingency cells (structurally tiny: distinct priorities x "
+    "statuses); margins, expected counts, the chi-square sum, and the "
+    "dof/effect-size panel all derive from that cell table via "
+    "broadcast joins of one-row panels — the fact is scanned once and "
+    "nothing downstream grows with data volume.  The full R x C grid "
+    "is rebuilt from the margins and left-joined to the observed "
+    "cells, so combinations that never occur still contribute their "
+    "expected count (the textbook statistic).  Determinism: observed "
+    "counts and margins are exact integers; expected counts and the "
+    "15-term chi-square sum are IEEE-identical expression trees on "
+    "both engines, floor-rounded at the published grain.  The cell "
+    "frame is localCheckpointed: four consumers (margins x2, total, "
+    "dims) would otherwise each replicate the fact scan.",
+)
+def q_chi2_independence(spark: SparkSession, sf: str) -> DataFrame:
+    cells = (
+        load_table(spark, sf, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("r"), F.col("o_orderstatus").alias("c")
+        )
+        .agg(F.count("*").alias("obs"))
+        .localCheckpoint()
+    )
+    rowtot = cells.groupBy("r").agg(F.sum("obs").alias("rt"))
+    coltot = cells.groupBy("c").agg(F.sum("obs").alias("ct"))
+    tot = cells.agg(
+        F.sum("obs").alias("n"), F.count("*").alias("n_cells")
+    )
+    dims = cells.agg(
+        F.countDistinct("r").alias("r_levels"),
+        F.countDistinct("c").alias("c_levels"),
+    )
+    grid = rowtot.crossJoin(F.broadcast(coltot))
+    terms = (
+        grid.join(F.broadcast(cells), ["r", "c"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.coalesce(F.col("obs"), F.lit(0)).alias("obs"),
+            (F.col("rt").cast("double") * F.col("ct") / F.col("n")).alias("exp"),
+        )
+    )
+    panel = terms.agg(
+        F.sum(
+            (F.col("obs") - F.col("exp"))
+            * (F.col("obs") - F.col("exp"))
+            / F.col("exp")
+        )
+        .cast("double")
+        .alias("chi2")
+    )
+    return (
+        panel.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            F.col("n").alias("n_rows"),
+            "n_cells",
+            "r_levels",
+            "c_levels",
+            ((F.col("r_levels") - 1) * (F.col("c_levels") - 1)).alias("dof"),
+            (F.floor(F.col("chi2") * 10000 + 0.5) / 10000).alias("chi2"),
+            (
+                F.floor(
+                    F.sqrt(
+                        F.col("chi2")
+                        / (
+                            F.col("n")
+                            * (F.least("r_levels", "c_levels") - 1).cast("double")
+                        )
+                    )
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000
+            ).alias("cramers_v"),
+        )
+    )
+
+
+# ------------------------------------------------- KMV distinct sketch
+_KMV_K = 64
+_KMV_SALT = 64
+_HASH_SPACE = 1 << 60
+
+
+@register(
+    "x_kmv_sketch",
+    oracle=f"""
+WITH dist AS (
+  SELECT DISTINCT o_orderpriority,
+         {portable_hash64_sql("CAST(o_custkey AS VARCHAR)")} AS h
+  FROM orders),
+exact AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+  FROM dist GROUP BY o_orderpriority),
+ranked AS (
+  SELECT o_orderpriority, h,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+  FROM dist),
+kth AS (
+  SELECT o_orderpriority, h AS kth_min
+  FROM ranked WHERE rn = {_KMV_K})
+SELECT e.o_orderpriority,
+       e.exact_distinct,
+       CASE WHEN k.kth_min IS NULL THEN e.exact_distinct
+            ELSE CAST(FLOOR({_KMV_K - 1}.0 * {_HASH_SPACE}.0 / k.kth_min)
+                      AS BIGINT) END AS kmv_estimate,
+       FLOOR(ABS(CAST(CASE WHEN k.kth_min IS NULL THEN e.exact_distinct
+                           ELSE CAST(FLOOR({_KMV_K - 1}.0 * {_HASH_SPACE}.0
+                                           / k.kth_min) AS BIGINT) END
+                      AS DOUBLE) - e.exact_distinct)
+             / e.exact_distinct * 10000 + 0.5) / 100 AS rel_err_pct
+FROM exact e LEFT JOIN kth k ON e.o_orderpriority = k.o_orderpriority
+ORDER BY e.o_orderpriority
+""",
+    doc="KMV (k-minimum-values) distinct-count sketch per order "
+    "priority, audited against the exact count in the same query — the "
+    "mergeable bottom-k sketch behind Theta/HLL-style cardinality "
+    "pipelines (Bar-Yossef et al. 2002; estimate (k-1) * H / h_(k) on "
+    "a 60-bit hash space).  Scale: the distinct (priority, hash) frame "
+    "is a partial-aggregated dedup shuffle; the k smallest hashes per "
+    "group are found with the salted two-phase top-k — a row_number "
+    "window per (priority, hash mod 64) salt slice (each sees 1/64th "
+    "of the group), then a second window over the <= 64*64-row "
+    "candidate set — never one task per whole group.  The sketch is "
+    "trivially mergeable (union of bottom-k sets -> bottom-k), which "
+    "is what makes it the right cross-shard distinct estimator at "
+    "100 TB.  Determinism: integer hashes, integer rank ties "
+    "impossible (hashes are distinct by construction), and the "
+    "estimate derives from exact integers through an IEEE-identical "
+    "double tree.  Groups with fewer than k distinct values fall back "
+    "to the exact count (the sketch holds them all), matching the "
+    "textbook estimator.",
+)
+def x_kmv_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    dist = (
+        load_table(spark, sf, "orders")
+        .select(
+            "o_orderpriority",
+            portable_hash64(F.col("o_custkey").cast("string")).alias("h"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    exact = dist.groupBy("o_orderpriority").agg(
+        F.count("*").alias("exact_distinct")
+    )
+    w_salt = Window.partitionBy(
+        "o_orderpriority", F.pmod(F.col("h"), F.lit(_KMV_SALT))
+    ).orderBy("h")
+    candidates = (
+        dist.withColumn("rn1", F.row_number().over(w_salt))
+        .where(F.col("rn1") <= _KMV_K)
+        .drop("rn1")
+    )
+    w_group = Window.partitionBy("o_orderpriority").orderBy("h")
+    kth = (
+        candidates.withColumn("rn", F.row_number().over(w_group))
+        .where(F.col("rn") == _KMV_K)
+        .select("o_orderpriority", F.col("h").alias("kth_min"))
+    )
+    est = F.when(
+        F.col("kth_min").isNull(), F.col("exact_distinct")
+    ).otherwise(
+        F.floor(
+            F.lit(float(_KMV_K - 1)) * F.lit(float(_HASH_SPACE)) / F.col("kth_min")
+        ).cast("long")
+    )
+    return (
+        exact.join(F.broadcast(kth), "o_orderpriority", "left")
+        .select(
+            "o_orderpriority",
+            "exact_distinct",
+            est.alias("kmv_estimate"),
+            (
+                F.floor(
+                    F.abs(est.cast("double") - F.col("exact_distinct"))
+                    / F.col("exact_distinct")
+                    * 10000
+                    + 0.5
+                )
+                / 100
+            ).alias("rel_err_pct"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ------------------------------------------------- correlation matrix
+@register(
+    "q_corr_matrix",
+    oracle="""
+WITH pts AS (
+  SELECT CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y,
+         CAST(ROUND(l_discount * 10000) AS BIGINT) AS z
+  FROM lineitem),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+         CAST(SUM(z) AS BIGINT) AS sz,
+         SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+         SUM(CAST(y * y AS DECIMAL(38,0))) AS syy,
+         SUM(CAST(z * z AS DECIMAL(38,0))) AS szz,
+         SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+         SUM(CAST(x * z AS DECIMAL(38,0))) AS sxz,
+         SUM(CAST(y * z AS DECIMAL(38,0))) AS syz
+  FROM pts),
+d AS (
+  SELECT n,
+         CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+         CAST(sz AS DOUBLE) AS sz, CAST(sxx AS DOUBLE) AS sxx,
+         CAST(syy AS DOUBLE) AS syy, CAST(szz AS DOUBLE) AS szz,
+         CAST(sxy AS DOUBLE) AS sxy, CAST(sxz AS DOUBLE) AS sxz,
+         CAST(syz AS DOUBLE) AS syz
+  FROM m)
+SELECT pair, n AS n_rows,
+       FLOOR(corr_r * 1000000 + 0.5) / 1000000 AS corr_r
+FROM (
+  SELECT 'quantity~extendedprice' AS pair, n,
+         (n * sxy - sx * sy)
+           / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_r
+  FROM d
+  UNION ALL
+  SELECT 'quantity~discount', n,
+         (n * sxz - sx * sz)
+           / SQRT((n * sxx - sx * sx) * (n * szz - sz * sz))
+  FROM d
+  UNION ALL
+  SELECT 'extendedprice~discount', n,
+         (n * syz - sy * sz)
+           / SQRT((n * syy - sy * sy) * (n * szz - sz * sz))
+  FROM d) u
+ORDER BY pair
+""",
+    doc="pairwise Pearson correlation matrix over lineitem's (quantity, "
+    "extendedprice, discount), computed from ONE scan: all ten moment "
+    "sums (n, three first moments, three squares, three cross products) "
+    "reduce in a single partial-aggregated pass, then the three "
+    "correlations derive from the one-row moment panel — the "
+    "feature-screening primitive that must never rescan a 100 TB fact "
+    "per pair.  Moments ride exact integers (values scaled to "
+    "cents/basis points as BIGINT, every product widened to "
+    "DECIMAL(38,0) so a 100 TB row count cannot overflow), which makes "
+    "them invariant to partial-agg order; the correlation itself is an "
+    "IEEE-identical double tree over the ten exact moments on both "
+    "engines.  Scale: one scan, one reduce to a single row, and a "
+    "3-row literal unpivot — nothing downstream of the scan grows "
+    "with data.",
+)
+def q_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    pts = load_table(spark, sf, "lineitem").select(
+        F.round(F.col("l_quantity") * 100).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+        F.round(F.col("l_discount") * 10000).cast("long").alias("z"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+        F.sum((F.col("z") * F.col("z")).cast("decimal(38,0)")).alias("szz"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("z")).cast("decimal(38,0)")).alias("sxz"),
+        F.sum((F.col("y") * F.col("z")).cast("decimal(38,0)")).alias("syz"),
+    )
+    d = m.select(
+        "n",
+        *[
+            F.col(c).cast("double").alias(c)
+            for c in ("sx", "sy", "sz", "sxx", "syy", "szz", "sxy", "sxz", "syz")
+        ],
+    )
+
+    def corr(sab, sa, sb, saa, sbb):
+        n = F.col("n")
+        return (n * F.col(sab) - F.col(sa) * F.col(sb)) / F.sqrt(
+            (n * F.col(saa) - F.col(sa) * F.col(sa))
+            * (n * F.col(sbb) - F.col(sb) * F.col(sb))
+        )
+
+    rows = d.select(
+        "n",
+        corr("sxy", "sx", "sy", "sxx", "syy").alias("r_qty_price"),
+        corr("sxz", "sx", "sz", "sxx", "szz").alias("r_qty_disc"),
+        corr("syz", "sy", "sz", "syy", "szz").alias("r_price_disc"),
+    ).selectExpr(
+        """stack(3,
+            'quantity~extendedprice', r_qty_price,
+            'quantity~discount', r_qty_disc,
+            'extendedprice~discount', r_price_disc) AS (pair, corr_raw)""",
+        "n AS n_rows",
+    )
+    return rows.select(
+        "pair",
+        "n_rows",
+        (F.floor(F.col("corr_raw") * 1000000 + 0.5) / 1000000).alias("corr_r"),
+    ).orderBy("pair")

@@ -356,6 +356,25 @@ CONTRACTS = {
     "q_revenue_concentration": PlanExpectation(
         min_broadcast_joins=2, require_partial_agg=True, max_exchanges=58
     ),
+    # Poisson bootstrap: x32 posexplode partial-aggregates map-side into
+    # the (priority, replicate) shuffle; point-estimate branch + broadcast
+    # panel join
+    "e_bootstrap_ci": PlanExpectation(
+        min_broadcast_joins=1, require_partial_agg=True, max_exchanges=4
+    ),
+    # chi-square: ONE fact reduce to the contingency cells
+    # (localCheckpointed), everything downstream is panel joins
+    "q_chi2_independence": PlanExpectation(
+        require_partial_agg=True, max_exchanges=7
+    ),
+    # KMV: dedup shuffle + salted two-phase bottom-k windows + broadcast
+    # kth-min join back onto the exact counts
+    "x_kmv_sketch": PlanExpectation(
+        min_broadcast_joins=1, require_partial_agg=True, max_exchanges=4
+    ),
+    # correlation matrix: single scan, single reduce, 3-row unpivot —
+    # ONE exchange total
+    "q_corr_matrix": PlanExpectation(require_partial_agg=True, max_exchanges=1),
 }
 
 
@@ -446,6 +465,7 @@ NESTED_LOOP_OK = {
     "x_histogram_quantiles": "1-row min/max span panel + 2-row quantile panel crossed into binning",
     "v_bq_topk": "8-row query word panel crossed over the corpus code scan",
     "q_revenue_concentration": "1-row n/total panel crossed into decile cut and shares",
+    "q_chi2_independence": "1-row total/dims panels crossed into the tiny contingency-cell table",
     "t_contrastive_triplets": "1-row broadcast doc-count panel for the negative hash offset",
     "q_data_checks": "1-row broadcast row-count panels joined to the unique/ref check results",
     "x_zorder_layout": "1-row broadcast min/max lattice panel over the fact scan",

@@ -175,3 +175,113 @@ def test_bq_topk_recall_floor_vs_exact(spark):
     tot = sum(len(e[q]) for q in e if q in b)
     assert tot >= 20
     assert hits / tot >= 0.6, (hits, tot)
+
+
+def test_bootstrap_thresholds_are_poisson_cdf():
+    """The integer weight thresholds are exactly floor(CDF_Poisson(1)(k) * 2^60)."""
+    from spark_fuse_spark.catalog.stats_graph import _POIS_T
+
+    e, cdf, fact = math.exp(-1), 0.0, 1
+    for k, t in enumerate(_POIS_T):
+        if k:
+            fact *= k
+        cdf += e / fact
+        assert t == math.floor(cdf * (1 << 60))
+
+
+def test_bootstrap_ci_brackets_mean_and_se_scales(spark):
+    """The Poisson-bootstrap SE approximates the analytic SE of the mean
+    (s/sqrt(n)) and the normal CI brackets the true mean — the property
+    that makes the hash-weight resample a valid uncertainty estimate."""
+    import duckdb
+
+    rows = load_all()["e_bootstrap_ci"].spark(spark, SF_MED).collect()
+    pdf = duckdb.sql(
+        f"""SELECT o_orderpriority, ROUND(o_totalprice * 100) / 100.0 AS y
+            FROM read_parquet('{SF_MED}/orders.parquet')"""
+    ).df()
+    assert len(rows) == 5
+    for r in rows:
+        g = pdf[pdf.o_orderpriority == r.o_orderpriority].y.to_numpy()
+        se = g.std(ddof=1) / math.sqrt(len(g))
+        assert r.n_orders == len(g)
+        assert r.est_mean_dollars == pytest.approx(g.mean(), abs=1e-3)
+        assert r.ci_lo_dollars < g.mean() < r.ci_hi_dollars
+        # B=32 replicates -> the SE estimate itself has ~13% relative sd;
+        # the band is wide enough to never flap yet tight enough to catch
+        # a broken weight distribution (e.g. Bernoulli weights -> SE/sqrt2)
+        assert 0.6 * se < r.boot_se_dollars < 1.6 * se
+
+
+def test_chi2_matches_numpy_contingency(spark):
+    """chi2 and Cramér's V equal the textbook computation on the full
+    R x C grid (zero cells contribute their expected count)."""
+    import duckdb
+
+    (r,) = load_all()["q_chi2_independence"].spark(spark, SF_MED).collect()
+    obs = duckdb.sql(
+        f"""SELECT o_orderpriority AS r, o_orderstatus AS c, COUNT(*) AS n
+            FROM read_parquet('{SF_MED}/orders.parquet') GROUP BY 1, 2"""
+    ).df()
+    pivot = obs.pivot_table(index="r", columns="c", values="n", fill_value=0)
+    O = pivot.to_numpy().astype(float)
+    n = O.sum()
+    E = np.outer(O.sum(axis=1), O.sum(axis=0)) / n
+    chi2 = ((O - E) ** 2 / E).sum()
+    assert r.n_rows == int(n)
+    assert r.r_levels == O.shape[0] and r.c_levels == O.shape[1]
+    assert r.dof == (O.shape[0] - 1) * (O.shape[1] - 1)
+    assert r.chi2 == pytest.approx(chi2, abs=2e-4)
+    v = math.sqrt(chi2 / (n * (min(O.shape) - 1)))
+    assert r.cramers_v == pytest.approx(v, abs=2e-6)
+
+
+def test_kmv_matches_python_bottom_k(spark):
+    """The per-group KMV estimate equals a brute-force python bottom-k
+    over the same md5-based hash, and the error audit is honest."""
+    import duckdb
+    import hashlib
+
+    rows = load_all()["x_kmv_sketch"].spark(spark, SF_MED).collect()
+    pdf = duckdb.sql(
+        f"""SELECT DISTINCT o_orderpriority, o_custkey
+            FROM read_parquet('{SF_MED}/orders.parquet')"""
+    ).df()
+    k, space = 64, 1 << 60
+    for r in rows:
+        keys = pdf[pdf.o_orderpriority == r.o_orderpriority].o_custkey
+        hashes = sorted(
+            {
+                int(hashlib.md5(str(int(c)).encode()).hexdigest()[:15], 16)
+                for c in keys
+            }
+        )
+        assert r.exact_distinct == len(hashes)
+        if len(hashes) < k:
+            expected = len(hashes)
+        else:
+            expected = math.floor((k - 1) * float(space) / hashes[k - 1])
+        assert r.kmv_estimate == expected
+        if len(hashes) >= k:  # 1/sqrt(k-2) theory -> ~13% SE; 40% = 3σ
+            assert r.rel_err_pct < 40.0
+
+
+def test_corr_matrix_matches_numpy(spark):
+    """The one-scan exact-moment correlations equal numpy.corrcoef on the
+    identically-quantized columns."""
+    import duckdb
+
+    rows = {
+        r.pair: r for r in load_all()["q_corr_matrix"].spark(spark, SF_MED).collect()
+    }
+    pdf = duckdb.sql(
+        f"""SELECT CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y,
+                   CAST(ROUND(l_discount * 10000) AS BIGINT) AS z
+            FROM read_parquet('{SF_MED}/lineitem.parquet')"""
+    ).df()
+    c = np.corrcoef(np.vstack([pdf.x, pdf.y, pdf.z]))
+    assert rows["quantity~extendedprice"].corr_r == pytest.approx(c[0, 1], abs=1e-5)
+    assert rows["quantity~discount"].corr_r == pytest.approx(c[0, 2], abs=1e-5)
+    assert rows["extendedprice~discount"].corr_r == pytest.approx(c[1, 2], abs=1e-5)
+    assert all(r.n_rows == len(pdf) for r in rows.values())
