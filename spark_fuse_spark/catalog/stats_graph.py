@@ -47,6 +47,12 @@ catalog did not yet cover.
   an in-query exact-count audit (salted two-phase bottom-k).
 * ``q_corr_matrix`` — pairwise Pearson correlations from one scan's
   exact integer moment panel.
+* ``q_ks_2sample`` — exact two-sample Kolmogorov-Smirnov drift test:
+  both empirical CDFs from ONE two-phase distributed prefix-sum pass,
+  sup-difference as an exact integer cross-product max.
+* ``x_kmv_setops`` — KMV sketch set algebra (union / Jaccard /
+  intersection estimates from merged bottom-k sketches) audited
+  against exact counts in the same query.
 
 No reference counterpart: these extend the curation/analytics surface
 beyond `/root/reference` (which has no relational query layer at all);
@@ -1783,3 +1789,319 @@ def q_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
         "n_rows",
         (F.floor(F.col("corr_raw") * 1000000 + 0.5) / 1000000).alias("corr_r"),
     ).orderBy("pair")
+
+
+# ------------------------------------------- two-sample KS drift test
+@register(
+    "q_ks_2sample",
+    oracle="""
+WITH pop AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+         CASE WHEN EXTRACT(YEAR FROM o_orderdate) = 1995 THEN 1 ELSE 0 END AS a
+  FROM orders
+  WHERE EXTRACT(YEAR FROM o_orderdate) IN (1995, 1996)),
+cells AS (
+  SELECT v, CAST(SUM(a) AS BIGINT) AS a_cnt,
+         CAST(COUNT(*) - SUM(a) AS BIGINT) AS b_cnt
+  FROM pop GROUP BY v),
+cum AS (
+  SELECT v,
+         SUM(a_cnt) OVER (ORDER BY v) AS ca,
+         SUM(b_cnt) OVER (ORDER BY v) AS cb
+  FROM cells),
+panel AS (SELECT CAST(SUM(a_cnt) AS BIGINT) AS n_a,
+                 CAST(SUM(b_cnt) AS BIGINT) AS n_b FROM cells),
+dmax AS (
+  SELECT MAX(ABS(CAST(c.ca AS HUGEINT) * p.n_b
+                 - CAST(c.cb AS HUGEINT) * p.n_a)) AS num
+  FROM cum c CROSS JOIN panel p),
+stat AS (
+  SELECT p.n_a, p.n_b,
+         CAST(d.num AS DOUBLE) / (CAST(p.n_a AS DOUBLE) * p.n_b) AS d_raw
+  FROM dmax d CROSS JOIN panel p),
+z AS (
+  SELECT n_a, n_b, d_raw,
+         SQRT(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)) * d_raw AS z_raw
+  FROM stat)
+SELECT n_a, n_b,
+       FLOOR(d_raw * 1000000 + 0.5) / 1000000 AS ks_d,
+       FLOOR(z_raw * 10000 + 0.5) / 10000 AS ks_z,
+       FLOOR(LEAST(1.0, 2 * EXP(-2 * z_raw * z_raw)) * 1000000 + 0.5)
+         / 1000000 AS p_approx
+FROM z
+""",
+    doc="exact two-sample Kolmogorov-Smirnov drift test between the "
+    "1995 and 1996 order-value distributions — the distribution-drift "
+    "gate a corpus pipeline runs between snapshots when a PSI bucket "
+    "panel is too coarse.  D = sup|F_a - F_b| is computed EXACTLY: "
+    "values reduce to per-distinct-value group counts, both empirical "
+    "CDFs come from ONE two-phase distributed prefix-sum pass "
+    "(operators/packing.with_prefix_sums: range partition + parallel "
+    "local windows + bounded per-partition offsets — never a global "
+    "single-task sort), and the sup is a max over the exact integer "
+    "cross-difference |ca*n_b - cb*n_a| (widened past signed-64: "
+    "DECIMAL(38,0) on Spark, HUGEINT in the oracle), so no float "
+    "comparison can reorder the argmax.  The asymptotic p-value uses "
+    "the one-term Kolmogorov tail 2*exp(-2z^2) (documented "
+    "approximation, exact-identical trees on both engines).",
+)
+def q_ks_2sample(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.packing import with_prefix_sums
+
+    o = load_table(spark, sf, "orders")
+    pop = o.where(F.year("o_orderdate").isin(1995, 1996)).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        F.when(F.year("o_orderdate") == 1995, 1).otherwise(0).alias("a"),
+    )
+    cells = pop.groupBy("v").agg(
+        F.sum("a").alias("a_cnt"),
+        (F.count("*") - F.sum("a")).alias("b_cnt"),
+    )
+    cum = with_prefix_sums(
+        cells, "v", {"a_cnt": "ca_ex", "b_cnt": "cb_ex"}
+    ).select(
+        "v",
+        (F.col("ca_ex") + F.col("a_cnt")).alias("ca"),
+        (F.col("cb_ex") + F.col("b_cnt")).alias("cb"),
+    )
+    panel = cells.agg(
+        F.sum("a_cnt").alias("n_a"), F.sum("b_cnt").alias("n_b")
+    )
+    dmax = (
+        cum.crossJoin(F.broadcast(panel))
+        .select(
+            F.abs(
+                F.col("ca").cast("decimal(38,0)") * F.col("n_b")
+                - F.col("cb").cast("decimal(38,0)") * F.col("n_a")
+            ).alias("num")
+        )
+        .agg(F.max("num").alias("num"))
+    )
+    stat = dmax.crossJoin(F.broadcast(panel)).select(
+        "n_a",
+        "n_b",
+        (
+            F.col("num").cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b"))
+        ).alias("d_raw"),
+    )
+    z = stat.select(
+        "n_a",
+        "n_b",
+        "d_raw",
+        (
+            F.sqrt(
+                F.col("n_a").cast("double")
+                * F.col("n_b")
+                / (F.col("n_a") + F.col("n_b"))
+            )
+            * F.col("d_raw")
+        ).alias("z_raw"),
+    )
+    return z.select(
+        "n_a",
+        "n_b",
+        (F.floor(F.col("d_raw") * 1000000 + 0.5) / 1000000).alias("ks_d"),
+        (F.floor(F.col("z_raw") * 10000 + 0.5) / 10000).alias("ks_z"),
+        (
+            F.floor(
+                F.least(
+                    F.lit(1.0), 2 * F.exp(-2 * F.col("z_raw") * F.col("z_raw"))
+                )
+                * 1000000
+                + 0.5
+            )
+            / 1000000
+        ).alias("p_approx"),
+    )
+
+
+# -------------------------------------------- KMV sketch set algebra
+@register(
+    "x_kmv_setops",
+    oracle=f"""
+WITH pop AS (
+  SELECT DISTINCT
+         CASE WHEN EXTRACT(YEAR FROM o_orderdate) = 1995 THEN 'a' ELSE 'b' END AS label,
+         {portable_hash64_sql("CAST(o_custkey AS VARCHAR)")} AS h
+  FROM orders
+  WHERE EXTRACT(YEAR FROM o_orderdate) IN (1995, 1996)),
+exact AS (
+  SELECT CAST(COUNT(*) FILTER (WHERE in_a = 1) AS BIGINT) AS exact_a,
+         CAST(COUNT(*) FILTER (WHERE in_b = 1) AS BIGINT) AS exact_b,
+         CAST(COUNT(*) AS BIGINT) AS exact_union,
+         CAST(COUNT(*) FILTER (WHERE in_a = 1 AND in_b = 1) AS BIGINT)
+           AS exact_intersect
+  FROM (SELECT h,
+               MAX(CASE WHEN label = 'a' THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN label = 'b' THEN 1 ELSE 0 END) AS in_b
+        FROM pop GROUP BY h) flags),
+sketch AS (
+  SELECT label, h,
+         ROW_NUMBER() OVER (PARTITION BY label ORDER BY h) AS rn
+  FROM pop QUALIFY rn <= {_KMV_K}),
+per_label AS (
+  SELECT s.label,
+         CAST(COUNT(*) AS BIGINT) AS sz,
+         MAX(CASE WHEN s.rn = {_KMV_K} THEN s.h END) AS kth
+  FROM sketch s GROUP BY s.label),
+ests AS (
+  SELECT
+    MAX(CASE WHEN label = 'a' THEN est END) AS est_a,
+    MAX(CASE WHEN label = 'b' THEN est END) AS est_b
+  FROM (SELECT label,
+               CASE WHEN kth IS NULL THEN sz
+                    ELSE CAST(FLOOR({_KMV_K - 1}.0 * {_HASH_SPACE}.0 / kth)
+                              AS BIGINT) END AS est
+        FROM per_label) e),
+merged AS (
+  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rnm
+  FROM (SELECT DISTINCT h FROM sketch) mh),
+mpanel AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m_cnt,
+         MAX(CASE WHEN rnm = {_KMV_K} THEN h END) AS kth_u
+  FROM merged),
+upanel AS (
+  SELECT CASE WHEN kth_u IS NULL THEN m_cnt
+              ELSE CAST(FLOOR({_KMV_K - 1}.0 * {_HASH_SPACE}.0 / kth_u)
+                        AS BIGINT) END AS est_union,
+         LEAST({_KMV_K}, m_cnt) AS denom
+  FROM mpanel),
+jpanel AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS j_num
+  FROM merged m
+  WHERE m.rnm <= {_KMV_K}
+    AND EXISTS (SELECT 1 FROM sketch sa WHERE sa.label = 'a' AND sa.h = m.h)
+    AND EXISTS (SELECT 1 FROM sketch sb WHERE sb.label = 'b' AND sb.h = m.h))
+SELECT x.exact_a, x.exact_b, x.exact_union, x.exact_intersect,
+       e.est_a, e.est_b, u.est_union,
+       CAST(FLOOR(CAST(j.j_num AS DOUBLE) / u.denom * u.est_union) AS BIGINT)
+         AS est_intersect,
+       FLOOR(CAST(x.exact_intersect AS DOUBLE) / x.exact_union * 1000000 + 0.5)
+         / 1000000 AS jaccard_exact,
+       FLOOR(CAST(j.j_num AS DOUBLE) / u.denom * 1000000 + 0.5)
+         / 1000000 AS jaccard_est
+FROM exact x CROSS JOIN ests e CROSS JOIN upanel u CROSS JOIN jpanel j
+""",
+    doc="KMV sketch SET ALGEBRA over the 1995 vs 1996 customer sets, "
+    "audited against exact counts in the same query: per-set bottom-k "
+    "sketches merge into the union sketch (union of bottom-k sets -> "
+    "bottom-k — the mergeability that makes KMV the cross-shard "
+    "distinct estimator), the union cardinality comes from the merged "
+    "kth minimum, the Jaccard similarity from the fraction of the "
+    "merged bottom-k present in BOTH sketches, and the intersection "
+    "via |A∩B| = J * |A∪B| (Beyer et al., SIGMOD 2007).  Scale: the "
+    "exact branch is the audit; the sketch path reduces each set to "
+    "<= k=64 rows via the salted two-phase bottom-k (the x_kmv_sketch "
+    "shape), after which every join/window touches <= 2k rows.  Sets "
+    "smaller than k fall back to their exact sketch size, per the "
+    "textbook estimator.  Determinism: integer hashes and counts; the "
+    "estimates derive through IEEE-identical double trees.",
+)
+def x_kmv_setops(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    pop = (
+        o.where(F.year("o_orderdate").isin(1995, 1996))
+        .select(
+            F.when(F.year("o_orderdate") == 1995, "a").otherwise("b").alias("label"),
+            portable_hash64(F.col("o_custkey").cast("string")).alias("h"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    flags = pop.groupBy("h").agg(
+        F.max(F.when(F.col("label") == "a", 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("label") == "b", 1).otherwise(0)).alias("in_b"),
+    )
+    exact = flags.agg(
+        F.sum("in_a").alias("exact_a"),
+        F.sum("in_b").alias("exact_b"),
+        F.count("*").alias("exact_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("exact_intersect"),
+    )
+    w_salt = Window.partitionBy(
+        "label", F.pmod(F.col("h"), F.lit(_KMV_SALT))
+    ).orderBy("h")
+    candidates = (
+        pop.withColumn("rn1", F.row_number().over(w_salt))
+        .where(F.col("rn1") <= _KMV_K)
+        .drop("rn1")
+    )
+    w_label = Window.partitionBy("label").orderBy("h")
+    sketch = (
+        candidates.withColumn("rn", F.row_number().over(w_label))
+        .where(F.col("rn") <= _KMV_K)
+        .localCheckpoint()
+    )
+    kmv_est = lambda kth, sz: F.when(kth.isNull(), sz).otherwise(  # noqa: E731
+        F.floor(
+            F.lit(float(_KMV_K - 1)) * F.lit(float(_HASH_SPACE)) / kth
+        ).cast("long")
+    )
+    per_label = sketch.groupBy("label").agg(
+        F.count("*").alias("sz"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("kth"),
+    )
+    ests = per_label.select(
+        "label", kmv_est(F.col("kth"), F.col("sz")).alias("est")
+    ).agg(
+        F.max(F.when(F.col("label") == "a", F.col("est"))).alias("est_a"),
+        F.max(F.when(F.col("label") == "b", F.col("est"))).alias("est_b"),
+    )
+    w_merged = Window.orderBy("h")  # <= 2k rows by construction
+    merged = (
+        sketch.select("h")
+        .distinct()
+        .withColumn("rnm", F.row_number().over(w_merged))
+        .localCheckpoint()
+    )
+    mpanel = merged.agg(
+        F.count("*").alias("m_cnt"),
+        F.max(F.when(F.col("rnm") == _KMV_K, F.col("h"))).alias("kth_u"),
+    )
+    upanel = mpanel.select(
+        kmv_est(F.col("kth_u"), F.col("m_cnt")).alias("est_union"),
+        F.least(F.lit(_KMV_K), F.col("m_cnt")).alias("denom"),
+    )
+    sk_a = sketch.where(F.col("label") == "a").select("h")
+    sk_b = sketch.where(F.col("label") == "b").select("h")
+    jpanel = (
+        merged.where(F.col("rnm") <= _KMV_K)
+        .join(sk_a, "h", "left_semi")
+        .join(sk_b, "h", "left_semi")
+        .agg(F.count("*").alias("j_num"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(ests))
+        .crossJoin(F.broadcast(upanel))
+        .crossJoin(F.broadcast(jpanel))
+        .select(
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            "exact_intersect",
+            "est_a",
+            "est_b",
+            "est_union",
+            F.floor(
+                F.col("j_num").cast("double") / F.col("denom") * F.col("est_union")
+            )
+            .cast("long")
+            .alias("est_intersect"),
+            (
+                F.floor(
+                    F.col("exact_intersect").cast("double")
+                    / F.col("exact_union")
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000
+            ).alias("jaccard_exact"),
+            (
+                F.floor(
+                    F.col("j_num").cast("double") / F.col("denom") * 1000000 + 0.5
+                )
+                / 1000000
+            ).alias("jaccard_est"),
+        )
+    )

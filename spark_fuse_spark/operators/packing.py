@@ -25,7 +25,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["with_prefix_sum", "with_prefix_max", "pack_sequences"]
+__all__ = [
+    "with_prefix_sum",
+    "with_prefix_sums",
+    "with_prefix_max",
+    "pack_sequences",
+]
 
 
 def with_prefix_sum(
@@ -68,6 +73,61 @@ def with_prefix_sum(
         .withColumn(out_col, (F.col("__local") + F.col("__offset")).cast("long"))
         .drop("__pid", "__local", "__offset")
     )
+
+
+def with_prefix_sums(
+    df: DataFrame,
+    order_col: str,
+    value_cols: "dict[str, str]",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE global running sums of SEVERAL value columns in one
+    two-phase pass (``value_cols`` maps value column -> output column).
+
+    Same plan shape as :func:`with_prefix_sum` — one range shuffle, one
+    bounded offsets window — regardless of how many columns accumulate;
+    the per-column running sums share the single local window spec.
+    This is what a distributed empirical CDF over two samples needs
+    (cumulative counts of both groups in value order) without either
+    paying the range shuffle twice or packing two counters into one
+    integer (which caps the row count the encoding can carry).
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local_w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged
+    for i, vc in enumerate(value_cols):
+        local = local.withColumn(
+            f"__local{i}", F.coalesce(F.sum(vc).over(local_w), F.lit(0))
+        )
+    totals = local.groupBy("__pid").agg(
+        *[F.sum(vc).alias(f"__total{i}") for i, vc in enumerate(value_cols)]
+    )
+    offset_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals
+    for i in range(len(value_cols)):
+        offsets = offsets.withColumn(
+            f"__offset{i}",
+            F.coalesce(F.sum(f"__total{i}").over(offset_w), F.lit(0)),
+        )
+    offsets = offsets.select(
+        "__pid", *[f"__offset{i}" for i in range(len(value_cols))]
+    )
+    out = local.join(F.broadcast(offsets), "__pid")
+    for i, (vc, oc) in enumerate(value_cols.items()):
+        out = out.withColumn(
+            oc, (F.col(f"__local{i}") + F.col(f"__offset{i}")).cast("long")
+        )
+    drop = ["__pid"]
+    for i in range(len(value_cols)):
+        drop += [f"__local{i}", f"__offset{i}"]
+    return out.drop(*drop)
 
 
 def with_prefix_max(

@@ -80,6 +80,28 @@ def test_prefix_sum_matches_global_window(spark):
     assert set(got.columns) == {"id", "v", "ps"}  # no helper-column leaks
 
 
+def test_prefix_sums_multi_column_matches_global_window(spark):
+    from spark_fuse_spark.operators.packing import with_prefix_sums
+
+    df = (
+        spark.range(0, 2000)
+        .withColumn("v1", (F.col("id") * 7919) % 300 + 1)
+        .withColumn("v2", (F.col("id") * 104729) % 17)
+    )
+    got = with_prefix_sums(df, "id", {"v1": "p1", "v2": "p2"}, num_partitions=7)
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    ref = df.withColumn(
+        "p1", F.coalesce(F.sum("v1").over(w), F.lit(0)).cast("long")
+    ).withColumn("p2", F.coalesce(F.sum("v2").over(w), F.lit(0)).cast("long"))
+    assert (
+        got.select("id", "p1", "p2")
+        .exceptAll(ref.select("id", "p1", "p2"))
+        .count()
+        == 0
+    )
+    assert set(got.columns) == {"id", "v1", "v2", "p1", "p2"}
+
+
 def test_prefix_max_matches_global_window(spark):
     from spark_fuse_spark.operators.packing import with_prefix_max
 

@@ -375,6 +375,17 @@ CONTRACTS = {
     # correlation matrix: single scan, single reduce, 3-row unpivot —
     # ONE exchange total
     "q_corr_matrix": PlanExpectation(require_partial_agg=True, max_exchanges=1),
+    # KS: per-value agg + two-phase prefix CDF (range shuffle + bounded
+    # offsets) + exact-integer max; static explain re-counts the cells
+    # subtree under the cum/panel branches
+    "q_ks_2sample": PlanExpectation(
+        min_broadcast_joins=1, require_partial_agg=True, max_exchanges=12
+    ),
+    # KMV set algebra: dedup shuffle + salted bottom-k; the merged-sketch
+    # window runs over <= 2k checkpointed rows
+    "x_kmv_setops": PlanExpectation(
+        min_broadcast_joins=2, require_partial_agg=True, max_exchanges=6
+    ),
 }
 
 
@@ -466,6 +477,8 @@ NESTED_LOOP_OK = {
     "v_bq_topk": "8-row query word panel crossed over the corpus code scan",
     "q_revenue_concentration": "1-row n/total panel crossed into decile cut and shares",
     "q_chi2_independence": "1-row total/dims panels crossed into the tiny contingency-cell table",
+    "q_ks_2sample": "1-row n_a/n_b panel crossed into the CDF diff and the stat fold",
+    "x_kmv_setops": "1-row sketch-estimate panels crossed into the final audit row",
     "t_contrastive_triplets": "1-row broadcast doc-count panel for the negative hash offset",
     "q_data_checks": "1-row broadcast row-count panels joined to the unique/ref check results",
     "x_zorder_layout": "1-row broadcast min/max lattice panel over the fact scan",

@@ -285,3 +285,76 @@ def test_corr_matrix_matches_numpy(spark):
     assert rows["quantity~discount"].corr_r == pytest.approx(c[0, 2], abs=1e-5)
     assert rows["extendedprice~discount"].corr_r == pytest.approx(c[1, 2], abs=1e-5)
     assert all(r.n_rows == len(pdf) for r in rows.values())
+
+
+def test_ks_2sample_matches_numpy_ecdf(spark):
+    """The distributed prefix-sum KS statistic equals the brute-force
+    numpy ECDF sup-difference, and the z/p panel follows the asymptotic
+    formula."""
+    import duckdb
+
+    (r,) = load_all()["q_ks_2sample"].spark(spark, SF_MED).collect()
+    pdf = duckdb.sql(
+        f"""SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+                   EXTRACT(YEAR FROM o_orderdate) AS yr
+            FROM read_parquet('{SF_MED}/orders.parquet')
+            WHERE EXTRACT(YEAR FROM o_orderdate) IN (1995, 1996)"""
+    ).df()
+    a = np.sort(pdf[pdf.yr == 1995].v.to_numpy())
+    b = np.sort(pdf[pdf.yr == 1996].v.to_numpy())
+    grid = np.union1d(a, b)
+    fa = np.searchsorted(a, grid, side="right") / len(a)
+    fb = np.searchsorted(b, grid, side="right") / len(b)
+    d = np.abs(fa - fb).max()
+    assert r.n_a == len(a) and r.n_b == len(b)
+    assert r.ks_d == pytest.approx(d, abs=1e-6)
+    z = math.sqrt(len(a) * len(b) / (len(a) + len(b))) * d
+    assert r.ks_z == pytest.approx(z, abs=1e-4)
+    assert r.p_approx == pytest.approx(min(1.0, 2 * math.exp(-2 * z * z)), abs=1e-6)
+
+
+def test_kmv_setops_match_python_sketches(spark):
+    """Union/Jaccard/intersection estimates equal a brute-force python
+    reimplementation of the merged bottom-k estimator, and the exact
+    panel is truly exact."""
+    import duckdb
+    import hashlib
+
+    (r,) = load_all()["x_kmv_setops"].spark(spark, SF_MED).collect()
+    pdf = duckdb.sql(
+        f"""SELECT DISTINCT EXTRACT(YEAR FROM o_orderdate) AS yr, o_custkey
+            FROM read_parquet('{SF_MED}/orders.parquet')
+            WHERE EXTRACT(YEAR FROM o_orderdate) IN (1995, 1996)"""
+    ).df()
+    k, space = 64, 1 << 60
+
+    def hset(yr):
+        keys = pdf[pdf.yr == yr].o_custkey
+        return {
+            int(hashlib.md5(str(int(c)).encode()).hexdigest()[:15], 16)
+            for c in keys
+        }
+
+    A, B = hset(1995), hset(1996)
+    assert (r.exact_a, r.exact_b) == (len(A), len(B))
+    assert r.exact_union == len(A | B)
+    assert r.exact_intersect == len(A & B)
+
+    def est(s):
+        srt = sorted(s)[:k]
+        return len(srt) if len(srt) < k else math.floor((k - 1) * float(space) / srt[k - 1])
+
+    ska, skb = set(sorted(A)[:k]), set(sorted(B)[:k])
+    assert r.est_a == est(A) and r.est_b == est(B)
+    merged = sorted(ska | skb)
+    est_union = (
+        len(merged) if len(merged) < k
+        else math.floor((k - 1) * float(space) / merged[k - 1])
+    )
+    assert r.est_union == est_union
+    denom = min(k, len(merged))
+    j_num = sum(1 for h in merged[:k] if h in ska and h in skb)
+    assert r.jaccard_est == pytest.approx(j_num / denom, abs=1e-6)
+    assert r.est_intersect == math.floor(j_num / denom * est_union)
+    # the estimators are actually good at this cardinality
+    assert abs(r.est_union - r.exact_union) / r.exact_union < 0.4
