@@ -87,6 +87,11 @@ HEADLINE = [
     # compressed-signature dedup + distributed-prefix econometrics
     "d_minhash_bbit",
     "q_revenue_concentration",
+    # uncertainty / drift / sketch-algebra statistics
+    "e_bootstrap_ci",
+    "q_ks_2sample",
+    "q_corr_matrix",
+    "x_kmv_setops",
 ]
 
 

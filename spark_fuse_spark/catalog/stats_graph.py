@@ -53,6 +53,9 @@ catalog did not yet cover.
 * ``x_kmv_setops`` — KMV sketch set algebra (union / Jaccard /
   intersection estimates from merged bottom-k sketches) audited
   against exact counts in the same query.
+* ``q_mann_whitney`` — tie-corrected Mann-Whitney U from per-value
+  counts and the shared prefix-sum midranks (doubled-rank integers);
+  A&S rational erfc for the two-sided p.
 
 No reference counterpart: these extend the curation/analytics surface
 beyond `/root/reference` (which has no relational query layer at all);
@@ -2104,4 +2107,139 @@ def x_kmv_setops(spark: SparkSession, sf: str) -> DataFrame:
                 / 1000000
             ).alias("jaccard_est"),
         )
+    )
+
+
+# --------------------------------------------- Mann-Whitney U rank test
+@register(
+    "q_mann_whitney",
+    oracle="""
+WITH pop AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+         CASE WHEN EXTRACT(YEAR FROM o_orderdate) = 1995 THEN 1 ELSE 0 END AS a
+  FROM orders
+  WHERE EXTRACT(YEAR FROM o_orderdate) IN (1995, 1996)),
+cells AS (
+  SELECT v, CAST(SUM(a) AS BIGINT) AS a_cnt,
+         CAST(COUNT(*) AS BIGINT) AS t_cnt
+  FROM pop GROUP BY v),
+cum AS (
+  SELECT v, a_cnt, t_cnt,
+         CAST(COALESCE(SUM(t_cnt) OVER
+              (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0) AS BIGINT) AS cum_t
+  FROM cells),
+moments AS (
+  SELECT CAST(SUM(a_cnt) AS BIGINT) AS n_a,
+         CAST(SUM(t_cnt) - SUM(a_cnt) AS BIGINT) AS n_b,
+         CAST(SUM(t_cnt) AS BIGINT) AS n,
+         SUM(CAST(a_cnt AS HUGEINT) * (2 * cum_t + t_cnt + 1)) AS r2_a,
+         SUM(CAST(t_cnt AS HUGEINT) * t_cnt * t_cnt - t_cnt) AS tie_t
+  FROM cum),
+stat AS (
+  SELECT n_a, n_b, n,
+         CAST(r2_a - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE) / 2 AS u_a,
+         CAST(n_a AS DOUBLE) * n_b / 12
+           * ((n + 1) - CAST(tie_t AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))
+           AS var_u
+  FROM moments),
+z AS (
+  SELECT n_a, n_b, u_a,
+         (u_a - CAST(n_a AS DOUBLE) * n_b / 2) / SQRT(var_u) AS z_raw
+  FROM stat)
+SELECT n_a, n_b,
+       FLOOR(u_a * 100 + 0.5) / 100 AS u_a,
+       FLOOR(z_raw * 10000 + 0.5) / 10000 AS z_score,
+       FLOOR((1 / POW(1 + 0.278393 * ABS(z_raw) / SQRT(2)
+                          + 0.230389 * ABS(z_raw) * ABS(z_raw) / 2
+                          + 0.000972 * POW(ABS(z_raw) / SQRT(2), 3)
+                          + 0.078108 * POW(ABS(z_raw) / SQRT(2), 4), 4))
+             * 1000000 + 0.5) / 1000000 AS p_two_sided
+FROM z
+""",
+    doc="tie-corrected Mann-Whitney U test between the 1995 and 1996 "
+    "order-value samples — the nonparametric location-shift companion "
+    "to q_ks_2sample's shape test.  Rank sums never materialize "
+    "per-row ranks: values reduce to per-distinct-value counts, the "
+    "shared midrank comes from the SAME two-phase prefix-sum pass the "
+    "KS test uses (doubled ranks 2*cum+t+1 keep everything integer), "
+    "and the rank sum is an exact widened-integer moment "
+    "(HUGEINT/DECIMAL(38,0): a_cnt*rank2 and the tie term t^3-t both "
+    "pass signed-64 at corpus scale).  The normal approximation uses "
+    "the tie-corrected variance and the Abramowitz-Stegun 7.1.25 "
+    "rational erfc bound for the two-sided p — an IEEE-identical "
+    "polynomial on both engines (documented approximation, max abs "
+    "error 5e-4 on the CDF).  Scale: one per-value partial-agg "
+    "shuffle, one prefix pass, one one-row moment reduce.",
+)
+def q_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.packing import with_prefix_sum
+
+    o = load_table(spark, sf, "orders")
+    pop = o.where(F.year("o_orderdate").isin(1995, 1996)).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        F.when(F.year("o_orderdate") == 1995, 1).otherwise(0).alias("a"),
+    )
+    cells = pop.groupBy("v").agg(
+        F.sum("a").alias("a_cnt"), F.count("*").alias("t_cnt")
+    )
+    cum = with_prefix_sum(cells, "v", "t_cnt", out_col="cum_t")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    moments = cum.agg(
+        F.sum("a_cnt").alias("n_a"),
+        (F.sum("t_cnt") - F.sum("a_cnt")).alias("n_b"),
+        F.sum("t_cnt").alias("n"),
+        F.sum(
+            dec(F.col("a_cnt"))
+            * (2 * F.col("cum_t") + F.col("t_cnt") + 1)
+        ).alias("r2_a"),
+        F.sum(
+            dec(F.col("t_cnt")) * F.col("t_cnt") * F.col("t_cnt") - F.col("t_cnt")
+        ).alias("tie_t"),
+    )
+    stat = moments.select(
+        "n_a",
+        "n_b",
+        "n",
+        (
+            (F.col("r2_a") - dec(F.col("n_a")) * (F.col("n_a") + 1)).cast("double")
+            / 2
+        ).alias("u_a"),
+        (
+            F.col("n_a").cast("double")
+            * F.col("n_b")
+            / 12
+            * (
+                (F.col("n") + 1)
+                - F.col("tie_t").cast("double")
+                / (F.col("n").cast("double") * (F.col("n") - 1))
+            )
+        ).alias("var_u"),
+    )
+    z = stat.select(
+        "n_a",
+        "n_b",
+        "u_a",
+        (
+            (F.col("u_a") - F.col("n_a").cast("double") * F.col("n_b") / 2)
+            / F.sqrt(F.col("var_u"))
+        ).alias("z_raw"),
+    )
+    az = F.abs(F.col("z_raw"))
+    s2 = F.sqrt(F.lit(2.0))
+    denom = (
+        1
+        + 0.278393 * az / s2
+        + 0.230389 * az * az / 2
+        + 0.000972 * F.pow(az / s2, 3)
+        + 0.078108 * F.pow(az / s2, 4)
+    )
+    return z.select(
+        "n_a",
+        "n_b",
+        (F.floor(F.col("u_a") * 100 + 0.5) / 100).alias("u_a"),
+        (F.floor(F.col("z_raw") * 10000 + 0.5) / 10000).alias("z_score"),
+        (
+            F.floor((1 / F.pow(denom, 4)) * 1000000 + 0.5) / 1000000
+        ).alias("p_two_sided"),
     )

@@ -33,6 +33,30 @@ __all__ = [
 ]
 
 
+def _ranged_with_pid(df: DataFrame, order_col: str, n: int) -> DataFrame:
+    """Range-partition ``df`` by ``order_col`` and FREEZE the partition
+    assignment (``localCheckpoint``).
+
+    The pid column feeds two plan branches (the per-partition running
+    window and the per-partition totals).  Without materialization each
+    branch recomputes the exchange independently, and
+    ``repartitionByRange``'s sampled boundaries are only deterministic
+    for a deterministic input ROW ORDER — an upstream hash aggregate can
+    legally iterate in a different order per recomputation, moving the
+    sampled range boundaries so the two branches disagree on which rows
+    partition *i* holds.  Offsets keyed by a pid from one assignment then
+    join rows labeled by the other, silently corrupting the prefix
+    (observed: cumulative counts short by a partition-boundary's worth of
+    rows on an AQE-coalesced single-partition aggregate input).
+    Checkpointing pins ONE assignment for every consumer — and truncates
+    lineage, so the range exchange runs exactly once.
+    """
+    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    return ranged.localCheckpoint()
+
+
 def with_prefix_sum(
     df: DataFrame,
     order_col: str,
@@ -48,9 +72,7 @@ def with_prefix_sum(
     needed.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    ranged = _ranged_with_pid(df, order_col, n)
     local_w = (
         Window.partitionBy("__pid")
         .orderBy(order_col)
@@ -93,9 +115,7 @@ def with_prefix_sums(
     integer (which caps the row count the encoding can carry).
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    ranged = _ranged_with_pid(df, order_col, n)
     local_w = (
         Window.partitionBy("__pid")
         .orderBy(order_col)
@@ -149,9 +169,7 @@ def with_prefix_max(
     of a single-task global sort.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    ranged = _ranged_with_pid(df, order_col, n)
     local_w = (
         Window.partitionBy("__pid")
         .orderBy(order_col)

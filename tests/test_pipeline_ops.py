@@ -102,6 +102,28 @@ def test_prefix_sums_multi_column_matches_global_window(spark):
     assert set(got.columns) == {"id", "v1", "v2", "p1", "p2"}
 
 
+def test_prefix_sum_correct_on_hash_aggregate_input(spark):
+    """Regression: the prefix input used to feed the range exchange into
+    TWO plan branches (local window + per-partition totals).  A hash
+    aggregate's output row order is not deterministic across
+    recomputations, so repartitionByRange's SAMPLED boundaries could
+    differ per branch — offsets keyed by one partition assignment joined
+    rows labeled by the other, silently shorting cumulative sums (caught
+    by q_mann_whitney's rank sums drifting ~0.5% from the brute force).
+    The pid assignment is now localCheckpointed once; this pins the
+    trigger shape: a groupBy-derived frame."""
+    from spark_fuse_spark.operators.packing import with_prefix_sum
+
+    base = spark.range(0, 20000).select(
+        ((F.col("id") * 2654435761) % 4999).alias("k")
+    )
+    cells = base.groupBy("k").agg(F.count("*").alias("c"))
+    got = with_prefix_sum(cells, "k", "c", out_col="ps", num_partitions=13)
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    ref = cells.withColumn("ps", F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long"))
+    assert got.select("k", "ps").exceptAll(ref.select("k", "ps")).count() == 0
+
+
 def test_prefix_max_matches_global_window(spark):
     from spark_fuse_spark.operators.packing import with_prefix_max
 

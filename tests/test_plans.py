@@ -386,6 +386,11 @@ CONTRACTS = {
     "x_kmv_setops": PlanExpectation(
         min_broadcast_joins=2, require_partial_agg=True, max_exchanges=6
     ),
+    # Mann-Whitney: per-value agg + checkpointed prefix pass + one-row
+    # moment reduce
+    "q_mann_whitney": PlanExpectation(
+        min_broadcast_joins=1, require_partial_agg=True, max_exchanges=4
+    ),
 }
 
 

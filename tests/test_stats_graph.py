@@ -358,3 +358,34 @@ def test_kmv_setops_match_python_sketches(spark):
     assert r.est_intersect == math.floor(j_num / denom * est_union)
     # the estimators are actually good at this cardinality
     assert abs(r.est_union - r.exact_union) / r.exact_union < 0.4
+
+
+def test_mann_whitney_matches_pandas_ranks(spark):
+    """U, z, and p equal a brute-force midrank computation (pandas
+    average-rank), with p inside the documented A&S 7.1.25 error bound
+    of the true normal tail."""
+    import duckdb
+    import pandas as pd
+
+    (r,) = load_all()["q_mann_whitney"].spark(spark, SF_MED).collect()
+    pdf = duckdb.sql(
+        f"""SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+                   EXTRACT(YEAR FROM o_orderdate) AS yr
+            FROM read_parquet('{SF_MED}/orders.parquet')
+            WHERE EXTRACT(YEAR FROM o_orderdate) IN (1995, 1996)"""
+    ).df()
+    ranks = pd.Series(pdf.v).rank(method="average")
+    is_a = (pdf.yr == 1995).to_numpy()
+    n_a, n_b = int(is_a.sum()), int((~is_a).sum())
+    u_a = float(ranks[is_a].sum()) - n_a * (n_a + 1) / 2
+    n = n_a + n_b
+    _, t = np.unique(pdf.v.to_numpy(), return_counts=True)
+    tie = float((t.astype(object) ** 3 - t).sum())
+    var_u = n_a * n_b / 12 * ((n + 1) - tie / (n * (n - 1)))
+    z = (u_a - n_a * n_b / 2) / math.sqrt(var_u)
+    assert (r.n_a, r.n_b) == (n_a, n_b)
+    assert r.u_a == pytest.approx(u_a, abs=0.01)
+    assert r.z_score == pytest.approx(z, abs=1e-4)
+    true_p = math.erfc(abs(z) / math.sqrt(2))
+    assert r.p_two_sided == pytest.approx(true_p, abs=5e-4)
+    assert 0.0 <= r.p_two_sided <= 1.0
