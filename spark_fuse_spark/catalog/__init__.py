@@ -185,6 +185,7 @@ def load_all() -> dict[str, QuerySpec]:
         curation,
         scale_ops,
         stats_graph,
+        geo,
     )
 
     fresh = {n: s for n, s in REGISTRY.items() if n not in _DRIVER_SAMPLED}

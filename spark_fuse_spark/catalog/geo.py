@@ -1,0 +1,430 @@
+"""Geospatial analytics: grid blocking, radius joins, haversine, Moran's I.
+
+The synthetic tables carry no coordinates, so every query derives
+deterministic positions from entity keys via the engine-portable 60-bit
+md5 hash (`functions/hashing.py`): latitude microdegrees in
+[40.0°, 50.0°) and longitude microdegrees in [70.0°, 80.0°).  Working in
+INTEGER microdegrees keeps every distance filter, cell assignment, and
+moment sum exact on both engines — floats appear only in final display
+columns (haversine km, Moran's I), computed from exact integer inputs by
+a single mirrored expression and rounded with the catalog's explicit
+``floor(x*10^k + 0.5)/10^k`` convention.
+
+Scale shapes (the point of the module):
+
+* ``g_geo_cells`` — one partial-agg'd groupBy on the cell id; the grid
+  is a pure per-row projection, so density profiling of 100 TB of
+  points is a single map-side-combined shuffle.
+* ``g_grid_neighbor_join`` — the canonical distributed spatial-radius
+  join: cell size == radius, so the 3×3 neighborhood of a point's cell
+  provably contains every point within R.  The build side explodes 9
+  (dx,dy) offsets and equi-joins on the cell id — candidate count is
+  O(points × local density), NEVER all-pairs.  The DuckDB oracle is the
+  brute-force cross join, so the hash check doubles as a completeness
+  proof for the blocking (any pair the grid missed would break parity).
+* ``g_haversine_nearest`` — trig runs over ≤ |suppliers| nearest pairs
+  (output of the blocked join), never over the candidate set.
+* ``g_moran_autocorr`` — global Moran's I from SIX exact integer
+  moments (Σx, Σx², edge Σxᵢxⱼ, edge Σ(xᵢ+xⱼ), N, W) reduced in one
+  pass over cells + one rook-adjacency self-join; the statistic itself
+  is one scalar float expression over exact integers, so engines agree
+  bit-for-bit before rounding.
+
+No reference counterpart: `/root/reference` has no geospatial surface;
+this extends the analytics catalog (closest kin: the LSH blocking in
+``operators/dedup.py`` — same candidates-then-verify contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64, portable_hash64_sql
+from ..tables import load_table
+from . import register
+
+__all__ = [
+    "g_geo_cells",
+    "g_grid_neighbor_join",
+    "g_haversine_nearest",
+    "g_moran_autocorr",
+]
+
+# Shared coordinate box: 10°×10° in integer microdegrees.
+LAT0 = 40_000_000
+LON0 = 70_000_000
+SPAN = 10_000_000
+
+# Radius for the neighbor join — also the blocking cell size, so a 3×3
+# neighborhood is guaranteed to cover the radius.
+R_MICRO = 250_000
+R_SQ = R_MICRO * R_MICRO
+# nearest-neighbor encoding: dist_sq * ENC + custkey stays far under
+# signed-64 (6.25e10 * 1e7 + 1e7 < 2^63); custkey < 1e7 holds to ~sf60.
+ENC = 10_000_000
+
+
+def _coords(key_col: str, prefix: str):
+    """lat/lon microdegree columns derived from ``key_col`` (Spark side)."""
+    k = F.col(key_col).cast("string")
+    lat = LAT0 + portable_hash64(F.concat(k, F.lit(f"{prefix}lat"))) % SPAN
+    lon = LON0 + portable_hash64(F.concat(k, F.lit(f"{prefix}lon"))) % SPAN
+    return lat.alias("lat_micro"), lon.alias("lon_micro")
+
+
+def _coords_sql(key_expr: str, prefix: str) -> str:
+    """The DuckDB twin of :func:`_coords` as a SELECT fragment."""
+    k = f"CAST({key_expr} AS VARCHAR)"
+    h_lat = portable_hash64_sql(f"{k} || '{prefix}lat'")
+    h_lon = portable_hash64_sql(f"{k} || '{prefix}lon'")
+    return (
+        f"{LAT0} + {h_lat} % {SPAN} AS lat_micro, "
+        f"{LON0} + {h_lon} % {SPAN} AS lon_micro"
+    )
+
+
+# ------------------------------------------------------------ grid cells
+@register(
+    "g_geo_cells",
+    oracle=f"""
+WITH pts AS (
+  SELECT c_custkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents,
+         {_coords_sql('c_custkey', 'c')}
+  FROM customer),
+cells AS (
+  SELECT (lat_micro - {LAT0}) // 1000000 AS cell_y,
+         (lon_micro - {LON0}) // 1000000 AS cell_x,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(bal_cents) AS BIGINT) AS balance_cents,
+         CAST(SUM(lat_micro) // COUNT(*) AS BIGINT) AS centroid_lat,
+         CAST(SUM(lon_micro) // COUNT(*) AS BIGINT) AS centroid_lon
+  FROM pts GROUP BY 1, 2)
+SELECT * FROM cells
+ORDER BY n_customers DESC, cell_y, cell_x
+LIMIT 20
+""",
+    doc="customer density over a 1° grid: deterministic hash coordinates, "
+    "integer cell ids, exact integer-cent balance totals and floor-mean "
+    "centroids; top-20 densest cells with a total tie-break.  Scale: the "
+    "grid is a per-row projection, so this is ONE map-side-combined "
+    "groupBy shuffle regardless of point count.",
+)
+def g_geo_cells(spark: SparkSession, sf: str) -> DataFrame:
+    lat, lon = _coords("c_custkey", "c")
+    pts = load_table(spark, sf, "customer").select(
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+        lat,
+        lon,
+    )
+    cells = (
+        pts.withColumn("cell_y", ((F.col("lat_micro") - LAT0) / 1_000_000).cast("long"))
+        .withColumn("cell_x", ((F.col("lon_micro") - LON0) / 1_000_000).cast("long"))
+        .groupBy("cell_y", "cell_x")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("bal_cents").alias("balance_cents"),
+            F.floor(F.sum("lat_micro") / F.count("*")).alias("centroid_lat"),
+            F.floor(F.sum("lon_micro") / F.count("*")).alias("centroid_lon"),
+        )
+        .select(
+            "cell_y", "cell_x", "n_customers", "balance_cents",
+            "centroid_lat", "centroid_lon",
+        )
+    )
+    return cells.orderBy(
+        F.col("n_customers").desc(), F.col("cell_y").asc(), F.col("cell_x").asc()
+    ).limit(20)
+
+
+# ------------------------------------------- blocked spatial radius join
+def _supplier_pts(spark: SparkSession, sf: str) -> DataFrame:
+    lat, lon = _coords("s_suppkey", "s")
+    return load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey", lat, lon)
+
+
+def _customer_pts(spark: SparkSession, sf: str) -> DataFrame:
+    lat, lon = _coords("c_custkey", "c")
+    return (
+        load_table(spark, sf, "customer")
+        .select("c_custkey", lat, lon)
+        .withColumnRenamed("lat_micro", "c_lat")
+        .withColumnRenamed("lon_micro", "c_lon")
+    )
+
+
+def _nearest_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-supplier nearest customer within R via 3×3 grid blocking.
+
+    Columns: s_suppkey, s_nationkey, lat_micro, lon_micro, n_within,
+    dist_sq, c_custkey.  Inner semantics: suppliers with no customer in
+    radius are absent.
+    """
+    sup = _supplier_pts(spark, sf)
+    cust = _customer_pts(spark, sf)
+    # customers land in their own cell; suppliers probe the 3×3 block
+    cust_c = cust.withColumn("cell_y", (F.col("c_lat") / R_MICRO).cast("long")).withColumn(
+        "cell_x", (F.col("c_lon") / R_MICRO).cast("long")
+    )
+    offsets = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+                for dy in (-1, 0, 1)
+                for dx in (-1, 0, 1)
+            ]
+        )
+    )
+    sup_c = (
+        sup.select("*", offsets.alias("o"))
+        .withColumn("cell_y", (F.col("lat_micro") / R_MICRO).cast("long") + F.col("o.dy"))
+        .withColumn("cell_x", (F.col("lon_micro") / R_MICRO).cast("long") + F.col("o.dx"))
+        .drop("o")
+    )
+    d_lat = F.col("lat_micro") - F.col("c_lat")
+    d_lon = F.col("lon_micro") - F.col("c_lon")
+    pairs = (
+        sup_c.join(cust_c, ["cell_y", "cell_x"])
+        .withColumn("dist_sq", d_lat * d_lat + d_lon * d_lon)
+        .where(F.col("dist_sq") <= R_SQ)
+    )
+    agg = pairs.groupBy("s_suppkey", "s_nationkey", "lat_micro", "lon_micro").agg(
+        F.count("*").alias("n_within"),
+        F.min(F.col("dist_sq") * ENC + F.col("c_custkey")).alias("enc"),
+    )
+    return agg.select(
+        "s_suppkey",
+        "s_nationkey",
+        "lat_micro",
+        "lon_micro",
+        "n_within",
+        (F.col("enc") / ENC).cast("long").alias("dist_sq"),
+        (F.col("enc") % ENC).alias("c_custkey"),
+    )
+
+
+_BRUTE_PAIRS_SQL = f"""
+sup AS (
+  SELECT s_suppkey, s_nationkey, {_coords_sql('s_suppkey', 's')}
+  FROM supplier),
+cust AS (
+  SELECT c_custkey,
+         {LAT0} + {portable_hash64_sql("CAST(c_custkey AS VARCHAR) || 'clat'")} % {SPAN} AS c_lat,
+         {LON0} + {portable_hash64_sql("CAST(c_custkey AS VARCHAR) || 'clon'")} % {SPAN} AS c_lon
+  FROM customer),
+pairs AS (
+  SELECT s.*, c.c_custkey, c.c_lat, c.c_lon,
+         (s.lat_micro - c.c_lat) * (s.lat_micro - c.c_lat)
+         + (s.lon_micro - c.c_lon) * (s.lon_micro - c.c_lon) AS dist_sq
+  FROM sup s CROSS JOIN cust c
+  WHERE (s.lat_micro - c.c_lat) * (s.lat_micro - c.c_lat)
+        + (s.lon_micro - c.c_lon) * (s.lon_micro - c.c_lon) <= {R_SQ}),
+nearest AS (
+  SELECT s_suppkey, s_nationkey, lat_micro, lon_micro,
+         CAST(COUNT(*) AS BIGINT) AS n_within,
+         MIN(dist_sq * {ENC} + c_custkey) AS enc
+  FROM pairs GROUP BY 1, 2, 3, 4)
+"""
+
+
+@register(
+    "g_grid_neighbor_join",
+    oracle=f"""
+WITH {_BRUTE_PAIRS_SQL}
+SELECT s_suppkey, n_within,
+       CAST(enc // {ENC} AS BIGINT) AS dist_sq,
+       CAST(enc % {ENC} AS BIGINT) AS c_custkey
+FROM nearest
+ORDER BY s_suppkey
+""",
+    doc="spatial radius join (suppliers → customers within 0.25°) with "
+    "per-supplier neighbor count and nearest customer.  Spark blocks on "
+    "a radius-sized grid (3×3 neighborhood provably covers R) so the "
+    "candidate set is O(points × local density); the DuckDB oracle is "
+    "the BRUTE-FORCE cross join, making the hash check a completeness "
+    "proof of the blocking.  All distance math is exact integer "
+    "microdegrees; the nearest tie-break rides an exact "
+    "dist_sq*1e7+custkey encoding (min over bigint).",
+)
+def g_grid_neighbor_join(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _nearest_pairs(spark, sf)
+        .select("s_suppkey", "n_within", "dist_sq", "c_custkey")
+        .orderBy("s_suppkey")
+    )
+
+
+# ----------------------------------------------------- haversine nearest
+_H_NEAREST_LAT = portable_hash64_sql(f"CAST(enc % {ENC} AS VARCHAR) || 'clat'")
+_H_NEAREST_LON = portable_hash64_sql(f"CAST(enc % {ENC} AS VARCHAR) || 'clon'")
+
+@register(
+    "g_haversine_nearest",
+    oracle=f"""
+WITH {_BRUTE_PAIRS_SQL},
+dec AS (
+  SELECT s_nationkey,
+         lat_micro * 1e-6 AS s_lat, lon_micro * 1e-6 AS s_lon,
+         (enc // {ENC}) AS dist_sq,
+         {LAT0} + {_H_NEAREST_LAT} % {SPAN} AS c_lat_m,
+         {LON0} + {_H_NEAREST_LON} % {SPAN} AS c_lon_m
+  FROM nearest),
+hav AS (
+  SELECT s_nationkey,
+         12742.0 * ASIN(SQRT(
+           SIN(RADIANS((c_lat_m * 1e-6 - s_lat) / 2)) * SIN(RADIANS((c_lat_m * 1e-6 - s_lat) / 2))
+           + COS(RADIANS(s_lat)) * COS(RADIANS(c_lat_m * 1e-6))
+             * SIN(RADIANS((c_lon_m * 1e-6 - s_lon) / 2)) * SIN(RADIANS((c_lon_m * 1e-6 - s_lon) / 2))
+         )) AS km
+  FROM dec)
+SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       FLOOR(AVG(km) * 10000 + 0.5) / 10000 AS avg_km,
+       FLOOR(MIN(km) * 10000 + 0.5) / 10000 AS min_km,
+       FLOOR(MAX(km) * 10000 + 0.5) / 10000 AS max_km
+FROM hav GROUP BY s_nationkey
+ORDER BY s_nationkey
+""",
+    doc="haversine distance (km, R⊕=6371) from each supplier to its "
+    "nearest in-radius customer, aggregated per supplier nation.  Trig "
+    "runs over ≤|suppliers| nearest pairs — the output of the blocked "
+    "join — never over the candidate set; distances derive from exact "
+    "integer microdegrees so both engines feed identical doubles into "
+    "the same mirrored formula, rounded floor(x*1e4+0.5)/1e4.",
+)
+def g_haversine_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    near = _nearest_pairs(spark, sf)
+    clat, clon = _coords("c_custkey", "c")
+    near = near.select(
+        "s_nationkey",
+        (F.col("lat_micro") * 1e-6).alias("s_lat"),
+        (F.col("lon_micro") * 1e-6).alias("s_lon"),
+        (clat * 1e-6).alias("c_lat"),
+        (clon * 1e-6).alias("c_lon"),
+    )
+    half_dlat = F.radians((F.col("c_lat") - F.col("s_lat")) / 2)
+    half_dlon = F.radians((F.col("c_lon") - F.col("s_lon")) / 2)
+    km = 12742.0 * F.asin(
+        F.sqrt(
+            F.sin(half_dlat) * F.sin(half_dlat)
+            + F.cos(F.radians(F.col("s_lat")))
+            * F.cos(F.radians(F.col("c_lat")))
+            * F.sin(half_dlon)
+            * F.sin(half_dlon)
+        )
+    )
+    hav = near.select("s_nationkey", km.alias("km"))
+    r4 = lambda c: F.floor(c * 10000 + 0.5) / 10000  # noqa: E731
+    return (
+        hav.groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            r4(F.avg("km")).alias("avg_km"),
+            r4(F.min("km")).alias("min_km"),
+            r4(F.max("km")).alias("max_km"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+# ------------------------------------------------------- Moran's I
+@register(
+    "g_moran_autocorr",
+    oracle=f"""
+WITH pts AS (
+  SELECT CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents,
+         {_coords_sql('c_custkey', 'c')}
+  FROM customer),
+cells AS (
+  SELECT (lat_micro - {LAT0}) // 1000000 AS cy,
+         (lon_micro - {LON0}) // 1000000 AS cx,
+         CAST(SUM(bal_cents) AS BIGINT) AS x
+  FROM pts GROUP BY 1, 2),
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s,
+         SUM(CAST(x AS HUGEINT) * x) AS q
+  FROM cells),
+edges AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS w,
+         SUM(CAST(a.x AS HUGEINT) * b.x) AS e_xy,
+         SUM(CAST(a.x AS HUGEINT) + b.x) AS e_s
+  FROM cells a JOIN cells b
+    ON (a.cy = b.cy AND ABS(a.cx - b.cx) = 1)
+    OR (a.cx = b.cx AND ABS(a.cy - b.cy) = 1))
+SELECT n, w,
+       FLOOR(
+         (CAST(n AS DOUBLE) / w)
+         * (CAST(e_xy AS DOUBLE)
+            - (CAST(s AS DOUBLE) / n) * CAST(e_s AS DOUBLE)
+            + w * ((CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)))
+         / (CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) / n) * CAST(s AS DOUBLE))
+         * 1000000 + 0.5) / 1000000 AS moran_i
+FROM base, edges
+""",
+    doc="global Moran's I spatial autocorrelation of per-cell balance "
+    "totals under rook adjacency.  Every moment is an EXACT widened "
+    "integer (Σx, Σx², directed-edge Σxᵢxⱼ and Σ(xᵢ+xⱼ), N, W) — the "
+    "deviation algebra (xᵢ−x̄)(xⱼ−x̄) expands to moments so no float "
+    "accumulates across rows; the statistic is one scalar double "
+    "expression mirrored on both engines.  Scale: one cell groupBy + "
+    "one self-equi-join on neighbor cells (4 shifted copies), two "
+    "1-row reduces.",
+)
+def g_moran_autocorr(spark: SparkSession, sf: str) -> DataFrame:
+    lat, lon = _coords("c_custkey", "c")
+    pts = load_table(spark, sf, "customer").select(
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"), lat, lon
+    )
+    cells = (
+        pts.withColumn("cy", ((F.col("lat_micro") - LAT0) / 1_000_000).cast("long"))
+        .withColumn("cx", ((F.col("lon_micro") - LON0) / 1_000_000).cast("long"))
+        .groupBy("cy", "cx")
+        .agg(F.sum("bal_cents").alias("x"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = cells.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(dec(F.col("x")) * F.col("x")).alias("q"),
+    )
+    # rook adjacency as an EQUI-join: explode the 4 neighbor offsets on
+    # side a and match (a.cy+dy, a.cx+dx) == (b.cy, b.cx) — a hash join,
+    # never the nested-loop all-pairs an OR-of-conjunctions condition
+    # plans.  Each adjacent unordered pair contributes exactly the same
+    # two directed edges the OR formulation yields.
+    rook_off = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+                for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1))
+            ]
+        )
+    )
+    a = (
+        cells.select("*", rook_off.alias("o"))
+        .select(
+            (F.col("cy") + F.col("o.dy")).alias("ny"),
+            (F.col("cx") + F.col("o.dx")).alias("nx"),
+            F.col("x").alias("ax"),
+        )
+        .alias("a")
+    )
+    b = cells.alias("b")
+    edges = a.join(
+        b, (F.col("a.ny") == F.col("b.cy")) & (F.col("a.nx") == F.col("b.cx"))
+    ).agg(
+        F.count("*").alias("w"),
+        F.sum(dec(F.col("a.ax")) * F.col("b.x")).alias("e_xy"),
+        F.sum(dec(F.col("a.ax")) + F.col("b.x")).alias("e_s"),
+    )
+    j = base.crossJoin(edges)
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mean = d("s") / F.col("n")
+    moran = (
+        (d("n") / F.col("w"))
+        * (d("e_xy") - mean * d("e_s") + F.col("w") * (mean * mean))
+        / (d("q") - mean * d("s"))
+    )
+    return j.select(
+        "n", "w", (F.floor(moran * 1000000 + 0.5) / 1000000).alias("moran_i")
+    )

@@ -1,0 +1,143 @@
+"""Geo catalog semantics: the DuckDB parity gate proves Spark == oracle;
+these pin that BOTH equal an independent Python brute force — blocking
+completeness, haversine geometry, and the Moran's I moment algebra."""
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+
+from spark_fuse_spark.catalog import load_all
+from spark_fuse_spark.catalog.geo import ENC, LAT0, LON0, R_SQ, SPAN
+
+SF = "/root/testdata/sf0.001"
+SF_MED = "/root/testdata/sf0.01"
+
+
+def _h(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _coords(key: int, prefix: str) -> tuple[int, int]:
+    return (
+        LAT0 + _h(f"{key}{prefix}lat") % SPAN,
+        LON0 + _h(f"{key}{prefix}lon") % SPAN,
+    )
+
+
+def _table_keys(sf: str, table: str, col: str) -> list[int]:
+    import duckdb
+
+    return [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT {col} FROM read_parquet('{sf}/{table}.parquet')"
+        ).fetchall()
+    ]
+
+
+def test_grid_neighbor_join_matches_python_bruteforce(spark):
+    """Every supplier's in-radius neighbor count and nearest customer from
+    the 3×3-blocked join equal the all-pairs Python scan — the blocking
+    provably loses nothing (independent of the DuckDB twin, which proves
+    the same via the cross-join oracle)."""
+    sups = _table_keys(SF, "supplier", "s_suppkey")
+    custs = _table_keys(SF, "customer", "c_custkey")
+    cpts = [(c, *_coords(c, "c")) for c in custs]
+    expected = {}
+    for s in sups:
+        slat, slon = _coords(s, "s")
+        best, n = None, 0
+        for c, clat, clon in cpts:
+            d = (slat - clat) ** 2 + (slon - clon) ** 2
+            if d <= R_SQ:
+                n += 1
+                enc = d * ENC + c
+                best = enc if best is None else min(best, enc)
+        if n:
+            expected[s] = (n, best // ENC, best % ENC)
+    rows = load_all()["g_grid_neighbor_join"].spark(spark, SF).collect()
+    got = {r.s_suppkey: (r.n_within, r.dist_sq, r.c_custkey) for r in rows}
+    assert got == expected
+    assert expected, "radius too small — test would be vacuous"
+
+
+def test_haversine_zero_and_bounds(spark):
+    """Nearest-pair haversine distances are positive and bounded by the
+    0.25° radius diagonal (~39 km at 40°N); the per-nation aggregates
+    respect min ≤ avg ≤ max."""
+    rows = load_all()["g_haversine_nearest"].spark(spark, SF_MED).collect()
+    assert rows
+    # 0.25° lat ≈ 27.8 km, 0.25° lon ≤ 21.3 km at 40°N → diagonal < 36 km
+    for r in rows:
+        assert 0.0 < r.min_km <= r.avg_km <= r.max_km < 40.0
+
+
+def test_moran_matches_numpy_definition(spark):
+    """Moran's I from the exact integer moments equals the textbook
+    double-loop deviation formula computed in numpy."""
+    import duckdb
+
+    bal = duckdb.sql(
+        f"SELECT c_custkey, CAST(ROUND(c_acctbal*100) AS BIGINT) "
+        f"FROM read_parquet('{SF_MED}/customer.parquet')"
+    ).fetchall()
+    cells: dict[tuple[int, int], int] = {}
+    for ck, cents in bal:
+        lat, lon = _coords(ck, "c")
+        key = ((lat - LAT0) // 1_000_000, (lon - LON0) // 1_000_000)
+        cells[key] = cells.get(key, 0) + cents
+    keys = list(cells)
+    x = np.array([cells[k] for k in keys], dtype=float)
+    xbar = x.mean()
+    idx = {k: i for i, k in enumerate(keys)}
+    num, w = 0.0, 0
+    for (cy, cx), i in idx.items():
+        for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            j = idx.get((cy + dy, cx + dx))
+            if j is not None:
+                num += (x[i] - xbar) * (x[j] - xbar)
+                w += 1
+    expect = (len(x) / w) * num / ((x - xbar) ** 2).sum()
+    (r,) = load_all()["g_moran_autocorr"].spark(spark, SF_MED).collect()
+    assert (r.n, r.w) == (len(x), w)
+    assert r.moran_i == pytest.approx(expect, abs=2e-6)
+    # hash coordinates are spatially random → I ≈ -1/(N-1), far from ±1
+    assert abs(r.moran_i) < 0.5
+
+
+def test_geo_cells_top20_matches_python_bruteforce(spark):
+    """The registered top-20 densest cells (count, exact cent total,
+    floor-mean centroid, total tie-break) equal a from-scratch Python
+    grid build."""
+    import duckdb
+
+    bal = duckdb.sql(
+        f"SELECT c_custkey, CAST(ROUND(c_acctbal*100) AS BIGINT) "
+        f"FROM read_parquet('{SF_MED}/customer.parquet')"
+    ).fetchall()
+    cells: dict[tuple[int, int], list[int]] = {}
+    for ck, cents in bal:
+        lat, lon = _coords(ck, "c")
+        key = ((lat - LAT0) // 1_000_000, (lon - LON0) // 1_000_000)
+        agg = cells.setdefault(key, [0, 0, 0, 0])  # n, cents, lat_sum, lon_sum
+        agg[0] += 1
+        agg[1] += cents
+        agg[2] += lat
+        agg[3] += lon
+    expect = sorted(
+        (
+            (cy, cx, n, cents, lat_s // n, lon_s // n)
+            for (cy, cx), (n, cents, lat_s, lon_s) in cells.items()
+        ),
+        key=lambda r: (-r[2], r[0], r[1]),
+    )[:20]
+    rows = load_all()["g_geo_cells"].spark(spark, SF_MED).collect()
+    got = [
+        (r.cell_y, r.cell_x, r.n_customers, r.balance_cents,
+         r.centroid_lat, r.centroid_lon)
+        for r in rows
+    ]
+    assert got == expect

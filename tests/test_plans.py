@@ -391,6 +391,19 @@ CONTRACTS = {
     "q_mann_whitney": PlanExpectation(
         min_broadcast_joins=1, require_partial_agg=True, max_exchanges=4
     ),
+    # geo: the grid projection is per-row, so density is ONE agg exchange
+    "g_geo_cells": PlanExpectation(require_partial_agg=True, max_exchanges=1),
+    # blocked radius join: cell equi-join (hash, never cartesian) + one
+    # per-supplier agg; the 9-offset explode adds no exchange
+    "g_grid_neighbor_join": PlanExpectation(
+        require_partial_agg=True, max_exchanges=4
+    ),
+    "g_haversine_nearest": PlanExpectation(
+        require_partial_agg=True, max_exchanges=4
+    ),
+    # Moran's I: cell agg + exploded-offset adjacency EQUI-join (the OR
+    # formulation plans a nested-loop all-pairs) + two 1-row reduces
+    "g_moran_autocorr": PlanExpectation(require_partial_agg=True, max_exchanges=6),
 }
 
 
