@@ -92,6 +92,13 @@ HEADLINE = [
     "q_ks_2sample",
     "q_corr_matrix",
     "x_kmv_setops",
+    # rank tests, robust trends, bounded-round graph communities, and the
+    # blocked spatial-join family
+    "q_mann_whitney",
+    "q_theil_sen",
+    "x_label_propagation",
+    "g_grid_neighbor_join",
+    "g_moran_autocorr",
 ]
 
 

@@ -2243,3 +2243,209 @@ def q_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
             F.floor((1 / F.pow(denom, 4)) * 1000000 + 0.5) / 1000000
         ).alias("p_two_sided"),
     )
+
+
+# ------------------------------------------------ label propagation (LPA)
+_LPA_ROUNDS = 3
+
+
+def _lpa_round_sql(prev: str, cur: str) -> str:
+    """One synchronous min-label round as a chained CTE."""
+    return (
+        f"{cur} AS (SELECT a.src AS node, MIN(p.lbl) AS lbl "
+        f"FROM adjp a JOIN {prev} p ON a.dst = p.node GROUP BY a.src)"
+    )
+
+
+@register(
+    "x_label_propagation",
+    oracle=f"""
+WITH {_EDGES_CTE},
+adj AS (SELECT u AS src, v AS dst FROM edges
+        UNION ALL SELECT v AS src, u AS dst FROM edges),
+nodes AS (SELECT DISTINCT src AS node FROM adj),
+adjp AS (SELECT src, dst FROM adj
+         UNION ALL SELECT node, node FROM nodes),
+l0 AS (SELECT node, node AS lbl FROM nodes),
+{_lpa_round_sql('l0', 'l1')},
+{_lpa_round_sql('l1', 'l2')},
+{_lpa_round_sql('l2', 'l3')},
+clusters AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS sz,
+                    CAST(SUM(node) AS BIGINT) AS cks
+             FROM l3 GROUP BY lbl)
+SELECT sz AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cks) AS BIGINT) AS node_checksum
+FROM clusters GROUP BY sz ORDER BY cluster_size
+""",
+    doc="synchronous min-label propagation (3 rounds) over the support-2 "
+    "co-purchase graph — the bounded-round community sketch that "
+    "approaches connected components as rounds grow (labels reach "
+    "distance-3 minima; operators/graph.py's star-contraction CC is the "
+    "exact-fixpoint sibling).  Deterministic: min-label update has no "
+    "tie-break ambiguity, so Spark and the chained-CTE oracle agree "
+    "exactly.  Scale: each round is ONE node-keyed partial-agg'd "
+    "shuffle (join labels to the self-looped adjacency, groupBy dst "
+    "min), localCheckpoint per round keeps lineage O(1); rounds bound "
+    "wall-clock, and the output is the cluster-size histogram, never "
+    "per-node rows.",
+)
+def x_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf)
+    adj = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    )
+    nodes = adj.select(F.col("src").alias("node")).distinct()
+    adjp = adj.unionAll(
+        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+    ).localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    for _ in range(_LPA_ROUNDS):
+        labels = (
+            adjp.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+    clusters = labels.groupBy("lbl").agg(
+        F.count("*").alias("sz"), F.sum("node").alias("cks")
+    )
+    return (
+        clusters.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("cks").alias("node_checksum"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+# ------------------------------------------------- Theil-Sen robust trend
+@register(
+    "q_theil_sen",
+    oracle="""
+WITH pts AS (
+  SELECT n.n_name,
+         CAST((EXTRACT(YEAR FROM o.o_orderdate) - 1995) * 12
+              + EXTRACT(MONTH FROM o.o_orderdate) - 1 AS BIGINT) AS x,
+         CAST(SUM(ROUND(o.o_totalprice * 100)) AS BIGINT) AS y
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, x),
+slopes AS (
+  SELECT a.n_name,
+         (CAST(b.y AS DOUBLE) - a.y) / (b.x - a.x) AS slope
+  FROM pts a JOIN pts b ON a.n_name = b.n_name AND a.x < b.x)
+SELECT n_name,
+       CAST((SELECT COUNT(*) FROM pts p WHERE p.n_name = s.n_name) AS BIGINT)
+         AS n_months,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       FLOOR(MEDIAN(slope) / 100 * 10000 + 0.5) / 10000 AS slope_dollars
+FROM slopes s GROUP BY n_name
+ORDER BY n_name
+""",
+    doc="Theil-Sen robust trend: the MEDIAN of all pairwise slopes of "
+    "monthly revenue per nation — the 29%-breakdown-point companion to "
+    "q_ols_trend's least-squares fit.  Slopes are exact-integer rises "
+    "over integer runs (one double division each, IEEE-identical on "
+    "both engines); the median is an order statistic of those identical "
+    "doubles (both engines interpolate even counts as the midpoint "
+    "mean), so no float accumulation ever crosses rows.  Scale: the "
+    "pair self-join is keyed by nation and bounded by the month-count "
+    "(≤84² pairs per group — a constant), never by row count; the "
+    "monthly rollup is the only data-sized shuffle.",
+)
+def q_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    pts = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            (
+                (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+            ).cast("long").alias("x"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("y"))
+        .localCheckpoint()  # feeds the self-join twice; pin one evaluation
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    slopes = a.join(
+        b, (F.col("a.n_name") == F.col("b.n_name")) & (F.col("a.x") < F.col("b.x"))
+    ).select(
+        F.col("a.n_name").alias("n_name"),
+        (
+            (F.col("b.y").cast("double") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))
+        ).alias("slope"),
+    )
+    months = pts.groupBy("n_name").agg(F.count("*").alias("n_months"))
+    agg = slopes.groupBy("n_name").agg(
+        F.count("*").alias("n_pairs"),
+        F.expr("percentile(slope, 0.5)").alias("med"),
+    )
+    return (
+        agg.join(F.broadcast(months), "n_name")
+        .select(
+            "n_name",
+            "n_months",
+            "n_pairs",
+            (F.floor(F.col("med") / 100 * 10000 + 0.5) / 10000).alias("slope_dollars"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------- Benford digit audit
+@register(
+    "q_benford_audit",
+    oracle="""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INT) AS digit
+  FROM orders),
+counts AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders FROM digits GROUP BY digit),
+total AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS n FROM counts)
+SELECT digit, n_orders,
+       FLOOR(CAST(n_orders AS DOUBLE) / n * 1000000 + 0.5) / 1000000 AS obs_share,
+       FLOOR(LOG10(1 + 1.0 / digit) * 1000000 + 0.5) / 1000000 AS benford_share,
+       FLOOR(ABS(CAST(n_orders AS DOUBLE) / n - LOG10(1 + 1.0 / digit))
+             * 1000000 + 0.5) / 1000000 AS abs_dev
+FROM counts, total
+ORDER BY digit
+""",
+    doc="Benford first-significant-digit audit of order totals — the "
+    "classic anomaly screen for fabricated or truncated monetary data.  "
+    "The digit is extracted through the integer-part STRING (never "
+    "pow/log10 of the value, whose float boundary at exact powers of "
+    "ten could disagree between engines); expected shares log10(1+1/d) "
+    "are constant-folded identically on both sides.  Scale: one "
+    "9-bucket map-side-combined groupBy over any row count.",
+)
+def q_benford_audit(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    digit = (
+        F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    counts = o.select(digit).groupBy("digit").agg(F.count("*").alias("n_orders"))
+    total = counts.agg(F.sum("n_orders").alias("n"))
+    r6 = lambda c: F.floor(c * 1000000 + 0.5) / 1000000  # noqa: E731
+    obs = F.col("n_orders").cast("double") / F.col("n")
+    exp = F.log10(1 + 1.0 / F.col("digit"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_orders",
+            r6(obs).alias("obs_share"),
+            r6(exp).alias("benford_share"),
+            r6(F.abs(obs - exp)).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )

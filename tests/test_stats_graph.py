@@ -389,3 +389,92 @@ def test_mann_whitney_matches_pandas_ranks(spark):
     true_p = math.erfc(abs(z) / math.sqrt(2))
     assert r.p_two_sided == pytest.approx(true_p, abs=5e-4)
     assert 0.0 <= r.p_two_sided <= 1.0
+
+
+def test_label_propagation_matches_python_rounds(spark):
+    """The cluster-size histogram equals a from-scratch Python synchronous
+    min-label propagation on the same support-2 co-purchase graph."""
+    import duckdb
+
+    edges = duckdb.sql(
+        f"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM read_parquet('{SF_MED}/lineitem.parquet')),
+        pairs AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+                  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                                     AND a.l_partkey < b.l_partkey)
+        SELECT u, v FROM pairs GROUP BY u, v HAVING COUNT(*) >= 2"""
+    ).fetchall()
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    lbl = {n: n for n in adj}
+    for _ in range(3):
+        lbl = {
+            n: min(min(lbl[m] for m in adj[n]), lbl[n]) for n in adj
+        }
+    from collections import Counter
+
+    sizes = Counter(Counter(lbl.values()).values())
+    checks: dict[int, int] = {}
+    by_lbl: dict[int, list[int]] = {}
+    for n, l in lbl.items():
+        by_lbl.setdefault(l, []).append(n)
+    for l, members in by_lbl.items():
+        checks[len(members)] = checks.get(len(members), 0) + sum(members)
+    rows = load_all()["x_label_propagation"].spark(spark, SF_MED).collect()
+    got = {r.cluster_size: (r.n_clusters, r.node_checksum) for r in rows}
+    assert got == {sz: (n, checks[sz]) for sz, n in sizes.items()}
+    assert len(got) > 1, "graph collapsed to one size class — weak fixture"
+
+
+def test_theil_sen_matches_numpy_median_of_slopes(spark):
+    """Per-nation Theil-Sen slope equals numpy's median over the explicit
+    pairwise-slope list built from the same monthly rollup."""
+    import duckdb
+
+    pts = duckdb.sql(
+        f"""SELECT n.n_name,
+                   (EXTRACT(YEAR FROM o.o_orderdate) - 1995) * 12
+                     + EXTRACT(MONTH FROM o.o_orderdate) - 1 AS x,
+                   CAST(SUM(ROUND(o.o_totalprice * 100)) AS BIGINT) AS y
+            FROM read_parquet('{SF_MED}/orders.parquet') o
+            JOIN read_parquet('{SF_MED}/customer.parquet') c
+              ON o.o_custkey = c.c_custkey
+            JOIN read_parquet('{SF_MED}/nation.parquet') n
+              ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name, x"""
+    ).fetchall()
+    by_nation: dict[str, list[tuple[int, int]]] = {}
+    for name, x, y in pts:
+        by_nation.setdefault(name, []).append((int(x), int(y)))
+    rows = load_all()["q_theil_sen"].spark(spark, SF_MED).collect()
+    assert len(rows) == len(by_nation)
+    for r in rows:
+        series = sorted(by_nation[r.n_name])
+        slopes = [
+            (y2 - y1) / (x2 - x1)
+            for i, (x1, y1) in enumerate(series)
+            for (x2, y2) in series[i + 1:]
+        ]
+        assert r.n_months == len(series)
+        assert r.n_pairs == len(slopes)
+        want = float(np.median(slopes)) / 100
+        assert r.slope_dollars == pytest.approx(want, abs=1e-4)
+
+
+def test_benford_audit_shares_sum_to_one(spark):
+    """Digits cover 1..9 (order totals are >= 857 in TPC-H), observed and
+    Benford shares each sum to ~1, and counts sum to the table size."""
+    import duckdb
+
+    rows = load_all()["q_benford_audit"].spark(spark, SF_MED).collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{SF_MED}/orders.parquet')"
+    ).fetchone()[0]
+    assert sum(r.n_orders for r in rows) == n
+    assert sum(r.obs_share for r in rows) == pytest.approx(1.0, abs=1e-4)
+    assert sum(r.benford_share for r in rows) == pytest.approx(1.0, abs=1e-4)
+    for r in rows:
+        assert r.abs_dev == pytest.approx(abs(r.obs_share - r.benford_share), abs=2e-6)
