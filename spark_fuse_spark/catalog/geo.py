@@ -160,46 +160,21 @@ def _nearest_pairs(spark: SparkSession, sf: str) -> DataFrame:
     dist_sq, c_custkey.  Inner semantics: suppliers with no customer in
     radius are absent.
     """
-    sup = _supplier_pts(spark, sf)
-    cust = _customer_pts(spark, sf)
-    # customers land in their own cell; suppliers probe the 3×3 block
-    cust_c = cust.withColumn("cell_y", (F.col("c_lat") / R_MICRO).cast("long")).withColumn(
-        "cell_x", (F.col("c_lon") / R_MICRO).cast("long")
+    from ..operators.spatial import nearest_within, radius_join
+
+    # suppliers probe (smaller side pays the 9× explode); customers build
+    pairs = radius_join(
+        _supplier_pts(spark, sf),
+        _customer_pts(spark, sf),
+        radius=R_MICRO,
+        build_lat="c_lat",
+        build_lon="c_lon",
     )
-    offsets = F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
-                for dy in (-1, 0, 1)
-                for dx in (-1, 0, 1)
-            ]
-        )
-    )
-    sup_c = (
-        sup.select("*", offsets.alias("o"))
-        .withColumn("cell_y", (F.col("lat_micro") / R_MICRO).cast("long") + F.col("o.dy"))
-        .withColumn("cell_x", (F.col("lon_micro") / R_MICRO).cast("long") + F.col("o.dx"))
-        .drop("o")
-    )
-    d_lat = F.col("lat_micro") - F.col("c_lat")
-    d_lon = F.col("lon_micro") - F.col("c_lon")
-    pairs = (
-        sup_c.join(cust_c, ["cell_y", "cell_x"])
-        .withColumn("dist_sq", d_lat * d_lat + d_lon * d_lon)
-        .where(F.col("dist_sq") <= R_SQ)
-    )
-    agg = pairs.groupBy("s_suppkey", "s_nationkey", "lat_micro", "lon_micro").agg(
-        F.count("*").alias("n_within"),
-        F.min(F.col("dist_sq") * ENC + F.col("c_custkey")).alias("enc"),
-    )
-    return agg.select(
-        "s_suppkey",
-        "s_nationkey",
-        "lat_micro",
-        "lon_micro",
-        "n_within",
-        (F.col("enc") / ENC).cast("long").alias("dist_sq"),
-        (F.col("enc") % ENC).alias("c_custkey"),
+    return nearest_within(
+        pairs,
+        ["s_suppkey", "s_nationkey", "lat_micro", "lon_micro"],
+        "c_custkey",
+        id_bound=ENC,
     )
 
 

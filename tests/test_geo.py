@@ -141,3 +141,39 @@ def test_geo_cells_top20_matches_python_bruteforce(spark):
         for r in rows
     ]
     assert got == expect
+
+
+def test_radius_join_operator_synthetic(spark):
+    """Operator-level check on a hand-built grid: pairs straddling cell
+    boundaries are found (the 3×3 neighborhood matters), out-of-radius
+    pairs are not, and invalid inputs fail loudly."""
+    from pyspark.sql import functions as F
+
+    from spark_fuse_spark.operators.spatial import nearest_within, radius_join
+
+    probe = spark.createDataFrame(
+        [(1, 1000, 1000), (2, 5000, 5000)], "pid long, lat_micro long, lon_micro long"
+    )
+    build = spark.createDataFrame(
+        [(10, 1099, 1000),   # 99 away from p1 — in radius, SAME cell
+         (11, 901, 1000),    # 99 away from p1 — in radius, ADJACENT cell
+         (12, 1000, 1101),   # 101 away from p1 — out of radius
+         (13, 5000, 5000)],  # exactly on p2
+        "bid long, b_lat long, b_lon long",
+    )
+    pairs = radius_join(
+        probe, build, radius=100, build_lat="b_lat", build_lon="b_lon"
+    )
+    got = {(r.pid, r.bid): r.dist_sq for r in pairs.collect()}
+    assert got == {(1, 10): 99 * 99, (1, 11): 99 * 99, (2, 13): 0}
+    near = {
+        r.pid: (r.n_within, r.dist_sq, r.bid)
+        for r in nearest_within(pairs, ["pid"], "bid", id_bound=100).collect()
+    }
+    assert near == {1: (2, 99 * 99, 10), 2: (1, 0, 13)}
+
+    with pytest.raises(ValueError, match="radius"):
+        radius_join(probe, build, radius=0, build_lat="b_lat", build_lon="b_lon")
+    with pytest.raises(ValueError, match="collision"):
+        radius_join(probe, probe.withColumnRenamed("lat_micro", "b_lat"),
+                    radius=10, build_lat="b_lat", build_lon="lon_micro")
