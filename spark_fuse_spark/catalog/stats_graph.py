@@ -2449,3 +2449,153 @@ def q_benford_audit(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# --------------------------------------------- exact weighted quantiles
+@register(
+    "q_weighted_deciles",
+    oracle="""
+WITH cells AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+         CAST(SUM(l_quantity) AS BIGINT) AS w
+  FROM lineitem GROUP BY v),
+cum AS (
+  SELECT v, w,
+         CAST(SUM(w) OVER (ORDER BY v) AS BIGINT) AS cum_incl
+  FROM cells),
+tot AS (SELECT CAST(SUM(w) AS BIGINT) AS total_w FROM cells),
+dec AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) d(q)),
+hits AS (
+  SELECT d.q, c.v, c.cum_incl, t.total_w
+  FROM cum c CROSS JOIN tot t JOIN dec d
+    ON c.cum_incl * 10 >= d.q * t.total_w
+   AND (c.cum_incl - c.w) * 10 < d.q * t.total_w)
+SELECT q AS decile,
+       FLOOR(v / 100.0 * 100 + 0.5) / 100 AS price_dollars,
+       cum_incl AS cum_weight, total_w AS total_weight
+FROM hits ORDER BY decile
+""",
+    doc="exact type-1 weighted deciles of extended price weighted by "
+    "quantity — no interpolation, no float: the crossing cell for each "
+    "decile is the unique value whose inclusive cumulative weight "
+    "crosses q·W/10 (compared via integer cross-multiplication, never "
+    "division).  Spark computes the cumulative weight with the shared "
+    "two-phase distributed prefix machinery (operators/packing."
+    "with_prefix_sum — range partition + local windows + bounded "
+    "offsets, NEVER a single-partition global window), then each "
+    "value-cell meets the 9-row decile panel in a broadcast join.  "
+    "Scale: per-value partial agg bounds the prefix input by the "
+    "price domain, not the row count.",
+)
+def q_weighted_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.packing import with_prefix_sum
+
+    li = load_table(spark, sf, "lineitem")
+    cells = li.groupBy(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v")
+    ).agg(F.sum("l_quantity").cast("long").alias("w"))
+    cum = with_prefix_sum(cells, "v", "w", out_col="cum_excl")
+    cum = cum.withColumn("cum_incl", F.col("cum_excl") + F.col("w"))
+    tot = cum.agg(F.sum("w").alias("total_w"))
+    dec = spark.range(1, 10).select(F.col("id").cast("int").alias("q"))
+    hits = (
+        cum.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(dec),
+            (F.col("cum_incl") * 10 >= F.col("q") * F.col("total_w"))
+            & (F.col("cum_excl") * 10 < F.col("q") * F.col("total_w")),
+        )
+    )
+    return hits.select(
+        F.col("q").alias("decile"),
+        (F.floor(F.col("v") / 100.0 * 100 + 0.5) / 100).alias("price_dollars"),
+        F.col("cum_incl").alias("cum_weight"),
+        F.col("total_w").alias("total_weight"),
+    ).orderBy("decile")
+
+
+# ------------------------------------------------ daily-revenue ACF
+_ACF_MAX_LAG = 7
+
+
+@register(
+    "e_acf_daily",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(ROUND(o_totalprice * 100)) AS BIGINT) AS x
+  FROM orders GROUP BY d),
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s,
+         SUM(CAST(x AS HUGEINT) * x) AS q
+  FROM daily),
+lags AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7)) l(k)),
+pairs AS (
+  SELECT l.k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         SUM(CAST(a.x AS HUGEINT) * b.x) AS p,
+         CAST(SUM(a.x) AS BIGINT) AS sa,
+         CAST(SUM(b.x) AS BIGINT) AS sb
+  FROM daily a JOIN lags l ON TRUE
+  JOIN daily b ON b.d = a.d + CAST(l.k AS INTEGER)
+  GROUP BY l.k)
+SELECT k AS lag, n_pairs,
+       FLOOR(
+         (CAST(p AS DOUBLE)
+          - (CAST(s AS DOUBLE) / n) * (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE))
+          + n_pairs * ((CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)))
+         / (CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) / n) * CAST(s AS DOUBLE))
+         * 1000000 + 0.5) / 1000000 AS acf
+FROM pairs CROSS JOIN base
+ORDER BY lag
+""",
+    doc="autocorrelation of the daily-revenue series at lags 1..7 — the "
+    "seasonality screen behind the resample/forecast family.  The "
+    "deviation products expand to EXACT widened-integer moments "
+    "(Σxₜxₜ₊ₖ, pairwise-overlap sums, global Σx/Σx²) so no float "
+    "crosses rows; the estimator is one mirrored scalar expression "
+    "(full-series mean and variance, numerator over overlapping "
+    "pairs).  Scale: one day-keyed rollup, a 7-way bounded lag "
+    "explode joined day-to-day (calendar-sized, not row-sized), two "
+    "1-row reduces.",
+)
+def e_acf_daily(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("x"))
+        .localCheckpoint()  # feeds base + both join sides; pin one eval
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(dec(F.col("x")) * F.col("x")).alias("q"),
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").cast("int").alias("k"))
+    a = daily.alias("a").crossJoin(F.broadcast(lags))
+    b = daily.select(F.col("d").alias("bd"), F.col("x").alias("bx"))
+    pairs = (
+        a.join(b, F.col("bd") == F.date_add(F.col("a.d"), F.col("k")))
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(dec(F.col("a.x")) * F.col("bx")).alias("p"),
+            F.sum("a.x").alias("sa"),
+            F.sum("bx").alias("sb"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mean = d("s") / F.col("n")
+    acf = (
+        (d("p") - mean * (d("sa") + d("sb")) + F.col("n_pairs") * (mean * mean))
+        / (d("q") - mean * d("s"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(base))
+        .select(
+            F.col("k").alias("lag"),
+            "n_pairs",
+            (F.floor(acf * 1000000 + 0.5) / 1000000).alias("acf"),
+        )
+        .orderBy("lag")
+    )

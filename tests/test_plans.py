@@ -404,6 +404,24 @@ CONTRACTS = {
     # Moran's I: cell agg + exploded-offset adjacency EQUI-join (the OR
     # formulation plans a nested-loop all-pairs) + two 1-row reduces
     "g_moran_autocorr": PlanExpectation(require_partial_agg=True, max_exchanges=6),
+    # Theil-Sen: the monthly rollup is the only data-sized shuffle; the
+    # pair self-join and months panel ride the tiny aggregated frame
+    "q_theil_sen": PlanExpectation(
+        min_broadcast_joins=1, require_partial_agg=True, max_exchanges=6
+    ),
+    # Benford: one 9-bucket map-side-combined agg + a 1-row total panel
+    "q_benford_audit": PlanExpectation(require_partial_agg=True, max_exchanges=4),
+    # weighted deciles: per-value partial agg -> checkpointed prefix ->
+    # broadcast total + broadcast 9-row decile panel (theta-join on the
+    # crossing condition is nested-loop BY DESIGN: 9 broadcast rows)
+    "q_weighted_deciles": PlanExpectation(
+        min_broadcast_joins=1, require_partial_agg=True, max_exchanges=6
+    ),
+    # ACF: day-keyed rollup + bounded 7-lag explode equi-join on the
+    # checkpointed calendar-sized frame + two 1-row reduces
+    "e_acf_daily": PlanExpectation(
+        min_broadcast_joins=1, require_partial_agg=True, max_exchanges=4
+    ),
 }
 
 

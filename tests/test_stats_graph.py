@@ -478,3 +478,65 @@ def test_benford_audit_shares_sum_to_one(spark):
     assert sum(r.benford_share for r in rows) == pytest.approx(1.0, abs=1e-4)
     for r in rows:
         assert r.abs_dev == pytest.approx(abs(r.obs_share - r.benford_share), abs=2e-6)
+
+
+def test_weighted_deciles_match_python_type1(spark):
+    """Each decile value equals the smallest price whose inclusive
+    cumulative quantity crosses q*W/10 (type-1 weighted quantile),
+    computed from scratch in Python."""
+    import duckdb
+
+    cells = dict(
+        duckdb.sql(
+            f"""SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS v,
+                       CAST(SUM(l_quantity) AS BIGINT) AS w
+                FROM read_parquet('{SF_MED}/lineitem.parquet') GROUP BY v"""
+        ).fetchall()
+    )
+    total = sum(cells.values())
+    cum, crossings = 0, {}
+    for v in sorted(cells):
+        lo, cum = cum, cum + cells[v]
+        for q in range(1, 10):
+            if cum * 10 >= q * total and lo * 10 < q * total:
+                crossings[q] = (round(v / 100, 2), cum)
+    rows = load_all()["q_weighted_deciles"].spark(spark, SF_MED).collect()
+    assert len(rows) == 9
+    for r in rows:
+        v, cw = crossings[r.decile]
+        assert (r.price_dollars, r.cum_weight, r.total_weight) == (v, cw, total)
+    # weighted median differs from the naive midpoint only if weights
+    # skew; still, deciles must be nondecreasing
+    vals = [r.price_dollars for r in rows]
+    assert vals == sorted(vals)
+
+
+def test_acf_daily_matches_numpy(spark):
+    """ACF at each lag equals the textbook estimator computed in numpy on
+    the same daily series (full-series mean/variance, overlap numerator,
+    calendar-gap-aware pairing)."""
+    import duckdb
+
+    daily = dict(
+        duckdb.sql(
+            f"""SELECT CAST(o_orderdate AS DATE) AS d,
+                       CAST(SUM(ROUND(o_totalprice*100)) AS BIGINT) AS x
+                FROM read_parquet('{SF_MED}/orders.parquet') GROUP BY d"""
+        ).fetchall()
+    )
+    import datetime
+
+    xs = np.array(list(daily.values()), dtype=float)
+    xbar, var = xs.mean(), ((np.array(list(daily.values())) - xs.mean()) ** 2).sum()
+    rows = load_all()["e_acf_daily"].spark(spark, SF_MED).collect()
+    assert [r.lag for r in rows] == list(range(1, 8))
+    for r in rows:
+        num, n_pairs = 0.0, 0
+        for d, x in daily.items():
+            d2 = d + datetime.timedelta(days=r.lag)
+            if d2 in daily:
+                num += (x - xbar) * (daily[d2] - xbar)
+                n_pairs += 1
+        assert r.n_pairs == n_pairs
+        assert r.acf == pytest.approx(num / var, abs=2e-6)
+        assert abs(r.acf) < 0.3  # independent synthetic days — near zero
