@@ -521,6 +521,10 @@ NESTED_LOOP_OK = {
     "v_ann_filtered": "broadcast query-vector panel x filtered corpus scan",
     "d_lsh_band_planner": "3-row broadcast config panel x 20-row histogram",
     "d_dedup_sample_extrapolation": "1-row broadcast pair-count panel x 1-row doc-count panel",
+    "g_moran_autocorr": "1-row moment panels (base x edges) crossed into the single statistic row",
+    "q_benford_audit": "1-row broadcast total panel over the 9-digit count table",
+    "q_weighted_deciles": "1-row total panel + 9-row decile panel theta-joined on the crossing condition",
+    "e_acf_daily": "7-row lag panel over the calendar-sized day rollup + 1-row moment panel",
 }
 
 

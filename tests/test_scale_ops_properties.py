@@ -97,3 +97,46 @@ def test_zorder_interleave_matches_python_model(spark, xs):
     for i, (a, b) in enumerate(xs):
         want = morton(a, b)
         assert got[i] == want and 0 <= want < 65536
+
+
+# --------------------------------------------------------- spatial blocking
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5000),
+            st.integers(min_value=0, max_value=5000),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    radius=st.integers(min_value=1, max_value=2000),
+)
+def test_radius_join_equals_bruteforce(spark, pts, radius):
+    """Property: the radius-sized-grid blocked join returns EXACTLY the
+    brute-force pair set for arbitrary integer points and radii — the 3×3
+    neighborhood never misses a boundary-straddling pair and the distance
+    filter never admits an extra one."""
+    from spark_fuse_spark.operators.spatial import radius_join
+
+    probe = spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo) in enumerate(pts)],
+        "pid long, lat_micro long, lon_micro long",
+    )
+    build = spark.createDataFrame(
+        [(100 + i, la, lo) for i, (la, lo) in enumerate(pts)],
+        "bid long, b_lat long, b_lon long",
+    )
+    got = {
+        (r.pid, r.bid): r.dist_sq
+        for r in radius_join(
+            probe, build, radius=radius, build_lat="b_lat", build_lon="b_lon"
+        ).collect()
+    }
+    want = {}
+    for i, (la, lo) in enumerate(pts):
+        for j, (lb, lo2) in enumerate(pts):
+            d = (la - lb) ** 2 + (lo - lo2) ** 2
+            if d <= radius * radius:
+                want[(i, 100 + j)] = d
+    assert got == want
