@@ -480,3 +480,98 @@ def c_incr_agg(spark: SparkSession, sf: str) -> DataFrame:
         "n_orders",
         F.round(F.col("total_price").cast("double"), 2).alias("total_price"),
     ).orderBy("o_custkey")
+
+
+@register(
+    "c_incremental_join",
+    oracle="""
+WITH new_facts AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 53 = 0 THEN o_custkey + 1 ELSE o_custkey END AS o_custkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders WHERE o_orderkey % 89 <> 0),
+new_dim AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 31 = 0 THEN 'REASSIGNED' ELSE c_mktsegment END AS c_mktsegment,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer WHERE c_custkey % 71 <> 0),
+v AS (
+  SELECT f.o_orderkey, f.o_custkey, f.price_cents, d.c_mktsegment, d.bal_cents
+  FROM new_facts f LEFT JOIN new_dim d ON f.o_custkey = d.c_custkey)
+SELECT COALESCE(c_mktsegment, '<no-dim>') AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(price_cents) AS BIGINT) AS price_cents,
+       CAST(SUM(o_orderkey) AS BIGINT) AS orderkey_checksum,
+       CAST(SUM(COALESCE(bal_cents, 0)) AS BIGINT) AS bal_cents
+FROM v GROUP BY 1 ORDER BY segment
+""",
+    doc="incremental JOIN-view maintenance (cdc/diff."
+    "incremental_join_merge): the orders⟕customer enrichment view built "
+    "from OLD snapshots is merged with BOTH changelogs — dim updates "
+    "refresh attributes through the view's own fk (including segment "
+    "reassignment), dim deletes null them (left-join semantics), fact "
+    "churn is rebuilt against the new dim, fk moves re-route rows.  The "
+    "Spark side never rescans the fact table; the ORACLE RECOMPUTES the "
+    "left join from the new snapshots, so the hash match proves "
+    "incremental == recompute exactly.  Output binds the full view "
+    "through per-segment counts, exact cent sums, and an orderkey "
+    "checksum.  Scale: view⋈Δdim + anti-join on Δfact keys + "
+    "Δfact⋈dim probe — all O(churn), never O(view).",
+)
+def c_incr_join(spark: SparkSession, sf: str) -> DataFrame:
+    from ..cdc import incremental_join_merge, snapshot_diff
+
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    old_facts = orders.where(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    new_facts = orders.where(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 53 == 0, F.col("o_custkey") + 1)
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    old_dim = cust.where(F.col("c_custkey") % 61 != 0).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    new_dim = cust.where(F.col("c_custkey") % 71 != 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 31 == 0, F.lit("REASSIGNED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    view = old_facts.join(
+        old_dim, old_facts.o_custkey == old_dim.c_custkey, "left"
+    ).select("o_orderkey", "o_custkey", "price_cents", "c_mktsegment", "bal_cents")
+    flog = snapshot_diff(
+        old_facts, new_facts, keys=["o_orderkey"],
+        compare_cols=["o_custkey", "price_cents"],
+    )
+    dlog = snapshot_diff(
+        old_dim, new_dim, keys=["c_custkey"],
+        compare_cols=["c_mktsegment", "bal_cents"],
+    )
+    merged = incremental_join_merge(
+        view, flog, dlog, new_dim,
+        fact_key="o_orderkey", fk="o_custkey", dim_key="c_custkey",
+        dim_attrs=["c_mktsegment", "bal_cents"],
+    )
+    return (
+        merged.groupBy(
+            F.coalesce(F.col("c_mktsegment"), F.lit("<no-dim>")).alias("segment")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("price_cents").alias("price_cents"),
+            F.sum("o_orderkey").alias("orderkey_checksum"),
+            F.sum(F.coalesce(F.col("bal_cents"), F.lit(0))).alias("bal_cents"),
+        )
+        .orderBy("segment")
+    )

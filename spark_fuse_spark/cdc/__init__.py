@@ -15,7 +15,12 @@ Re-expresses the reference's Delta-backed change tracking
   ``change_tracking.py:165-191`` patches classes as an import side effect).
 """
 
-from spark_fuse_spark.cdc.diff import apply_changelog, incremental_agg_merge, snapshot_diff
+from spark_fuse_spark.cdc.diff import (
+    apply_changelog,
+    incremental_agg_merge,
+    incremental_join_merge,
+    snapshot_diff,
+)
 from spark_fuse_spark.cdc.scd import (
     ChangeTrackingMode,
     apply_change_tracking,
@@ -30,6 +35,7 @@ __all__ = [
     "ChangeTrackingMode",
     "snapshot_diff",
     "incremental_agg_merge",
+    "incremental_join_merge",
     "VersionedParquetStore",
     "apply_changelog",
     "apply_change_tracking",

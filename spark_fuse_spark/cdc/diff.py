@@ -24,7 +24,12 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import row_hash
 
-__all__ = ["snapshot_diff", "apply_changelog", "incremental_agg_merge"]
+__all__ = [
+    "snapshot_diff",
+    "apply_changelog",
+    "incremental_agg_merge",
+    "incremental_join_merge",
+]
 
 
 def snapshot_diff(
@@ -245,3 +250,99 @@ def incremental_agg_merge(
             F.when(F.col(nonnull_col) > 0, F.col(sum_col)),
         )
     return merged.where(F.col(count_col) > 0)
+
+
+def incremental_join_merge(
+    view: DataFrame,
+    fact_changelog: DataFrame,
+    dim_changelog: DataFrame,
+    new_dim: DataFrame,
+    fact_key: str,
+    fk: str,
+    dim_key: str,
+    dim_attrs: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental maintenance of a LEFT many-to-one join view
+    ``facts LEFT JOIN dim ON facts.fk == dim.dim_key`` — the fact⋈dim
+    enrichment every star schema materializes — without rescanning the
+    fact table.
+
+    ``view`` is the join output as of the old snapshots (fact columns +
+    ``dim_attrs``); ``fact_changelog`` / ``dim_changelog`` are
+    :func:`snapshot_diff` changelogs of the respective inputs
+    (``fact_changelog`` keyed by ``fact_key`` and carrying ``fk`` in its
+    compare/key columns); ``new_dim`` is the NEW dim snapshot (probed
+    only by the O(Δfacts) insert path).  Left-join semantics make dim
+    churn closed over the view itself:
+
+    * dim U → refresh ``dim_attrs`` on every view row whose ``fk``
+      matches (one join of the view against the O(Δdim) changelog);
+    * dim D → those rows keep their fact columns, attrs go null;
+    * dim I → previously-unmatched rows (attrs null) pick up the new
+      attrs through the same join;
+    * fact U/D → drop the old view row (anti-join on ``fact_key``);
+      fact I/U → rebuild the row against ``new_dim`` (O(Δfacts) probe),
+      which also covers fk reassignment.
+
+    Exactness contract (property-tested and oracle-checked by
+    ``c_incremental_join``): the merged view ≡ recomputing the left
+    join from the new snapshots.  Requires the join to be many-to-one
+    (``dim_key`` unique) — the uniqueness every dimension table already
+    guarantees; a multi-match dim would need multiset row accounting.
+
+    Scale: never touches the fact table — one view⋈Δdim join (Δdim
+    broadcastable), one anti-join on O(Δfacts) keys, one Δfacts⋈dim
+    probe.  All three shuffle O(view churn), not O(view).
+    """
+    for c in (fact_key, fk):
+        if c not in view.columns:
+            raise ValueError(f"view lacks fact column {c!r}")
+    missing = [a for a in dim_attrs if a not in view.columns]
+    if missing:
+        raise ValueError(f"view lacks dim attrs {missing}")
+    if fk not in fact_changelog.columns:
+        raise ValueError(
+            f"fact changelog lacks {fk!r}: include it in snapshot_diff's "
+            "compare_cols (or keys) so fk reassignment is visible"
+        )
+    missing = [a for a in dim_attrs if a not in dim_changelog.columns]
+    if missing:
+        raise ValueError(f"dim changelog lacks attrs {missing}")
+
+    fact_cols = [c for c in view.columns if c not in dim_attrs]
+
+    # 1. dim churn: refresh attrs through the view's own fk
+    dlog = dim_changelog.select(
+        F.col(dim_key).alias("__dk"),
+        F.col(op_col).alias("__dop"),
+        *[F.col(a).alias(f"__dn_{a}") for a in dim_attrs],
+    )
+    refreshed = view.join(dlog, view[fk] == dlog["__dk"], "left").select(
+        *fact_cols,
+        *[
+            F.when(F.col("__dop").isNull(), F.col(a))
+            .when(F.col("__dop") == "D", F.lit(None).cast(view.schema[a].dataType))
+            .otherwise(F.col(f"__dn_{a}"))
+            .alias(a)
+            for a in dim_attrs
+        ],
+    )
+
+    # 2. drop fact rows the fact changelog replaces or deletes
+    touched = fact_changelog.where(F.col(op_col).isin("U", "D")).select(
+        F.col(fact_key).alias("__tk")
+    )
+    kept = refreshed.join(
+        touched, refreshed[fact_key] == touched["__tk"], "left_anti"
+    )
+
+    # 3. rebuild inserted/updated fact rows against the NEW dim
+    ins = fact_changelog.where(F.col(op_col).isin("I", "U")).select(*fact_cols)
+    dim_side = new_dim.select(
+        F.col(dim_key).alias("__dk"), *[F.col(a) for a in dim_attrs]
+    )
+    rebuilt = ins.join(dim_side, ins[fk] == dim_side["__dk"], "left").select(
+        *fact_cols, *dim_attrs
+    )
+    return kept.unionByName(rebuilt)

@@ -153,3 +153,85 @@ def test_incremental_agg_merge_equals_recompute(spark, old_state, new_state):
         n, t = expect.get(g, (0, None))
         expect[g] = (n + 1, t if v is None else (v if t is None else t + v))
     assert got == expect
+
+
+# ----------------------------------------------- incremental join merge
+# facts: key -> (fk, price) or None; dims: key -> attr or None.  fks draw
+# from a slightly larger range than dim keys so unmatched facts (left-join
+# nulls), dim inserts resurrecting them, and dim deletes nulling them all
+# occur.  Property: maintaining the left many-to-one join view through
+# snapshot_diff + incremental_join_merge equals recomputing the join from
+# the new snapshots.
+_facts = st.fixed_dictionaries({
+    k: st.one_of(
+        st.none(),
+        st.tuples(st.integers(min_value=1, max_value=5),
+                  st.integers(min_value=-50, max_value=50)),
+    )
+    for k in range(1, 9)
+})
+_dims = st.fixed_dictionaries({
+    k: st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))
+    for k in range(1, 4)
+})
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(old_f=_facts, new_f=_facts, old_d=_dims, new_d=_dims)
+def test_incremental_join_merge_equals_recompute(spark, old_f, new_f, old_d, new_d):
+    """Merged view == recomputed left join under arbitrary fact churn
+    (including fk moves), dim updates, dim deletes (attrs null), and dim
+    inserts (previously-unmatched rows pick up attrs)."""
+    from spark_fuse_spark.cdc import incremental_join_merge, snapshot_diff
+
+    fschema = "fid long, fk long, price long"
+    dschema = "did long, attr string"
+    of = [(k, fk, p) for k, v in old_f.items() if v for fk, p in [v]]
+    nf = [(k, fk, p) for k, v in new_f.items() if v for fk, p in [v]]
+    od = [(k, a) for k, a in old_d.items() if a]
+    nd = [(k, a) for k, a in new_d.items() if a]
+    old_facts = spark.createDataFrame(of or [], fschema)
+    new_facts = spark.createDataFrame(nf or [], fschema)
+    old_dim = spark.createDataFrame(od or [], dschema)
+    new_dim = spark.createDataFrame(nd or [], dschema)
+
+    view = old_facts.join(
+        old_dim, old_facts.fk == old_dim.did, "left"
+    ).select("fid", "fk", "price", "attr")
+    flog = snapshot_diff(old_facts, new_facts, keys=["fid"],
+                         compare_cols=["fk", "price"])
+    dlog = snapshot_diff(old_dim, new_dim, keys=["did"], compare_cols=["attr"])
+    merged = incremental_join_merge(
+        view, flog, dlog, new_dim,
+        fact_key="fid", fk="fk", dim_key="did", dim_attrs=["attr"],
+    )
+    got = sorted((r.fid, r.fk, r.price, r.attr) for r in merged.collect())
+    dmap = dict(nd)
+    expect = sorted((k, fk, p, dmap.get(fk)) for k, fk, p in nf)
+    assert got == expect
+
+
+def test_incremental_join_merge_validates_inputs(spark):
+    """Mis-built inputs fail loudly: missing fk in the fact changelog
+    (fk moves would be invisible), missing dim attrs, missing view cols."""
+    from pyspark.sql import functions as F
+
+    from spark_fuse_spark.cdc import incremental_join_merge
+
+    view = spark.createDataFrame([(1, 1, "a")], "fid long, fk long, attr string")
+    flog_no_fk = spark.createDataFrame([(1, "U")], "fid long, op string")
+    dlog = spark.createDataFrame([(1, "a", "U")], "did long, attr string, op string")
+    dim = spark.createDataFrame([(1, "a")], "did long, attr string")
+    with pytest.raises(ValueError, match="fact changelog lacks 'fk'"):
+        incremental_join_merge(view, flog_no_fk, dlog, dim,
+                               fact_key="fid", fk="fk", dim_key="did",
+                               dim_attrs=["attr"])
+    with pytest.raises(ValueError, match="view lacks dim attrs"):
+        incremental_join_merge(view.drop("attr"), flog_no_fk, dlog, dim,
+                               fact_key="fid", fk="fk", dim_key="did",
+                               dim_attrs=["attr"])
+    with pytest.raises(ValueError, match="dim changelog lacks attrs"):
+        incremental_join_merge(view, flog_no_fk.withColumn("fk", F.lit(1)),
+                               dlog.drop("attr"), dim,
+                               fact_key="fid", fk="fk", dim_key="did",
+                               dim_attrs=["attr"])
