@@ -31,7 +31,9 @@ from spark_fuse_spark.streaming.ops import (
     sessionize_with_state,
     sliding_event_counts,
     changelog_batch_applier,
+    join_view_batch_applier,
     stream_changelog_publisher,
+    stream_join_view,
     stream_to_scd,
     tumbling_event_counts,
 )
@@ -45,7 +47,9 @@ __all__ = [
     "session_event_rollup",
     "dedup_within_watermark",
     "changelog_batch_applier",
+    "join_view_batch_applier",
     "stream_changelog_publisher",
+    "stream_join_view",
     "stream_to_scd",
     "sessionize_with_state",
     "ewma_with_state",

@@ -708,3 +708,98 @@ def ewma_with_state(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def join_view_batch_applier(
+    view_path: str,
+    dim_path: str,
+    fact_key: str,
+    fk: str,
+    dim_key: str,
+    dim_attrs: Sequence[str],
+    op_col: str = "op",
+):
+    """Micro-batch body maintaining a materialized fact⟕dim join view
+    from a fact-changelog stream (the :func:`stream_changelog_publisher`
+    format) via ``cdc.diff.incremental_join_merge`` — the streaming arm
+    of incremental JOIN-view maintenance.
+
+    Each batch is an I/U/D fact changelog; the dim is read per batch
+    (dim churn flows through the batch-side merge, which accepts a dim
+    changelog — streams of BOTH would need ordered interleaving the
+    plain-parquet layer can't promise).  Inserts are applied as upserts
+    so a REPLAYED micro-batch (foreachBatch is at-least-once) converges
+    to the same view instead of duplicating rows.  The view advances by
+    staged-swap parquet write, the same atomic-commit choreography as
+    :func:`changelog_batch_applier`.
+    """
+    from spark_fuse_spark.cdc.diff import incremental_join_merge
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        import os
+
+        dim = spark.read.parquet(dim_path)
+        fact_cols = [c for c in batch_df.columns if c not in (op_col, "batch_id")]
+        if os.path.exists(view_path):
+            view = spark.read.parquet(view_path)
+        else:
+            view = (
+                batch_df.select(*fact_cols)
+                .join(
+                    dim.select(
+                        F.col(dim_key).alias("__dk"),
+                        *[F.col(a) for a in dim_attrs],
+                    ),
+                    F.col(fk) == F.col("__dk"),
+                    "left",
+                )
+                .limit(0)
+                .drop("__dk")
+            )
+        # I -> U: the merge drops U/D rows before re-adding, which makes a
+        # replayed batch idempotent (the row is already in the view)
+        flog = batch_df.withColumn(
+            op_col, F.when(F.col(op_col) == "I", F.lit("U")).otherwise(F.col(op_col))
+        )
+        empty_dlog = view.sparkSession.createDataFrame(
+            [],
+            dim.select(dim_key, *dim_attrs).schema.add("op", "string"),
+        )
+        merged = incremental_join_merge(
+            view, flog, empty_dlog, dim,
+            fact_key=fact_key, fk=fk, dim_key=dim_key,
+            dim_attrs=list(dim_attrs), op_col=op_col,
+        )
+        staged = f"{view_path}__staged_{batch_id}"
+        merged.write.mode("overwrite").parquet(staged)
+        import shutil
+
+        if os.path.exists(view_path):
+            shutil.rmtree(view_path)
+        os.replace(staged, view_path)
+
+    return apply_batch
+
+
+def stream_join_view(
+    stream: DataFrame,
+    view_path: str,
+    dim_path: str,
+    fact_key: str,
+    fk: str,
+    dim_key: str,
+    dim_attrs: Sequence[str],
+    checkpoint: "str | None" = None,
+):
+    """``foreachBatch`` sink wiring :func:`join_view_batch_applier` to a
+    fact-changelog stream."""
+    apply_batch = join_view_batch_applier(
+        view_path, dim_path, fact_key, fk, dim_key, dim_attrs
+    )
+    writer = stream.writeStream.foreachBatch(apply_batch).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

@@ -464,3 +464,53 @@ def test_histogram_bins_merge_across_microbatches(spark, event_dir):
     got = {r.bin: r.c for r in spark.sql("select * from t_bins").collect()}
     q.stop()
     assert got == expected
+
+
+def test_join_view_applier_matches_recompute_and_replays_idempotently(spark, tmp_path):
+    """Drive the maintained-join micro-batch body directly: after every
+    batch the materialized view equals recomputing facts⟕dim from
+    scratch, and replaying a batch (at-least-once delivery) leaves the
+    view unchanged."""
+    from spark_fuse_spark.streaming import join_view_batch_applier
+
+    dim_path = str(tmp_path / "dim")
+    view_path = str(tmp_path / "view")
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "did long, attr string"
+    ).write.parquet(dim_path)
+
+    apply_batch = join_view_batch_applier(
+        view_path, dim_path, fact_key="fid", fk="fk",
+        dim_key="did", dim_attrs=["attr"],
+    )
+    schema = "fid long, fk long, price long, op string"
+    batches = [
+        # batch 0: three inserts, one pointing at a missing dim (fk=9)
+        [(1, 1, 10, "I"), (2, 2, 20, "I"), (3, 9, 30, "I")],
+        # batch 1: update moves fid=1 to fk=2; delete fid=2; insert fid=4
+        [(1, 2, 11, "U"), (2, 2, 20, "D"), (4, 1, 40, "I")],
+    ]
+    facts: dict[int, tuple[int, int]] = {}
+    dim_map = {1: "alpha", 2: "beta"}
+    for i, rows in enumerate(batches):
+        apply_batch(spark.createDataFrame(rows, schema), i)
+        for fid, fk, price, op in rows:
+            if op == "D":
+                facts.pop(fid, None)
+            else:
+                facts[fid] = (fk, price)
+        got = sorted(
+            (r.fid, r.fk, r.price, r.attr)
+            for r in spark.read.parquet(view_path).collect()
+        )
+        want = sorted(
+            (fid, fk, price, dim_map.get(fk)) for fid, (fk, price) in facts.items()
+        )
+        assert got == want, f"batch {i}"
+    # replay batch 1 verbatim — the I->U rewrite keeps it idempotent
+    apply_batch(spark.createDataFrame(batches[1], schema), 1)
+    got2 = sorted(
+        (r.fid, r.fk, r.price, r.attr)
+        for r in spark.read.parquet(view_path).collect()
+    )
+    assert got2 == want
