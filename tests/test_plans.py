@@ -771,3 +771,21 @@ def test_executed_metrics_payload_neardup_no_allpairs(spark, sf_small):
     s = shuffle_summary(df)
     assert s["rows_scanned"] >= 500
     assert 0 < s["shuffle_records"] < 60 * s["rows_scanned"]
+
+
+def test_executed_metrics_radius_join_never_allpairs(spark, sf_small):
+    """Measured contract for the grid-blocked spatial join: shuffle
+    records stay within a small multiple of the scanned points (the 9×
+    probe explode + per-supplier partials), never the |S|×|C| all-pairs
+    a cross join would move."""
+    from spark_fuse_spark.plans import shuffle_summary
+
+    df = load_all()["g_grid_neighbor_join"].spark(spark, sf_small)
+    df.collect()
+    s = shuffle_summary(df)
+    n_sup = spark.read.parquet(f"{sf_small}/supplier.parquet").count()
+    n_cust = spark.read.parquet(f"{sf_small}/customer.parquet").count()
+    assert s["rows_scanned"] == n_sup + n_cust
+    # 9x explode on the supplier side + customer cells + bounded agg rows
+    assert 0 < s["shuffle_records"] < 12 * (n_sup + n_cust)
+    assert s["shuffle_records"] < n_sup * n_cust  # the cross-join bound
