@@ -2291,23 +2291,10 @@ FROM clusters GROUP BY sz ORDER BY cluster_size
     "per-node rows.",
 )
 def x_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
     edges = _copurchase_edges(spark, sf)
-    adj = (
-        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-        .unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-    )
-    nodes = adj.select(F.col("src").alias("node")).distinct()
-    adjp = adj.unionAll(
-        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
-    ).localCheckpoint()
-    labels = nodes.select("node", F.col("node").alias("lbl"))
-    for _ in range(_LPA_ROUNDS):
-        labels = (
-            adjp.join(labels.withColumnRenamed("node", "dst"), "dst")
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint()
-        )
+    labels = label_propagation(edges, rounds=_LPA_ROUNDS)
     clusters = labels.groupBy("lbl").agg(
         F.count("*").alias("sz"), F.sum("node").alias("cks")
     )

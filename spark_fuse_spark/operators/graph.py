@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "dedup_clusters", "pagerank"]
+__all__ = ["connected_components", "dedup_clusters", "label_propagation", "pagerank"]
 
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
@@ -277,3 +277,42 @@ def pagerank(
     e.unpersist()
     nd.unpersist()
     return state.select("node", "rank")
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Synchronous min-label propagation over an undirected edge list
+    (``u``/``v`` columns) — the bounded-round community sketch.
+
+    Returns ``node, lbl`` where ``lbl`` is the minimum node id within
+    graph distance ``rounds`` — converging toward
+    :func:`connected_components`' exact fixpoint as rounds grow, at a
+    FIXED cost the caller budgets up front.  Deterministic: the min
+    update has no tie-break ambiguity, so the result is reproducible
+    and differential-testable (``x_label_propagation``'s chained-CTE
+    oracle replays the identical rounds).
+
+    Scale: each round is ONE node-keyed partial-agg'd shuffle (join the
+    label table to the self-looped adjacency, groupBy destination,
+    min); ``localCheckpoint`` per round keeps lineage O(1).  Choose
+    this over CC when round budget matters more than exact closure
+    (e.g. a nightly community sketch over a crawl graph); choose CC
+    when clusters must be exact (dedup survivorship).
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    adj = _symmetrize(edges).select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    )
+    nodes = adj.select(F.col("src").alias("node")).distinct()
+    adjp = adj.unionAll(
+        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+    ).localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    for _ in range(rounds):
+        labels = (
+            adjp.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+    return labels
