@@ -140,3 +140,46 @@ def test_radius_join_equals_bruteforce(spark, pts, radius):
             if d <= radius * radius:
                 want[(i, 100 + j)] = d
     assert got == want
+
+
+# ------------------------------------------------------ label propagation
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=12),
+            st.integers(min_value=1, max_value=12),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=20,
+    ),
+    rounds=st.integers(min_value=1, max_value=4),
+)
+def test_label_propagation_matches_python(spark, edges, rounds):
+    """Property: K-round synchronous min-label propagation equals the
+    Python reference on arbitrary graphs, and at round >= diameter the
+    labels equal the connected-component minimum."""
+    from spark_fuse_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r.node: r.lbl for r in label_propagation(df, rounds=rounds).collect()}
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    lbl = {n: n for n in adj}
+    for _ in range(rounds):
+        lbl = {n: min(min(lbl[m] for m in adj[n]), lbl[n]) for n in adj}
+    assert got == lbl
+    if rounds >= len(adj):  # rounds certainly >= diameter
+        # every label must equal the min over the node's full BFS closure
+        def closure(n):
+            comp, stack = {n}, [n]
+            while stack:
+                for m in adj[stack.pop()]:
+                    if m not in comp:
+                        comp.add(m)
+                        stack.append(m)
+            return comp
+        for n in adj:
+            assert got[n] == min(closure(n))
