@@ -1033,3 +1033,105 @@ def v_bq_topk(spark: SparkSession, sf: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cosine", "hamming", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+def _lsh_assign_sql(num_planes: int, dims: int, seed: int) -> str:
+    """Per-row bucket assignment fragment (shares the plane literals with
+    :func:`_lsh_bucket_oracle`)."""
+    from ..operators.similarity import _pseudo_planes
+
+    planes = _pseudo_planes(num_planes, dims, seed)
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(e, CAST([{', '.join(repr(x) for x in plane)}] AS DOUBLE[])) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+@register(
+    "v_cluster_nmi",
+    oracle=f"""
+WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
+asg AS (SELECT {_lsh_assign_sql(4, 64, 42)} AS c, label AS l FROM v),
+cells AS (SELECT c, l, CAST(COUNT(*) AS BIGINT) AS n_cl FROM asg GROUP BY c, l),
+rowm AS (SELECT c, CAST(SUM(n_cl) AS BIGINT) AS n_c FROM cells GROUP BY c),
+colm AS (SELECT l, CAST(SUM(n_cl) AS BIGINT) AS n_l FROM cells GROUP BY l),
+tot AS (SELECT CAST(SUM(n_cl) AS BIGINT) AS n FROM cells),
+mi AS (
+  SELECT SUM(CAST(n_cl AS DOUBLE) / n
+             * LN(CAST(n AS DOUBLE) * n_cl / (CAST(n_c AS DOUBLE) * n_l))) AS mi
+  FROM cells JOIN rowm USING (c) JOIN colm USING (l) CROSS JOIN tot),
+hc AS (SELECT -SUM(CAST(n_c AS DOUBLE) / n * LN(CAST(n_c AS DOUBLE) / n)) AS h_c
+       FROM rowm CROSS JOIN tot),
+hl AS (SELECT -SUM(CAST(n_l AS DOUBLE) / n * LN(CAST(n_l AS DOUBLE) / n)) AS h_l
+       FROM colm CROSS JOIN tot),
+pur AS (SELECT SUM(mx) AS hits FROM
+        (SELECT c, MAX(n_cl) AS mx FROM cells GROUP BY c)),
+panel AS (SELECT n,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM rowm) AS n_clusters,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM colm) AS n_labels
+          FROM tot)
+SELECT n AS n_vectors, n_clusters, n_labels,
+       FLOOR(CAST(hits AS DOUBLE) / n * 1000000 + 0.5) / 1000000 AS purity,
+       FLOOR(mi / SQRT(h_c * h_l) * 1000000 + 0.5) / 1000000 AS nmi
+FROM panel, mi, hc, hl, pur
+""",
+    doc="clustering-quality audit: purity and normalized mutual "
+    "information of the 4-plane hyperplane-LSH bucket assignment "
+    "against the embeddings' ground-truth labels — the eval metric a "
+    "semantic-dedup/clustering pipeline reports.  The contingency "
+    "table, marginals, and purity hits are EXACT integer counts (one "
+    "partial-agg'd groupBy + two marginal rollups of the ≤160-cell "
+    "table); only the final entropy/MI fold is float, mirrored "
+    "term-for-term on both engines and rounded at 1e-6.  Scale: one "
+    "assignment scan + count shuffles bounded by clusters×labels, "
+    "never by rows.",
+)
+def v_cluster_nmi(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.similarity import hyperplane_lsh_bucket
+
+    emb = load_table(spark, sf, "embeddings")
+    asg = hyperplane_lsh_bucket(emb, "embedding", num_planes=4, dims=64, seed=42)
+    cells = asg.groupBy(
+        F.col("lsh_bucket").alias("c"), F.col("label").alias("l")
+    ).agg(F.count("*").alias("n_cl"))
+    cells = cells.localCheckpoint()  # feeds 4 consumers; evaluate once
+    rowm = cells.groupBy("c").agg(F.sum("n_cl").alias("n_c"))
+    colm = cells.groupBy("l").agg(F.sum("n_cl").alias("n_l"))
+    tot = cells.agg(F.sum("n_cl").alias("n"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mi = (
+        cells.join(F.broadcast(rowm), "c")
+        .join(F.broadcast(colm), "l")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                d("n_cl") / F.col("n")
+                * F.log(d("n") * F.col("n_cl") / (d("n_c") * F.col("n_l")))
+            ).alias("mi")
+        )
+    )
+    hc = rowm.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum(d("n_c") / F.col("n") * F.log(d("n_c") / F.col("n")))).alias("h_c")
+    )
+    hl = colm.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum(d("n_l") / F.col("n") * F.log(d("n_l") / F.col("n")))).alias("h_l")
+    )
+    pur = cells.groupBy("c").agg(F.max("n_cl").alias("mx")).agg(
+        F.sum("mx").alias("hits")
+    )
+    panel = tot.crossJoin(rowm.agg(F.count("*").alias("n_clusters"))).crossJoin(
+        colm.agg(F.count("*").alias("n_labels"))
+    )
+    r6 = lambda c: F.floor(c * 1000000 + 0.5) / 1000000  # noqa: E731
+    return (
+        panel.crossJoin(mi).crossJoin(hc).crossJoin(hl).crossJoin(pur)
+        .select(
+            F.col("n").alias("n_vectors"),
+            "n_clusters",
+            "n_labels",
+            r6(d("hits") / F.col("n")).alias("purity"),
+            r6(F.col("mi") / F.sqrt(F.col("h_c") * F.col("h_l"))).alias("nmi"),
+        )
+    )

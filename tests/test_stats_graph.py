@@ -540,3 +540,42 @@ def test_acf_daily_matches_numpy(spark):
         assert r.n_pairs == n_pairs
         assert r.acf == pytest.approx(num / var, abs=2e-6)
         assert abs(r.acf) < 0.3  # independent synthetic days — near zero
+
+
+def test_cluster_nmi_matches_sklearn_style_python(spark):
+    """Purity and NMI equal a from-scratch Python computation on the same
+    4-plane assignment (planes replayed via the operator's own LCG)."""
+    import duckdb
+
+    from spark_fuse_spark.operators.similarity import _pseudo_planes
+
+    rows = duckdb.sql(
+        f"SELECT embedding, label FROM read_parquet('{SF_MED}/embeddings.parquet')"
+    ).fetchall()
+    planes = _pseudo_planes(4, 64, 42)
+    from collections import Counter
+
+    cells: Counter = Counter()
+    for emb, label in rows:
+        b = sum(
+            (1 << i)
+            for i, pl in enumerate(planes)
+            if sum(e * p for e, p in zip(emb, pl)) >= 0
+        )
+        cells[(b, label)] += 1
+    n = sum(cells.values())
+    rowm: Counter = Counter(); colm: Counter = Counter()
+    for (c, l), k in cells.items():
+        rowm[c] += k
+        colm[l] += k
+    mi = sum(k / n * math.log(n * k / (rowm[c] * colm[l])) for (c, l), k in cells.items())
+    h_c = -sum(v / n * math.log(v / n) for v in rowm.values())
+    h_l = -sum(v / n * math.log(v / n) for v in colm.values())
+    best: dict = {}
+    for (c, l), k in cells.items():
+        best[c] = max(best.get(c, 0), k)
+    (r,) = load_all()["v_cluster_nmi"].spark(spark, SF_MED).collect()
+    assert (r.n_vectors, r.n_clusters, r.n_labels) == (n, len(rowm), len(colm))
+    assert r.purity == pytest.approx(sum(best.values()) / n, abs=2e-6)
+    assert r.nmi == pytest.approx(mi / math.sqrt(h_c * h_l), abs=2e-6)
+    assert 0.0 <= r.nmi <= 1.0 and 0.0 < r.purity <= 1.0
