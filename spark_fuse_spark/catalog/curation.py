@@ -2051,10 +2051,14 @@ def e_trailing(spark: SparkSession, sf: str) -> DataFrame:
         "ts",
         F.round(F.col("value") * 100).cast("long").alias("v"),
     )
+    # microsecond epoch, NOT unix_timestamp: the latter truncates to
+    # seconds, silently widening the frame by up to 1s vs the oracle's
+    # exact INTERVAL arithmetic (one boundary-straddling pair at sf0.1
+    # diverged before this; sub-second event times are the common case)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))  # NTZ->TZ: session tz is pinned UTC
+        .rangeBetween(-3_600_000_000, 0)
     )
     return (
         ev.select(
