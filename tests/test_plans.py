@@ -525,6 +525,7 @@ NESTED_LOOP_OK = {
     "q_benford_audit": "1-row broadcast total panel over the 9-digit count table",
     "q_weighted_deciles": "1-row total panel + 9-row decile panel theta-joined on the crossing condition",
     "e_acf_daily": "7-row lag panel over the calendar-sized day rollup + 1-row moment panel",
+    "v_cluster_nmi": "1-row total/MI/entropy/purity panels crossed into the single audit row (all reductions of the checkpointed <=160-cell contingency table)",
 }
 
 
