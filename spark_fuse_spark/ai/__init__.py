@@ -7,6 +7,10 @@ Re-expresses the reference's AI surface Spark-first:
   hash fallback for offline tests (reference
   ``/root/reference/src/spark_fuse/utils/llm.py:53-236`` and
   ``similarity/embedding.py:25-65,186-303``).
+* :mod:`rerank` — second-stage retrieval reranking: Cohere-style
+  ``/rerank`` HTTP provider plus a deterministic token-overlap stand-in,
+  over an Arrow-batched distributed scorer (``t_rerank_topk`` is the
+  oracle-checked pipeline twin).
 * :mod:`mapping` — semantic column normalization onto a closed target
   set.  The reference calls the LLM from a row-at-a-time UDF with a
   per-executor memo (``utils/llm.py:416-561``); here the plan is
@@ -18,10 +22,14 @@ Re-expresses the reference's AI surface Spark-first:
 
 from spark_fuse_spark.ai.embeddings import HashEmbeddingProvider, with_embeddings
 from spark_fuse_spark.ai.mapping import ClosedSetMatcher, map_column_with_llm
+from spark_fuse_spark.ai.rerank import HttpReranker, TokenOverlapReranker, rerank_topk
 
 __all__ = [
     "with_embeddings",
     "HashEmbeddingProvider",
     "map_column_with_llm",
     "ClosedSetMatcher",
+    "HttpReranker",
+    "TokenOverlapReranker",
+    "rerank_topk",
 ]

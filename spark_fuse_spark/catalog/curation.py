@@ -2861,3 +2861,70 @@ def e_interarrival(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------- second-stage rerank
+_RERANK_FIRST_K = 50
+_RERANK_K = 10
+_QTOKS_SQL = "['join', 'shuffle', 'broadcast']"
+
+
+@register(
+    "t_rerank_topk",
+    oracle=f"""
+WITH {_bm25_cte(_BM25_TERMS)},
+braw AS (SELECT doc_id,
+                COALESCE(s_0, 0.0) + COALESCE(s_1, 0.0) + COALESCE(s_2, 0.0)
+                  AS bm25_raw
+         FROM pvt),
+first AS (SELECT doc_id, bm25_raw
+          FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY bm25_raw DESC, doc_id)
+                            AS rk FROM braw)
+          WHERE rk <= {_RERANK_FIRST_K}),
+qd AS (SELECT f.doc_id, f.bm25_raw,
+              list_distinct({_TOKS_SQL}) AS dt
+       FROM first f JOIN documents d USING (doc_id)),
+scored AS (SELECT doc_id, bm25_raw,
+                  CAST(len(list_intersect(dt, {_QTOKS_SQL})) AS DOUBLE)
+                  / (len(dt) + 3 - len(list_intersect(dt, {_QTOKS_SQL})))
+                    AS rr
+           FROM qd)
+SELECT doc_id,
+       ROUND(bm25_raw, 6) AS bm25_score,
+       ROUND(rr, 6) AS rerank_score,
+       CAST(rk AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY rr DESC, bm25_raw DESC, doc_id)
+                  AS rk
+      FROM scored)
+WHERE rk <= {_RERANK_K}
+ORDER BY rank
+""",
+    doc="two-stage retrieval: BM25 recall (top-50) → cross-encoder-style "
+    "RERANK → top-10 (ai/rerank.rerank_topk).  The rerank stage runs "
+    "the REAL provider plumbing — Arrow-batched mapInPandas, one "
+    "provider call per batch, executor-local client cache — with the "
+    "deterministic token-overlap provider standing in for a hosted "
+    "cross-encoder (HttpReranker speaks the Cohere-style /rerank "
+    "contract, mock-HTTP e2e-tested).  Jaccard is an exact small-int "
+    "division (IEEE-identical ordering on both engines); ties break on "
+    "the raw BM25 sum (identical expression trees) then doc id.  "
+    "Scale: rerank touches exactly first-stage-k rows; both cutoffs "
+    "are distributed TakeOrdered, never a global window.",
+)
+def t_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from ..ai.rerank import TokenOverlapReranker, rerank_topk
+
+    docs = load_table(spark, sf, "documents")
+    top = rerank_topk(
+        docs,
+        _BM25_TERMS,
+        TokenOverlapReranker,
+        first_stage_k=_RERANK_FIRST_K,
+        k=_RERANK_K,
+    )
+    return top.select(
+        "doc_id",
+        F.round("bm25_score", 6).alias("bm25_score"),
+        F.round("rerank_score", 6).alias("rerank_score"),
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("rank")
