@@ -99,6 +99,12 @@ HEADLINE = [
     "x_label_propagation",
     "g_grid_neighbor_join",
     "g_moran_autocorr",
+    # incremental view maintenance, exact weighted quantiles, the rerank
+    # stage (Arrow-batched provider path), and the clustering audit
+    "c_incremental_join",
+    "q_weighted_deciles",
+    "t_rerank_topk",
+    "v_cluster_nmi",
 ]
 
 
