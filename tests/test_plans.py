@@ -422,6 +422,18 @@ CONTRACTS = {
     "e_acf_daily": PlanExpectation(
         min_broadcast_joins=1, require_partial_agg=True, max_exchanges=4
     ),
+    # incremental join IVM: two snapshot diffs (key-copartitioned
+    # full-outer SMJs), the view⋈Δdim refresh, fact-churn anti-join, and
+    # the O(Δ) dim probe — data-sized exchanges all ride the key family
+    "c_incremental_join": PlanExpectation(
+        require_partial_agg=True, max_exchanges=14, max_shuffle_joins=6
+    ),
+    # rerank: first-stage bm25 + candidate joins stay broadcast — the
+    # mapInPandas provider stage adds no data-sized shuffle join
+    "t_rerank_topk": PlanExpectation(
+        min_broadcast_joins=3, require_partial_agg=True, max_exchanges=12,
+        max_shuffle_joins=0,
+    ),
 }
 
 
