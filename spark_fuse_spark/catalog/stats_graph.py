@@ -2586,3 +2586,85 @@ def e_acf_daily(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# ------------------------------------------- day-of-week seasonality
+@register(
+    "e_dow_seasonality",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(ROUND(o_totalprice * 100)) AS BIGINT) AS x
+  FROM orders GROUP BY d),
+dw AS (
+  SELECT (CAST(d AS DATE) - DATE '1970-01-05') % 7 AS dow, x FROM daily),
+grp AS (
+  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(x) AS BIGINT) AS s,
+         SUM(CAST(x AS HUGEINT) * x) AS q
+  FROM dw GROUP BY dow),
+tot AS (
+  SELECT CAST(SUM(n_days) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS st,
+         SUM(q) AS qt,
+         SUM(CAST(s AS DOUBLE) * s / n_days) AS fit_ss
+  FROM grp)
+SELECT dow,
+       n_days,
+       FLOOR(CAST(s AS DOUBLE) / n_days / 100 * 100 + 0.5) / 100 AS mean_dollars,
+       FLOOR((fit_ss - CAST(st AS DOUBLE) * st / n)
+             / (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * st / n)
+             * 1000000 + 0.5) / 1000000 AS r2_dow
+FROM grp CROSS JOIN tot
+ORDER BY dow
+""",
+    doc="day-of-week seasonality of daily revenue: per-dow mean plus the "
+    "variance explained by the dow factor (R² of the one-way ANOVA fit, "
+    "computed from exact integer group moments — between-group sum of "
+    "squares over total, both expanded so no float crosses rows except "
+    "the 7-term fit_ss fold).  Day-of-week is epoch-day arithmetic "
+    "((d − 1970-01-05) % 7, 0=Monday), NEVER the engines' dayofweek "
+    "builtins, whose numbering conventions differ.  Scale: one day "
+    "rollup + one 7-group reduce.",
+)
+def e_dow_seasonality(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("x")
+    )
+    dw = daily.select(
+        (F.datediff(F.col("d"), F.lit("1970-01-05").cast("date")) % 7).alias("dow"),
+        "x",
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    grp = dw.groupBy("dow").agg(
+        F.count("*").alias("n_days"),
+        F.sum("x").alias("s"),
+        F.sum(dec(F.col("x")) * F.col("x")).alias("q"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    tot = grp.agg(
+        F.sum("n_days").alias("n"),
+        F.sum("s").alias("st"),
+        F.sum("q").alias("qt"),
+        F.sum(d("s") * F.col("s") / F.col("n_days")).alias("fit_ss"),
+    )
+    return (
+        grp.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "n_days",
+            (F.floor(d("s") / F.col("n_days") / 100 * 100 + 0.5) / 100).alias(
+                "mean_dollars"
+            ),
+            (
+                F.floor(
+                    (F.col("fit_ss") - d("st") * F.col("st") / F.col("n"))
+                    / (d("qt") - d("st") * F.col("st") / F.col("n"))
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000
+            ).alias("r2_dow"),
+        )
+        .orderBy("dow")
+    )

@@ -579,3 +579,34 @@ def test_cluster_nmi_matches_sklearn_style_python(spark):
     assert r.purity == pytest.approx(sum(best.values()) / n, abs=2e-6)
     assert r.nmi == pytest.approx(mi / math.sqrt(h_c * h_l), abs=2e-6)
     assert 0.0 <= r.nmi <= 1.0 and 0.0 < r.purity <= 1.0
+
+
+def test_dow_seasonality_matches_numpy_anova(spark):
+    """Per-dow means and the one-way-ANOVA R² equal a numpy recompute;
+    synthetic order dates are uniform across weekdays so R² ≈ 0."""
+    import datetime
+
+    import duckdb
+
+    daily = duckdb.sql(
+        f"""SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(SUM(ROUND(o_totalprice*100)) AS BIGINT) AS x
+            FROM read_parquet('{SF_MED}/orders.parquet') GROUP BY d"""
+    ).fetchall()
+    monday = datetime.date(1970, 1, 5)
+    by_dow: dict[int, list[int]] = {}
+    for d, x in daily:
+        by_dow.setdefault((d - monday).days % 7, []).append(x)
+    xs = np.array([x for _, x in daily], dtype=float)
+    sst = ((xs - xs.mean()) ** 2).sum()
+    ssb = sum(
+        len(v) * (np.mean(v) - xs.mean()) ** 2 for v in by_dow.values()
+    )
+    rows = load_all()["e_dow_seasonality"].spark(spark, SF_MED).collect()
+    assert [r.dow for r in rows] == list(range(7))
+    for r in rows:
+        v = by_dow[r.dow]
+        assert r.n_days == len(v)
+        assert r.mean_dollars == pytest.approx(np.mean(v) / 100, abs=0.01)
+        assert r.r2_dow == pytest.approx(ssb / sst, abs=2e-6)
+    assert 0.0 <= rows[0].r2_dow < 0.1  # no weekday effect in synthetic data

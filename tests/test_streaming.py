@@ -514,3 +514,49 @@ def test_join_view_applier_matches_recompute_and_replays_idempotently(spark, tmp
         for r in spark.read.parquet(view_path).collect()
     )
     assert got2 == want
+
+
+def test_stream_join_view_real_filestream(spark, tmp_path):
+    """True readStream end-to-end: a file stream of fact-changelog
+    batches drives stream_join_view; the final materialized view equals
+    the left join of the net fact state against the dim."""
+    import os
+
+    from spark_fuse_spark.streaming import stream_join_view
+
+    dim_path = str(tmp_path / "dim")
+    view_path = str(tmp_path / "view")
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "did long, attr string"
+    ).write.parquet(dim_path)
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, 1, 10, "I"), (2, 2, 20, "I")],
+        "fid long, fk long, price long, op string",
+    ).coalesce(1).write.parquet(os.path.join(src, "b0"))
+    spark.createDataFrame(
+        [(1, 2, 11, "U"), (3, 9, 30, "I")],
+        "fid long, fk long, price long, op string",
+    ).coalesce(1).write.parquet(os.path.join(src, "b1"))
+
+    stream = spark.readStream.schema(
+        "fid long, fk long, price long, op string"
+    ).option("maxFilesPerTrigger", "1").parquet(src + "/*")
+    q = (
+        stream_join_view(
+            stream, view_path, dim_path,
+            fact_key="fid", fk="fk", dim_key="did", dim_attrs=["attr"],
+            checkpoint=str(tmp_path / "ck"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    got = sorted(
+        (r.fid, r.fk, r.price, r.attr)
+        for r in spark.read.parquet(view_path).collect()
+    )
+    assert got == [(1, 2, 11, "beta"), (2, 2, 20, "beta"), (3, 9, 30, None)]
