@@ -32,7 +32,9 @@ from spark_fuse_spark.streaming.ops import (
     sliding_event_counts,
     changelog_batch_applier,
     join_view_batch_applier,
+    neardup_batch_applier,
     stream_changelog_publisher,
+    stream_neardup_filter,
     stream_join_view,
     stream_to_scd,
     tumbling_event_counts,
@@ -48,7 +50,9 @@ __all__ = [
     "dedup_within_watermark",
     "changelog_batch_applier",
     "join_view_batch_applier",
+    "neardup_batch_applier",
     "stream_changelog_publisher",
+    "stream_neardup_filter",
     "stream_join_view",
     "stream_to_scd",
     "sessionize_with_state",

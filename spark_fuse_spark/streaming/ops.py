@@ -803,3 +803,113 @@ def stream_join_view(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def neardup_batch_applier(
+    corpus_path: str,
+    pairs_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+):
+    """Micro-batch body for CONTINUOUS near-duplicate filtering of a
+    document stream — the crawl-ingest shape: each batch is near-dup'd
+    against the accepted corpus AND itself, keep-first survivors are
+    appended, and the evidence pairs land in a changelog.
+
+    Built on ``operators/dedup.incremental_minhash_pairs``: candidates
+    come from band buckets over corpus ∪ batch, old×old pairs are
+    dropped BEFORE the exact-Jaccard verify, so per-batch cost is
+    O(new-touching candidates), never corpus².  Keep-first policy:
+    a new doc is rejected if it near-dups ANY accepted doc or a
+    smaller-id doc within its own batch (min-id survivorship, the same
+    canonical-representative rule the batch cluster machinery uses).
+
+    Replay-safe: batch ids already DECIDED — accepted into the corpus
+    or recorded in the ``<corpus>__rejected`` id table — are dropped up
+    front, so an at-least-once redelivery is a no-op for both the
+    corpus and the evidence log.  At 100 TB the
+    corpus re-scan per batch amortizes by persisting the band table
+    instead (signatures are deterministic); this plain-parquet applier
+    recomputes bands, which is exact at any scale and cheapest below
+    ~10⁸ accepted docs.
+    """
+    from spark_fuse_spark.operators.dedup import incremental_minhash_pairs
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        import os
+
+        rejected_path = f"{corpus_path}__rejected"
+        batch = batch_df.select(id_col, text_col).dropDuplicates([id_col])
+        if os.path.exists(corpus_path):
+            corpus = spark.read.parquet(corpus_path)
+            batch = batch.join(corpus.select(id_col), id_col, "left_anti")
+        else:
+            corpus = batch.limit(0)
+        if os.path.exists(rejected_path):
+            batch = batch.join(
+                spark.read.parquet(rejected_path), id_col, "left_anti"
+            )  # replayed rows already decided either way — drop
+        if batch.isEmpty():
+            return
+        both = corpus.withColumn("__new", F.lit(False)).unionByName(
+            batch.withColumn("__new", F.lit(True))
+        )
+        pairs = incremental_minhash_pairs(
+            both, "__new", text_col=text_col, id_col=id_col,
+            k=k, num_hashes=num_hashes, bands=bands,
+            threshold=threshold, seed=seed,
+        ).localCheckpoint()  # reused for rejection + the changelog append
+        new_ids = batch.select(F.col(id_col).alias("__nid"))
+        old_ids = corpus.select(F.col(id_col).alias("__oid"))
+        # reject a new id pairing with an accepted doc (either side) or
+        # with a smaller new id
+        rej_old = pairs.join(old_ids, pairs.id_a == F.col("__oid")).select(
+            F.col("id_b").alias("__rid")
+        ).unionByName(
+            pairs.join(old_ids, pairs.id_b == F.col("__oid")).select(
+                F.col("id_a").alias("__rid")
+            )
+        )
+        both_new = pairs.join(new_ids, pairs.id_a == F.col("__nid")).drop(
+            "__nid"
+        ).join(new_ids, pairs.id_b == F.col("__nid"))
+        rej_new = both_new.select(
+            F.greatest("id_a", "id_b").alias("__rid")
+        )
+        rejected = rej_old.unionByName(rej_new).distinct()
+        accepted = batch.join(
+            rejected, batch[id_col] == rejected["__rid"], "left_anti"
+        )
+        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(pairs_path)
+        rejected.select(F.col("__rid").alias(id_col)).write.mode(
+            "append"
+        ).parquet(rejected_path)
+        accepted.write.mode("append").parquet(corpus_path)
+
+    return apply_batch
+
+
+def stream_neardup_filter(
+    stream: DataFrame,
+    corpus_path: str,
+    pairs_path: str,
+    checkpoint: "str | None" = None,
+    **kwargs,
+):
+    """``foreachBatch`` sink wiring :func:`neardup_batch_applier` to a
+    document stream."""
+    apply_batch = neardup_batch_applier(corpus_path, pairs_path, **kwargs)
+    writer = stream.writeStream.foreachBatch(apply_batch).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

@@ -560,3 +560,42 @@ def test_stream_join_view_real_filestream(spark, tmp_path):
         for r in spark.read.parquet(view_path).collect()
     )
     assert got == [(1, 2, 11, "beta"), (2, 2, 20, "beta"), (3, 9, 30, None)]
+
+
+def test_neardup_batch_applier_filters_and_replays(spark, tmp_path):
+    """Continuous near-dup filtering: intra-batch dups keep the min id,
+    cross-batch dups of accepted docs are rejected, unique docs are
+    accepted, evidence pairs are appended, and a verbatim replay is a
+    no-op."""
+    from spark_fuse_spark.streaming import neardup_batch_applier
+
+    corpus = str(tmp_path / "corpus")
+    pairs = str(tmp_path / "pairs")
+    apply_batch = neardup_batch_applier(corpus, pairs, threshold=0.5)
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    b0 = spark.createDataFrame(
+        [(1, base), (2, base + " tail"), (7, "completely different words here entirely")],
+        "doc_id long, text string",
+    )
+    apply_batch(b0, 0)
+    accepted0 = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert accepted0 == [1, 7]  # 2 near-dups 1 (min id survives)
+
+    b1 = spark.createDataFrame(
+        [(9, base + " extra"), (10, "novel content unlike anything previous")],
+        "doc_id long, text string",
+    )
+    apply_batch(b1, 1)
+    accepted1 = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert accepted1 == [1, 7, 10]  # 9 near-dups accepted doc 1
+
+    plog = spark.read.parquet(pairs)
+    assert plog.where("batch_id = 0").count() >= 1
+    assert {(r.id_a, r.id_b) for r in plog.where("batch_id = 1").collect()} >= {(1, 9)}
+
+    # replay batch 1 verbatim: ids already decided -> nothing changes
+    n_pairs = plog.count()
+    apply_batch(b1, 1)
+    assert sorted(r.doc_id for r in spark.read.parquet(corpus).collect()) == accepted1
+    assert spark.read.parquet(pairs).count() == n_pairs
