@@ -249,3 +249,23 @@ def test_stream_versioned_batch_parity_per_commit(spark, tmp_path):
     assert {(r.k, r.v) for r in s_store.read(spark, s_target).select("k", "v").collect()} == {
         (1, "A"), (2, "B"), (3, "c"), (4, "d")
     }
+
+
+def test_concurrent_commit_fails_loudly(spark, store, tmp_path):
+    """A second writer racing the same version number must fail with a
+    clear error, not silently overwrite the committed manifest (os.link
+    O_EXCL semantics; os.rename would replace)."""
+    target = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    store.overwrite(df, target)  # version 1
+    # simulate the rival writer landing version 2 first
+    from spark_fuse_spark.cdc.versioned import _manifest_path
+
+    rival = _manifest_path(target, 2)
+    with open(rival, "w") as f:
+        f.write('{"version": 2, "op": "append", "segments": [], "committed_at": 0}')
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        store.append(df, target)
+    # the rival's manifest is untouched and still the latest
+    assert store.latest_version(target) == 2
+    assert open(rival).read().startswith('{"version": 2')
