@@ -251,21 +251,27 @@ def test_stream_versioned_batch_parity_per_commit(spark, tmp_path):
     }
 
 
-def test_concurrent_commit_fails_loudly(spark, store, tmp_path):
-    """A second writer racing the same version number must fail with a
-    clear error, not silently overwrite the committed manifest (os.link
-    O_EXCL semantics; os.rename would replace)."""
+def test_concurrent_commit_fails_loudly(spark, store, tmp_path, monkeypatch):
+    """Two writers that both observed version 1 race to commit version 2:
+    the loser must fail with a clear error, not silently overwrite the
+    winner's manifest (os.link O_EXCL semantics; os.rename would
+    replace)."""
     target = str(tmp_path / "t")
     df = spark.createDataFrame([(1, "a")], "k long, v string")
     store.overwrite(df, target)  # version 1
-    # simulate the rival writer landing version 2 first
+    # rival lands version 2 first...
     from spark_fuse_spark.cdc.versioned import _manifest_path
 
     rival = _manifest_path(target, 2)
+    rival_body = '{"version": 2, "op": "append", "segments": [], "committed_at": 0}'
     with open(rival, "w") as f:
-        f.write('{"version": 2, "op": "append", "segments": [], "committed_at": 0}')
+        f.write(rival_body)
+    # ...while OUR writer still believes the latest is 1 (stale read —
+    # the exact race the O_EXCL link guards)
+    monkeypatch.setattr(type(store), "latest_version", lambda self, t: 1)
     with pytest.raises(RuntimeError, match="concurrent commit"):
         store.append(df, target)
-    # the rival's manifest is untouched and still the latest
+    monkeypatch.undo()
+    # the winner's manifest is untouched and still the latest
     assert store.latest_version(target) == 2
-    assert open(rival).read().startswith('{"version": 2')
+    assert open(rival).read() == rival_body
