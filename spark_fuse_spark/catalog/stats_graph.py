@@ -2261,10 +2261,10 @@ def _lpa_round_sql(prev: str, cur: str) -> str:
     "x_label_propagation",
     oracle=f"""
 WITH {_EDGES_CTE},
-adj AS (SELECT u AS src, v AS dst FROM edges
+adj AS MATERIALIZED (SELECT u AS src, v AS dst FROM edges
         UNION ALL SELECT v AS src, u AS dst FROM edges),
-nodes AS (SELECT DISTINCT src AS node FROM adj),
-adjp AS (SELECT src, dst FROM adj
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM adj),
+adjp AS MATERIALIZED (SELECT src, dst FROM adj
          UNION ALL SELECT node, node FROM nodes),
 l0 AS (SELECT node, node AS lbl FROM nodes),
 {_lpa_round_sql('l0', 'l1')},
@@ -2667,4 +2667,82 @@ def e_dow_seasonality(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("r2_dow"),
         )
         .orderBy("dow")
+    )
+
+
+# ---------------------------------------------------- k-core peel
+_KCORE_K = 3
+_KCORE_ROUNDS = 5
+
+
+def _kcore_round_sql(prev: str, cur: str) -> str:
+    # AS MATERIALIZED: each round references the previous one TWICE, so
+    # default CTE inlining is EXPONENTIAL in rounds (2^R copies of the
+    # expensive pair self-join — observed as a DuckDB disk-spill blowup
+    # at sf0.1); materialization makes the chain linear
+    return (
+        f"{cur} AS MATERIALIZED (SELECT a.src AS node FROM adj a "
+        f"JOIN {prev} p1 ON a.src = p1.node "
+        f"JOIN {prev} p2 ON a.dst = p2.node "
+        f"GROUP BY a.src HAVING COUNT(*) >= {_KCORE_K})"
+    )
+
+
+@register(
+    "x_kcore",
+    oracle=f"""
+WITH {_EDGES_CTE},
+adj AS MATERIALIZED (SELECT u AS src, v AS dst FROM edges
+        UNION ALL SELECT v AS src, u AS dst FROM edges),
+a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM adj),
+{_kcore_round_sql('a0', 'a1')},
+{_kcore_round_sql('a1', 'a2')},
+{_kcore_round_sql('a2', 'a3')},
+{_kcore_round_sql('a3', 'a4')},
+{_kcore_round_sql('a4', 'a5')}
+SELECT CAST((SELECT COUNT(*) FROM a5) AS BIGINT) AS n_core,
+       CAST((SELECT COALESCE(SUM(node), 0) FROM a5) AS BIGINT) AS node_checksum,
+       (SELECT COUNT(*) FROM a5) = (SELECT COUNT(*) FROM a4) AS converged
+""",
+    doc=f"{_KCORE_K}-core of the co-purchase graph by {_KCORE_ROUNDS}-round "
+    "degree peeling: each round keeps nodes with ≥ k surviving "
+    "neighbors.  BOTH engines run the identical FIXED round count (the "
+    "chained-CTE oracle replays each peel exactly), and the output's "
+    "`converged` flag certifies whether the last round was a fixpoint — "
+    "honest bounded-round semantics rather than an unverifiable "
+    "iterate-to-convergence claim.  Scale: each round is one "
+    "node-keyed partial-agg'd shuffle over the alive-restricted edge "
+    "list, localCheckpoint per round; round count bounds wall-clock "
+    "exactly like the LPA sketch.",
+)
+def x_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf)
+    adj = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint()
+    )
+    alive = adj.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    prev_n = None
+    for _ in range(_KCORE_ROUNDS):
+        prev = alive
+        alive = (
+            adj.join(alive.withColumnRenamed("node", "src"), "src")
+            .join(alive.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count("*").alias("deg"))
+            .where(F.col("deg") >= _KCORE_K)
+            .select("node")
+            .localCheckpoint()
+        )
+        prev_n = prev
+    core = alive.agg(
+        F.count("*").alias("n_core"),
+        F.coalesce(F.sum("node"), F.lit(0)).alias("node_checksum"),
+    )
+    prev_count = prev_n.agg(F.count("*").alias("n_prev"))
+    return core.crossJoin(F.broadcast(prev_count)).select(
+        "n_core",
+        "node_checksum",
+        (F.col("n_core") == F.col("n_prev")).alias("converged"),
     )

@@ -610,3 +610,32 @@ def test_dow_seasonality_matches_numpy_anova(spark):
         assert r.mean_dollars == pytest.approx(np.mean(v) / 100, abs=0.01)
         assert r.r2_dow == pytest.approx(ssb / sst, abs=2e-6)
     assert 0.0 <= rows[0].r2_dow < 0.1  # no weekday effect in synthetic data
+
+
+def test_kcore_matches_python_peel(spark):
+    """The fixed-round peel equals a Python replay, and the converged
+    flag is honest (True iff the last round changed nothing)."""
+    import duckdb
+
+    edges = duckdb.sql(
+        f"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM read_parquet('{SF_MED}/lineitem.parquet')),
+        pairs AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+                  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                                     AND a.l_partkey < b.l_partkey)
+        SELECT u, v FROM pairs GROUP BY u, v HAVING COUNT(*) >= 2"""
+    ).fetchall()
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    alive = set(adj)
+    prev = None
+    for _ in range(5):
+        prev = alive
+        alive = {n for n in alive if len(adj[n] & alive) >= 3}
+    (r,) = load_all()["x_kcore"].spark(spark, SF_MED).collect()
+    assert r.n_core == len(alive)
+    assert r.node_checksum == sum(alive)
+    assert r.converged == (len(alive) == len(prev))
+    assert 0 < r.n_core < len(adj), "trivial core — weak fixture"
