@@ -540,6 +540,7 @@ NESTED_LOOP_OK = {
     "v_cluster_nmi": "1-row total/MI/entropy/purity panels crossed into the single audit row (all reductions of the checkpointed <=160-cell contingency table)",
     "t_rerank_topk": "1-row bm25 N/avgdl stats panels inside the first-stage scorer (t_bm25_topk's declared shape)",
     "e_dow_seasonality": "1-row total/fit-SS panel crossed into the 7-row dow table",
+    "x_kcore": "1-row previous-round count panel crossed into the single core-summary row",
 }
 
 
