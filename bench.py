@@ -105,6 +105,9 @@ HEADLINE = [
     "q_weighted_deciles",
     "t_rerank_topk",
     "v_cluster_nmi",
+    # bounded-round peeling + exact-moment seasonality
+    "x_kcore",
+    "e_dow_seasonality",
 ]
 
 
