@@ -155,23 +155,18 @@ class HttpReranker:
                 return scores
             last = (status, body)
             if status == 429 or status >= 500:
-                self._sleep(min(2**attempt, self.backoff_cap))
+                if attempt < self.max_retries:  # no dead sleep before the raise
+                    self._sleep(min(2**attempt, self.backoff_cap))
                 continue
             break
         raise RuntimeError(f"rerank failed after retries: {last}")
 
 
-# executor-local provider cache: one client per (executor, factory id) —
-# the ai/mapping.py pattern, so a hosted reranker is dialed once per
-# executor, not once per batch
-_PROVIDER_CACHE: dict[int, Any] = {}
-
-
-def _cached(factory: Callable[[], Any]) -> Any:
-    key = id(factory)
-    if key not in _PROVIDER_CACHE:
-        _PROVIDER_CACHE[key] = factory()
-    return _PROVIDER_CACHE[key]
+# executor-local provider cache — ai/mapping.py's implementation, keyed
+# by the factory's qualified name (an id()-keyed cache misses on every
+# task, since closures re-deserialize per task, and can collide after
+# CPython address reuse)
+from .mapping import _cached_provider as _cached  # noqa: E402
 
 
 def rerank_candidates(
@@ -191,7 +186,8 @@ def rerank_candidates(
     """
     import pandas as pd
 
-    out_schema = f"{id_col} long, {score_col} double"
+    id_type = candidates.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, {score_col} double"
 
     def score(batches):
         provider = _cached(provider_factory)

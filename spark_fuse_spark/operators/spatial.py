@@ -67,9 +67,9 @@ def radius_join(
 
     Returns probe columns + build columns + ``dist_col`` (exact bigint
     squared distance ≤ radius²).  Column names must not collide except
-    the coordinate columns, which may be shared names — they are read
-    side-locally.  The probe side pays a 9× explode; put the SMALLER
-    side there when sizes are lopsided.
+    the coordinate columns, which may be shared names — the build side's
+    coordinates then come back as ``build_<name>``.  The probe side pays
+    a 9× explode; put the SMALLER side there when sizes are lopsided.
     """
     if radius <= 0:
         raise ValueError("radius must be positive")
@@ -109,8 +109,12 @@ def radius_join(
         .withColumn(dist_col, d_lat * d_lat + d_lon * d_lon)
         .where(F.col(dist_col) <= r_sq)
         .drop("__cy", "__cx")
-        .withColumnRenamed(b_lat, build_lat if build_lat not in probe.columns else b_lat)
-        .withColumnRenamed(b_lon, build_lon if build_lon not in probe.columns else b_lon)
+        .withColumnRenamed(
+            b_lat, build_lat if build_lat not in probe.columns else f"build_{build_lat}"
+        )
+        .withColumnRenamed(
+            b_lon, build_lon if build_lon not in probe.columns else f"build_{build_lon}"
+        )
     )
 
 
@@ -130,9 +134,13 @@ def nearest_within(
     """
     enc = F.min(F.col(dist_col) * id_bound + F.col(id_col)).alias("__enc")
     out = pairs.groupBy(*group_cols).agg(F.count("*").alias("n_within"), enc)
+    # decode with INTEGER division: `/` on longs goes through double, and
+    # enc can exceed 2^53 (e.g. the geo family's dist_sq*1e7 + id reaches
+    # 6.25e17), where double rounding shifts the quotient by ±1 for ids
+    # within an ulp of the encoding boundary
     return out.select(
         *group_cols,
         "n_within",
-        (F.col("__enc") / id_bound).cast("long").alias(dist_col),
+        F.expr(f"__enc div {id_bound}L").alias(dist_col),
         (F.col("__enc") % id_bound).alias(id_col),
     )

@@ -831,8 +831,8 @@ def neardup_batch_applier(
 
     Replay-safe: batch ids already DECIDED — accepted into the corpus
     or recorded in the ``<corpus>__rejected`` id table — are dropped up
-    front, so an at-least-once redelivery is a no-op for both the
-    corpus and the evidence log.  At 100 TB the
+    front, so an at-least-once redelivery is a no-op for the corpus and
+    rewrites (never duplicates) the batch's evidence partition.  At 100 TB the
     corpus re-scan per batch amortizes by persisting the band table
     instead (signatures are deterministic); this plain-parquet applier
     recomputes bands, which is exact at any scale and cheapest below
@@ -888,9 +888,20 @@ def neardup_batch_applier(
         accepted = batch.join(
             rejected, batch[id_col] == rejected["__rid"], "left_anti"
         )
-        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(pairs_path)
+        # evidence first, as a per-batch dynamic-partition OVERWRITE: a
+        # crash between these three writes redelivers the batch, and the
+        # replay rewrites the same batch_id partition instead of
+        # appending duplicates.  (Plain parquet has no multi-table
+        # atomic commit: a mid-commit crash can leave evidence for the
+        # replay's already-decided ids incomplete — never duplicated —
+        # which downstream counts tolerate and a recompute can restore.)
+        (
+            pairs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(pairs_path)
+        )
         rejected.select(F.col("__rid").alias(id_col)).write.mode(
             "append"
         ).parquet(rejected_path)
