@@ -177,3 +177,18 @@ def test_radius_join_operator_synthetic(spark):
     with pytest.raises(ValueError, match="collision"):
         radius_join(probe, probe.withColumnRenamed("lat_micro", "b_lat"),
                     radius=10, build_lat="b_lat", build_lon="lon_micro")
+
+
+def test_nearest_within_decodes_exactly_past_double_precision(spark):
+    """Regression: the min-encoding decode must be integer division.
+    dist_sq = 2^51+1 with id_bound=4 and id=3 encodes to 2^53+7, which
+    double arithmetic rounds to 2^53+8 — a float decode returns
+    dist_sq+1; the exact decode returns the true value."""
+    from spark_fuse_spark.operators.spatial import nearest_within
+
+    dist = (1 << 51) + 1
+    pairs = spark.createDataFrame(
+        [(0, dist, 3)], "pid long, dist_sq long, bid long"
+    )
+    (r,) = nearest_within(pairs, ["pid"], "bid", id_bound=4).collect()
+    assert (r.n_within, r.dist_sq, r.bid) == (1, dist, 3)
