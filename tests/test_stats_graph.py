@@ -639,3 +639,33 @@ def test_kcore_matches_python_peel(spark):
     assert r.node_checksum == sum(alive)
     assert r.converged == (len(alive) == len(prev))
     assert 0 < r.n_core < len(adj), "trivial core — weak fixture"
+
+
+def test_assortativity_matches_numpy_pearson(spark):
+    """The exact-moment assortativity equals numpy's corrcoef over the
+    explicit directed-edge degree pairs, and sits in [-1, 1]."""
+    import duckdb
+
+    edges = duckdb.sql(
+        f"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM read_parquet('{SF_MED}/lineitem.parquet')),
+        pairs AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+                  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                                     AND a.l_partkey < b.l_partkey)
+        SELECT u, v FROM pairs GROUP BY u, v HAVING COUNT(*) >= 2"""
+    ).fetchall()
+    from collections import Counter
+
+    deg: Counter = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    dx, dy = [], []
+    for u, v in edges:
+        dx += [deg[u], deg[v]]
+        dy += [deg[v], deg[u]]
+    expect = float(np.corrcoef(np.array(dx, float), np.array(dy, float))[0, 1])
+    (r,) = load_all()["x_degree_assortativity"].spark(spark, SF_MED).collect()
+    assert r.n_directed_edges == 2 * len(edges)
+    assert r.assortativity == pytest.approx(expect, abs=2e-6)
+    assert -1.0 <= r.assortativity <= 1.0
