@@ -2812,3 +2812,221 @@ def x_degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n").alias("n_directed_edges"),
         (F.floor(r * 1000000 + 0.5) / 1000000).alias("assortativity"),
     )
+
+
+# --------------------------------------- multi-feature OLS (normal equations)
+@register(
+    "q_ols_multi",
+    oracle="""
+WITH items AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items
+  FROM lineitem GROUP BY l_orderkey),
+pts AS (
+  SELECT o.o_orderpriority,
+         CAST((EXTRACT(YEAR FROM o.o_orderdate) - 1995) * 12
+              + EXTRACT(MONTH FROM o.o_orderdate) - 1 AS BIGINT) AS x1,
+         i.n_items AS x2,
+         CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS y
+  FROM orders o JOIN items i ON o.o_orderkey = i.l_orderkey),
+s AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x1) AS BIGINT) AS s1,
+         CAST(SUM(x2) AS BIGINT) AS s2,
+         CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+         CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+         CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+         SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(x1 * y AS DECIMAL(38,0))) AS s1y,
+         SUM(CAST(x2 * y AS DECIMAL(38,0))) AS s2y
+  FROM pts GROUP BY o_orderpriority),
+d AS (
+  SELECT o_orderpriority, n,
+         CAST(n AS DOUBLE) AS dn,
+         CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
+         CAST(s11 AS DOUBLE) AS d11, CAST(s12 AS DOUBLE) AS d12,
+         CAST(s22 AS DOUBLE) AS d22,
+         CAST(sy AS DOUBLE) AS dy,
+         CAST(s1y AS DOUBLE) AS d1y, CAST(s2y AS DOUBLE) AS d2y
+  FROM s),
+m AS (
+  SELECT o_orderpriority, n,
+         dn * (d11 * d22 - d12 * d12) - d1 * (d1 * d22 - d12 * d2)
+            + d2 * (d1 * d12 - d11 * d2) AS det,
+         dy * (d11 * d22 - d12 * d12) - d1 * (d1y * d22 - d12 * d2y)
+            + d2 * (d1y * d12 - d11 * d2y) AS det0,
+         dn * (d1y * d22 - d12 * d2y) - dy * (d1 * d22 - d12 * d2)
+            + d2 * (d1 * d2y - d1y * d2) AS det1,
+         dn * (d11 * d2y - d1y * d12) - d1 * (d1 * d2y - d1y * d2)
+            + dy * (d1 * d12 - d11 * d2) AS det2
+  FROM d)
+SELECT o_orderpriority,
+       n AS n_orders,
+       FLOOR(det0 / det / 100 * 10000 + 0.5) / 10000 AS intercept_dollars,
+       FLOOR(det1 / det / 100 * 10000 + 0.5) / 10000 AS month_coef_dollars,
+       FLOOR(det2 / det / 100 * 10000 + 0.5) / 10000 AS item_coef_dollars
+FROM m
+ORDER BY o_orderpriority
+""",
+    doc="multi-feature OLS by normal equations: per order priority, "
+    "regress order revenue on (month index, line-item count) — the "
+    "distributed-ML primitive behind any closed-form linear model.  "
+    "X'X and X'y reduce to NINE exact integer moments (small-int "
+    "features stay BIGINT; every y cross-term rides DECIMAL(38)/"
+    "HUGEINT), and the 3x3 solve is Cramer's rule written as one "
+    "mirrored IEEE expression tree on both engines, floor-rounded at "
+    "1e-4 — q_ols_trend generalized from 1 to 2 regressors without a "
+    "single float entering the shuffle.  Scale: a lineitem partial-agg "
+    "keyed by orderkey, one orderkey-keyed join, then a 5-group moment "
+    "reduce; per-group state is 10 numbers regardless of group size, "
+    "and the solve runs on a 5-row panel.",
+)
+def q_ols_multi(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    items = li.groupBy("l_orderkey").agg(F.count("*").alias("n_items"))
+    x1 = (
+        (F.year("o_orderdate") - F.lit(1995)) * 12 + F.month("o_orderdate") - 1
+    ).cast("long")
+    y = F.round(F.col("o_totalprice") * 100).cast("long")
+    pts = o.join(items, o.o_orderkey == items.l_orderkey).select(
+        "o_orderpriority", x1.alias("x1"), F.col("n_items").alias("x2"), y.alias("y")
+    )
+    dec38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = pts.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(dec38(F.col("y"))).alias("sy"),
+        F.sum(dec38(F.col("x1") * F.col("y"))).alias("s1y"),
+        F.sum(dec38(F.col("x2") * F.col("y"))).alias("s2y"),
+    )
+    d = s.select(
+        "o_orderpriority",
+        "n",
+        F.col("n").cast("double").alias("dn"),
+        F.col("s1").cast("double").alias("d1"),
+        F.col("s2").cast("double").alias("d2"),
+        F.col("s11").cast("double").alias("d11"),
+        F.col("s12").cast("double").alias("d12"),
+        F.col("s22").cast("double").alias("d22"),
+        F.col("sy").cast("double").alias("dy"),
+        F.col("s1y").cast("double").alias("d1y"),
+        F.col("s2y").cast("double").alias("d2y"),
+    )
+    c = F.col
+    det = (
+        c("dn") * (c("d11") * c("d22") - c("d12") * c("d12"))
+        - c("d1") * (c("d1") * c("d22") - c("d12") * c("d2"))
+        + c("d2") * (c("d1") * c("d12") - c("d11") * c("d2"))
+    )
+    det0 = (
+        c("dy") * (c("d11") * c("d22") - c("d12") * c("d12"))
+        - c("d1") * (c("d1y") * c("d22") - c("d12") * c("d2y"))
+        + c("d2") * (c("d1y") * c("d12") - c("d11") * c("d2y"))
+    )
+    det1 = (
+        c("dn") * (c("d1y") * c("d22") - c("d12") * c("d2y"))
+        - c("dy") * (c("d1") * c("d22") - c("d12") * c("d2"))
+        + c("d2") * (c("d1") * c("d2y") - c("d1y") * c("d2"))
+    )
+    det2 = (
+        c("dn") * (c("d11") * c("d2y") - c("d1y") * c("d12"))
+        - c("d1") * (c("d1") * c("d2y") - c("d1y") * c("d2"))
+        + c("dy") * (c("d1") * c("d12") - c("d11") * c("d2"))
+    )
+    rnd = lambda e: F.floor(e / 100 * 10000 + 0.5) / 10000  # noqa: E731
+    m = d.select(
+        "o_orderpriority",
+        F.col("n").alias("n_orders"),
+        rnd(det0 / det).alias("intercept_dollars"),
+        rnd(det1 / det).alias("month_coef_dollars"),
+        rnd(det2 / det).alias("item_coef_dollars"),
+    )
+    return m.orderBy("o_orderpriority")
+
+
+# -------------------------------------------- Adamic-Adar link prediction
+_AA_DEG_CAP = 64
+_AA_TOPK = 20
+
+
+@register(
+    "x_adamic_adar",
+    oracle=f"""
+WITH {_EDGES_CTE},
+adj AS MATERIALIZED (SELECT u AS src, v AS dst FROM edges
+        UNION ALL SELECT v AS src, u AS dst FROM edges),
+deg AS MATERIALIZED (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+       FROM adj GROUP BY src),
+ctr AS (SELECT node, CAST(FLOOR(1000000.0 / LN(d) + 0.5) AS BIGINT) AS w_micro
+        FROM deg WHERE d BETWEEN 2 AND {_AA_DEG_CAP}),
+wedge AS (SELECT n1.dst AS a, n2.dst AS b, c.w_micro
+          FROM adj n1 JOIN adj n2 ON n1.src = n2.src AND n1.dst < n2.dst
+          JOIN ctr c ON n1.src = c.node),
+cand AS (SELECT a, b, CAST(SUM(w_micro) AS BIGINT) AS score_micro,
+                CAST(COUNT(*) AS BIGINT) AS n_common
+         FROM wedge GROUP BY a, b),
+new_pairs AS (SELECT cand.* FROM cand
+              ANTI JOIN edges e ON cand.a = e.u AND cand.b = e.v)
+SELECT a AS u, b AS v, n_common,
+       ROUND(score_micro / 1000000.0, 6) AS aa_score
+FROM new_pairs
+ORDER BY score_micro DESC, a, b
+LIMIT {_AA_TOPK}
+""",
+    doc="Adamic-Adar link prediction on the co-purchase graph: for each "
+    "non-adjacent pair, sum 1/ln(deg) over common neighbors and emit "
+    "the top candidates — the classic 'parts bought together but never "
+    "in one order yet' recommender primitive.  Determinism: each "
+    "center's weight is floor-quantized to integer micro-units BEFORE "
+    "the wedge sum, so aggregation order cannot move the score; the "
+    "ranking breaks ties on (u, v).  Scale: wedge fan-out is bounded "
+    f"by capping center degree at {_AA_DEG_CAP} (hub-mediated wedges "
+    "carry the smallest weights and all-pairs-through-a-hub is the "
+    "quadratic blowup — the cap is the documented production guard); "
+    "candidates reduce keyed by (a, b) with map-side partials, "
+    "existing edges leave via left_anti, and the final top-k is a "
+    "distributed TakeOrdered, never a global single-partition sort.",
+)
+def x_adamic_adar(spark: SparkSession, sf: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf).localCheckpoint()
+    adj = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = adj.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    ctr = deg.where((F.col("d") >= 2) & (F.col("d") <= _AA_DEG_CAP)).select(
+        "node",
+        F.floor(F.lit(1000000.0) / F.log(F.col("d")) + 0.5)
+        .cast("long")
+        .alias("w_micro"),
+    )
+    n1 = adj.select(F.col("src").alias("ctr_node"), F.col("dst").alias("a"))
+    n2 = adj.select(F.col("src").alias("ctr_node"), F.col("dst").alias("b"))
+    wedge = (
+        n1.join(n2, "ctr_node")
+        .where(F.col("a") < F.col("b"))
+        .join(F.broadcast(ctr), F.col("ctr_node") == F.col("node"))
+        .select("a", "b", "w_micro")
+    )
+    cand = wedge.groupBy("a", "b").agg(
+        F.sum("w_micro").alias("score_micro"), F.count("*").alias("n_common")
+    )
+    new_pairs = cand.join(
+        edges,
+        (cand.a == edges.u) & (cand.b == edges.v),
+        "left_anti",
+    )
+    return (
+        new_pairs.orderBy(F.col("score_micro").desc(), "a", "b")
+        .limit(_AA_TOPK)
+        .select(
+            F.col("a").alias("u"),
+            F.col("b").alias("v"),
+            "n_common",
+            F.round(F.col("score_micro") / 1000000.0, 6).alias("aa_score"),
+        )
+    )

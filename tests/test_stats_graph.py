@@ -669,3 +669,79 @@ def test_assortativity_matches_numpy_pearson(spark):
     assert r.n_directed_edges == 2 * len(edges)
     assert r.assortativity == pytest.approx(expect, abs=2e-6)
     assert -1.0 <= r.assortativity <= 1.0
+
+
+def test_ols_multi_matches_numpy_lstsq(spark):
+    """Cramer's rule on exact integer moments equals numpy's float lstsq
+    for the 2-regressor model, within the published 1e-4 grain."""
+    import duckdb
+
+    rows = load_all()["q_ols_multi"].spark(spark, SF_MED).collect()
+    pts = duckdb.sql(
+        f"""
+        WITH items AS (SELECT l_orderkey, COUNT(*) AS n_items
+                       FROM read_parquet('{SF_MED}/lineitem.parquet') GROUP BY 1)
+        SELECT o.o_orderpriority,
+               (EXTRACT(YEAR FROM o.o_orderdate) - 1995) * 12
+                 + EXTRACT(MONTH FROM o.o_orderdate) - 1 AS x1,
+               i.n_items AS x2,
+               ROUND(o.o_totalprice * 100) / 100 AS y
+        FROM read_parquet('{SF_MED}/orders.parquet') o
+        JOIN items i ON o.o_orderkey = i.l_orderkey
+        """
+    ).df()
+    assert len(rows) == 5
+    for r in rows:
+        grp = pts[pts.o_orderpriority == r.o_orderpriority]
+        X = np.column_stack(
+            [np.ones(len(grp)), grp.x1.to_numpy(float), grp.x2.to_numpy(float)]
+        )
+        beta, *_ = np.linalg.lstsq(X, grp.y.to_numpy(float), rcond=None)
+        assert r.n_orders == len(grp)
+        assert r.intercept_dollars == pytest.approx(beta[0], abs=2e-4)
+        assert r.month_coef_dollars == pytest.approx(beta[1], abs=2e-4)
+        assert r.item_coef_dollars == pytest.approx(beta[2], abs=2e-4)
+
+
+def test_adamic_adar_matches_python_brute_force(spark):
+    """The wedge-join formulation equals the textbook per-pair common-
+    neighbor sum computed by a dict-of-sets brute force (including the
+    degree cap and the micro-unit quantization)."""
+    from collections import defaultdict
+
+    from spark_fuse_spark.catalog.stats_graph import (
+        _AA_DEG_CAP,
+        _AA_TOPK,
+        _copurchase_edges,
+    )
+
+    edges = [(r.u, r.v) for r in _copurchase_edges(spark, SF).collect()]
+    nbrs = defaultdict(set)
+    for u, v in edges:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    scores: dict[tuple[int, int], int] = defaultdict(int)
+    common: dict[tuple[int, int], int] = defaultdict(int)
+    for z, nz in nbrs.items():
+        d = len(nz)
+        if not (2 <= d <= _AA_DEG_CAP):
+            continue
+        w = math.floor(1_000_000.0 / math.log(d) + 0.5)
+        for a in nz:
+            for b in nz:
+                if a < b:
+                    scores[(a, b)] += w
+                    common[(a, b)] += 1
+    edge_set = set(edges)
+    cand = [
+        (s, a, b) for (a, b), s in scores.items() if (a, b) not in edge_set
+    ]
+    cand.sort(key=lambda t: (-t[0], t[1], t[2]))
+    expect = cand[:_AA_TOPK]
+
+    rows = load_all()["x_adamic_adar"].spark(spark, SF).collect()
+    assert len(rows) == len(expect)
+    for r, (s, a, b) in zip(rows, expect):
+        assert (r.u, r.v) == (a, b)
+        assert r.n_common == common[(a, b)]
+        assert r.aa_score == pytest.approx(s / 1_000_000.0, abs=1e-9)
