@@ -2928,3 +2928,109 @@ def t_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.round("rerank_score", 6).alias("rerank_score"),
         F.col("rank").cast("int").alias("rank"),
     ).orderBy("rank")
+
+
+# ------------------------------------------------ conversion path mining
+_PATH_CAP = 6
+_PATH_TOPK = 15
+
+
+@register(
+    "e_path_to_conversion",
+    oracle=f"""
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+s AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM o),
+r AS (
+  SELECT user_id, session_idx, event_type,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id, session_idx
+                                 ORDER BY ts, event_id) AS BIGINT) AS rn
+  FROM s),
+paths AS (
+  SELECT user_id, session_idx,
+         STRING_AGG(event_type, '>' ORDER BY rn)
+           FILTER (WHERE rn <= {_PATH_CAP}) AS path,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM r GROUP BY user_id, session_idx)
+SELECT path,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM paths WHERE converted = 1
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT {_PATH_TOPK}
+""",
+    doc="conversion path mining: sessionize (30-minute gap, the "
+    "e_sessionize_gap construction), assemble each CONVERTING session's "
+    f"ordered event-type path (first {_PATH_CAP} events, '>'-joined), "
+    f"and surface the top {_PATH_TOPK} paths with session and distinct-"
+    "user counts — the 'which journeys end in purchase' funnel-explorer "
+    "primitive.  Determinism: events order on the unique (ts, event_id) "
+    "pair at every step, so both engines assemble byte-identical path "
+    "strings; ties in the ranking break on the path text.  Scale: one "
+    "shuffle on user_id serves the lag window, the cumsum window, and "
+    "the per-session row_number (all same-key); the path aggregate is "
+    f"keyed by (user, session) with strings capped at {_PATH_CAP} "
+    "events (the cap is the unbounded-collect guard); the final top-k "
+    "is a distributed TakeOrdered, never a global single-partition "
+    "sort.",
+)
+def e_path_to_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    gap_break = F.col("ts") - prev_ts > F.expr("INTERVAL 30 MINUTES")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(prev_ts.isNull() | gap_break, 1).otherwise(0).alias("new_s"),
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum("new_s").over(run).alias("session_idx"),
+    )
+    wr = Window.partitionBy("user_id", "session_idx").orderBy("ts", "event_id")
+    r = sess.withColumn("rn", F.row_number().over(wr).cast("long"))
+    paths = r.groupBy("user_id", "session_idx").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") <= _PATH_CAP,
+                            F.struct(F.col("rn"), F.col("event_type")),
+                        )
+                    )
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    return (
+        paths.where(F.col("converted") == 1)
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(_PATH_TOPK)
+    )

@@ -3030,3 +3030,138 @@ def x_adamic_adar(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.col("score_micro") / 1000000.0, 6).alias("aa_score"),
         )
     )
+
+
+# ------------------------------------------------- RFM customer segmentation
+_RFM_Q = 5  # quintiles
+
+
+def _rfm_cut_sql(tag: str, col: str) -> str:
+    """One metric's quintile-boundary CTE chain (cells -> cumulative ->
+    boundary rows).  Boundary k is the smallest value whose inclusive
+    cumulative count covers k/5 of customers; a value spanning several
+    boundaries contributes one ROW per k (duplicates are meaningful —
+    the score counts boundary rows strictly below the value)."""
+    return f"""
+{tag}cells AS (SELECT {col} AS v, CAST(COUNT(*) AS BIGINT) AS w
+               FROM base GROUP BY 1),
+{tag}cum AS (SELECT v, SUM(w) OVER (ORDER BY v) AS ci,
+                    SUM(w) OVER (ORDER BY v) - w AS ce
+             FROM {tag}cells),
+{tag}cut AS (SELECT v FROM {tag}cum CROSS JOIN n
+             JOIN (VALUES (1),(2),(3),(4)) k(k)
+               ON ci * {_RFM_Q} >= k.k * n.n AND ce * {_RFM_Q} < k.k * n.n)"""
+
+
+@register(
+    "q_rfm_segments",
+    oracle=f"""
+WITH per AS (
+  SELECT o_custkey, MAX(o_orderdate) AS last_order,
+         CAST(COUNT(*) AS BIGINT) AS f,
+         CAST(SUM(ROUND(o_totalprice * 100)) AS BIGINT) AS m
+  FROM orders GROUP BY 1),
+mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+base AS (SELECT o_custkey,
+                CAST(date_diff('day', last_order, maxd) AS BIGINT) AS r, f, m
+         FROM per CROSS JOIN mx),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+{_rfm_cut_sql('r', 'r')},
+{_rfm_cut_sql('f', 'f')},
+{_rfm_cut_sql('m', 'm')},
+scored AS (
+  SELECT o_custkey, m,
+         CAST(1 + (SELECT COUNT(*) FROM rcut WHERE rcut.v < base.r) AS BIGINT)
+           AS r_score,
+         CAST(1 + (SELECT COUNT(*) FROM fcut WHERE fcut.v < base.f) AS BIGINT)
+           AS f_score,
+         CAST(1 + (SELECT COUNT(*) FROM mcut WHERE mcut.v < base.m) AS BIGINT)
+           AS m_score
+  FROM base)
+SELECT r_score, f_score, m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(SUM(m) AS DOUBLE) / 100, 2) AS monetary_dollars
+FROM scored
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+""",
+    doc="RFM customer segmentation with EXACT quintile boundaries and no "
+    "global sort: per active customer, recency (days since last order, "
+    "vs the corpus max date), frequency (order count) and monetary "
+    "(lifetime cents, exact BIGINT); each metric's four quintile "
+    "boundaries come from the two-phase distributed prefix sum over "
+    "the distinct-value panel (operators/packing.with_prefix_sum — the "
+    "q_weighted_deciles machinery), then scores assign by comparing "
+    "the raw value against the 4-element broadcast boundary array "
+    "(score = 1 + boundaries strictly below; a heavy value spanning "
+    "several boundaries duplicates rows in the array, so coarse "
+    "metrics like frequency score identically on both engines).  "
+    "Scores run 1..5 ascending in the raw value (r_score 1 = most "
+    "recent).  Scale: the customer rollup is one hash aggregate; each "
+    "boundary panel is distinct-value sized with bounded-shuffle "
+    "prefix sums; assignment is three 1-row broadcast arrays crossed "
+    "into the customer relation — no sort, no window over customers.",
+)
+def q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.packing import with_prefix_sum
+
+    o = load_table(spark, sf, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("maxd"))
+    base = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("f"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("m"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            F.datediff("maxd", "last_order").cast("long").alias("r"),
+            "f",
+            "m",
+        )
+        .localCheckpoint()  # feeds three boundary panels + the assignment
+    )
+    n_panel = base.agg(F.count(F.lit(1)).alias("n"))
+    ks = spark.range(1, _RFM_Q).select(F.col("id").cast("long").alias("k"))
+
+    def cut_array(col: str) -> DataFrame:
+        cells = base.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("w")
+        )
+        cum = with_prefix_sum(cells, "v", "w", out_col="ce")
+        cum = cum.withColumn("ci", F.col("ce") + F.col("w"))
+        hits = cum.crossJoin(F.broadcast(n_panel)).join(
+            F.broadcast(ks),
+            (F.col("ci") * _RFM_Q >= F.col("k") * F.col("n"))
+            & (F.col("ce") * _RFM_Q < F.col("k") * F.col("n")),
+        )
+        return hits.agg(F.sort_array(F.collect_list("v")).alias(f"{col}_cuts"))
+
+    def score(col: str) -> F.Column:
+        return (
+            F.lit(1)
+            + F.size(F.filter(F.col(f"{col}_cuts"), lambda t: t < F.col(col)))
+        ).cast("long")
+
+    scored = (
+        base.crossJoin(F.broadcast(cut_array("r")))
+        .crossJoin(F.broadcast(cut_array("f")))
+        .crossJoin(F.broadcast(cut_array("m")))
+        .select(
+            "o_custkey",
+            "m",
+            score("r").alias("r_score"),
+            score("f").alias("f_score"),
+            score("m").alias("m_score"),
+        )
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("m").cast("double") / 100, 2).alias("monetary_dollars"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

@@ -300,3 +300,45 @@ def test_write_sharded_one_file_per_shard(spark, tmp_path):
     want = {r.doc_id: r.shard_id for r in assign_shards(df, "doc_id", 8).collect()}
     got = {r.doc_id: r.shard_id for r in back.collect()}
     assert got == want
+
+
+def test_path_to_conversion_matches_python_brute_force(spark):
+    """Session paths, conversion flags, and the top-k ranking equal a
+    dict-based pure-Python sessionizer over the same events."""
+    import collections
+
+    import duckdb
+
+    from spark_fuse_spark.catalog import load_all
+    from spark_fuse_spark.catalog.curation import _PATH_CAP, _PATH_TOPK
+
+    sf = "/root/testdata/sf0.001"
+    ev = duckdb.sql(
+        f"SELECT user_id, event_id, ts, event_type FROM "
+        f"read_parquet('{sf}/events.parquet') ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    by_user = collections.defaultdict(list)
+    for u, eid, ts, et in ev:
+        by_user[u].append((ts, eid, et))
+    paths = collections.Counter()
+    users = collections.defaultdict(set)
+    for u, seq in by_user.items():
+        sessions, cur, prev = [], [], None
+        for ts, eid, et in seq:
+            if prev is not None and (ts - prev).total_seconds() > 1800:
+                sessions.append(cur)
+                cur = []
+            cur.append(et)
+            prev = ts
+        sessions.append(cur)
+        for s in sessions:
+            if "purchase" in s:
+                p = ">".join(s[:_PATH_CAP])
+                paths[p] += 1
+                users[p].add(u)
+    expect = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:_PATH_TOPK]
+
+    rows = load_all()["e_path_to_conversion"].spark(spark, sf).collect()
+    assert [(r.path, r.n_sessions) for r in rows] == expect
+    for r in rows:
+        assert r.n_users == len(users[r.path])

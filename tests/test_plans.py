@@ -541,6 +541,7 @@ NESTED_LOOP_OK = {
     "t_rerank_topk": "1-row bm25 N/avgdl stats panels inside the first-stage scorer (t_bm25_topk's declared shape)",
     "e_dow_seasonality": "1-row total/fit-SS panel crossed into the 7-row dow table",
     "x_kcore": "1-row previous-round count panel crossed into the single core-summary row",
+    "q_rfm_segments": "1-row max-date/n panels + three 4-element quintile-boundary arrays broadcast into the customer rollup; boundary hits theta-join on the crossing condition",
 }
 
 

@@ -745,3 +745,58 @@ def test_adamic_adar_matches_python_brute_force(spark):
         assert (r.u, r.v) == (a, b)
         assert r.n_common == common[(a, b)]
         assert r.aa_score == pytest.approx(s / 1_000_000.0, abs=1e-9)
+
+
+def test_rfm_segments_matches_python_brute_force(spark):
+    """Quintile boundaries and scores from the prefix-sum machinery equal
+    the textbook sorted-list percentile-disc definition computed in pure
+    Python (including duplicate boundary rows on coarse metrics)."""
+    import duckdb
+
+    per = duckdb.sql(
+        f"""
+        SELECT o_custkey,
+               date_diff('day', MAX(o_orderdate),
+                         (SELECT MAX(o_orderdate)
+                          FROM read_parquet('{SF}/orders.parquet'))) AS r,
+               COUNT(*) AS f,
+               CAST(SUM(ROUND(o_totalprice * 100)) AS BIGINT) AS m
+        FROM read_parquet('{SF}/orders.parquet') GROUP BY 1
+        """
+    ).df()
+    n = len(per)
+
+    def cuts(vals):
+        s = sorted(vals)
+        out = []
+        for k in range(1, 5):
+            # smallest value whose inclusive cumulative count covers k/5
+            # (one row per k -> duplicates when a value spans boundaries)
+            cum = 0
+            for v in sorted(set(s)):
+                cum += sum(1 for x in s if x == v)
+                if cum * 5 >= k * n:
+                    out.append(v)
+                    break
+        return out
+
+    import collections
+    seg = collections.defaultdict(lambda: [0, 0])
+    cr, cf, cm = cuts(per.r), cuts(per.f), cuts(per.m)
+    for _, row in per.iterrows():
+        key = (
+            1 + sum(1 for b in cr if b < row.r),
+            1 + sum(1 for b in cf if b < row.f),
+            1 + sum(1 for b in cm if b < row.m),
+        )
+        seg[key][0] += 1
+        seg[key][1] += row.m
+
+    rows = load_all()["q_rfm_segments"].spark(spark, SF).collect()
+    assert sum(r.n_customers for r in rows) == n
+    assert len(rows) == len(seg)
+    for r in rows:
+        cnt, mtot = seg[(r.r_score, r.f_score, r.m_score)]
+        assert r.n_customers == cnt
+        assert r.monetary_dollars == pytest.approx(mtot / 100, abs=1e-6)
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
