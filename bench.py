@@ -108,6 +108,11 @@ HEADLINE = [
     # bounded-round peeling + exact-moment seasonality
     "x_kcore",
     "e_dow_seasonality",
+    # closed-form OLS, wedge link prediction, path mining, exact-quintile RFM
+    "q_ols_multi",
+    "x_adamic_adar",
+    "e_path_to_conversion",
+    "q_rfm_segments",
 ]
 
 
