@@ -3165,3 +3165,94 @@ def q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+# ------------------------------------------------- HITS hubs/authorities
+_HITS_ROUNDS = 4
+_HITS_TOPK = 10
+
+
+def _hits_round_sql(i: int) -> str:
+    """One unrolled HITS round: authority pull, max-renorm, hub pull,
+    max-renorm — all in HUGEINT with floor division, the exact integer
+    recurrence of operators/graph.hits."""
+    return f""",
+a{i}raw AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(SUM(h.s) AS HUGEINT) AS raw
+  FROM edges e JOIN h{i - 1} h ON e.src = h.node GROUP BY 1),
+a{i}mx AS (SELECT MAX(raw) AS m FROM a{i}raw),
+a{i} AS MATERIALIZED (
+  SELECT node, (raw * 1000000) // m AS s FROM a{i}raw CROSS JOIN a{i}mx),
+h{i}raw AS MATERIALIZED (
+  SELECT e.src AS node, CAST(SUM(a.s) AS HUGEINT) AS raw
+  FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY 1),
+h{i}mx AS (SELECT MAX(raw) AS m FROM h{i}raw),
+h{i} AS MATERIALIZED (
+  SELECT node, (raw * 1000000) // m AS s FROM h{i}raw CROSS JOIN h{i}mx)"""
+
+
+@register(
+    "x_hits_suppliers",
+    oracle=f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+h0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS HUGEINT) AS s FROM edges)
+{"".join(_hits_round_sql(i) for i in range(1, _HITS_ROUNDS + 1))}
+SELECT role, CAST(node AS BIGINT) AS node, CAST(score_micro AS BIGINT) AS score_micro
+FROM (
+  SELECT 'authority' AS role, node, s AS score_micro
+  FROM a{_HITS_ROUNDS} ORDER BY s DESC, node LIMIT {_HITS_TOPK})
+UNION ALL
+SELECT role, CAST(node AS BIGINT), CAST(score_micro AS BIGINT)
+FROM (
+  SELECT 'hub' AS role, node, s AS score_micro
+  FROM h{_HITS_ROUNDS} ORDER BY s DESC, node LIMIT {_HITS_TOPK})
+ORDER BY role, score_micro DESC, node
+""",
+    doc="HITS hubs and authorities (Kleinberg 1999) over the distinct "
+    "customer->supplier order graph: authority = suppliers the heavy "
+    "buyers concentrate on, hub = customers whose purchases point at "
+    "authoritative suppliers (operators/graph.hits).  Unlike the "
+    "rows-only pagerank, this iterative query is FULLY oracle-checked: "
+    "scores iterate in exact integer micro-units (decimal(38,0) sums, "
+    "max-renormalization by exact integer floor division) so the "
+    f"{_HITS_ROUNDS}-round recurrence replays bit-identically as "
+    "unrolled HUGEINT SQL.  Scale: per half-round one score-onto-edges "
+    "join + one partial-agg'd groupBy (the pagerank shuffle shape), a "
+    "1-row broadcast max panel, per-round localCheckpoint lineage "
+    "truncation; both top-k cuts are distributed TakeOrdered.",
+)
+def x_hits_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import hits
+
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    hubs, auths = hits(edges, iterations=_HITS_ROUNDS)
+    top_a = (
+        auths.orderBy(F.col("score_micro").desc(), "node")
+        .limit(_HITS_TOPK)
+        .select(F.lit("authority").alias("role"), "node", "score_micro")
+    )
+    top_h = (
+        hubs.orderBy(F.col("score_micro").desc(), "node")
+        .limit(_HITS_TOPK)
+        .select(F.lit("hub").alias("role"), "node", "score_micro")
+    )
+    return (
+        top_a.unionAll(top_h)
+        .select(
+            "role",
+            F.col("node").cast("long").alias("node"),
+            F.col("score_micro").cast("long").alias("score_micro"),
+        )
+        .orderBy("role", F.col("score_micro").desc(), "node")
+    )

@@ -26,7 +26,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "dedup_clusters", "label_propagation", "pagerank"]
+__all__ = [
+    "connected_components",
+    "dedup_clusters",
+    "hits",
+    "label_propagation",
+    "pagerank",
+]
 
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
@@ -316,3 +322,74 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
             .localCheckpoint()
         )
     return labels
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 4,
+    scale: int = 1_000_000,
+    src: str = "src",
+    dst: str = "dst",
+) -> tuple[DataFrame, DataFrame]:
+    """Kleinberg's HITS (JACM 1999) hub/authority scores over a directed
+    edge list, in EXACT integer arithmetic so results are engine- and
+    reduction-order-independent.
+
+    Classic HITS alternates ``a = A^T h`` / ``h = A a`` with float L2
+    normalization — whose reduction order is not reproducible on a
+    distributed engine.  Here every score lives in integer micro-units:
+    each half-round SUMS exact integers (decimal(38,0) — no float ever
+    enters a shuffle) and renormalizes by the round's MAX via exact
+    integer floor division ``(n - n % m) / m`` (top score = ``scale``).
+    The fixpoint direction is identical to max-normalized HITS; scores
+    are portable bit-for-bit to any engine replaying the same integer
+    recurrence (the catalog's DuckDB oracle does exactly that).
+
+    Per half-round: one join of the score table onto the edge list and
+    one partial-agg'd ``groupBy`` — two shuffles, same as pagerank —
+    plus a 1-row max panel folded back broadcast (no driver action).
+    Both score tables are ``localCheckpoint``-ed every round so lineage
+    stays bounded.  Multi-edges count with multiplicity — ``distinct()``
+    the input for the unweighted semantics.
+
+    Returns ``(hubs, authorities)`` as ``(node, score_micro)`` frames.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
+    dec = "decimal(38,0)"
+
+    def _renorm(raw: DataFrame) -> DataFrame:
+        mx = raw.agg(F.max("raw").alias("m"))
+        num = F.col("raw") * F.lit(scale).cast(dec)
+        return (
+            raw.crossJoin(F.broadcast(mx))
+            .select(
+                "node",
+                ((num - num % F.col("m")) / F.col("m"))
+                .cast("long")
+                .alias("score_micro"),
+            )
+            .localCheckpoint()
+        )
+
+    hubs = (
+        e.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.lit(scale).cast("long").alias("score_micro"))
+    )
+    auths = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(hubs, e.u == hubs.node)
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum(F.col("score_micro").cast(dec)).alias("raw"))
+        )
+        auths = _renorm(a_raw)
+        h_raw = (
+            e.join(auths, e.v == auths.node)
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.sum(F.col("score_micro").cast(dec)).alias("raw"))
+        )
+        hubs = _renorm(h_raw)
+    return hubs, auths

@@ -183,3 +183,48 @@ def test_label_propagation_matches_python(spark, edges, rounds):
             return comp
         for n in adj:
             assert got[n] == min(closure(n))
+
+# ------------------------------------------------------------------ HITS
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10),
+            st.integers(min_value=11, max_value=20),
+        ),
+        min_size=1,
+        max_size=18,
+        unique=True,
+    ),
+    iterations=st.integers(min_value=1, max_value=3),
+)
+def test_hits_matches_python(spark, edges, iterations):
+    """Property: the exact-integer max-renormalized HITS recurrence equals
+    a Python replay of the same recurrence on arbitrary bipartite-ish
+    directed graphs (distinct edges, so multiplicity never differs)."""
+    from spark_fuse_spark.operators.graph import hits
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    hubs_df, auths_df = hits(df, iterations=iterations)
+    got_h = {r.node: r.score_micro for r in hubs_df.collect()}
+    got_a = {r.node: r.score_micro for r in auths_df.collect()}
+
+    scale = 1_000_000
+    out: dict[int, list[int]] = {}
+    inc: dict[int, list[int]] = {}
+    for u, v in edges:
+        out.setdefault(u, []).append(v)
+        inc.setdefault(v, []).append(u)
+    h = {n: scale for n in out}
+    a: dict[int, int] = {}
+    for _ in range(iterations):
+        raw_a = {v: sum(h[u] for u in srcs if u in h) for v, srcs in inc.items()}
+        raw_a = {v: s for v, s in raw_a.items() if s > 0}
+        mx = max(raw_a.values())
+        a = {v: (s * scale) // mx for v, s in raw_a.items()}
+        raw_h = {u: sum(a[v] for v in dsts if v in a) for u, dsts in out.items()}
+        raw_h = {u: s for u, s in raw_h.items() if s > 0}
+        mx = max(raw_h.values())
+        h = {u: (s * scale) // mx for u, s in raw_h.items()}
+    assert got_a == a
+    assert got_h == h
