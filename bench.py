@@ -113,6 +113,8 @@ HEADLINE = [
     "x_adamic_adar",
     "e_path_to_conversion",
     "q_rfm_segments",
+    # mutually-recursive iterative graph scoring (exact-integer HITS)
+    "x_hits_suppliers",
 ]
 
 
