@@ -114,7 +114,9 @@ HEADLINE = [
     "e_path_to_conversion",
     "q_rfm_segments",
     # mutually-recursive iterative graph scoring (exact-integer HITS)
+    # and sparse-frontier restart walks (exact-integer personalized PR)
     "x_hits_suppliers",
+    "x_ppr_segment",
 ]
 
 

@@ -3256,3 +3256,91 @@ def x_hits_suppliers(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("role", F.col("score_micro").desc(), "node")
     )
+
+
+# ------------------------------------------- personalized PageRank (RWR)
+_PPR_ROUNDS = 3
+_PPR_TOPK = 10
+
+
+def _ppr_round_sql(i: int) -> str:
+    """One unrolled restart-walk round: per-edge floor-division push,
+    inflow groupBy, full-outer with the seed restart panel — the exact
+    integer recurrence of operators/graph.personalized_pagerank."""
+    return f""",
+in{i} AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(SUM((p.p * 85) // (100 * e.d)) AS HUGEINT) AS infl
+  FROM edges e JOIN p{i - 1} p ON e.src = p.node GROUP BY 1),
+p{i} AS MATERIALIZED (
+  SELECT COALESCE(i.node, s.node) AS node,
+         CAST(COALESCE(i.infl, 0)
+              + CASE WHEN s.node IS NOT NULL THEN 1000000 ELSE 0 END AS HUGEINT) AS p
+  FROM in{i} i FULL OUTER JOIN seeds s ON i.node = s.node)"""
+
+
+@register(
+    "x_ppr_segment",
+    oracle=f"""
+WITH base AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + 1000000 AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+edges0 AS MATERIALIZED (
+  SELECT c AS src, s AS dst FROM base
+  UNION ALL SELECT s AS src, c AS dst FROM base),
+edges AS MATERIALIZED (
+  SELECT src, dst, COUNT(*) OVER (PARTITION BY src) AS d FROM edges0),
+seeds AS MATERIALIZED (
+  SELECT c_custkey AS node FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+p0 AS (SELECT node, CAST(1000000 AS HUGEINT) AS p FROM seeds)
+{"".join(_ppr_round_sql(i) for i in range(1, _PPR_ROUNDS + 1))}
+SELECT CAST(node - 1000000 AS BIGINT) AS suppkey, CAST(p AS BIGINT) AS score_micro
+FROM p{_PPR_ROUNDS} WHERE node > 1000000
+ORDER BY p DESC, node LIMIT {_PPR_TOPK}
+""",
+    doc="Personalized PageRank / random walk with restart (Haveliwala, "
+    "WWW 2002) from the AUTOMOBILE customer segment over the "
+    "symmetrized customer<->supplier order graph: which suppliers sit "
+    "closest to that segment's purchase neighborhood?  Like "
+    "x_hits_suppliers — and unlike the rows-only float pagerank — the "
+    "walk runs in exact integer micro-units (per-edge floor-division "
+    "push, seed restart re-injection, dangling absorption), so the "
+    f"{_PPR_ROUNDS}-round recurrence replays bit-identically as "
+    "unrolled HUGEINT SQL.  Scale: the score table stays SPARSE (only "
+    "the <=k-hop seed frontier holds rows); each round is one "
+    "score-onto-edges join + one partial-agg'd inflow groupBy + a "
+    "node-keyed full-outer with the seed panel, localCheckpoint-ed; "
+    "the top-k cut is distributed TakeOrdered.  "
+    "(operators/graph.personalized_pagerank)",
+)
+def x_ppr_segment(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import personalized_pagerank
+
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    base = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + 1_000_000).alias("s"),
+        )
+        .distinct()
+    )
+    edges = base.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        base.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    seeds = (
+        load_table(spark, sf, "customer")
+        .where(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select(F.col("c_custkey").alias("node"))
+    )
+    scores = personalized_pagerank(edges, seeds, iterations=_PPR_ROUNDS)
+    return (
+        scores.where(F.col("node") > 1_000_000)
+        .orderBy(F.col("score_micro").desc(), "node")
+        .limit(_PPR_TOPK)
+        .select(
+            (F.col("node") - 1_000_000).cast("long").alias("suppkey"),
+            F.col("score_micro").cast("long").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), "suppkey")
+    )

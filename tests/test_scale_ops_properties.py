@@ -228,3 +228,46 @@ def test_hits_matches_python(spark, edges, iterations):
         h = {u: (s * scale) // mx for u, s in raw_h.items()}
     assert got_a == a
     assert got_h == h
+
+
+# ------------------------------------------------ personalized PageRank
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10),
+            st.integers(min_value=1, max_value=10),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    ),
+    seeds=st.sets(st.integers(min_value=1, max_value=10), min_size=1, max_size=3),
+    iterations=st.integers(min_value=1, max_value=3),
+)
+def test_personalized_pagerank_matches_python(spark, edges, seeds, iterations):
+    """Property: the exact-integer restart-walk recurrence equals a
+    Python replay on arbitrary directed graphs (distinct edges); seeds
+    need not touch the graph (isolated seeds keep their restart mass)."""
+    from spark_fuse_spark.operators.graph import personalized_pagerank
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {
+        r.node: r.score_micro
+        for r in personalized_pagerank(df, sdf, iterations=iterations).collect()
+    }
+
+    scale, dn, dd = 1_000_000, 85, 100
+    out: dict[int, list[int]] = {}
+    for u, v in edges:
+        out.setdefault(u, []).append(v)
+    p = {s: scale for s in seeds}
+    for _ in range(iterations):
+        infl: dict[int, int] = {}
+        for u, score in p.items():
+            for v in out.get(u, []):
+                infl[v] = infl.get(v, 0) + (score * dn) // (dd * len(out[u]))
+        p = {n: infl.get(n, 0) + (scale if n in seeds else 0)
+             for n in set(infl) | seeds}
+    assert got == p
