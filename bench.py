@@ -117,6 +117,8 @@ HEADLINE = [
     # and sparse-frontier restart walks (exact-integer personalized PR)
     "x_hits_suppliers",
     "x_ppr_segment",
+    # embedding-training pair prep: exploded-offset skip-gram windows
+    "e_skipgram_pairs",
 ]
 
 

@@ -3034,3 +3034,98 @@ def e_path_to_conversion(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(_PATH_TOPK)
     )
+
+
+# --------------------------------------------- skip-gram co-occurrence
+_SKIPGRAM_WINDOW = 3
+
+
+@register(
+    "e_skipgram_pairs",
+    oracle=f"""
+WITH seqd AS MATERIALIZED (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+  FROM events),
+fwd AS MATERIALIZED (
+  SELECT a.event_type AS c1, b.event_type AS c2
+  FROM seqd a JOIN seqd b
+    ON a.user_id = b.user_id
+   AND b.seq - a.seq BETWEEN 1 AND {_SKIPGRAM_WINDOW}),
+sym AS (SELECT c1 AS center, c2 AS context FROM fwd
+        UNION ALL
+        SELECT c2 AS center, c1 AS context FROM fwd),
+agg AS MATERIALIZED (
+  SELECT center, context, COUNT(*) AS pair_cnt FROM sym GROUP BY 1, 2),
+tot AS (SELECT SUM(pair_cnt) AS t FROM agg),
+cm AS (SELECT center, SUM(pair_cnt) AS ccnt FROM agg GROUP BY 1),
+xm AS (SELECT context, SUM(pair_cnt) AS xcnt FROM agg GROUP BY 1)
+SELECT a.center, a.context, CAST(a.pair_cnt AS BIGINT) AS pair_cnt,
+       CAST((a.pair_cnt * t.t * 1000000) // (cm.ccnt * xm.xcnt) AS BIGINT)
+         AS lift_micro
+FROM agg a
+JOIN cm USING (center) JOIN xm USING (context) CROSS JOIN tot t
+ORDER BY pair_cnt DESC, center, context
+""",
+    doc="skip-gram (word2vec/SGNS) co-occurrence pair extraction over "
+    f"per-user event sequences with a symmetric +-{_SKIPGRAM_WINDOW} "
+    "window — the training-pair prep stage of every embedding "
+    "pipeline — plus the PMI-style association lift each pair carries, "
+    "in exact integer micro-units (pair_cnt*total*1e6 floor-divided by "
+    "the margin product; products ride decimal(38,0)/HUGEINT so "
+    "nothing overflows and no float enters a shuffle).  Scale: the "
+    "context window is materialized as an exploded-OFFSET equi-join on "
+    "(user_id, seq+off) — O(rows x window), never the quadratic "
+    "per-user range self-join; one user-keyed sort shuffle for the "
+    "sequence window; the pair table collapses to |types|^2 rows "
+    "before the margin joins, which broadcast; the total is a 1-row "
+    "panel.",
+)
+def e_skipgram_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select("user_id", "ts", "event_id", "event_type")
+    seqd = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("seq"),
+    )
+    offs = F.array(*[F.lit(i) for i in range(1, _SKIPGRAM_WINDOW + 1)])
+    left = seqd.select(
+        "user_id",
+        F.col("event_type").alias("c1"),
+        "seq",
+        F.explode(offs).alias("off"),
+    ).select("user_id", "c1", (F.col("seq") + F.col("off")).alias("tgt_seq"))
+    right = seqd.select("user_id", F.col("event_type").alias("c2"), F.col("seq").alias("tgt_seq"))
+    fwd = left.join(right, ["user_id", "tgt_seq"]).select("c1", "c2")
+    sym = fwd.select(F.col("c1").alias("center"), F.col("c2").alias("context")).unionAll(
+        fwd.select(F.col("c2").alias("center"), F.col("c1").alias("context"))
+    )
+    # |types|^2 rows; consumed by four plan branches (itself, two
+    # margins, the total) -> checkpoint per the 3+-branch convention
+    agg = (
+        sym.groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .localCheckpoint()
+    )
+    tot = agg.agg(F.sum("pair_cnt").alias("t"))
+    cm = agg.groupBy("center").agg(F.sum("pair_cnt").alias("ccnt"))
+    xm = agg.groupBy("context").agg(F.sum("pair_cnt").alias("xcnt"))
+    dec = "decimal(38,0)"
+    num = (
+        F.col("pair_cnt").cast(dec) * F.col("t").cast(dec) * F.lit(1_000_000).cast(dec)
+    )
+    den = F.col("ccnt").cast(dec) * F.col("xcnt").cast(dec)
+    return (
+        agg.join(F.broadcast(cm), "center")
+        .join(F.broadcast(xm), "context")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "center",
+            "context",
+            F.col("pair_cnt").cast("long").alias("pair_cnt"),
+            ((num - num % den) / den).cast("long").alias("lift_micro"),
+        )
+        .orderBy(F.col("pair_cnt").desc(), "center", "context")
+    )

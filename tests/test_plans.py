@@ -543,6 +543,7 @@ NESTED_LOOP_OK = {
     "x_kcore": "1-row previous-round count panel crossed into the single core-summary row",
     "q_rfm_segments": "1-row max-date/n panels + three 4-element quintile-boundary arrays broadcast into the customer rollup; boundary hits theta-join on the crossing condition",
     "x_hits_suppliers": "1-row broadcast max-score renorm panel per HITS half-round",
+    "e_skipgram_pairs": "1-row broadcast pair-total panel for the lift denominator",
 }
 
 
