@@ -119,6 +119,8 @@ HEADLINE = [
     "x_ppr_segment",
     # embedding-training pair prep: exploded-offset skip-gram windows
     "e_skipgram_pairs",
+    # greedy MMR diversification on a TakeOrdered-pruned pool
+    "v_mmr_topk",
 ]
 
 

@@ -1135,3 +1135,76 @@ def v_cluster_nmi(spark: SparkSession, sf: str) -> DataFrame:
             r6(F.col("mi") / F.sqrt(F.col("h_c") * F.col("h_l"))).alias("nmi"),
         )
     )
+
+
+# ------------------------------------------------- MMR diversified top-k
+_MMR_K = 8
+_MMR_POOL = 25
+
+
+def _mmr_round_sql(r: int) -> str:
+    """One unrolled greedy MMR round: max-redundancy against the
+    already-selected set, exact integer argmax of qs - red, id
+    tie-break — the recurrence of operators/similarity.mmr_diversify."""
+    return f""",
+s{r} AS MATERIALIZED (
+  SELECT * FROM s{r - 1}
+  UNION ALL
+  SELECT vec_id, qs, red, {r} AS rk FROM (
+    SELECT vec_id, qs, red FROM (
+      SELECT p.ai AS vec_id, p.aqs AS qs, MAX(p.ps) AS red
+      FROM pair p
+      WHERE p.bi IN (SELECT vec_id FROM s{r - 1})
+        AND p.ai NOT IN (SELECT vec_id FROM s{r - 1})
+      GROUP BY 1, 2) t
+    ORDER BY qs - red DESC, vec_id LIMIT 1) z)"""
+
+
+@register(
+    "v_mmr_topk",
+    oracle=f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+sc AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         CAST(FLOOR(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv)
+                    * 1000000 + 0.5) AS BIGINT) AS qs
+  FROM embeddings CROSS JOIN q WHERE vec_id <> 0),
+cand AS MATERIALIZED (SELECT * FROM sc ORDER BY qs DESC, vec_id LIMIT {_MMR_POOL}),
+pair AS MATERIALIZED (
+  SELECT a.vec_id AS ai, a.qs AS aqs, b.vec_id AS bi,
+         CAST(FLOOR(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5) AS BIGINT) AS ps
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+s1 AS MATERIALIZED (
+  SELECT vec_id, qs, CAST(NULL AS BIGINT) AS red, 1 AS rk
+  FROM (SELECT * FROM cand ORDER BY qs DESC, vec_id LIMIT 1))
+{"".join(_mmr_round_sql(r) for r in range(2, _MMR_K + 1))}
+SELECT CAST(rk AS INT) AS rank, vec_id, qs AS qsim_micro, red AS redundancy_micro
+FROM s{_MMR_K} ORDER BY rank
+""",
+    doc="Maximal Marginal Relevance diversified top-k (Carbonell & "
+    "Goldstein, SIGIR 1998; lambda = 1/2) — the result-diversification "
+    "re-rank RAG retrieval runs after ANN recall: greedily pick the "
+    "candidate maximizing relevance minus max-similarity-to-selected.  "
+    "Cosines quantize ONCE into integer micro-units, so the greedy "
+    f"pick sequence is exact integer arithmetic and the {_MMR_K}-round "
+    "recurrence replays bit-identically as unrolled SQL.  Scale: the "
+    "only corpus-sized step is the broadcast-query relevance scan with "
+    f"a distributed TakeOrdered cut to the {_MMR_POOL}-row pool; the "
+    "pairwise panel and every greedy round run on checkpointed "
+    "pool-bounded frames — never a corpus shuffle.  "
+    "(operators/similarity.mmr_diversify)",
+)
+def v_mmr_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.similarity import mmr_diversify
+
+    emb = load_table(spark, sf, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("query_vec"))
+    out = mmr_diversify(
+        emb.where(F.col("vec_id") != 0), qv, k=_MMR_K, pool=_MMR_POOL
+    )
+    return out.select(
+        F.col("rank").cast("int").alias("rank"),
+        F.col("id").alias("vec_id"),
+        "qsim_micro",
+        "redundancy_micro",
+    ).orderBy("rank")

@@ -41,6 +41,7 @@ __all__ = [
     "ivf_topk",
     "hyperplane_lsh_bucket",
     "mips_lsh_topk",
+    "mmr_diversify",
 ]
 
 
@@ -499,3 +500,83 @@ def mips_lsh_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, "neighbor_id", "inner_product", "rank")
     )
+
+
+def mmr_diversify(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 8,
+    pool: int = 25,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR 1998) with lambda = 1/2: greedily pick the
+    candidate maximizing ``qsim - max_sim_to_already_selected`` — the
+    result-diversification stage RAG retrieval runs after ANN recall.
+
+    Engine-portable by construction: cosines are quantized ONCE into
+    integer micro-units (``floor(cos * 1e6 + 0.5)`` — the repo-wide
+    rounding convention), so every greedy comparison is exact integer
+    arithmetic and the pick sequence replays identically on any engine
+    (ties break by id).
+
+    Scale shape: the ONLY corpus-sized step is the relevance scan — a
+    broadcast query panel over the corpus with a distributed
+    TakeOrdered cut to ``pool`` rows.  Everything after (the pairwise
+    panel, the k-1 greedy rounds) runs on checkpointed <= pool-row
+    frames: O(pool^2) similarity pairs, one anti-join + bounded argmax
+    per round, never a corpus shuffle.
+
+    Returns ``(rank, id, qsim_micro, redundancy_micro)``;
+    ``redundancy_micro`` is NULL for the first pick.
+    """
+    if k < 1 or pool < k:
+        raise ValueError("need k >= 1 and pool >= k")
+    micro = lambda c: F.floor(c * 1_000_000 + F.lit(0.5)).cast("long")  # noqa: E731
+    q = F.broadcast(query.select(F.col(query_vec).alias("__qv")))
+    cand = (
+        corpus.select(F.col(corpus_id).alias("id"), F.col(corpus_vec).alias("v"))
+        .crossJoin(q)
+        .select("id", "v", micro(cosine_similarity(F.col("v"), F.col("__qv"))).alias("qs"))
+        .orderBy(F.col("qs").desc(), "id")
+        .limit(pool)
+        .localCheckpoint()
+    )
+    a = cand.select(F.col("id").alias("ai"), F.col("qs").alias("aqs"), F.col("v").alias("av"))
+    b = cand.select(F.col("id").alias("bi"), F.col("v").alias("bv"))
+    pair = (
+        a.join(F.broadcast(b), F.col("ai") != F.col("bi"))
+        .select("ai", "aqs", "bi", micro(cosine_similarity(F.col("av"), F.col("bv"))).alias("ps"))
+        .localCheckpoint()
+    )
+    sel = (
+        cand.orderBy(F.col("qs").desc(), "id")
+        .limit(1)
+        .select(
+            "id",
+            "qs",
+            F.lit(None).cast("long").alias("red"),
+            F.lit(1).alias("rank"),
+        )
+        .localCheckpoint()
+    )
+    for r in range(2, k + 1):
+        picked = sel.select(F.col("id").alias("bi"))
+        nxt = (
+            pair.join(F.broadcast(picked), "bi")
+            .join(F.broadcast(picked.select(F.col("bi").alias("ai"))), "ai", "left_anti")
+            .groupBy("ai", "aqs")
+            .agg(F.max("ps").alias("red"))
+            .orderBy((F.col("aqs") - F.col("red")).desc(), "ai")
+            .limit(1)
+            .select(F.col("ai").alias("id"), F.col("aqs").alias("qs"), "red", F.lit(r).alias("rank"))
+        )
+        sel = sel.unionByName(nxt).localCheckpoint()
+    return sel.select(
+        "rank",
+        "id",
+        F.col("qs").alias("qsim_micro"),
+        F.col("red").alias("redundancy_micro"),
+    ).orderBy("rank")

@@ -544,6 +544,7 @@ NESTED_LOOP_OK = {
     "q_rfm_segments": "1-row max-date/n panels + three 4-element quintile-boundary arrays broadcast into the customer rollup; boundary hits theta-join on the crossing condition",
     "x_hits_suppliers": "1-row broadcast max-score renorm panel per HITS half-round",
     "e_skipgram_pairs": "1-row broadcast pair-total panel for the lift denominator",
+    "v_mmr_topk": "broadcast query panel x corpus scan + <>-joined pool-bounded pairwise panel (25 rows/side)",
 }
 
 

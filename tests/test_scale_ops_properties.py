@@ -271,3 +271,56 @@ def test_personalized_pagerank_matches_python(spark, edges, seeds, iterations):
         p = {n: infl.get(n, 0) + (scale if n in seeds else 0)
              for n in set(infl) | seeds}
     assert got == p
+
+
+# ----------------------------------------------------- MMR diversification
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(min_value=-5, max_value=5),
+            st.integers(min_value=-5, max_value=5),
+            st.integers(min_value=-5, max_value=5),
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_mmr_diversify_matches_python(spark, vecs, k):
+    """Property: the integer-quantized greedy MMR pick sequence equals a
+    Python replay of the same recurrence on arbitrary small vector sets
+    (query = first vector, corpus = the rest, pool = whole corpus)."""
+    import math
+
+    from spark_fuse_spark.operators.similarity import mmr_diversify
+
+    corpus = [(i + 1, [float(x) for x in v]) for i, v in enumerate(vecs[1:])]
+    if not corpus:
+        return
+    k = min(k, len(corpus))
+    qv = [float(x) for x in vecs[0]]
+    cdf = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame([(qv,)], "query_vec array<double>")
+    got = [
+        (r.rank, r.id, r.qsim_micro, r.redundancy_micro)
+        for r in mmr_diversify(cdf, qdf, k=k, pool=len(corpus)).collect()
+    ]
+
+    def cos_micro(a, b):
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        c = 0.0 if den == 0.0 else sum(x * y for x, y in zip(a, b)) / den
+        return math.floor(c * 1_000_000 + 0.5)
+
+    qs = {i: cos_micro(v, qv) for i, v in corpus}
+    by = dict(corpus)
+    first = max(qs, key=lambda i: (qs[i], -i))
+    want = [(1, first, qs[first], None)]
+    chosen = [first]
+    for r in range(2, k + 1):
+        rem = [i for i, _ in corpus if i not in chosen]
+        red = {i: max(cos_micro(by[i], by[s]) for s in chosen) for i in rem}
+        pick = max(rem, key=lambda i: (qs[i] - red[i], -i))
+        want.append((r, pick, qs[pick], red[pick]))
+        chosen.append(pick)
+    assert got == want
