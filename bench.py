@@ -121,6 +121,8 @@ HEADLINE = [
     "e_skipgram_pairs",
     # greedy MMR diversification on a TakeOrdered-pruned pool
     "v_mmr_topk",
+    # in-engine holdout evaluation (temporal-split Markov accuracy)
+    "e_next_event_accuracy",
 ]
 
 

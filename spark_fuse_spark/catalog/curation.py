@@ -3129,3 +3129,105 @@ def e_skipgram_pairs(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy(F.col("pair_cnt").desc(), "center", "context")
     )
+
+
+@register(
+    "e_next_event_accuracy",
+    oracle="""
+WITH seq AS MATERIALIZED (
+  SELECT user_id, event_type, ts,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+bounds AS (
+  SELECT MIN(epoch_us(ts)) + (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 2
+           AS split_us FROM events),
+labeled AS MATERIALIZED (
+  SELECT s.prev, s.event_type AS next, epoch_us(s.ts) >= b.split_us AS is_eval
+  FROM seq s CROSS JOIN bounds b WHERE s.prev IS NOT NULL),
+train AS (
+  SELECT prev, next, COUNT(*) AS n FROM labeled WHERE NOT is_eval GROUP BY 1, 2),
+pred AS MATERIALIZED (
+  SELECT prev, next AS predicted FROM (
+    SELECT prev, next,
+           ROW_NUMBER() OVER (PARTITION BY prev ORDER BY n DESC, next) AS rk
+    FROM train) WHERE rk = 1),
+eval_rows AS (
+  SELECT l.prev, l.next, p.predicted
+  FROM labeled l LEFT JOIN pred p ON l.prev = p.prev WHERE l.is_eval)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+       CAST(SUM(CASE WHEN predicted = next THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(SUM(CASE WHEN predicted IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+       CAST(SUM(CASE WHEN predicted = next THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS accuracy_micro
+FROM eval_rows
+""",
+    doc="in-engine model evaluation: temporal train/test split of the "
+    "first-order Markov next-event model (e_markov_transitions) — train "
+    "the argmax-transition predictor on the first half of the time "
+    "range, score top-1 next-event accuracy on the second half, exactly "
+    "(integer floor-division micro-units; the split point is exact "
+    "midpoint timestamp arithmetic, no percentile sampling).  The "
+    "paradigm every training-data pipeline needs in-engine: holdout "
+    "evaluation WITHOUT exporting to a modeling stack.  Scale: one "
+    "user-keyed sort shuffle for the lag window (shared by both "
+    "splits), a |types|^2 training aggregate whose argmax window is "
+    "partitioned by prev-state, a broadcast prediction join onto the "
+    "eval stream, and a single scalar reduce.  1-row split-point panel "
+    "rides a broadcast cross join.",
+)
+def e_next_event_acc(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select("user_id", "ts", "event_id", "event_type")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lag("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("prev"),
+    )
+    # exact midpoint in microsecond space: min + (max-min)/2 with integer
+    # division — identical to DuckDB's timestamp midpoint arithmetic
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = ev.agg(
+        (F.min(us) + F.floor((F.max(us) - F.min(us)) / 2).cast("long")).alias("split_us")
+    )
+    labeled = (
+        seq.where(F.col("prev").isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "prev",
+            F.col("event_type").alias("next"),
+            (F.unix_micros(F.col("ts").cast("timestamp")) >= F.col("split_us")).alias(
+                "is_eval"
+            ),
+        )
+        # train and eval both read this — materialize so the user-keyed
+        # lag-window shuffle runs ONCE, not once per split branch
+        .localCheckpoint()
+    )
+    train = (
+        labeled.where(~F.col("is_eval"))
+        .groupBy("prev", "next")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("prev").orderBy(F.col("n").desc(), "next")
+    )
+    pred = (
+        train.withColumn("rk", rk)
+        .where(F.col("rk") == 1)
+        .select("prev", F.col("next").alias("predicted"))
+    )
+    ev_rows = labeled.where(F.col("is_eval")).join(F.broadcast(pred), "prev", "left")
+    correct = F.sum(F.when(F.col("predicted") == F.col("next"), 1).otherwise(0))
+    n = F.count(F.lit(1))
+    num = correct.cast("decimal(38,0)") * F.lit(1_000_000).cast("decimal(38,0)")
+    den = n.cast("decimal(38,0)")
+    return ev_rows.agg(
+        n.cast("long").alias("n_eval"),
+        correct.cast("long").alias("n_correct"),
+        F.sum(F.when(F.col("predicted").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unseen"),
+        ((num - num % den) / den).cast("long").alias("accuracy_micro"),
+    )

@@ -545,6 +545,7 @@ NESTED_LOOP_OK = {
     "x_hits_suppliers": "1-row broadcast max-score renorm panel per HITS half-round",
     "e_skipgram_pairs": "1-row broadcast pair-total panel for the lift denominator",
     "v_mmr_topk": "broadcast query panel x corpus scan + <>-joined pool-bounded pairwise panel (25 rows/side)",
+    "e_next_event_accuracy": "1-row broadcast split-point panel over the transition stream",
 }
 
 
