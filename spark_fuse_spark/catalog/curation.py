@@ -3231,3 +3231,53 @@ def e_next_event_acc(spark: SparkSession, sf: str) -> DataFrame:
         .alias("n_unseen"),
         ((num - num % den) / den).cast("long").alias("accuracy_micro"),
     )
+
+
+@register(
+    "q_k_anonymity",
+    oracle="""
+WITH classes AS MATERIALIZED (
+  SELECT c_nationkey, c_mktsegment,
+         COUNT(*) AS class_n,
+         COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)) AS l_div
+  FROM customer GROUP BY 1, 2)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MIN(class_n) AS BIGINT) AS k_anonymity,
+       CAST(MIN(l_div) AS BIGINT) AS l_diversity,
+       CAST(SUM(CASE WHEN class_n < 10 THEN class_n ELSE 0 END) AS BIGINT)
+         AS rows_at_risk,
+       CAST(SUM(CASE WHEN class_n < 10 THEN class_n ELSE 0 END) * 1000000
+            // SUM(class_n) AS BIGINT) AS risk_share_micro
+FROM classes
+""",
+    doc="privacy-governance audit the training-data pipeline runs before "
+    "release: k-anonymity (smallest quasi-identifier equivalence class "
+    "over nation x market-segment), l-diversity (fewest distinct "
+    "sensitive-attribute values — account-balance bands — in any "
+    "class), and the exact row count + micro-unit share sitting in "
+    "classes below the k=10 re-identification threshold (Sweeney 2002; "
+    "Machanavajjhala 2007).  Scale: ONE quasi-identifier groupBy with "
+    "partial aggregation (count + distinct-band), then a scalar reduce "
+    "over the |QI-combinations|-sized class table — row volume never "
+    "leaves the first aggregate.",
+)
+def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer").select(
+        "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    band = F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long")
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_n"),
+        F.countDistinct(band).alias("l_div"),
+    )
+    at_risk = F.sum(F.when(F.col("class_n") < 10, F.col("class_n")).otherwise(0))
+    total = F.sum("class_n")
+    num = at_risk.cast("decimal(38,0)") * F.lit(1_000_000).cast("decimal(38,0)")
+    den = total.cast("decimal(38,0)")
+    return classes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("class_n").cast("long").alias("k_anonymity"),
+        F.min("l_div").cast("long").alias("l_diversity"),
+        at_risk.cast("long").alias("rows_at_risk"),
+        ((num - num % den) / den).cast("long").alias("risk_share_micro"),
+    )
