@@ -3281,3 +3281,58 @@ def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
         at_risk.cast("long").alias("rows_at_risk"),
         ((num - num % den) / den).cast("long").alias("risk_share_micro"),
     )
+
+
+@register(
+    "q_partition_checksums",
+    oracle="""
+WITH hashed AS (
+  SELECT date_trunc('month', l_shipdate) AS month_start,
+         CAST('0x' || substr(md5(concat_ws('|',
+              CAST(l_orderkey AS VARCHAR),
+              CAST(l_linenumber AS VARCHAR),
+              CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS VARCHAR),
+              CAST(l_shipdate AS VARCHAR))), 1, 15) AS BIGINT) AS h
+  FROM lineitem)
+SELECT CAST(month_start AS DATE) AS month_start,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(h) % 2305843009213693951 AS BIGINT) AS checksum
+FROM hashed GROUP BY 1 ORDER BY 1
+""",
+    doc="partition-level integrity manifest: an order-independent, "
+    "MERGEABLE checksum (sum of portable 60-bit row hashes mod the "
+    "Mersenne prime 2^61-1) plus exact row count per shipdate month — "
+    "what replication / backfill / migration verification diffs "
+    "between two copies of a table to localize divergence to a "
+    "partition without comparing rows.  Order-independence means the "
+    "checksum is insensitive to file layout and shuffle order; "
+    "mergeability means per-file checksums roll up to partition and "
+    "table level.  Scale: embarrassingly parallel map + ONE "
+    "partial-agg'd groupBy on the partition key; no joins, no windows.",
+)
+def q_partition_checksums(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    h = portable_hash64(
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            cents.cast("string"),
+            F.col("l_shipdate").cast("string"),
+        )
+    )
+    mersenne = 2_305_843_009_213_693_951
+    return (
+        li.select(F.trunc("l_shipdate", "month").alias("month_start"), h.alias("h"))
+        .groupBy("month_start")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.sum(F.col("h").cast("decimal(38,0)")) % F.lit(mersenne))
+            .cast("long")
+            .alias("checksum"),
+        )
+        .orderBy("month_start")
+    )
