@@ -123,6 +123,8 @@ HEADLINE = [
     "v_mmr_topk",
     # in-engine holdout evaluation (temporal-split Markov accuracy)
     "e_next_event_accuracy",
+    # exact earth-mover drift on the two-phase prefix + lag machinery
+    "q_wasserstein_drift",
 ]
 
 

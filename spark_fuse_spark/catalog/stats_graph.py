@@ -3344,3 +3344,82 @@ def x_ppr_segment(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy(F.col("score_micro").desc(), "suppkey")
     )
+
+
+# -------------------------------------------------- Wasserstein-1 drift
+@register(
+    "q_wasserstein_drift",
+    oracle="""
+WITH pop AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+         CASE WHEN EXTRACT(YEAR FROM o_orderdate) = 1995 THEN 1 ELSE 0 END AS a
+  FROM orders
+  WHERE EXTRACT(YEAR FROM o_orderdate) IN (1995, 1996)),
+cells AS MATERIALIZED (
+  SELECT v, CAST(SUM(a) AS BIGINT) AS a_cnt,
+         CAST(COUNT(*) - SUM(a) AS BIGINT) AS b_cnt
+  FROM pop GROUP BY v),
+cum AS (
+  SELECT v,
+         SUM(a_cnt) OVER (ORDER BY v) - a_cnt AS ca_ex,
+         SUM(b_cnt) OVER (ORDER BY v) - b_cnt AS cb_ex,
+         LAG(v) OVER (ORDER BY v) AS prev_v
+  FROM cells),
+panel AS (SELECT CAST(SUM(a_cnt) AS BIGINT) AS n_a,
+                 CAST(SUM(b_cnt) AS BIGINT) AS n_b FROM cells),
+num AS (
+  SELECT SUM(ABS(CAST(c.ca_ex AS HUGEINT) * p.n_b
+                 - CAST(c.cb_ex AS HUGEINT) * p.n_a)
+             * (c.v - COALESCE(c.prev_v, c.v))) AS w1_num
+  FROM cum c CROSS JOIN panel p)
+SELECT p.n_a, p.n_b,
+       CAST(n.w1_num * 10000 // (CAST(p.n_a AS HUGEINT) * p.n_b) AS BIGINT)
+         AS w1_microdollars
+FROM num n CROSS JOIN panel p
+""",
+    doc="exact two-sample Wasserstein-1 (earth mover's) distance "
+    "between the 1995 and 1996 order-value distributions — the "
+    "drift magnitude the KS test (q_ks_2sample) can't give: KS says "
+    "WHETHER the distributions differ, W1 says by HOW MANY DOLLARS of "
+    "mass-transport.  W1 = integral |F_a - F_b| dx over the piecewise- "
+    "constant empirical CDFs, computed in EXACT integer arithmetic: "
+    "per-distinct-value counts, exclusive prefix CDFs from the "
+    "two-phase distributed prefix-sum pass, the previous distinct "
+    "value from the matching two-phase lag "
+    "(operators/packing.with_prev_value — range partition + local lag "
+    "+ bounded carry panel, never a global sort), and the integral as "
+    "sum of |ca*n_b - cb*n_a| * gap in DECIMAL(38,0)/HUGEINT.  Output "
+    "in micro-dollars by integer floor division — no float anywhere.",
+)
+def q_wasserstein(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.packing import with_prefix_sums, with_prev_value
+
+    o = load_table(spark, sf, "orders")
+    pop = o.where(F.year("o_orderdate").isin(1995, 1996)).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        F.when(F.year("o_orderdate") == 1995, 1).otherwise(0).alias("a"),
+    )
+    cells = pop.groupBy("v").agg(
+        F.sum("a").alias("a_cnt"),
+        (F.count("*") - F.sum("a")).alias("b_cnt"),
+    )
+    cum = with_prefix_sums(cells, "v", {"a_cnt": "ca_ex", "b_cnt": "cb_ex"})
+    cum = with_prev_value(cum, "v", out_col="prev_v")
+    panel = cells.agg(F.sum("a_cnt").alias("n_a"), F.sum("b_cnt").alias("n_b"))
+    dec = "decimal(38,0)"
+    term = F.abs(
+        F.col("ca_ex").cast(dec) * F.col("n_b") - F.col("cb_ex").cast(dec) * F.col("n_a")
+    ) * (F.col("v") - F.coalesce(F.col("prev_v"), F.col("v"))).cast(dec)
+    num = (
+        cum.crossJoin(F.broadcast(panel))
+        .select(term.alias("t"))
+        .agg(F.sum("t").alias("w1_num"))
+    )
+    res = num.crossJoin(F.broadcast(panel))
+    nm = F.col("w1_num") * F.lit(10_000).cast(dec)
+    dn = F.col("n_a").cast(dec) * F.col("n_b").cast(dec)
+    return res.select(
+        "n_a",
+        "n_b",
+        ((nm - nm % dn) / dn).cast("long").alias("w1_microdollars"),
+    )

@@ -29,6 +29,7 @@ __all__ = [
     "with_prefix_sum",
     "with_prefix_sums",
     "with_prefix_max",
+    "with_prev_value",
     "pack_sequences",
 ]
 
@@ -187,6 +188,37 @@ def with_prefix_max(
         local.join(F.broadcast(offsets), "__pid")
         .withColumn(out_col, F.greatest("__local", "__offset"))
         .drop("__pid", "__local", "__offset")
+    )
+
+
+def with_prev_value(
+    df: DataFrame,
+    order_col: str,
+    out_col: str = "prev_value",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global ``lag(order_col)`` in ``order_col`` order (NULL for the
+    global minimum) without a single-partition window — the two-phase
+    shape of :func:`with_prefix_sum`: range partition + parallel local
+    ``lag`` + a carry panel (each partition's max order value, rolled to
+    later partitions through the one bounded ``num_partitions``-row
+    window).  ``order_col`` must be unique.  What a distributed
+    piecewise-constant integral (e.g. Wasserstein-1 over an empirical
+    CDF) needs for the gap term.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = _ranged_with_pid(df, order_col, n)
+    local_w = Window.partitionBy("__pid").orderBy(order_col)
+    local = ranged.withColumn("__lag", F.lag(order_col).over(local_w))
+    tops = local.groupBy("__pid").agg(F.max(order_col).alias("__top"))
+    carry_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    carries = tops.withColumn("__carry", F.max("__top").over(carry_w)).select(
+        "__pid", "__carry"
+    )
+    return (
+        local.join(F.broadcast(carries), "__pid")
+        .withColumn(out_col, F.coalesce("__lag", "__carry"))
+        .drop("__pid", "__lag", "__carry")
     )
 
 

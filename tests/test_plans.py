@@ -546,6 +546,7 @@ NESTED_LOOP_OK = {
     "e_skipgram_pairs": "1-row broadcast pair-total panel for the lift denominator",
     "v_mmr_topk": "broadcast query panel x corpus scan + <>-joined pool-bounded pairwise panel (25 rows/side)",
     "e_next_event_accuracy": "1-row broadcast split-point panel over the transition stream",
+    "q_wasserstein_drift": "1-row n_a/n_b panel crossed into the CDF-gap integral and the final ratio",
 }
 
 

@@ -324,3 +324,24 @@ def test_mmr_diversify_matches_python(spark, vecs, k):
         want.append((r, pick, qs[pick], red[pick]))
         chosen.append(pick)
     assert got == want
+
+
+# ------------------------------------------------------ two-phase lag
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.sets(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=40),
+    parts=st.integers(min_value=1, max_value=5),
+)
+def test_with_prev_value_matches_python(spark, vals, parts):
+    """Property: the two-phase distributed lag equals Python's sorted
+    lag for any partition count (NULL for the global minimum)."""
+    from spark_fuse_spark.operators.packing import with_prev_value
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r.v: r.prev_v
+        for r in with_prev_value(df, "v", out_col="prev_v", num_partitions=parts).collect()
+    }
+    s = sorted(vals)
+    want = {v: (s[i - 1] if i else None) for i, v in enumerate(s)}
+    assert got == want
