@@ -3423,3 +3423,73 @@ def q_wasserstein(spark: SparkSession, sf: str) -> DataFrame:
         "n_b",
         ((nm - nm % dn) / dn).cast("long").alias("w1_microdollars"),
     )
+
+
+# ------------------------------------------------------------ exact Gini
+@register(
+    "q_gini_spend",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1),
+cells AS MATERIALIZED (
+  SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS c FROM spend GROUP BY 1),
+cum AS (
+  SELECT v, c, SUM(c) OVER (ORDER BY v) - c AS p FROM cells),
+panel AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(CAST(v AS HUGEINT) * c) AS HUGEINT) AS total FROM cells),
+num AS (
+  SELECT SUM(CAST(cu.v AS HUGEINT) * cu.c * (2 * cu.p + cu.c - pa.n)) AS g_num
+  FROM cum cu CROSS JOIN panel pa)
+SELECT pa.n AS n_customers,
+       CAST(pa.total AS BIGINT) AS total_cents,
+       CAST(n.g_num * 1000000 // (CAST(pa.n AS HUGEINT) * pa.total) AS BIGINT)
+         AS gini_micro
+FROM num n CROSS JOIN panel pa
+""",
+    doc="exact Gini coefficient of per-customer spend — the scalar "
+    "inequality statistic behind the Lorenz/Pareto panels "
+    "(q_revenue_concentration gives the curve; this gives THE number), "
+    "computed with zero floats and NO per-row global rank: group to "
+    "per-distinct-value counts, take the exclusive cumulative count p "
+    "from the two-phase distributed prefix-sum pass, and use the "
+    "closed form sum(v*c*(2p + c - n)) / (n * sum(v*c)) — the "
+    "rank-sum formula collapsed over ties, so the answer is "
+    "permutation- and engine-independent.  Scale: two partial-agg'd "
+    "groupBys + the range-partitioned prefix pass + 1-row panels; "
+    "micro-unit output by integer floor division.",
+)
+def q_gini_spend(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.packing import with_prefix_sum
+
+    o = load_table(spark, sf, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
+    )
+    cells = spend.groupBy(F.col("x").alias("v")).agg(F.count(F.lit(1)).alias("c"))
+    cum = with_prefix_sum(cells, "v", "c", out_col="p")
+    dec = "decimal(38,0)"
+    panel = cells.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("v").cast(dec) * F.col("c")).alias("total"),
+    )
+    num = (
+        cum.crossJoin(F.broadcast(panel))
+        .select(
+            (
+                F.col("v").cast(dec)
+                * F.col("c")
+                * (2 * F.col("p") + F.col("c") - F.col("n"))
+            ).alias("t")
+        )
+        .agg(F.sum("t").alias("g_num"))
+    )
+    res = num.crossJoin(F.broadcast(panel))
+    nm = F.col("g_num") * F.lit(1_000_000).cast(dec)
+    dn = F.col("n").cast(dec) * F.col("total")
+    return res.select(
+        F.col("n").alias("n_customers"),
+        F.col("total").cast("long").alias("total_cents"),
+        ((nm - nm % dn) / dn).cast("long").alias("gini_micro"),
+    )

@@ -547,6 +547,7 @@ NESTED_LOOP_OK = {
     "v_mmr_topk": "broadcast query panel x corpus scan + <>-joined pool-bounded pairwise panel (25 rows/side)",
     "e_next_event_accuracy": "1-row broadcast split-point panel over the transition stream",
     "q_wasserstein_drift": "1-row n_a/n_b panel crossed into the CDF-gap integral and the final ratio",
+    "q_gini_spend": "1-row n/total panel crossed into the rank-sum fold and the final ratio",
 }
 
 
