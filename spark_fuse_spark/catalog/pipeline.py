@@ -1216,3 +1216,91 @@ def d_cluster_survivorship(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ------------------------------------------------------------- Zipf fit
+_ZIPF_TOP = 200
+
+
+@register(
+    "t_zipf_fit",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest({_TOKS.format(col="text")}) AS tok FROM documents),
+f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+top AS MATERIALIZED (
+  SELECT tok, c FROM f ORDER BY c DESC, tok LIMIT {_ZIPF_TOP}),
+xy AS (
+  SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS DOUBLE)) AS x,
+         ln(CAST(c AS DOUBLE)) AS y
+  FROM top),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+  FROM xy)
+SELECT n AS n_ranks,
+       FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx) * 10000 + 0.5) / 10000
+         AS zipf_slope,
+       FLOOR((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n * 10000
+             + 0.5) / 10000 AS log_intercept,
+       FLOOR((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1000000 + 0.5)
+         / 1000000 AS r2
+FROM m
+""",
+    doc="corpus-statistics law fit: the Zipf exponent of the token "
+    "frequency distribution — OLS slope of ln(freq) on ln(rank) over "
+    f"the top-{_ZIPF_TOP} tokens (natural text sits near -1; heavily "
+    "templated or synthetic corpora drift away, so the slope + R^2 is "
+    "a cheap corpus-health gate).  Scale: ONE token-keyed frequency "
+    "aggregate, a distributed TakeOrdered cut to the constant "
+    f"{_ZIPF_TOP}-row panel (the only window runs over that bounded "
+    "panel — the t_vocab_coverage pattern), then a single moment "
+    "reduce with the mirrored closed-form slope/intercept/R^2 "
+    "expressions (ln + 1e-4/1e-6 rounding — the t_unigram_surprisal "
+    "precision convention).",
+)
+def t_zipf(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import tokens as _tok
+
+    d = load_table(spark, sf, "documents")
+    freq = (
+        d.select(F.explode(_tok("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # no checkpoint: the single-consumer GlobalLimit must stay visible so
+    # the no-unbounded-window plan gate can prove the window input bounded
+    top = freq.orderBy(F.col("c").desc(), "tok").limit(_ZIPF_TOP)
+    w = Window.orderBy(F.col("c").desc(), "tok")
+    xy = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    m = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    r2 = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        )
+    )
+    return m.select(
+        F.col("n").alias("n_ranks"),
+        (F.floor(slope * 10000 + 0.5) / 10000).alias("zipf_slope"),
+        (F.floor((F.col("sy") - slope * F.col("sx")) / F.col("n") * 10000 + 0.5) / 10000).alias(
+            "log_intercept"
+        ),
+        (F.floor(r2 * 1000000 + 0.5) / 1000000).alias("r2"),
+    )
