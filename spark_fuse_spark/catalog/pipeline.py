@@ -1304,3 +1304,115 @@ def t_zipf(spark: SparkSession, sf: str) -> DataFrame:
         ),
         (F.floor(r2 * 1000000 + 0.5) / 1000000).alias("r2"),
     )
+
+
+# ------------------------------------------------------------ Heaps' law
+@register(
+    "t_heaps_fit",
+    oracle=f"""
+WITH tokpos AS (
+  SELECT doc_id, u.tok AS tok, u.i AS pos
+  FROM (SELECT doc_id,
+               unnest(list_transform({_TOKS.format(col="text")},
+                                     (t, i) -> {{'tok': t, 'i': i}})) AS u
+        FROM documents)),
+doccnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM tokpos GROUP BY 1),
+offs AS (
+  SELECT doc_id, SUM(cnt) OVER (ORDER BY doc_id) - cnt AS off FROM doccnt),
+firstpos AS MATERIALIZED (
+  SELECT t.tok, MIN(o.off + t.pos) AS fp
+  FROM tokpos t JOIN offs o ON t.doc_id = o.doc_id GROUP BY 1),
+panel AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM doccnt),
+vk AS MATERIALIZED (
+  SELECT k, CAST(p.n * k // 10 AS BIGINT) AS ck,
+         CAST(SUM(CASE WHEN f.fp <= p.n * k // 10 THEN 1 ELSE 0 END) AS BIGINT) AS v
+  FROM firstpos f CROSS JOIN panel p CROSS JOIN generate_series(1, 10) AS g(k)
+  GROUP BY 1, 2),
+xy AS (SELECT ln(CAST(ck AS DOUBLE)) AS x, ln(CAST(v AS DOUBLE)) AS y FROM vk),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+  FROM xy)
+SELECT (SELECT n FROM panel) AS n_tokens,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM firstpos) AS vocab_total,
+       FLOOR((m.n * sxy - sx * sy) / (m.n * sxx - sx * sx) * 10000 + 0.5) / 10000
+         AS heaps_beta,
+       FLOOR((m.n * sxy - sx * sy) * (m.n * sxy - sx * sy)
+             / ((m.n * sxx - sx * sx) * (m.n * syy - sy * sy)) * 1000000 + 0.5)
+         / 1000000 AS r2
+FROM m
+""",
+    doc="corpus-statistics law fit #2: the Heaps/Herdan vocabulary-growth "
+    "exponent — V(n) ~ K*n^beta fitted by OLS on ln(V) vs ln(n) at the "
+    "ten corpus-token deciles (natural text sits near 0.4-0.6; "
+    "template-heavy or deduplicated-to-death corpora flatten).  Every "
+    "token gets an exact global position (per-doc offsets from the "
+    "two-phase distributed prefix sum + in-doc posexplode ordinal), "
+    "each vocabulary item keeps its FIRST position, and V(decile "
+    "cut) counts first-positions under the cut — exact integers up to "
+    "the final mirrored ln/OLS expressions (1e-4/1e-6 rounding).  "
+    "Scale: token-keyed and doc-keyed partial-agg shuffles only; the "
+    "10-row cut panel broadcasts over the vocab table; the OLS reduce "
+    "sees 10 rows.",
+)
+def t_heaps(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import tokens as _tok
+    from ..operators.packing import with_prefix_sum
+
+    d = load_table(spark, sf, "documents")
+    tokpos = d.select(
+        "doc_id", F.posexplode(_tok("text")).alias("pos0", "tok")
+    ).select("doc_id", "tok", (F.col("pos0") + 1).alias("pos"))
+    doccnt = tokpos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("cnt"))
+    offs = with_prefix_sum(doccnt, "doc_id", "cnt", out_col="off").select(
+        "doc_id", "off"
+    )
+    firstpos = (
+        tokpos.join(offs, "doc_id")
+        .groupBy("tok")
+        .agg(F.min(F.col("off") + F.col("pos")).alias("fp"))
+    )
+    panel = doccnt.agg(F.sum("cnt").cast("long").alias("n"))
+    cuts = panel.select(
+        "n", F.explode(F.sequence(F.lit(1), F.lit(10))).alias("k")
+    ).select("k", F.floor(F.col("n") * F.col("k") / 10).cast("long").alias("ck"))
+    vk = (
+        firstpos.crossJoin(F.broadcast(cuts))
+        .groupBy("k", "ck")
+        .agg(F.sum(F.when(F.col("fp") <= F.col("ck"), 1).otherwise(0)).alias("v"))
+    )
+    xy = vk.select(
+        F.log(F.col("ck").cast("double")).alias("x"),
+        F.log(F.col("v").cast("double")).alias("y"),
+    )
+    m = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    r2 = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        )
+    )
+    tot = panel.select(F.col("n").alias("n_tokens"))
+    voc = firstpos.agg(F.count(F.lit(1)).cast("long").alias("vocab_total"))
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(voc))
+        .select(
+            "n_tokens",
+            "vocab_total",
+            (F.floor(slope * 10000 + 0.5) / 10000).alias("heaps_beta"),
+            (F.floor(r2 * 1000000 + 0.5) / 1000000).alias("r2"),
+        )
+    )

@@ -548,6 +548,7 @@ NESTED_LOOP_OK = {
     "e_next_event_accuracy": "1-row broadcast split-point panel over the transition stream",
     "q_wasserstein_drift": "1-row n_a/n_b panel crossed into the CDF-gap integral and the final ratio",
     "q_gini_spend": "1-row n/total panel crossed into the rank-sum fold and the final ratio",
+    "t_heaps_fit": "10-row decile-cut panel broadcast over the vocab first-occurrence table + 1-row total/vocab panels",
 }
 
 
