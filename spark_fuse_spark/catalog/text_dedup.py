@@ -1415,3 +1415,82 @@ def d_bbit(spark: SparkSession, sf: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     return bbit_minhash_pairs(docs, k=3, num_hashes=30, bands=6, threshold=0.5, seed=42)
+
+
+# ---------------------------------------------------- token-budget select
+@register(
+    "t_token_budget_select",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(len({_TOKS.format(col="text")}) AS BIGINT) AS tk,
+         CAST(FLOOR(ROUND((CASE WHEN length(text) >= 50 AND length(text) <= 20000
+                          THEN 1.0
+                          ELSE least(CAST(length(text) AS DOUBLE) / 50.0, 1.0) END) * 0.4
+           + greatest(0.0, 1.0 -
+               ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+                  / greatest(length(text), 1)
+                + (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                  / greatest(length(text), 1)) * 4) * 0.4
+           + least(len(list_filter({_TOKS.format(col="text")},
+                                   tk2 -> list_contains({_sw_sql('en')}, tk2)))
+                   / greatest(len({_TOKS.format(col="text")}), 1) * 5.0, 1.0) * 0.2,
+           6)  * 1000000 + 0.5) AS BIGINT) AS q_micro
+  FROM documents),
+keyed AS MATERIALIZED (
+  SELECT doc_id, lang, tk, q_micro,
+         (1000000 - q_micro) * 8589934592 + doc_id AS k
+  FROM scored),
+panel AS (SELECT CAST(SUM(tk) // 2 AS BIGINT) AS budget FROM keyed),
+cum AS (
+  SELECT lang, tk, q_micro, SUM(tk) OVER (ORDER BY k) AS cum_incl FROM keyed),
+kept AS (SELECT * FROM cum CROSS JOIN panel WHERE cum_incl <= budget)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(tk) AS BIGINT) AS tokens_kept,
+       CAST(MIN(q_micro) AS BIGINT) AS min_quality_micro
+FROM kept GROUP BY lang ORDER BY lang
+""",
+    doc="token-budget curation — the selection pass every "
+    "fixed-compute training run needs: rank documents by the composite "
+    "quality heuristic (quantized ONCE to micro-units so the order is "
+    "engine-identical, doc_id tie-break via a packed sort key) and "
+    "keep the maximal quality-ranked prefix whose token sum fits a "
+    "budget of half the corpus tokens; report kept docs / tokens / "
+    "quality floor per language.  Scale: the running token total comes "
+    "from the two-phase distributed prefix sum over the packed key — "
+    "never a global sort or single-partition window; the budget is a "
+    "1-row broadcast panel; everything else is partial-agg'd groupBys.",
+)
+def t_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import quality_score, token_count
+    from ..operators.packing import with_prefix_sum
+
+    d = load_table(spark, sf, "documents")
+    q_micro = F.floor(F.round(quality_score("text"), 6) * 1_000_000 + 0.5).cast("long")
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        token_count("text").alias("tk"),
+        q_micro.alias("q_micro"),
+    ).select(
+        "lang",
+        "tk",
+        "q_micro",
+        ((F.lit(1_000_000) - F.col("q_micro")) * F.lit(8_589_934_592) + F.col("doc_id")).alias("k"),
+    )
+    panel = keyed.agg(F.floor(F.sum("tk") / 2).cast("long").alias("budget"))
+    cum = with_prefix_sum(keyed, "k", "tk", out_col="cum_ex")
+    kept = (
+        cum.crossJoin(F.broadcast(panel))
+        .where(F.col("cum_ex") + F.col("tk") <= F.col("budget"))
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("tk").cast("long").alias("tokens_kept"),
+            F.min("q_micro").cast("long").alias("min_quality_micro"),
+        )
+        .orderBy("lang")
+    )

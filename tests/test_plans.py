@@ -549,6 +549,7 @@ NESTED_LOOP_OK = {
     "q_wasserstein_drift": "1-row n_a/n_b panel crossed into the CDF-gap integral and the final ratio",
     "q_gini_spend": "1-row n/total panel crossed into the rank-sum fold and the final ratio",
     "t_heaps_fit": "10-row decile-cut panel broadcast over the vocab first-occurrence table + 1-row total/vocab panels",
+    "t_token_budget_select": "1-row broadcast token-budget panel over the prefix-summed doc stream",
 }
 
 
