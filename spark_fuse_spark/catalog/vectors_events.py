@@ -1208,3 +1208,85 @@ def v_mmr_topk(spark: SparkSession, sf: str) -> DataFrame:
         "qsim_micro",
         "redundancy_micro",
     ).orderBy("rank")
+
+
+@register(
+    "v_diversity_audit",
+    oracle=f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+sc AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         CAST(FLOOR(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv)
+                    * 1000000 + 0.5) AS BIGINT) AS qs
+  FROM embeddings CROSS JOIN q WHERE vec_id <> 0),
+cand AS MATERIALIZED (SELECT * FROM sc ORDER BY qs DESC, vec_id LIMIT {_MMR_POOL}),
+pair AS MATERIALIZED (
+  SELECT a.vec_id AS ai, a.qs AS aqs, b.vec_id AS bi,
+         CAST(FLOOR(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5) AS BIGINT) AS ps
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+s1 AS MATERIALIZED (
+  SELECT vec_id, qs, CAST(NULL AS BIGINT) AS red, 1 AS rk
+  FROM (SELECT * FROM cand ORDER BY qs DESC, vec_id LIMIT 1))
+{"".join(_mmr_round_sql(r) for r in range(2, _MMR_K + 1))},
+plain AS (SELECT vec_id, qs FROM cand ORDER BY qs DESC, vec_id LIMIT {_MMR_K}),
+pl AS (SELECT COUNT(DISTINCT e.label) AS lab, SUM(p.qs) AS relsum
+       FROM plain p JOIN embeddings e ON p.vec_id = e.vec_id),
+mm AS (SELECT COUNT(DISTINCT e.label) AS lab, SUM(s.qs) AS relsum
+       FROM s{_MMR_K} s JOIN embeddings e ON s.vec_id = e.vec_id)
+SELECT {_MMR_K} AS k,
+       CAST(pl.lab AS BIGINT) AS labels_plain,
+       CAST(mm.lab AS BIGINT) AS labels_mmr,
+       CAST(pl.relsum - mm.relsum AS BIGINT) AS relevance_cost_micro
+FROM pl CROSS JOIN mm
+""",
+    doc="diversification audit — quantifies what v_mmr_topk buys and "
+    "what it costs, in-engine: ground-truth label coverage@k of the "
+    "MMR selection vs the plain relevance top-k, and the exact "
+    "relevance mass (sum of micro-unit query cosines) given up for "
+    "that coverage.  Both selections replay exactly (the MMR side is "
+    "the same unrolled integer greedy recurrence as v_mmr_topk), so "
+    "the audit row is bit-stable.  Scale: one broadcast-query corpus "
+    "scan + TakeOrdered pool cut feeds BOTH arms; label joins "
+    "broadcast the k-row selections onto the embeddings table.",
+)
+def v_diversity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.similarity import mmr_diversify
+
+    emb = load_table(spark, sf, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("query_vec"))
+    corpus = emb.where(F.col("vec_id") != 0)
+    from ..functions.vectors import cosine_similarity
+
+    # the SAME quantized-cosine tree as operators/similarity.mmr_diversify,
+    # so both audit arms rank on identical integers
+    micro = F.floor(
+        cosine_similarity(F.col("embedding"), F.col("query_vec")) * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    plain = (
+        corpus.crossJoin(F.broadcast(qv))
+        .select(F.col("vec_id").alias("id"), micro.alias("qs"))
+        .orderBy(F.col("qs").desc(), "id")
+        .limit(_MMR_K)
+    )
+    mmr = mmr_diversify(corpus, qv, k=_MMR_K, pool=_MMR_POOL).select(
+        "id", F.col("qsim_micro").alias("qs")
+    )
+    labels = emb.select(F.col("vec_id").alias("id"), "label")
+    pl = (
+        labels.join(F.broadcast(plain), "id")
+        .agg(F.countDistinct("label").alias("lab"), F.sum("qs").alias("relsum"))
+    )
+    mm = (
+        labels.join(F.broadcast(mmr), "id")
+        .agg(F.countDistinct("label").alias("lab"), F.sum("qs").alias("relsum"))
+    )
+    return (
+        pl.crossJoin(F.broadcast(mm.select(F.col("lab").alias("m_lab"), F.col("relsum").alias("m_relsum"))))
+        .select(
+            F.lit(_MMR_K).alias("k"),
+            F.col("lab").cast("long").alias("labels_plain"),
+            F.col("m_lab").cast("long").alias("labels_mmr"),
+            (F.col("relsum") - F.col("m_relsum")).cast("long").alias("relevance_cost_micro"),
+        )
+    )

@@ -550,6 +550,7 @@ NESTED_LOOP_OK = {
     "q_gini_spend": "1-row n/total panel crossed into the rank-sum fold and the final ratio",
     "t_heaps_fit": "10-row decile-cut panel broadcast over the vocab first-occurrence table + 1-row total/vocab panels",
     "t_token_budget_select": "1-row broadcast token-budget panel over the prefix-summed doc stream",
+    "v_diversity_audit": "broadcast query panel x corpus scan (both arms) + 1-row coverage panels crossed into the audit row",
 }
 
 
