@@ -125,6 +125,8 @@ HEADLINE = [
     "e_next_event_accuracy",
     # exact earth-mover drift on the two-phase prefix + lag machinery
     "q_wasserstein_drift",
+    # fixed-compute curation: quality-ranked prefix under a token budget
+    "t_token_budget_select",
 ]
 
 
