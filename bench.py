@@ -127,6 +127,8 @@ HEADLINE = [
     "q_wasserstein_drift",
     # fixed-compute curation: quality-ranked prefix under a token budget
     "t_token_budget_select",
+    # per-node clustering on the degree-oriented wedge closure
+    "x_clustering_topk",
 ]
 
 

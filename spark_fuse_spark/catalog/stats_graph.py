@@ -3493,3 +3493,124 @@ def q_gini_spend(spark: SparkSession, sf: str) -> DataFrame:
         F.col("total").cast("long").alias("total_cents"),
         ((nm - nm % dn) / dn).cast("long").alias("gini_micro"),
     )
+
+
+# -------------------------------------------- local clustering coefficient
+_CLUST_TOPK = 10
+
+
+@register(
+    "x_clustering_topk",
+    oracle=f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey),
+edges AS MATERIALIZED (
+  SELECT u, v FROM pairs GROUP BY u, v HAVING COUNT(*) >= 2),
+deg AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges) __n
+  GROUP BY node),
+oriented AS MATERIALIZED (
+  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+              THEN e.u ELSE e.v END AS src,
+         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+              THEN e.v ELSE e.u END AS dst
+  FROM edges e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node),
+okey AS (SELECT o.src, o.dst, d.deg AS dst_deg
+         FROM oriented o JOIN deg d ON o.dst = d.node),
+wedges AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM okey e1 JOIN okey e2 ON e1.src = e2.src
+  WHERE e1.dst_deg < e2.dst_deg OR (e1.dst_deg = e2.dst_deg AND e1.dst < e2.dst)),
+tri AS MATERIALIZED (
+  SELECT w.a, w.b, w.c FROM wedges w
+  JOIN oriented o ON w.b = o.src AND w.c = o.dst),
+pernode AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_n
+  FROM (SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY node)
+SELECT CAST(node AS BIGINT) AS node, tri_n, deg,
+       CAST(2 * tri_n * 1000000 // (deg * (deg - 1)) AS BIGINT) AS clustering_micro
+FROM (
+  SELECT d.node, COALESCE(p.tri_n, 0) AS tri_n, d.deg
+  FROM deg d LEFT JOIN pernode p ON d.node = p.node
+  WHERE d.deg >= 2)
+ORDER BY clustering_micro DESC, tri_n DESC, node
+LIMIT {_CLUST_TOPK}
+""",
+    doc="per-node local clustering coefficient (Watts & Strogatz 1998) "
+    "over the part-co-purchase graph: 2*triangles(v) / (deg(v)*(deg(v)-1)) "
+    "in exact integer micro-units, top-k most-clustered parts — the "
+    "node-level sequel to x_triangle_count's global census.  Each "
+    "triangle from the degree-oriented wedge closure credits all three "
+    "vertices (one explode, one node-keyed partial-agg'd count), so "
+    "hub fan-out stays O(sqrt(m)) exactly as in the global count.  "
+    "Top-k is a distributed TakeOrdered on the integer coefficient "
+    "with (tri, node) tie-breaks.",
+)
+def x_clustering_topk(spark: SparkSession, sf: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint()
+    )
+    du = deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du")
+    dv = deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+        .localCheckpoint()
+    )
+    okey = oriented.join(
+        deg.withColumnRenamed("node", "dst").withColumnRenamed("deg", "dst_deg"), "dst"
+    )
+    e1 = okey.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("dst_deg").alias("bd")
+    )
+    e2 = okey.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"), F.col("dst_deg").alias("cd")
+    )
+    wedges = (
+        e1.join(e2, "a")
+        .where(
+            (F.col("bd") < F.col("cd"))
+            | ((F.col("bd") == F.col("cd")) & (F.col("b") < F.col("c")))
+        )
+        .select("a", "b", "c")
+    )
+    closing = oriented.withColumnRenamed("src", "b").withColumnRenamed("dst", "c")
+    tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    pernode = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("tri_n"))
+    )
+    num = (
+        2
+        * F.coalesce("tri_n", F.lit(0)).cast("decimal(38,0)")
+        * F.lit(1_000_000).cast("decimal(38,0)")
+    )
+    den = (F.col("deg") * (F.col("deg") - 1)).cast("decimal(38,0)")
+    return (
+        deg.join(pernode, "node", "left")
+        .where(F.col("deg") >= 2)
+        .select(
+            F.col("node").cast("long").alias("node"),
+            F.coalesce("tri_n", F.lit(0)).cast("long").alias("tri_n"),
+            F.col("deg").cast("long").alias("deg"),
+            ((num - num % den) / den).cast("long").alias("clustering_micro"),
+        )
+        .orderBy(F.col("clustering_micro").desc(), F.col("tri_n").desc(), "node")
+        .limit(_CLUST_TOPK)
+    )
