@@ -1494,3 +1494,80 @@ def t_token_budget(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ------------------------------------------- quality x dedup interaction
+@register(
+    "t_quality_dedup_audit",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id,
+         {portable_hash64_sql(_NORM.format(col="lower(text)"))} AS fp,
+         CAST(FLOOR(ROUND((CASE WHEN length(text) >= 50 AND length(text) <= 20000
+                          THEN 1.0
+                          ELSE least(CAST(length(text) AS DOUBLE) / 50.0, 1.0) END) * 0.4
+           + greatest(0.0, 1.0 -
+               ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+                  / greatest(length(text), 1)
+                + (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                  / greatest(length(text), 1)) * 4) * 0.4
+           + least(len(list_filter({_TOKS.format(col="text")},
+                                   tk2 -> list_contains({_sw_sql('en')}, tk2)))
+                   / greatest(len({_TOKS.format(col="text")}), 1) * 5.0, 1.0) * 0.2,
+           6) * 1000000 + 0.5) AS BIGINT) AS q_micro
+  FROM documents),
+keep AS (SELECT fp, MIN(doc_id) AS keep_id FROM scored GROUP BY fp),
+banded AS (
+  SELECT s.q_micro // 50000 AS band,
+         CASE WHEN s.doc_id = k.keep_id THEN 1 ELSE 0 END AS kept
+  FROM scored s JOIN keep k ON s.fp = k.fp)
+SELECT CAST(band AS BIGINT) AS quality_band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(SUM(kept) * 1000000 // COUNT(*) AS BIGINT) AS keep_rate_micro
+FROM banded GROUP BY band ORDER BY band
+""",
+    doc="cross-family pipeline audit: does exact dedup eat the good "
+    "documents?  Bands the corpus by the composite quality heuristic "
+    "(fixed 0.05-wide micro-unit bands) and reports, per band, how "
+    "many documents survive keep-lowest-id exact dedup — the "
+    "quality-survival interaction every curation pipeline should check "
+    "before tuning thresholds (if duplicates concentrate in HIGH "
+    "bands, dedup and quality filtering double-count the same mass).  "
+    "Scale: one fingerprint hash-agg (the d_dedup_exact shuffle), one "
+    "fp-keyed join back, one 5-row band rollup — exact integers "
+    "throughout.",
+)
+def t_quality_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import doc_fingerprint, quality_score
+
+    d = load_table(spark, sf, "documents")
+    scored = d.select(
+        "doc_id",
+        doc_fingerprint("text").alias("fp"),
+        F.floor(F.round(quality_score("text"), 6) * 1_000_000 + 0.5)
+        .cast("long")
+        .alias("q_micro"),
+    )
+    keep = scored.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    banded = scored.join(keep, "fp").select(
+        F.floor(F.col("q_micro") / 50_000).alias("band"),
+        F.when(F.col("doc_id") == F.col("keep_id"), 1).otherwise(0).alias("kept"),
+    )
+    num = F.sum("kept").cast("decimal(38,0)") * F.lit(1_000_000).cast("decimal(38,0)")
+    den = F.count(F.lit(1)).cast("decimal(38,0)")
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            ((num - num % den) / den).cast("long").alias("keep_rate_micro"),
+        )
+        .select(
+            F.col("band").cast("long").alias("quality_band"),
+            "n_docs",
+            "n_kept",
+            "keep_rate_micro",
+        )
+        .orderBy("quality_band")
+    )
