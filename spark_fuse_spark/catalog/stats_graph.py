@@ -3614,3 +3614,94 @@ def x_clustering_topk(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("clustering_micro").desc(), F.col("tri_n").desc(), "node")
         .limit(_CLUST_TOPK)
     )
+
+
+# ----------------------------------------------- degree power-law (CCDF)
+@register(
+    "x_degree_powerlaw",
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey),
+edges AS (SELECT u, v FROM pairs GROUP BY u, v HAVING COUNT(*) >= 2),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+          SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges) __n
+        GROUP BY node),
+cells AS MATERIALIZED (
+  SELECT deg AS k, CAST(COUNT(*) AS BIGINT) AS c FROM deg GROUP BY 1),
+panel AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+ccdf AS (
+  SELECT k, p.n - (SUM(c) OVER (ORDER BY k) - c) AS surv
+  FROM cells CROSS JOIN panel p),
+xy AS (SELECT ln(CAST(k AS DOUBLE)) AS x, ln(CAST(surv AS DOUBLE)) AS y FROM ccdf),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+  FROM xy)
+SELECT (SELECT n FROM panel) AS n_nodes,
+       m.n AS n_degrees,
+       FLOOR((1 - (m.n * sxy - sx * sy) / (m.n * sxx - sx * sx)) * 10000 + 0.5)
+         / 10000 AS powerlaw_alpha,
+       FLOOR((m.n * sxy - sx * sy) * (m.n * sxy - sx * sy)
+             / ((m.n * sxx - sx * sx) * (m.n * syy - sy * sy)) * 1000000 + 0.5)
+         / 1000000 AS r2
+FROM m
+""",
+    doc="graph-statistics law fit: the degree power-law exponent of the "
+    "part-co-purchase graph, estimated from the empirical CCDF "
+    "P(deg >= k) — ln-survival vs ln-degree OLS, alpha = 1 - slope "
+    "(the CCDF estimator; it avoids the binning bias of raw histogram "
+    "fits).  The survival counts are EXACT: per-degree cells, one "
+    "ascending prefix (the two-phase distributed pass in the Spark "
+    "plan, a window in the oracle), survival = n - exclusive prefix.  "
+    "Scale: the graph reduces to per-degree cells (bounded by max "
+    "degree) before any ordered pass; the OLS moment reduce follows "
+    "the t_zipf_fit precision convention (mirrored ln, 1e-4/1e-6 "
+    "rounding).",
+)
+def x_degree_powerlaw(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.packing import with_prefix_sum
+
+    edges = _copurchase_edges(spark, sf)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    cells = deg.groupBy(F.col("deg").alias("k")).agg(F.count(F.lit(1)).alias("c"))
+    panel = cells.agg(F.sum("c").cast("long").alias("n_nodes"))
+    cum = with_prefix_sum(cells, "k", "c", out_col="cum_ex")
+    xy = (
+        cum.crossJoin(F.broadcast(panel))
+        .select(
+            F.log(F.col("k").cast("double")).alias("x"),
+            F.log((F.col("n_nodes") - F.col("cum_ex")).cast("double")).alias("y"),
+        )
+    )
+    m = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    r2 = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        )
+    )
+    return m.crossJoin(F.broadcast(panel)).select(
+        "n_nodes",
+        F.col("n").alias("n_degrees"),
+        (F.floor((1 - slope) * 10000 + 0.5) / 10000).alias("powerlaw_alpha"),
+        (F.floor(r2 * 1000000 + 0.5) / 1000000).alias("r2"),
+    )
