@@ -3705,3 +3705,67 @@ def x_degree_powerlaw(spark: SparkSession, sf: str) -> DataFrame:
         (F.floor((1 - slope) * 10000 + 0.5) / 10000).alias("powerlaw_alpha"),
         (F.floor(r2 * 1000000 + 0.5) / 1000000).alias("r2"),
     )
+
+
+# ------------------------------------------------------ temporal edge churn
+@register(
+    "x_edge_churn",
+    oracle="""
+WITH e94 AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE EXTRACT(YEAR FROM o.o_orderdate) = 1994),
+e95 AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE EXTRACT(YEAR FROM o.o_orderdate) = 1995),
+ret AS (SELECT CAST(COUNT(*) AS BIGINT) AS retained
+        FROM e94 JOIN e95 ON e94.c = e95.c AND e94.s = e95.s),
+n94 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e94),
+n95 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e95)
+SELECT n94.n AS edges_1994, n95.n AS edges_1995, ret.retained,
+       n95.n - ret.retained AS new_edges,
+       n94.n - ret.retained AS lost_edges,
+       CAST(ret.retained * 1000000 // (n94.n + n95.n - ret.retained) AS BIGINT)
+         AS jaccard_micro
+FROM ret CROSS JOIN n94 CROSS JOIN n95
+""",
+    doc="temporal graph diff: year-over-year churn of the distinct "
+    "customer->supplier purchase relationship — retained / newly-formed "
+    "/ lost edges between 1994 and 1995 and the exact Jaccard "
+    "stability of the edge sets, the relationship-retention KPI b2b "
+    "analytics tracks (and, generically, the snapshot-to-snapshot "
+    "set-churn shape any versioned dataset audit needs).  Scale: two "
+    "year-pruned distinct aggregates co-partitioned on the SAME "
+    "(custkey, suppkey) key, so the retained-count join is "
+    "shuffle-free under AQE reuse; counts are 1-row panels.",
+)
+def x_edge_churn(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+
+    def year_edges(y: int) -> DataFrame:
+        return (
+            o.where(F.year("o_orderdate") == y)
+            .join(li, o.o_orderkey == li.l_orderkey)
+            .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+            .distinct()
+        )
+
+    e94, e95 = year_edges(1994), year_edges(1995)
+    ret = e94.join(e95, ["c", "s"]).agg(F.count(F.lit(1)).cast("long").alias("retained"))
+    n94 = e94.agg(F.count(F.lit(1)).cast("long").alias("edges_1994"))
+    n95 = e95.agg(F.count(F.lit(1)).cast("long").alias("edges_1995"))
+    res = ret.crossJoin(F.broadcast(n94)).crossJoin(F.broadcast(n95))
+    num = F.col("retained").cast("decimal(38,0)") * F.lit(1_000_000).cast("decimal(38,0)")
+    den = (
+        F.col("edges_1994") + F.col("edges_1995") - F.col("retained")
+    ).cast("decimal(38,0)")
+    return res.select(
+        "edges_1994",
+        "edges_1995",
+        "retained",
+        (F.col("edges_1995") - F.col("retained")).alias("new_edges"),
+        (F.col("edges_1994") - F.col("retained")).alias("lost_edges"),
+        ((num - num % den) / den).cast("long").alias("jaccard_micro"),
+    )

@@ -552,6 +552,7 @@ NESTED_LOOP_OK = {
     "t_token_budget_select": "1-row broadcast token-budget panel over the prefix-summed doc stream",
     "v_diversity_audit": "broadcast query panel x corpus scan (both arms) + 1-row coverage panels crossed into the audit row",
     "x_degree_powerlaw": "1-row node-count panel over the per-degree cells and the final moment row",
+    "x_edge_churn": "1-row per-year edge-count panels crossed into the single churn row",
 }
 
 
