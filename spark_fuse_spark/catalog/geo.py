@@ -24,6 +24,9 @@ Scale shapes (the point of the module):
   proof for the blocking (any pair the grid missed would break parity).
 * ``g_haversine_nearest`` — trig runs over ≤ |suppliers| nearest pairs
   (output of the blocked join), never over the candidate set.
+* ``g_dbscan_core`` — DBSCAN core/border/noise density roles on the
+  SAME blocked radius self-join (brute-force oracle = completeness
+  proof), i.e. the density-clustering step before cluster expansion.
 * ``g_moran_autocorr`` — global Moran's I from SIX exact integer
   moments (Σx, Σx², edge Σxᵢxⱼ, edge Σ(xᵢ+xⱼ), N, W) reduced in one
   pass over cells + one rook-adjacency self-join; the statistic itself
@@ -49,6 +52,7 @@ __all__ = [
     "g_grid_neighbor_join",
     "g_haversine_nearest",
     "g_moran_autocorr",
+    "g_dbscan_core",
 ]
 
 # Shared coordinate box: 10°×10° in integer microdegrees.
@@ -402,4 +406,91 @@ def g_moran_autocorr(spark: SparkSession, sf: str) -> DataFrame:
     )
     return j.select(
         "n", "w", (F.floor(moran * 1000000 + 0.5) / 1000000).alias("moran_i")
+    )
+
+
+# ----------------------------------------------- DBSCAN density roles
+_DBSCAN_MINPTS = 3  # core iff >= 3 neighbors within eps (self excluded)
+
+
+@register(
+    "g_dbscan_core",
+    oracle=f"""
+WITH pts AS (SELECT c_custkey, {_coords_sql('c_custkey', 'c')} FROM customer),
+pairs AS (
+  SELECT a.c_custkey AS p, b.c_custkey AS q
+  FROM pts a JOIN pts b ON a.c_custkey <> b.c_custkey
+  WHERE (a.lat_micro - b.lat_micro) * (a.lat_micro - b.lat_micro)
+        + (a.lon_micro - b.lon_micro) * (a.lon_micro - b.lon_micro) <= {R_SQ}),
+cnt AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_neighbors FROM pairs GROUP BY p),
+core AS (SELECT p FROM cnt WHERE n_neighbors >= {_DBSCAN_MINPTS}),
+bord AS (SELECT DISTINCT pr.p FROM pairs pr JOIN core c ON pr.q = c.p)
+SELECT t.c_custkey,
+       COALESCE(cnt.n_neighbors, 0) AS n_neighbors,
+       CASE WHEN core.p IS NOT NULL THEN 'core'
+            WHEN bord.p IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role
+FROM pts t
+LEFT JOIN cnt ON cnt.p = t.c_custkey
+LEFT JOIN core ON core.p = t.c_custkey
+LEFT JOIN bord ON bord.p = t.c_custkey
+ORDER BY t.c_custkey
+""",
+    doc="DBSCAN density classification (the clustering step before "
+    "cluster expansion): every customer point is 'core' (>= minPts "
+    "eps-neighbors), 'border' (non-core with a core neighbor), or "
+    "'noise' — eps = 0.25 deg, minPts = 3, exact integer squared "
+    "distances on the hash-derived microdegree coordinates.  Spark "
+    "finds eps-neighbors with the SAME radius-sized 3x3 grid blocking "
+    "as g_grid_neighbor_join (candidates O(points x local density), "
+    "never all-pairs) and the DuckDB oracle is the brute-force cross "
+    "join — the hash check is a completeness proof of the blocking.  "
+    "Scale: one 9x-exploded equi-join, one partial-agg'd neighbor "
+    "count, one edge-keyed semi-join for the border rule; the pair "
+    "list is localCheckpointed because both the count and the "
+    "border rule consume it.",
+)
+def g_dbscan_core(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.spatial import radius_join
+
+    lat, lon = _coords("c_custkey", "c")
+    pts = load_table(spark, sf, "customer").select("c_custkey", lat, lon)
+    build = pts.select(
+        F.col("c_custkey").alias("b_custkey"),
+        F.col("lat_micro").alias("b_lat"),
+        F.col("lon_micro").alias("b_lon"),
+    )
+    pairs = (
+        radius_join(pts, build, radius=R_MICRO, build_lat="b_lat", build_lon="b_lon")
+        .where(F.col("c_custkey") != F.col("b_custkey"))
+        .select(F.col("c_custkey").alias("p"), F.col("b_custkey").alias("q"))
+        .localCheckpoint()  # feeds both the count and the border rule
+    )
+    cnt = pairs.groupBy("p").agg(F.count("*").alias("n_neighbors"))
+    core = cnt.where(F.col("n_neighbors") >= _DBSCAN_MINPTS).select("p")
+    bord = (
+        pairs.join(core.withColumnRenamed("p", "q"), "q")
+        .select("p")
+        .distinct()
+    )
+    return (
+        pts.join(cnt, pts.c_custkey == cnt.p, "left")
+        .drop("p")
+        .join(core.withColumn("is_core", F.lit(True)), pts.c_custkey == core.p, "left")
+        .drop("p")
+        .join(
+            bord.withColumn("is_border", F.lit(True)),
+            pts.c_custkey == bord.p,
+            "left",
+        )
+        .drop("p")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("n_neighbors"), F.lit(0)).cast("long").alias("n_neighbors"),
+            F.when(F.col("is_core"), "core")
+            .when(F.col("is_border"), "border")
+            .otherwise("noise")
+            .alias("role"),
+        )
+        .orderBy("c_custkey")
     )

@@ -56,6 +56,12 @@ catalog did not yet cover.
 * ``q_mann_whitney`` — tie-corrected Mann-Whitney U from per-value
   counts and the shared prefix-sum midranks (doubled-rank integers);
   A&S rational erfc for the two-sided p.
+* ``x_modularity`` — Newman modularity decomposition of the LPA
+  communities (exact intra-edge/degree integers, one mirrored float).
+* ``e_holt_trend`` — Holt level+trend double smoothing as two bounded
+  FIRs over one user-partitioned window; one-step forecast.
+* ``q_fdr_bh`` — Benjamini-Hochberg step-up over a 24-hypothesis
+  hour-of-day panel (A&S erfc p-values, rank via panel self-join).
 
 No reference counterpart: these extend the curation/analytics surface
 beyond `/root/reference` (which has no relational query layer at all);
@@ -3768,4 +3774,340 @@ def x_edge_churn(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("edges_1995") - F.col("retained")).alias("new_edges"),
         (F.col("edges_1994") - F.col("retained")).alias("lost_edges"),
         ((num - num % den) / den).cast("long").alias("jaccard_micro"),
+    )
+
+
+# ------------------------------------------------- community modularity
+@register(
+    "x_modularity",
+    oracle=f"""
+WITH {_EDGES_CTE},
+adj AS MATERIALIZED (SELECT u AS src, v AS dst FROM edges
+        UNION ALL SELECT v AS src, u AS dst FROM edges),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM adj),
+adjp AS MATERIALIZED (SELECT src, dst FROM adj
+         UNION ALL SELECT node, node FROM nodes),
+l0 AS (SELECT node, node AS lbl FROM nodes),
+{_lpa_round_sql('l0', 'l1')},
+{_lpa_round_sql('l1', 'l2')},
+{_lpa_round_sql('l2', 'l3')},
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY src),
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+comm AS (SELECT l.lbl, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                CAST(SUM(deg.d) AS BIGINT) AS degree_sum
+         FROM l3 l JOIN deg ON deg.node = l.node GROUP BY l.lbl),
+intra AS (SELECT la.lbl, CAST(COUNT(*) AS BIGINT) AS ie
+          FROM edges e
+          JOIN l3 la ON e.u = la.node
+          JOIN l3 lb ON e.v = lb.node AND la.lbl = lb.lbl
+          GROUP BY la.lbl)
+SELECT c.lbl AS community, c.n_nodes,
+       CAST(COALESCE(i.ie, 0) AS BIGINT) AS internal_edges, c.degree_sum,
+       FLOOR((CAST(COALESCE(i.ie, 0) AS DOUBLE) / mm.m
+              - (CAST(c.degree_sum AS DOUBLE) / (2 * mm.m))
+                * (CAST(c.degree_sum AS DOUBLE) / (2 * mm.m))) * 1000000 + 0.5)
+         / 1000000 AS q_contrib
+FROM comm c LEFT JOIN intra i ON i.lbl = c.lbl CROSS JOIN mm
+ORDER BY community
+""",
+    doc="Newman modularity decomposition of the label-propagation "
+    "communities over the support-2 co-purchase graph: per community, "
+    "Q_c = e_c/m - (D_c/2m)^2 where e_c is the exact intra-community "
+    "edge count, D_c the community degree sum, m the edge count — the "
+    "quality audit that tells you whether the bounded-round LPA sketch "
+    "found real structure (sum of q_contrib = global modularity Q; "
+    "near 0 means the partition is no better than random wiring).  "
+    "Determinism: communities replay the same synchronous min-label "
+    "rounds as x_label_propagation; e_c, D_c, m are exact integers and "
+    "the one float expression is a mirrored IEEE tree, floor-rounded.  "
+    "Scale: degrees are one partial-agg'd shuffle over the edge list; "
+    "intra-edges is a node-keyed double label join (edge-list sized, "
+    "never all-pairs); the edge count rides a broadcast 1-row panel.",
+)
+def x_modularity(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    edges = _copurchase_edges(spark, sf)
+    labels = label_propagation(edges, rounds=_LPA_ROUNDS).localCheckpoint()
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    comm = (
+        labels.join(deg, "node")
+        .groupBy("lbl")
+        .agg(F.count("*").alias("n_nodes"), F.sum("d").alias("degree_sum"))
+    )
+    la = labels.select(F.col("node").alias("u"), F.col("lbl").alias("lbl_u"))
+    lb = labels.select(F.col("node").alias("v"), F.col("lbl").alias("lbl_v"))
+    intra = (
+        edges.join(la, "u")
+        .join(lb, "v")
+        .where(F.col("lbl_u") == F.col("lbl_v"))
+        .groupBy(F.col("lbl_u").alias("lbl"))
+        .agg(F.count("*").alias("ie"))
+    )
+    mm = edges.agg(F.count(F.lit(1)).alias("m"))
+    half = F.col("degree_sum").cast("double") / (2 * F.col("m"))
+    return (
+        comm.join(intra, "lbl", "left")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            F.col("lbl").alias("community"),
+            "n_nodes",
+            F.coalesce(F.col("ie"), F.lit(0)).cast("long").alias("internal_edges"),
+            "degree_sum",
+            (
+                F.floor(
+                    (
+                        F.coalesce(F.col("ie"), F.lit(0)).cast("double") / F.col("m")
+                        - half * half
+                    )
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000
+            ).alias("q_contrib"),
+        )
+        .orderBy("community")
+    )
+
+
+# --------------------------------------------- Holt linear-trend smoothing
+_HOLT_LEVEL_TAPS = 6  # lags 0..5 of the value
+_HOLT_TREND_TAPS = 5  # lags 0..4 of the first difference
+
+
+def _holt_oracle() -> str:
+    lv_num = " + ".join(
+        f"COALESCE(v{j}, 0.0) * {0.5 ** j!r}" if j else "v0 * 1.0"
+        for j in range(_HOLT_LEVEL_TAPS)
+    )
+    lv_den = " + ".join(
+        f"CASE WHEN v{j} IS NULL THEN 0.0 ELSE {0.5 ** j!r} END" if j else "1.0"
+        for j in range(_HOLT_LEVEL_TAPS)
+    )
+    tr_num = " + ".join(
+        f"CASE WHEN v{j + 1} IS NULL THEN 0.0 ELSE (v{j} - v{j + 1}) * {0.5 ** j!r} END"
+        for j in range(_HOLT_TREND_TAPS)
+    )
+    tr_den = " + ".join(
+        f"CASE WHEN v{j + 1} IS NULL THEN 0.0 ELSE {0.5 ** j!r} END"
+        for j in range(_HOLT_TREND_TAPS)
+    )
+    lags = ", ".join(
+        f"lag(value, {j}) OVER w AS v{j}" for j in range(1, _HOLT_LEVEL_TAPS)
+    )
+    return f"""
+WITH c AS (
+  SELECT user_id, value AS v0, {lags},
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+           AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_clicks
+  FROM events WHERE event_type = 'click'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, n_clicks,
+         ({lv_num}) / ({lv_den}) AS level_raw,
+         CASE WHEN ({tr_den}) = 0.0 THEN 0.0
+              ELSE ({tr_num}) / ({tr_den}) END AS trend_raw
+  FROM c WHERE rk = 1)
+SELECT user_id, n_clicks,
+       FLOOR(level_raw * 1000000 + 0.5) / 1000000 AS level,
+       FLOOR(trend_raw * 1000000 + 0.5) / 1000000 AS trend,
+       FLOOR((level_raw + trend_raw) * 1000000 + 0.5) / 1000000 AS forecast_next
+FROM s
+ORDER BY user_id
+"""
+
+
+@register(
+    "e_holt_trend",
+    oracle=_holt_oracle(),
+    doc="Holt double-exponential smoothing (level + linear trend) per "
+    "user over the click stream, as two bounded FIRs: the level is the "
+    "6-tap alpha=1/2 EWMA of the value (same truncation argument as "
+    "e_ewma_smooth — the infinite recursion is order-serial unbounded "
+    "state, the FIR is a fixed lag window), the trend is the 5-tap "
+    "beta=1/2 EWMA of the FIRST DIFFERENCE, and the one-step forecast "
+    "is level + trend — the workhorse short-horizon forecaster one "
+    "notch above q06_forecast_revenue's naive drift.  Determinism: "
+    "every weight 2^-j is an exactly-representable binary double, both "
+    "engines fold taps in written order, the quotients and the sum are "
+    "single mirrored IEEE expressions, floor-rounded at the end.  "
+    "Scale: ONE user-partitioned window pass (lags + count + the "
+    "last-row rank share the partition key — never a global sort); "
+    "output is one row per active user.",
+)
+def e_holt_trend(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    wp = Window.partitionBy("user_id")
+    clicks = load_table(spark, sf, "events").where(F.col("event_type") == "click")
+    c = clicks.select(
+        "user_id",
+        F.col("value").alias("v0"),
+        *[F.lag("value", j).over(w).alias(f"v{j}") for j in range(1, _HOLT_LEVEL_TAPS)],
+        F.row_number().over(wd).alias("rk"),
+        F.count("*").over(wp).alias("n_clicks"),
+    ).where(F.col("rk") == 1)
+    lv_num = F.col("v0") * 1.0
+    lv_den = F.lit(1.0)
+    for j in range(1, _HOLT_LEVEL_TAPS):
+        lv_num = lv_num + F.coalesce(F.col(f"v{j}"), F.lit(0.0)) * F.lit(0.5 ** j)
+        lv_den = lv_den + F.when(F.col(f"v{j}").isNull(), 0.0).otherwise(0.5 ** j)
+    tr_num = F.lit(0.0)
+    tr_den = F.lit(0.0)
+    first = True
+    for j in range(_HOLT_TREND_TAPS):
+        term = F.when(F.col(f"v{j + 1}").isNull(), 0.0).otherwise(
+            (F.col(f"v{j}") - F.col(f"v{j + 1}")) * F.lit(0.5 ** j)
+        )
+        den = F.when(F.col(f"v{j + 1}").isNull(), 0.0).otherwise(F.lit(0.5 ** j))
+        tr_num = term if first else tr_num + term
+        tr_den = den if first else tr_den + den
+        first = False
+    s = c.select(
+        "user_id",
+        "n_clicks",
+        (lv_num / lv_den).alias("level_raw"),
+        F.when(tr_den == 0.0, 0.0).otherwise(tr_num / tr_den).alias("trend_raw"),
+    )
+    r6 = lambda col: F.floor(col * 1000000 + 0.5) / 1000000  # noqa: E731
+    return s.select(
+        "user_id",
+        "n_clicks",
+        r6(F.col("level_raw")).alias("level"),
+        r6(F.col("trend_raw")).alias("trend"),
+        r6(F.col("level_raw") + F.col("trend_raw")).alias("forecast_next"),
+    ).orderBy("user_id")
+
+
+# ------------------------------------------- multiple-testing BH-FDR panel
+_FDR_ALPHA = 0.05
+# A&S 7.1.25 rational erfc bound — same documented approximation (and the
+# same written fold order) as q_mann_whitney's two-sided p.
+_ERFC_SQL = (
+    "1 / POW(1 + 0.278393 * {az} / SQRT(2) + 0.230389 * {az} * {az} / 2"
+    " + 0.000972 * POW({az} / SQRT(2), 3)"
+    " + 0.078108 * POW({az} / SQRT(2), 4), 4)"
+)
+
+
+@register(
+    "q_fdr_bh",
+    oracle=f"""
+WITH hrs AS (SELECT UNNEST(generate_series(0, 23)) AS hour),
+cnt AS (SELECT EXTRACT(HOUR FROM ts) AS hour, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt),
+dense AS (SELECT CAST(h.hour AS BIGINT) AS hour, COALESCE(cnt.c, 0) AS c, tot.n
+          FROM hrs h LEFT JOIN cnt ON cnt.hour = h.hour CROSS JOIN tot),
+zt AS (SELECT hour, c, n,
+              (CAST(c AS DOUBLE) - CAST(n AS DOUBLE) / 24.0)
+                / SQRT(CAST(n AS DOUBLE) * (1.0 / 24.0) * (23.0 / 24.0)) AS z_raw
+       FROM dense),
+pt AS (SELECT hour, c, z_raw,
+              FLOOR({_ERFC_SQL.format(az="ABS(z_raw)")} * 1000000 + 0.5)
+                / 1000000 AS p
+       FROM zt),
+rk AS (SELECT a.hour, a.c, a.z_raw, a.p,
+              CAST(COUNT(*) AS BIGINT) AS p_rank
+       FROM pt a JOIN pt b
+         ON (b.p < a.p) OR (b.p = a.p AND b.hour <= a.hour)
+       GROUP BY a.hour, a.c, a.z_raw, a.p),
+ks AS (SELECT MAX(CASE WHEN p <= CAST(p_rank AS DOUBLE) * {_FDR_ALPHA!r} / 24.0
+                       THEN p_rank ELSE 0 END) AS kstar
+       FROM rk)
+SELECT hour, c AS n_events,
+       FLOOR(z_raw * 10000 + 0.5) / 10000 AS z_score,
+       p AS p_two_sided, p_rank,
+       FLOOR(CAST(p_rank AS DOUBLE) * {_FDR_ALPHA!r} / 24.0 * 1000000 + 0.5)
+         / 1000000 AS bh_threshold,
+       p_rank <= ks.kstar AS discovery
+FROM rk CROSS JOIN ks
+ORDER BY hour
+""",
+    doc="Benjamini-Hochberg FDR control over a 24-hypothesis panel: for "
+    "each hour of day, a z-test of the event count against the uniform "
+    "n/24 expectation (exact integer counts; the two-sided p uses the "
+    "same A&S 7.1.25 rational erfc as q_mann_whitney), then the BH "
+    "step-up — rank p ascending, find the largest k with p_(k) <= "
+    "k/m*alpha, reject everything at or below it — the multiple-"
+    "testing guardrail every metrics platform needs before reading 24 "
+    "per-hour 'anomalies' off one dashboard.  Determinism: p is "
+    "floor-rounded to millionths BEFORE ranking (identical IEEE "
+    "expression trees on both engines make even the unrounded doubles "
+    "bit-equal), ranks tie-break on the hour.  Scale: one map-side-"
+    "combined groupBy to 24 cells; the rank self-join, the k* reduce "
+    "and the verdict join all run on the constant 24-row panel.",
+)
+def q_fdr_bh(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    cnt = ev.groupBy(F.hour("ts").alias("hour")).agg(F.count("*").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    hrs = spark.range(1).select(
+        F.explode(F.sequence(F.lit(0), F.lit(23))).alias("hour")
+    )
+    dense = (
+        hrs.join(cnt, "hour", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("hour").cast("long").alias("hour"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+            "n",
+        )
+    )
+    z_raw = (F.col("c").cast("double") - F.col("n").cast("double") / 24.0) / F.sqrt(
+        F.col("n").cast("double") * (1.0 / 24.0) * (23.0 / 24.0)
+    )
+    zt = dense.select("hour", "c", z_raw.alias("z_raw"))
+    az = F.abs(F.col("z_raw"))
+    s2 = F.sqrt(F.lit(2.0))
+    denom = (
+        1
+        + 0.278393 * az / s2
+        + 0.230389 * az * az / 2
+        + 0.000972 * F.pow(az / s2, 3)
+        + 0.078108 * F.pow(az / s2, 4)
+    )
+    pt = zt.select(
+        "hour",
+        "c",
+        "z_raw",
+        (F.floor((1 / F.pow(denom, 4)) * 1000000 + 0.5) / 1000000).alias("p"),
+    ).localCheckpoint()  # 24-row panel feeds the rank self-join twice
+    a, b = pt.alias("a"), pt.alias("b")
+    rk = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.p") < F.col("a.p"))
+            | ((F.col("b.p") == F.col("a.p")) & (F.col("b.hour") <= F.col("a.hour"))),
+        )
+        .groupBy(
+            F.col("a.hour").alias("hour"),
+            F.col("a.c").alias("c"),
+            F.col("a.z_raw").alias("z_raw"),
+            F.col("a.p").alias("p"),
+        )
+        .agg(F.count("*").alias("p_rank"))
+    )
+    thr = F.col("p_rank").cast("double") * _FDR_ALPHA / 24.0
+    ks = rk.agg(
+        F.max(F.when(F.col("p") <= thr, F.col("p_rank")).otherwise(0)).alias("kstar")
+    )
+    return (
+        rk.crossJoin(F.broadcast(ks))
+        .select(
+            "hour",
+            F.col("c").alias("n_events"),
+            (F.floor(F.col("z_raw") * 10000 + 0.5) / 10000).alias("z_score"),
+            F.col("p").alias("p_two_sided"),
+            "p_rank",
+            (F.floor(thr * 1000000 + 0.5) / 1000000).alias("bh_threshold"),
+            (F.col("p_rank") <= F.col("kstar")).alias("discovery"),
+        )
+        .orderBy("hour")
     )

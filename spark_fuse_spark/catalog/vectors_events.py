@@ -1290,3 +1290,146 @@ def v_diversity_audit(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("relsum") - F.col("m_relsum")).cast("long").alias("relevance_cost_micro"),
         )
     )
+
+
+# ------------------------------------------------- per-frame energy panel
+@register(
+    "m_frame_energy",
+    oracle="""
+WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+p AS (SELECT doc_id, text, n, GREATEST(1, n // 8) AS step FROM t WHERE n > 0),
+f AS (SELECT doc_id, text, step,
+             UNNEST(generate_series(0, CAST(LEAST(n, 8 * step) // step AS BIGINT) - 1))
+               AS frame_index
+      FROM p),
+ix AS (SELECT doc_id, frame_index, step, text,
+              UNNEST(generate_series(1, step)) AS j
+       FROM f),
+e AS (SELECT doc_id, frame_index, step,
+             CAST(SUM(ascii(substring(text, CAST(frame_index * step + j AS INT), 1)))
+                  AS BIGINT) AS energy,
+             CAST(MAX(ascii(substring(text, CAST(frame_index * step + j AS INT), 1)))
+                  AS INT) AS peak
+      FROM ix GROUP BY 1, 2, 3)
+SELECT doc_id, CAST(frame_index AS BIGINT) AS frame_index,
+       CAST(step AS BIGINT) AS frame_len, energy, peak
+FROM e
+ORDER BY doc_id, frame_index
+""",
+    doc="per-frame signal features (the audio-RMS/loudness analog): "
+    "payload -> decode_media (Arrow-batched mapInPandas, deterministic "
+    "fake codec slicing equal byte windows) -> per-frame byte ENERGY "
+    "(sum) and PEAK (max), computed as pure Catalyst higher-order "
+    "aggregates over the frame bytes — after the decode explode, no "
+    "Python touches the hot path.  The real-codec version swaps the "
+    "decoder and computes RMS over PCM samples with the identical "
+    "schema/batch shape.  The payloads are ASCII text bytes, so the "
+    "oracle replays frame windows and byte sums arithmetically with "
+    "substring/ascii.  Scale: decode is 1-to-8 rows per doc; the "
+    "energy fold is per-row JVM compute with zero extra shuffle.",
+)
+def m_frame_energy(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.multimodal import attach_binary_payload, decode_media
+
+    d = load_table(spark, sf, "documents")
+    frames = decode_media(
+        attach_binary_payload(d, "text", "payload"), frames_per_doc=8, use_fake=True
+    )
+    fs = F.col("frame").cast("string")
+    return (
+        frames.select(
+            "doc_id",
+            F.col("frame_index").cast("long").alias("frame_index"),
+            F.octet_length("frame").cast("long").alias("frame_len"),
+            fs.alias("fs"),
+        )
+        .select(
+            "doc_id",
+            "frame_index",
+            "frame_len",
+            F.expr(
+                "aggregate(sequence(1, char_length(fs)), 0L,"
+                " (acc, i) -> acc + ascii(substring(fs, i, 1)))"
+            ).alias("energy"),
+            F.expr(
+                "aggregate(sequence(1, char_length(fs)), 0,"
+                " (acc, i) -> greatest(acc, ascii(substring(fs, i, 1))))"
+            ).alias("peak"),
+        )
+        .orderBy("doc_id", "frame_index")
+    )
+
+
+# --------------------------------------------- within-shard kNN graph
+_KNN_GRAPH_K = 3
+
+
+@register(
+    "v_label_knn_graph",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+             ROUND(list_cosine_similarity(b.v, a.v), 6) AS cosine
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+t AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                                   ORDER BY cosine DESC, dst_id) AS rk
+      FROM p),
+k AS (SELECT src_id, dst_id, cosine, rk FROM t WHERE rk <= {_KNN_GRAPH_K})
+SELECT k.src_id, k.dst_id, k.cosine, CAST(k.rk AS INT) AS rank,
+       m.src_id IS NOT NULL AS mutual
+FROM k LEFT JOIN (SELECT src_id, dst_id FROM k) m
+  ON m.src_id = k.dst_id AND m.dst_id = k.src_id
+ORDER BY k.src_id, k.rk
+""",
+    doc="within-shard exact kNN graph with mutual-edge detection: top-3 "
+    "cosine neighbors per vector among vectors sharing its label, plus "
+    "the mutual flag (dst also ranks src in ITS top-3) — the "
+    "mutual-kNN graph is the standard input to graph-based semantic "
+    "dedup and agglomerative clustering (SemDeDup-style pipelines "
+    "cluster first, then go all-pairs INSIDE each bounded shard — the "
+    "label plays that cluster-shard role, so block size is bounded by "
+    "design, never corpus-sized).  Ranking uses the ROUNDED cosine + "
+    "id tie-break for cross-engine determinism; the Spark pair join "
+    "folds dot products in the same argument order as the oracle.  "
+    "Scale: one label-keyed equi-join (O(rows x shard size)), a "
+    "src-partitioned window over per-shard candidates, and a "
+    "(src,dst)-keyed self-join of the k-row-per-node result for "
+    "mutuality.",
+)
+def v_label_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf, "embeddings")
+    a = emb.select("label", F.col("vec_id").alias("src_id"), F.col("embedding").alias("ev"))
+    b = emb.select("label", F.col("vec_id").alias("dst_id"), F.col("embedding").alias("dv"))
+    pairs = (
+        a.join(b, "label")
+        .where(F.col("src_id") != F.col("dst_id"))
+        .select(
+            "src_id",
+            "dst_id",
+            F.round(cosine_similarity(F.col("dv"), F.col("ev")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(F.col("cosine").desc(), F.col("dst_id"))
+    k = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _KNN_GRAPH_K)
+        .localCheckpoint()  # feeds itself (mutuality self-join)
+    )
+    m = k.select(F.col("src_id").alias("m_dst"), F.col("dst_id").alias("m_src"))
+    return (
+        k.join(
+            m.withColumn("mutual", F.lit(True)),
+            (F.col("src_id") == F.col("m_src")) & (F.col("dst_id") == F.col("m_dst")),
+            "left",
+        )
+        .select(
+            "src_id",
+            "dst_id",
+            "cosine",
+            "rank",
+            F.coalesce(F.col("mutual"), F.lit(False)).alias("mutual"),
+        )
+        .orderBy("src_id", "rank")
+    )

@@ -553,6 +553,8 @@ NESTED_LOOP_OK = {
     "v_diversity_audit": "broadcast query panel x corpus scan (both arms) + 1-row coverage panels crossed into the audit row",
     "x_degree_powerlaw": "1-row node-count panel over the per-degree cells and the final moment row",
     "x_edge_churn": "1-row per-year edge-count panels crossed into the single churn row",
+    "x_modularity": "1-row broadcast edge-count panel crossed into the per-community rows",
+    "q_fdr_bh": "24-row p-value panel: rank theta-self-join + 1-row k* panel + 1-row total panel",
 }
 
 
