@@ -62,6 +62,12 @@ catalog did not yet cover.
   FIRs over one user-partitioned window; one-step forecast.
 * ``q_fdr_bh`` — Benjamini-Hochberg step-up over a 24-hypothesis
   hour-of-day panel (A&S erfc p-values, rank via panel self-join).
+* ``e_cross_correlation`` — lead-lag Pearson r between the daily click
+  and purchase series at lags -3..+3 from exact widened moments.
+* ``e_stickiness_dau_mau`` — monthly DAU/MAU engagement ratio with
+  exact two-phase distinct counts.
+* ``q_runs_test`` — Wald-Wolfowitz runs test on the monthly revenue
+  direction sequence (adjacency via index-equi joins, never a sort).
 
 No reference counterpart: these extend the curation/analytics surface
 beyond `/root/reference` (which has no relational query layer at all);
@@ -4110,4 +4116,272 @@ def q_fdr_bh(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("p_rank") <= F.col("kstar")).alias("discovery"),
         )
         .orderBy("hour")
+    )
+
+
+# --------------------------------------------- lead-lag cross-correlation
+_XCORR_LAGS = 3
+
+
+@register(
+    "e_cross_correlation",
+    oracle=f"""
+WITH c AS (SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+p AS (SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+lags AS (SELECT UNNEST(generate_series(-{_XCORR_LAGS}, {_XCORR_LAGS})) AS lag),
+j AS (SELECT l.lag, c.x, p.y
+      FROM c CROSS JOIN lags l JOIN p ON p.day = c.day + CAST(l.lag AS INT)),
+mo AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+              CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+              SUM(CAST(x AS HUGEINT) * y) AS sxy,
+              SUM(CAST(x AS HUGEINT) * x) AS sxx,
+              SUM(CAST(y AS HUGEINT) * y) AS syy
+       FROM j GROUP BY lag)
+SELECT CAST(lag AS BIGINT) AS lag, n_days,
+       FLOOR((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / SQRT((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             * 1000000 + 0.5) / 1000000 AS xcorr
+FROM mo
+ORDER BY lag
+""",
+    doc="lead-lag cross-correlation between the daily click series and "
+    "the daily purchase series at lags -3..+3 (does click volume LEAD "
+    "purchase volume, and by how many days?) — the attribution-lag "
+    "readout marketing teams run before e_attribution_linear assigns "
+    "credit.  Pearson r per lag from exact widened-integer moments "
+    "(counts, sums, cross products accumulate as integers; the one "
+    "float expression is a mirrored IEEE tree, floor-rounded).  Scale: "
+    "two map-side-combined daily rollups, a 7-row lag panel crossed "
+    "over the calendar-sized click rollup, one date-keyed equi-join, "
+    "one partial-agg'd moment reduce per lag.",
+)
+def e_cross_correlation(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("x"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("y"))
+    )
+    lags = spark.range(1).select(
+        F.explode(F.sequence(F.lit(-_XCORR_LAGS), F.lit(_XCORR_LAGS))).alias("lag")
+    )
+    j = (
+        c.crossJoin(F.broadcast(lags))
+        .join(
+            p.withColumnRenamed("day", "p_day"),
+            F.date_add(F.col("day"), F.col("lag")) == F.col("p_day"),
+        )
+        .select("lag", "x", "y")
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    mo = j.groupBy("lag").agg(
+        F.count("*").alias("n_days"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x")) * F.col("y")).alias("sxy"),
+        F.sum(dec(F.col("x")) * F.col("x")).alias("sxx"),
+        F.sum(dec(F.col("y")) * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n_days").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    den = F.sqrt(
+        (nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        * (nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double"))
+    )
+    return mo.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_days",
+        (F.floor(num / den * 1000000 + 0.5) / 1000000).alias("xcorr"),
+    ).orderBy("lag")
+
+
+# --------------------------------------------------- DAU/MAU stickiness
+@register(
+    "e_stickiness_dau_mau",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(DATE_TRUNC('month', ts) AS DATE) AS month, CAST(ts AS DATE) AS day,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+  FROM events GROUP BY 1, 2),
+per_month AS (
+  SELECT month, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(dau) AS BIGINT) AS sum_dau
+  FROM daily GROUP BY month),
+mau_t AS (
+  SELECT CAST(DATE_TRUNC('month', ts) AS DATE) AS month,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+  FROM events GROUP BY 1)
+SELECT m.month, m.n_days, u.mau,
+       FLOOR(CAST(m.sum_dau AS DOUBLE) / m.n_days * 100 + 0.5) / 100 AS dau_avg,
+       FLOOR(CAST(m.sum_dau AS DOUBLE) / m.n_days / u.mau * 1000000 + 0.5)
+         / 1000000 AS stickiness
+FROM per_month m JOIN mau_t u ON u.month = m.month
+ORDER BY m.month
+""",
+    doc="DAU/MAU stickiness per month: average daily active users over "
+    "monthly active users — the engagement ratio every consumer product "
+    "tracks (1.0 = every monthly user shows up daily).  Exact distinct "
+    "counts at both granularities; the two ratios are mirrored IEEE "
+    "divisions of exact integers, floor-rounded.  Scale: both rollups "
+    "partial-agg on (period, user) before the distinct count — "
+    "Catalyst's two-phase distinct — so the shuffle carries one row "
+    "per active (day,user) / (month,user), never raw events; the "
+    "month-keyed join is calendar-bounded.",
+)
+def e_stickiness_dau_mau(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        F.date_trunc("month", F.col("ts")).cast("date").alias("month"),
+        F.col("ts").cast("date").alias("day"),
+        "user_id",
+    )
+    daily = ev.groupBy("month", "day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    per_month = daily.groupBy("month").agg(
+        F.count("*").alias("n_days"), F.sum("dau").alias("sum_dau")
+    )
+    mau = ev.groupBy("month").agg(F.countDistinct("user_id").alias("mau"))
+    avg_dau = F.col("sum_dau").cast("double") / F.col("n_days")
+    return (
+        per_month.join(mau, "month")
+        .select(
+            "month",
+            "n_days",
+            "mau",
+            (F.floor(avg_dau * 100 + 0.5) / 100).alias("dau_avg"),
+            (F.floor(avg_dau / F.col("mau") * 1000000 + 0.5) / 1000000).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("month")
+    )
+
+
+# --------------------------------------------------- Wald-Wolfowitz runs
+@register(
+    "q_runs_test",
+    oracle=f"""
+WITH monthly AS (
+  SELECT CAST((EXTRACT(YEAR FROM o_orderdate) - 1992) * 12
+              + EXTRACT(MONTH FROM o_orderdate) - 1 AS BIGINT) AS m,
+         CAST(SUM(ROUND(o_totalprice * 100)) AS BIGINT) AS rev
+  FROM orders GROUP BY 1),
+signs AS (
+  SELECT a.m, CASE WHEN b.rev > a.rev THEN 1 ELSE -1 END AS s
+  FROM monthly a JOIN monthly b ON b.m = a.m + 1
+  WHERE b.rev <> a.rev),
+flips AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_flips
+  FROM signs a JOIN signs b ON b.m = a.m + 1 AND b.s <> a.s),
+cnt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_plus,
+         CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_minus
+  FROM signs),
+stat AS (
+  SELECT n, n_plus, n_minus, n_flips + 1 AS n_runs,
+         2.0 * n_plus * n_minus / n + 1 AS mu,
+         (2.0 * n_plus * n_minus * (2.0 * n_plus * n_minus - n))
+           / (CAST(n AS DOUBLE) * n * (n - 1)) AS var_r
+  FROM cnt CROSS JOIN flips),
+z AS (
+  SELECT n, n_plus, n_minus, n_runs,
+         (CAST(n_runs AS DOUBLE) - mu) / SQRT(var_r) AS z_raw
+  FROM stat)
+SELECT n AS n_obs, n_plus, n_minus, CAST(n_runs AS BIGINT) AS n_runs,
+       FLOOR(z_raw * 10000 + 0.5) / 10000 AS z_score,
+       FLOOR({_ERFC_SQL.format(az="ABS(z_raw)")} * 1000000 + 0.5) / 1000000
+         AS p_two_sided,
+       {_ERFC_SQL.format(az="ABS(z_raw)")} > 0.05 AS looks_random
+FROM z
+""",
+    doc="Wald-Wolfowitz runs test for randomness of the month-over-month "
+    "revenue DIRECTION sequence: up/down signs from exact integer-cent "
+    "monthly totals, runs counted as adjacent sign flips + 1 (both "
+    "adjacency joins are index-equi on the dense month number — no "
+    "window, no sort), the normal approximation z = (R - mu)/sigma "
+    "with the standard runs-test moments, and the A&S 7.1.25 erfc "
+    "two-sided p — the sanity check that a 'trend' on the dashboard "
+    "is not just coin flips.  Scale: one map-side-combined monthly "
+    "rollup (calendar-bounded), two bounded equi-self-joins, one-row "
+    "panels crossed into the single statistic row.",
+)
+def q_runs_test(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    monthly = o.groupBy(
+        ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("m")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("rev"))
+    a, b = monthly.alias("a"), monthly.alias("b")
+    signs = (
+        a.join(b, F.col("b.m") == F.col("a.m") + 1)
+        .where(F.col("b.rev") != F.col("a.rev"))
+        .select(
+            F.col("a.m").alias("m"),
+            F.when(F.col("b.rev") > F.col("a.rev"), 1).otherwise(-1).alias("s"),
+        )
+        .localCheckpoint()  # feeds the flip join twice and the count panel
+    )
+    sa, sb = signs.alias("sa"), signs.alias("sb")
+    flips = sa.join(
+        sb, (F.col("sb.m") == F.col("sa.m") + 1) & (F.col("sb.s") != F.col("sa.s"))
+    ).agg(F.count(F.lit(1)).alias("n_flips"))
+    cnt = signs.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("n_plus"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0)).alias("n_minus"),
+    )
+    stat = cnt.crossJoin(F.broadcast(flips)).select(
+        "n",
+        "n_plus",
+        "n_minus",
+        (F.col("n_flips") + 1).alias("n_runs"),
+        (2.0 * F.col("n_plus") * F.col("n_minus") / F.col("n") + 1).alias("mu"),
+        (
+            (2.0 * F.col("n_plus") * F.col("n_minus"))
+            * (2.0 * F.col("n_plus") * F.col("n_minus") - F.col("n"))
+            / (F.col("n").cast("double") * F.col("n") * (F.col("n") - 1))
+        ).alias("var_r"),
+    )
+    z = stat.select(
+        "n",
+        "n_plus",
+        "n_minus",
+        "n_runs",
+        ((F.col("n_runs").cast("double") - F.col("mu")) / F.sqrt(F.col("var_r"))).alias(
+            "z_raw"
+        ),
+    )
+    az = F.abs(F.col("z_raw"))
+    s2 = F.sqrt(F.lit(2.0))
+    denom = (
+        1
+        + 0.278393 * az / s2
+        + 0.230389 * az * az / 2
+        + 0.000972 * F.pow(az / s2, 3)
+        + 0.078108 * F.pow(az / s2, 4)
+    )
+    p = 1 / F.pow(denom, 4)
+    return z.select(
+        F.col("n").alias("n_obs"),
+        "n_plus",
+        "n_minus",
+        F.col("n_runs").cast("long").alias("n_runs"),
+        (F.floor(F.col("z_raw") * 10000 + 0.5) / 10000).alias("z_score"),
+        (F.floor(p * 1000000 + 0.5) / 1000000).alias("p_two_sided"),
+        (p > 0.05).alias("looks_random"),
     )

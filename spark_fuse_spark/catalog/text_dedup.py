@@ -1571,3 +1571,84 @@ def t_quality_dedup(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("quality_band")
     )
+
+
+# ------------------------------------------------ hard-negative mining
+_HARDNEG_CUTOFF = 0.5  # candidates at/above this Jaccard are positives, not negatives
+
+
+@register(
+    "t_hard_negatives",
+    oracle=f"""
+WITH {_jaccard_cte(3, 0.0).split("exact AS")[0].rstrip().rstrip(",")},
+sym AS (SELECT id_a AS anchor_id, id_b AS cand_id, na, nb, shared FROM pairs
+        UNION ALL
+        SELECT id_b AS anchor_id, id_a AS cand_id, nb AS na, na AS nb, shared
+        FROM pairs),
+cand AS (SELECT anchor_id, cand_id, CAST(shared AS BIGINT) AS shared,
+                ROUND(shared / (na + nb - shared), 6) AS jaccard
+         FROM sym WHERE shared / (na + nb - shared) < {_HARDNEG_CUTOFF}),
+best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                      ORDER BY shared DESC, cand_id) AS rk
+         FROM cand)
+SELECT anchor_id, cand_id AS negative_id, shared, jaccard
+FROM best WHERE rk = 1
+ORDER BY anchor_id
+""",
+    doc="hard-negative mining for retrieval/embedding training: for each "
+    "anchor document, the candidate sharing the MOST distinct 3-shingles "
+    "while staying BELOW the near-dup Jaccard cutoff (0.5) — lexically "
+    "close enough to be hard, not close enough to be a duplicate-"
+    "positive.  The complement of t_contrastive_triplets' pseudo-random "
+    "easy negatives; together they cover the standard two-tier negative "
+    "mix.  Scale: candidates come from the SAME inverted-index shingle "
+    "self-join as d_ngram_jaccard (documents only meet on shared "
+    "shingles — never all-pairs); the argmax is a window over each "
+    "anchor's candidate list, partitioned by anchor.  Ties break on the "
+    "smaller candidate id for cross-engine determinism.",
+)
+def t_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.dedup import _exploded_shingles
+
+    e = _exploded_shingles(load_table(spark, sf, "documents"), "text", "doc_id", 3)
+    a = e.select(
+        F.col("__id").alias("id_a"), F.col("__n").alias("na"), "__h"
+    )
+    b = e.select(
+        F.col("__id").alias("id_b"), F.col("__n").alias("nb"), "__h"
+    )
+    pairs = (
+        a.join(b, "__h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("anchor_id"),
+        F.col("id_b").alias("cand_id"),
+        "na",
+        "nb",
+        "shared",
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias("anchor_id"),
+            F.col("id_a").alias("cand_id"),
+            F.col("nb").alias("na"),
+            F.col("na").alias("nb"),
+            "shared",
+        )
+    )
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    cand = sym.where(jac < _HARDNEG_CUTOFF).select(
+        "anchor_id",
+        "cand_id",
+        F.col("shared").cast("long").alias("shared"),
+        F.round(jac, 6).alias("jaccard"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("shared").desc(), F.col("cand_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("anchor_id", F.col("cand_id").alias("negative_id"), "shared", "jaccard")
+        .orderBy("anchor_id")
+    )

@@ -1433,3 +1433,70 @@ def v_label_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("src_id", "rank")
     )
+
+
+# --------------------------------------------- payload compressibility
+@register(
+    "m_rle_profile",
+    oracle="""
+WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+           WHERE octet_length(encode(text)) > 0),
+ix AS (SELECT doc_id, n, UNNEST(generate_series(1, n)) AS i, text FROM t),
+b AS (SELECT doc_id, n, i, ascii(substring(text, CAST(i AS INT), 1)) AS byte,
+             CASE WHEN i >= 2 AND ascii(substring(text, CAST(i AS INT), 1))
+                       <> ascii(substring(text, CAST(i - 1 AS INT), 1))
+                  THEN 1 ELSE 0 END AS flip
+      FROM ix),
+agg AS (SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_bytes,
+               CAST(COUNT(DISTINCT byte) AS BIGINT) AS distinct_bytes,
+               CAST(1 + SUM(flip) AS BIGINT) AS rle_runs
+        FROM b GROUP BY doc_id)
+SELECT doc_id, n_bytes, distinct_bytes, rle_runs,
+       FLOOR(CAST(rle_runs AS DOUBLE) / n_bytes * 1000000 + 0.5) / 1000000
+         AS rle_ratio
+FROM agg
+ORDER BY doc_id
+""",
+    doc="payload compressibility profile: per binary payload, the byte "
+    "count, distinct-byte alphabet size, run-length-encoding run count "
+    "(1 + adjacent-byte flips) and the RLE compression ratio — the "
+    "planning statistic a lakehouse writer needs to pick encodings "
+    "(low distinct_bytes -> dictionary; low rle_ratio -> RLE) before "
+    "committing a 100 TB layout, same family as x_zorder_layout / "
+    "x_compaction_plan.  Computed as pure Catalyst higher-order folds "
+    "over the payload bytes (zero Python, zero extra shuffle — "
+    "per-row JVM compute at scan speed); the ASCII payloads let the "
+    "oracle replay the byte walk with substring arithmetic.",
+)
+def m_rle_profile(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.multimodal import attach_binary_payload
+
+    d = attach_binary_payload(load_table(spark, sf, "documents"), "text", "payload")
+    s = F.col("payload").cast("string")
+    base = d.select("doc_id", s.alias("s")).where(F.length("s") > 0)
+    runs = F.expr(
+        "CASE WHEN char_length(s) < 2 THEN 1L ELSE"
+        " aggregate(sequence(2, char_length(s)), 1L,"
+        " (acc, i) -> acc + IF(ascii(substring(s, i, 1))"
+        " <> ascii(substring(s, i - 1, 1)), 1L, 0L)) END"
+    )
+    distinct_bytes = F.expr(
+        "size(array_distinct(transform(sequence(1, char_length(s)),"
+        " i -> ascii(substring(s, i, 1)))))"
+    )
+    prof = base.select(
+        "doc_id",
+        F.length("s").cast("long").alias("n_bytes"),
+        distinct_bytes.cast("long").alias("distinct_bytes"),
+        runs.alias("rle_runs"),
+    )
+    return prof.select(
+        "doc_id",
+        "n_bytes",
+        "distinct_bytes",
+        "rle_runs",
+        (
+            F.floor(F.col("rle_runs").cast("double") / F.col("n_bytes") * 1000000 + 0.5)
+            / 1000000
+        ).alias("rle_ratio"),
+    ).orderBy("doc_id")

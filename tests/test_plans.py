@@ -555,6 +555,8 @@ NESTED_LOOP_OK = {
     "x_edge_churn": "1-row per-year edge-count panels crossed into the single churn row",
     "x_modularity": "1-row broadcast edge-count panel crossed into the per-community rows",
     "q_fdr_bh": "24-row p-value panel: rank theta-self-join + 1-row k* panel + 1-row total panel",
+    "e_cross_correlation": "7-row lag panel crossed over the calendar-sized daily rollup",
+    "q_runs_test": "1-row flip/count panels crossed into the single statistic row",
 }
 
 
