@@ -575,3 +575,59 @@ def c_incr_join(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ----------------------------------------- deletion-vector merge-on-read
+@register(
+    "c_mor_delete_read",
+    oracle="""
+WITH live AS (
+  SELECT * FROM orders
+  WHERE NOT o_orderstatus = 'F'
+    AND NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0)),
+agg AS (
+  SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(ROUND(o_totalprice * 100)) AS BIGINT) AS revenue_cents
+  FROM live GROUP BY 1)
+SELECT * FROM agg
+ORDER BY priority
+""",
+    doc="deletion-vector merge-on-read lifecycle end-to-end "
+    "(cdc/deletes.py): orders land as an immutable parquet base, then "
+    "TWO delete batches append keys-only sidecars (all 'F'-status "
+    "orders; then every third urgent order) — O(deleted keys) each, no "
+    "base rewrite — and the MOR view (base LEFT ANTI broadcast-join "
+    "the union of delete keys) is aggregated per priority.  The oracle "
+    "replays the deletes as predicates on the source table, so the "
+    "hash check proves the sidecar subtraction equals the logical "
+    "delete.  This is the delete half of the CDC lifecycle the "
+    "reference's change tracking lacks (its change_tracking.py only "
+    "upserts); compaction is exercised in tests/test_deletes.py.",
+)
+def c_mor_delete_read(spark: SparkSession, sf: str) -> DataFrame:
+    from ..cdc import mor_delete, mor_read, mor_write
+
+    orders = load_table(spark, sf, "orders")
+    target = tempfile.mkdtemp(prefix="mor_q_") + "/t"
+    mor_write(orders, target)
+    mor_delete(
+        orders.where(F.col("o_orderstatus") == "F").select("o_orderkey"),
+        target,
+        ["o_orderkey"],
+    )
+    mor_delete(
+        orders.where(
+            (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderkey") % 3 == 0)
+        ).select("o_orderkey"),
+        target,
+        ["o_orderkey"],
+    )
+    live = mor_read(spark, target, ["o_orderkey"])
+    return (
+        live.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("revenue_cents"),
+        )
+        .orderBy("priority")
+    )

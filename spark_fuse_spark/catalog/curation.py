@@ -3336,3 +3336,59 @@ def q_partition_checksums(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("month_start")
     )
+
+
+# ------------------------------------------------- shipping-lag DQ audit
+@register(
+    "q_shipping_lag_audit",
+    oracle="""
+WITH j AS (
+  SELECT o.o_orderpriority AS priority,
+         datediff('day', o.o_orderdate, l.l_shipdate) AS ship_days,
+         CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END AS viol
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_items,
+       FLOOR(CAST(SUM(ship_days) AS DOUBLE) / COUNT(*) * 100 + 0.5) / 100
+         AS avg_ship_days,
+       CAST(MIN(ship_days) AS BIGINT) AS min_ship_days,
+       CAST(MAX(ship_days) AS BIGINT) AS max_ship_days,
+       CAST(SUM(viol) AS BIGINT) AS n_temporal_violations
+FROM j GROUP BY priority
+ORDER BY priority
+""",
+    doc="cross-table temporal-logic audit per order priority: the "
+    "order->ship day lag profile (exact integer datediffs; the mean is "
+    "one mirrored division) plus the count of line items shipping "
+    "BEFORE their order date — the data-quality check q_data_checks' "
+    "null/unique/FK suite cannot express, because it compares columns "
+    "across tables.  A violation count above zero on a fresh load "
+    "means the ingest pipeline corrupted dates (clock skew, timezone "
+    "double-apply, column swap); the min/max lags catch the same bugs "
+    "when they stay on the legal side of zero.  Scale: one fact-sized "
+    "equi-join (orderkey) and one map-side-combined rollup to "
+    "|priorities| rows.",
+)
+def q_shipping_lag_audit(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff("l_shipdate", "o_orderdate").alias("ship_days"),
+        F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0).alias("viol"),
+    )
+    return (
+        j.groupBy("priority")
+        .agg(
+            F.count("*").alias("n_items"),
+            (
+                F.floor(F.sum("ship_days").cast("double") / F.count("*") * 100 + 0.5)
+                / 100
+            ).alias("avg_ship_days"),
+            F.min("ship_days").cast("long").alias("min_ship_days"),
+            F.max("ship_days").cast("long").alias("max_ship_days"),
+            F.sum("viol").alias("n_temporal_violations"),
+        )
+        .orderBy("priority")
+    )

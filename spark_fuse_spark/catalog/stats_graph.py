@@ -68,6 +68,9 @@ catalog did not yet cover.
   exact two-phase distinct counts.
 * ``q_runs_test`` — Wald-Wolfowitz runs test on the monthly revenue
   direction sequence (adjacency via index-equi joins, never a sort).
+* ``q_seasonal_decompose`` — additive trend/seasonal/residual split of
+  monthly revenue; the 2x12 MA rides an exploded-offset equi-join and
+  every numerator stays integer cents (x24).
 
 No reference counterpart: these extend the curation/analytics surface
 beyond `/root/reference` (which has no relational query layer at all);
@@ -4384,4 +4387,101 @@ def q_runs_test(spark: SparkSession, sf: str) -> DataFrame:
         (F.floor(F.col("z_raw") * 10000 + 0.5) / 10000).alias("z_score"),
         (F.floor(p * 1000000 + 0.5) / 1000000).alias("p_two_sided"),
         (p > 0.05).alias("looks_random"),
+    )
+
+
+# --------------------------------------- additive seasonal decomposition
+@register(
+    "q_seasonal_decompose",
+    oracle="""
+WITH monthly AS (
+  SELECT CAST((EXTRACT(YEAR FROM o_orderdate) - 1992) * 12
+              + EXTRACT(MONTH FROM o_orderdate) - 1 AS BIGINT) AS m,
+         CAST(SUM(ROUND(o_totalprice * 100)) AS BIGINT) AS rev
+  FROM orders GROUP BY 1),
+offs AS (SELECT UNNEST(generate_series(-6, 6)) AS off),
+win AS (
+  SELECT a.m, a.rev,
+         CAST(SUM(CASE WHEN ABS(o.off) = 6 THEN b.rev ELSE 2 * b.rev END)
+              AS BIGINT) AS numer24,
+         CAST(COUNT(*) AS BIGINT) AS n_present
+  FROM monthly a CROSS JOIN offs o
+  JOIN monthly b ON b.m = a.m + o.off
+  GROUP BY a.m, a.rev),
+full_win AS (SELECT m, rev, numer24, 24 * rev - numer24 AS d24
+             FROM win WHERE n_present = 13),
+season AS (
+  SELECT m % 12 AS k, CAST(SUM(d24) AS BIGINT) AS sd24,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM full_win GROUP BY 1)
+SELECT f.m AS month_idx, f.rev AS rev_cents,
+       FLOOR(f.numer24 / 24.0 * 100 + 0.5) / 100 AS trend_cents,
+       FLOOR(s.sd24 / (24.0 * s.cnt) * 100 + 0.5) / 100 AS seasonal_cents,
+       FLOOR((f.rev - f.numer24 / 24.0 - s.sd24 / (24.0 * s.cnt)) * 100 + 0.5)
+         / 100 AS residual_cents
+FROM full_win f JOIN season s ON s.k = f.m % 12
+ORDER BY month_idx
+""",
+    doc="classical additive seasonal decomposition of monthly revenue: "
+    "trend = centered 2x12 moving average (half weights at the +-6 "
+    "edges), seasonal = per-calendar-month mean of the detrended "
+    "series, residual = remainder — the decomposition every forecast "
+    "review starts from, one notch above e_dow_seasonality's "
+    "day-of-week ANOVA.  Exactness: the MA numerator (x24) and the "
+    "detrended values (x24) stay INTEGER cents — weights 1/2/2/.../1 "
+    "sum to 24 — and the seasonal mean keeps an integer numerator with "
+    "a separate count, so the only floats are three mirrored display "
+    "divisions, floor-rounded to hundredths.  Scale: one map-side-"
+    "combined monthly rollup; the 13-tap window is an EXPLODED-OFFSET "
+    "EQUI-JOIN on the dense month index (never a range/nested-loop "
+    "join, never a window sort); the seasonal panel is 12 rows.",
+)
+def q_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    monthly = o.groupBy(
+        ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("m")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("rev")
+    ).localCheckpoint()  # feeds both sides of the offset join
+    a = monthly.select(
+        "m", "rev", F.explode(F.sequence(F.lit(-6), F.lit(6))).alias("off")
+    )
+    b = monthly.select(F.col("m").alias("bm"), F.col("rev").alias("brev"))
+    win = (
+        a.join(b, F.col("bm") == F.col("m") + F.col("off"))
+        .groupBy("m", "rev")
+        .agg(
+            F.sum(
+                F.when(F.abs(F.col("off")) == 6, F.col("brev")).otherwise(
+                    2 * F.col("brev")
+                )
+            )
+            .cast("long")
+            .alias("numer24"),
+            F.count("*").alias("n_present"),
+        )
+    )
+    full_win = (
+        win.where(F.col("n_present") == 13)
+        .withColumn("d24", 24 * F.col("rev") - F.col("numer24"))
+        .localCheckpoint()  # feeds the seasonal panel AND the final join
+    )
+    season = full_win.groupBy((F.col("m") % 12).alias("k")).agg(
+        F.sum("d24").alias("sd24"), F.count("*").alias("cnt")
+    )
+    r2 = lambda col: F.floor(col * 100 + 0.5) / 100  # noqa: E731
+    trend = F.col("numer24") / 24.0
+    seasonal = F.col("sd24") / (24.0 * F.col("cnt"))
+    return (
+        full_win.join(F.broadcast(season), (F.col("m") % 12) == F.col("k"))
+        .select(
+            F.col("m").alias("month_idx"),
+            F.col("rev").alias("rev_cents"),
+            r2(trend).alias("trend_cents"),
+            r2(seasonal).alias("seasonal_cents"),
+            r2(F.col("rev") - trend - seasonal).alias("residual_cents"),
+        )
+        .orderBy("month_idx")
     )

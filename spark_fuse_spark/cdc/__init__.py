@@ -15,6 +15,13 @@ Re-expresses the reference's Delta-backed change tracking
   ``change_tracking.py:165-191`` patches classes as an import side effect).
 """
 
+from spark_fuse_spark.cdc.deletes import (
+    mor_compact,
+    mor_delete,
+    mor_read,
+    mor_stats,
+    mor_write,
+)
 from spark_fuse_spark.cdc.diff import (
     apply_changelog,
     incremental_agg_merge,
@@ -32,6 +39,11 @@ from spark_fuse_spark.cdc.store import ParquetStore, TableStore, get_store
 from spark_fuse_spark.cdc.versioned import VersionedParquetStore
 
 __all__ = [
+    "mor_compact",
+    "mor_delete",
+    "mor_read",
+    "mor_stats",
+    "mor_write",
     "ChangeTrackingMode",
     "snapshot_diff",
     "incremental_agg_merge",
