@@ -1500,3 +1500,314 @@ def m_rle_profile(spark: SparkSession, sf: str) -> DataFrame:
             / 1000000
         ).alias("rle_ratio"),
     ).orderBy("doc_id")
+
+
+# ------------------------------------------------ in-engine PCA (power iteration)
+_PCA_DIMS = 64
+_PCA_SCALE = 1_048_576  # 2^20: quantized units keep the moment matrix integer
+_PCA_ITERS = 6
+
+
+def _pca_oracle() -> str:
+    d = _PCA_DIMS
+    it = []
+    for t in range(1, _PCA_ITERS + 1):
+        it.append(
+            f"w{t} AS (SELECT m.i, list_sum(list_transform(range(1, {d + 1}),"
+            f" k -> m.carr[k] * v.varr[k])) AS w"
+            f" FROM mat m CROSS JOIN v{t - 1} v),\n"
+            f"wp{t} AS (SELECT LIST(w ORDER BY i) AS warr FROM w{t}),\n"
+            f"v{t} AS (SELECT list_transform(warr, x -> x /"
+            f" sqrt(list_sum(list_transform(warr, y -> y * y)))) AS varr"
+            f" FROM wp{t})"
+        )
+    iters = ",\n".join(it)
+    return f"""
+WITH e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                  x -> CAST(floor(x * {_PCA_SCALE}.0 + 0.5) AS BIGINT)) AS q
+           FROM embeddings),
+n_t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+cells AS (SELECT t1.i, t2.j, SUM(CAST(q[t1.i] AS HUGEINT) * q[t2.j]) AS s
+          FROM e, range(1, {d + 1}) AS t1(i), range(1, {d + 1}) AS t2(j)
+          WHERE t2.j >= t1.i GROUP BY t1.i, t2.j),
+means AS (SELECT t.i, SUM(CAST(q[t.i] AS HUGEINT)) AS m
+          FROM e, range(1, {d + 1}) AS t(i) GROUP BY t.i),
+cn AS (SELECT c.i, c.j, CAST(n.n * c.s - mi.m * mj.m AS DOUBLE) AS c
+       FROM cells c JOIN means mi ON mi.i = c.i JOIN means mj ON mj.i = c.j
+       CROSS JOIN n_t n),
+fullm AS (SELECT i, j, c FROM cn
+          UNION ALL SELECT j AS i, i AS j, c FROM cn WHERE i < j),
+mat AS (SELECT i, LIST(c ORDER BY j) AS carr FROM fullm GROUP BY i),
+v0 AS (SELECT list_transform(range(1, {d + 1}), k -> 0.125) AS varr),
+{iters},
+lam AS (SELECT list_sum(list_transform(range(1, {d + 1}),
+                k -> v.varr[k] * w.warr[k])) AS lam_raw
+        FROM v{_PCA_ITERS - 1} v CROSS JOIN wp{_PCA_ITERS} w)
+SELECT CAST(t.k - 1 AS BIGINT) AS dim,
+       FLOOR(v.varr[t.k] * 1000000 + 0.5) / 1000000 AS loading,
+       FLOOR(l.lam_raw / (CAST(n.n AS DOUBLE) * n.n * 1099511627776.0)
+             * 10000 + 0.5) / 10000 AS eigenvalue
+FROM v{_PCA_ITERS} v CROSS JOIN lam l CROSS JOIN n_t n,
+     range(1, {d + 1}) AS t(k)
+ORDER BY dim
+"""
+
+
+@register(
+    "v_pca_power",
+    oracle=_pca_oracle(),
+    doc="in-engine PCA: dominant principal component of the embedding "
+    "corpus by power iteration — distributed where it matters, exact "
+    "where it must be.  Stage 1 quantizes to integer 2^-20 units and "
+    "reduces the 64x64 second-moment matrix with ONE corpus pass "
+    "(upper-triangle posexplode -> map-side-combined partial agg to "
+    "2,080 cells; widened-integer sums, so the centered moment matrix "
+    "n*S - m*m^T is EXACT and engine-identical down to the final "
+    "decimal->double cast).  Stage 2 runs 6 power-iteration rounds as "
+    "pure panel algebra on 64-row/1-row frames with every float fold "
+    "in explicit written order (zip_with + left aggregate == DuckDB "
+    "list_sum in list order), so both engines walk bit-identical IEEE "
+    "trajectories — eigenvalue via the Rayleigh quotient at the last "
+    "matvec.  BOUNDED-ROUND semantics (same contract as x_kcore/LPA): "
+    "the report is the 6-round state, converging to lambda_max from "
+    "below as rounds grow — the caller budgets rounds, the engine "
+    "never loops to an unbounded fixpoint (tests/test_pca.py replays "
+    "the rounds in numpy and pins the trajectory).  Scale: the corpus "
+    "pass is O(rows x d^2/2) partial-agg'd "
+    "shuffle to a CONSTANT 2,080 cells; iterations touch only d-sized "
+    "panels (no corpus re-scan, no driver collect).  The deterministic "
+    "all-positive start vector fixes the eigenvector sign.",
+)
+def v_pca_power(spark: SparkSession, sf: str) -> DataFrame:
+    d, scale, iters = _PCA_DIMS, _PCA_SCALE, _PCA_ITERS
+    emb = load_table(spark, sf, "embeddings").select("embedding")
+    q = emb.select(
+        F.expr(
+            f"transform(CAST(embedding AS ARRAY<DOUBLE>),"
+            f" x -> CAST(floor(x * {scale}.0 + 0.5) AS BIGINT))"
+        ).alias("q")
+    )
+    n_t = q.agg(F.count(F.lit(1)).alias("n"))
+    first = q.select(F.posexplode("q").alias("i", "xi"), "q")
+    pairs = first.select("i", "xi", F.posexplode("q").alias("j", "xj")).where(
+        F.col("j") >= F.col("i")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cells = pairs.groupBy("i", "j").agg(F.sum(dec(F.col("xi")) * F.col("xj")).alias("s"))
+    means = first.groupBy("i").agg(F.sum(dec(F.col("xi"))).alias("m"))
+    mi = means.select(F.col("i").alias("mi_i"), F.col("m").alias("mi"))
+    mj = means.select(F.col("i").alias("mj_j"), F.col("m").alias("mj"))
+    cn = (
+        cells.join(F.broadcast(mi), F.col("i") == F.col("mi_i"))
+        .join(F.broadcast(mj), F.col("j") == F.col("mj_j"))
+        .crossJoin(F.broadcast(n_t))
+        .select(
+            "i",
+            "j",
+            (dec(F.col("n")) * F.col("s") - F.col("mi") * F.col("mj"))
+            .cast("double")
+            .alias("c"),
+        )
+    )
+    fullm = cn.select("i", "j", "c").unionAll(
+        cn.where(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "c"
+        )
+    )
+    mat = (
+        fullm.groupBy("i")
+        .agg(
+            F.expr("transform(sort_array(collect_list(struct(j, c))), s -> s.c)").alias(
+                "carr"
+            )
+        )
+        .localCheckpoint()  # the 64-row matrix feeds every iteration
+    )
+    dot_expr = (
+        "aggregate(zip_with(carr, varr, (x, y) -> x * y), 0.0D, (acc, t) -> acc + t)"
+    )
+    v = spark.range(1).select(
+        F.expr(f"transform(sequence(1, {d}), k -> 0.125D)").alias("varr")
+    )
+    v_prev = None
+    wp = None
+    for _ in range(iters):
+        v_prev = v
+        w = mat.crossJoin(F.broadcast(v)).select("i", F.expr(dot_expr).alias("w"))
+        wp = w.agg(
+            F.expr("transform(sort_array(collect_list(struct(i, w))), s -> s.w)").alias(
+                "warr"
+            )
+        )
+        v = wp.select(
+            F.expr(
+                "transform(warr, x -> x / sqrt(aggregate(transform(warr, y -> y * y),"
+                " 0.0D, (acc, t) -> acc + t)))"
+            ).alias("varr")
+        )
+    lam = v_prev.crossJoin(wp).select(
+        F.expr(
+            "aggregate(zip_with(varr, warr, (x, y) -> x * y), 0.0D,"
+            " (acc, t) -> acc + t)"
+        ).alias("lam_raw")
+    )
+    return (
+        v.crossJoin(F.broadcast(lam))
+        .crossJoin(F.broadcast(n_t))
+        .select(F.posexplode("varr").alias("dim", "x"), "lam_raw", "n")
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            (F.floor(F.col("x") * 1000000 + 0.5) / 1000000).alias("loading"),
+            (
+                F.floor(
+                    F.col("lam_raw")
+                    / (F.col("n").cast("double") * F.col("n") * 1099511627776.0)
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("eigenvalue"),
+        )
+        .orderBy("dim")
+    )
+
+
+def _pca_project_oracle() -> str:
+    d = _PCA_DIMS
+    base = _pca_oracle()
+    # reuse everything up to the final SELECT of the component query
+    chain = base[: base.rindex("SELECT CAST(t.k - 1")].rstrip().rstrip(",")
+    return f"""{chain},
+scores AS (
+  SELECT e2.vec_id,
+         list_sum(list_transform(range(1, {d + 1}),
+                  k -> CAST(n.n * e2.q[k] - mm.marr[k] AS DOUBLE) * v.varr[k]))
+           / (CAST(n.n AS DOUBLE) * n.n * {_PCA_SCALE}.0) AS score
+  FROM (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor(x * {_PCA_SCALE}.0 + 0.5) AS BIGINT)) AS q
+        FROM embeddings) e2
+  CROSS JOIN (SELECT LIST(m ORDER BY i) AS marr FROM means) mm
+  CROSS JOIN v{_PCA_ITERS} v CROSS JOIN n_t n)
+SELECT vec_id, FLOOR(score * 1000000 + 0.5) / 1000000 AS score,
+       CAST(rk AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY ABS(score) DESC, vec_id) AS rk
+      FROM scores)
+WHERE rk <= 10
+ORDER BY rank
+"""
+
+
+@register(
+    "v_pca_project",
+    oracle=_pca_project_oracle(),
+    doc="PCA projection + extremes: every embedding's CENTERED score "
+    "along v_pca_power's dominant component, top-10 by |score| — the "
+    "one-dimensional reduction that surfaces the corpus' most extreme "
+    "members along its main axis of variation (the cheap first look "
+    "before v_centroid_outliers' per-cluster view).  Centering stays "
+    "exact: score folds (n*x_q - m) — integers — against the component "
+    "in written order, one mirrored display division at the end.  "
+    "Scale: the component comes from the same constant-size panel "
+    "iteration; scoring is ONE corpus scan against a broadcast "
+    "(component, means, n) panel; the cut is a distributed "
+    "TakeOrdered, never a global window over the corpus.",
+)
+def v_pca_project(spark: SparkSession, sf: str) -> DataFrame:
+    d, scale, iters = _PCA_DIMS, _PCA_SCALE, _PCA_ITERS
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(CAST(embedding AS ARRAY<DOUBLE>),"
+            f" x -> CAST(floor(x * {scale}.0 + 0.5) AS BIGINT))"
+        ).alias("q"),
+    )
+    n_t = q.agg(F.count(F.lit(1)).alias("n"))
+    first = q.select(F.posexplode("q").alias("i", "xi"), "q")
+    pairs = first.select("i", "xi", F.posexplode("q").alias("j", "xj")).where(
+        F.col("j") >= F.col("i")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cells = pairs.groupBy("i", "j").agg(F.sum(dec(F.col("xi")) * F.col("xj")).alias("s"))
+    means = first.groupBy("i").agg(F.sum(dec(F.col("xi"))).alias("m")).localCheckpoint()
+    mi = means.select(F.col("i").alias("mi_i"), F.col("m").alias("mi"))
+    mj = means.select(F.col("i").alias("mj_j"), F.col("m").alias("mj"))
+    cn = (
+        cells.join(F.broadcast(mi), F.col("i") == F.col("mi_i"))
+        .join(F.broadcast(mj), F.col("j") == F.col("mj_j"))
+        .crossJoin(F.broadcast(n_t))
+        .select(
+            "i",
+            "j",
+            (dec(F.col("n")) * F.col("s") - F.col("mi") * F.col("mj"))
+            .cast("double")
+            .alias("c"),
+        )
+    )
+    fullm = cn.select("i", "j", "c").unionAll(
+        cn.where(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "c"
+        )
+    )
+    mat = (
+        fullm.groupBy("i")
+        .agg(
+            F.expr("transform(sort_array(collect_list(struct(j, c))), s -> s.c)").alias(
+                "carr"
+            )
+        )
+        .localCheckpoint()
+    )
+    dot_expr = (
+        "aggregate(zip_with(carr, varr, (x, y) -> x * y), 0.0D, (acc, t) -> acc + t)"
+    )
+    v = spark.range(1).select(
+        F.expr(f"transform(sequence(1, {d}), k -> 0.125D)").alias("varr")
+    )
+    for _ in range(iters):
+        w = mat.crossJoin(F.broadcast(v)).select("i", F.expr(dot_expr).alias("w"))
+        wp = w.agg(
+            F.expr("transform(sort_array(collect_list(struct(i, w))), s -> s.w)").alias(
+                "warr"
+            )
+        )
+        v = wp.select(
+            F.expr(
+                "transform(warr, x -> x / sqrt(aggregate(transform(warr, y -> y * y),"
+                " 0.0D, (acc, t) -> acc + t)))"
+            ).alias("varr")
+        )
+    marr = means.agg(
+        F.expr("transform(sort_array(collect_list(struct(i, m))), s -> CAST(s.m AS DOUBLE))").alias(
+            "marr"
+        )
+    )
+    # fold (n*x_q - m) * v_k in written order; the integers are exact, the
+    # products/sums replay identically on both engines
+    score_expr = (
+        "aggregate(zip_with(zip_with(q, marr, (xq, m) -> CAST(n AS DOUBLE) * xq - m),"
+        " varr, (cx, vk) -> cx * vk), 0.0D, (acc, t) -> acc + t)"
+    )
+    scores = (
+        q.crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(marr))
+        .crossJoin(F.broadcast(n_t))
+        .select(
+            "vec_id",
+            (
+                F.expr(score_expr)
+                / (F.col("n").cast("double") * F.col("n") * float(scale))
+            ).alias("score"),
+        )
+    )
+    top = scores.orderBy(F.abs(F.col("score")).desc(), F.col("vec_id")).limit(10)
+    w10 = Window.orderBy(F.abs(F.col("score")).desc(), F.col("vec_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w10))
+        .select(
+            "vec_id",
+            (F.floor(F.col("score") * 1000000 + 0.5) / 1000000).alias("score"),
+            "rank",
+        )
+        .orderBy("rank")
+    )

@@ -557,6 +557,8 @@ NESTED_LOOP_OK = {
     "q_fdr_bh": "24-row p-value panel: rank theta-self-join + 1-row k* panel + 1-row total panel",
     "e_cross_correlation": "7-row lag panel crossed over the calendar-sized daily rollup",
     "q_runs_test": "1-row flip/count panels crossed into the single statistic row",
+    "v_pca_power": "64-row matrix x 1-row vector panels per power-iteration round + 1-row n/lambda panels",
+    "v_pca_project": "same panel iteration + broadcast (component, means, n) panels over the corpus scoring scan",
 }
 
 
