@@ -3392,3 +3392,111 @@ def q_shipping_lag_audit(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ------------------------------------------------- supplier KPI scorecard
+@register(
+    "q_supplier_scorecard",
+    oracle="""
+WITH kpi AS (
+  SELECT l.l_suppkey,
+         CAST(SUM(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)) AS BIGINT)
+           AS revenue_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_returned,
+         CAST(SUM(datediff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT)
+           AS ship_day_sum
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY l.l_suppkey),
+card AS (
+  SELECT s.s_suppkey, n.n_name, k.revenue_cents, k.n_items,
+         FLOOR(CAST(k.n_returned AS DOUBLE) / k.n_items * 1000000 + 0.5)
+           / 1000000 AS return_rate,
+         FLOOR(CAST(k.ship_day_sum AS DOUBLE) / k.n_items * 100 + 0.5) / 100
+           AS avg_ship_days,
+         ROW_NUMBER() OVER (PARTITION BY n.n_name
+                            ORDER BY k.revenue_cents DESC, s.s_suppkey)
+           AS nation_rank
+  FROM kpi k
+  JOIN supplier s ON s.s_suppkey = k.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey)
+SELECT n_name, CAST(nation_rank AS INT) AS nation_rank, s_suppkey,
+       revenue_cents, n_items, return_rate, avg_ship_days
+FROM card
+WHERE nation_rank <= 3
+ORDER BY n_name, nation_rank
+""",
+    doc="composite supplier scorecard: one fact pass reduces four KPIs "
+    "per supplier (net revenue in exact cents, item count, return "
+    "rate, average order->ship lag), dimensions join after the "
+    "rollup, and a nation-partitioned rank cuts the top-3 per nation "
+    "— the wide-KPI-then-rank shape every vendor-management dashboard "
+    "runs.  Exactness: KPI numerators stay integer; the two rates are "
+    "mirrored single divisions.  Scale: ONE fact-sized equi-join + "
+    "one partial-agg'd supplier rollup (KPIs reduce together, the "
+    "fact is scanned once); supplier/nation joins happen on the "
+    "|suppliers|-sized rollup with the nation dim broadcast; the rank "
+    "window is nation-partitioned, never global.",
+)
+def q_supplier_scorecard(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "l_returnflag", "l_shipdate",
+    )
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    kpi = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            )
+            .cast("long")
+            .alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+                "n_returned"
+            ),
+            F.sum(F.datediff("l_shipdate", "o_orderdate")).alias("ship_day_sum"),
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("revenue_cents").desc(), F.col("s_suppkey")
+    )
+    card = (
+        kpi.join(s, kpi.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            "s_suppkey",
+            "revenue_cents",
+            "n_items",
+            (
+                F.floor(
+                    F.col("n_returned").cast("double") / F.col("n_items") * 1000000
+                    + 0.5
+                )
+                / 1000000
+            ).alias("return_rate"),
+            (
+                F.floor(
+                    F.col("ship_day_sum").cast("double") / F.col("n_items") * 100 + 0.5
+                )
+                / 100
+            ).alias("avg_ship_days"),
+        )
+        .withColumn("nation_rank", F.row_number().over(w))
+    )
+    return (
+        card.where(F.col("nation_rank") <= 3)
+        .select(
+            "n_name", "nation_rank", "s_suppkey", "revenue_cents",
+            "n_items", "return_rate", "avg_ship_days",
+        )
+        .orderBy("n_name", "nation_rank")
+    )

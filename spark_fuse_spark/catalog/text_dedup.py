@@ -1652,3 +1652,70 @@ def t_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
         .select("anchor_id", F.col("cand_id").alias("negative_id"), "shared", "jaccard")
         .orderBy("anchor_id")
     )
+
+
+# ------------------------------------------------ boilerplate detection
+_BOILER_K = 3  # shingle width
+_BOILER_DF = 3  # document-frequency threshold: appearing in >= DF docs
+
+
+@register(
+    "t_boilerplate_detect",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS.format(col="text")} AS t FROM documents),
+sh AS (SELECT doc_id, {_shingle_sql(_BOILER_K)} AS sh FROM toks
+       WHERE len(t) >= {_BOILER_K}),
+ex AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM sh),
+df AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY s),
+boiler AS (SELECT s FROM df WHERE df >= {_BOILER_DF}),
+per_doc AS (
+  SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boiler
+  FROM ex e LEFT JOIN boiler b ON b.s = e.s
+  GROUP BY e.doc_id)
+SELECT doc_id, n_grams, n_boiler,
+       FLOOR(CAST(n_boiler AS DOUBLE) / n_grams * 1000000 + 0.5) / 1000000
+         AS boiler_ratio
+FROM per_doc
+ORDER BY doc_id
+""",
+    doc="boilerplate detection (the cleanup step web-crawl pipelines run "
+    "before dedup): a 3-shingle is 'boilerplate' when it appears in >= 3 "
+    "DISTINCT documents (headers, footers, nav chrome, license blurbs "
+    "repeat across pages; real content doesn't), and each document "
+    "reports the fraction of its distinct shingles that are boilerplate "
+    "— the direct input to a drop-or-trim curation gate.  Scale: one "
+    "shingle explode (hashed 8-byte keys), one map-side-combined "
+    "document-frequency count, one shingle-keyed LEFT join back — the "
+    "same inverted-index shape as d_ngram_jaccard, never all-pairs; "
+    "the DF threshold makes the boiler set a small fraction of the "
+    "vocabulary.",
+)
+def t_boilerplate_detect(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.dedup import _exploded_shingles
+
+    e = _exploded_shingles(
+        load_table(spark, sf, "documents"), "text", "doc_id", _BOILER_K
+    ).select(F.col("__id").alias("doc_id"), F.col("__h").alias("s"))
+    df_t = e.groupBy("s").agg(F.count("*").alias("df"))
+    boiler = df_t.where(F.col("df") >= _BOILER_DF).select("s").withColumn(
+        "is_boiler", F.lit(1)
+    )
+    per_doc = (
+        e.join(boiler, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0))).alias("n_boiler"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_boiler",
+        (
+            F.floor(F.col("n_boiler").cast("double") / F.col("n_grams") * 1000000 + 0.5)
+            / 1000000
+        ).alias("boiler_ratio"),
+    ).orderBy("doc_id")

@@ -1811,3 +1811,70 @@ def v_pca_project(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# --------------------------------------------------- 2-D tile energies
+@register(
+    "m_tile_energy",
+    oracle="""
+WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+           WHERE octet_length(encode(text)) > 0),
+h AS (SELECT doc_id, text, n, (n + 31) // 32 AS rows FROM t),
+ix AS (SELECT doc_id, text, n, rows, UNNEST(generate_series(0, n - 1)) AS p FROM h),
+cell AS (SELECT doc_id,
+                LEAST(3, (p // 32) * 4 // rows) * 4 + LEAST(3, (p % 32) // 8)
+                  AS tile_id,
+                ascii(substring(text, CAST(p + 1 AS INT), 1)) AS byte
+         FROM ix)
+SELECT doc_id, CAST(tile_id AS BIGINT) AS tile_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bytes,
+       CAST(SUM(byte) AS BIGINT) AS energy,
+       CAST(MAX(byte) AS INT) AS peak
+FROM cell
+GROUP BY doc_id, tile_id
+ORDER BY doc_id, tile_id
+""",
+    doc="2-D tile feature extraction (the image-patch analog of "
+    "m_frame_energy's 1-D frames): the payload is interpreted as a "
+    "32-byte-wide row-major grid, partitioned into a 4x4 tile lattice "
+    "(integer index arithmetic only — tile = (row*4//H, col//8)), and "
+    "each tile reports byte count, energy and peak — the patchify "
+    "step a ViT-style preprocessor runs, with the real decoder swapped "
+    "in over the identical explode/groupBy shape.  Spark materializes "
+    "the char array ONCE per row (split) and posexplodes it, so byte "
+    "access is O(1) per position — never per-position substring "
+    "(O(n^2) on UTF8String).  Scale: one 1-to-n explode into a "
+    "map-side-combined (doc, tile) rollup; 16 rows max per doc.",
+)
+def m_tile_energy(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.multimodal import attach_binary_payload
+
+    d = attach_binary_payload(load_table(spark, sf, "documents"), "text", "payload")
+    base = (
+        d.select("doc_id", F.col("payload").cast("string").alias("s"))
+        .where(F.length("s") > 0)
+        .select(
+            "doc_id",
+            F.split("s", "").alias("arr"),
+            F.floor((F.length("s") + 31) / 32).alias("rows"),
+        )
+    )
+    cell = base.select(
+        "doc_id", "rows", F.posexplode("arr").alias("p", "ch")
+    ).select(
+        "doc_id",
+        (
+            F.least(F.lit(3).cast("long"), F.expr("(p div 32) * 4 div rows")) * 4
+            + F.least(F.lit(3).cast("long"), F.expr("(p % 32) div 8"))
+        ).alias("tile_id"),
+        F.ascii("ch").alias("byte"),
+    )
+    return (
+        cell.groupBy("doc_id", "tile_id")
+        .agg(
+            F.count("*").alias("n_bytes"),
+            F.sum("byte").cast("long").alias("energy"),
+            F.max("byte").cast("int").alias("peak"),
+        )
+        .orderBy("doc_id", "tile_id")
+    )
