@@ -71,6 +71,8 @@ catalog did not yet cover.
 * ``q_seasonal_decompose`` — additive trend/seasonal/residual split of
   monthly revenue; the 2x12 MA rides an exploded-offset equi-join and
   every numerator stays integer cents (x24).
+* ``e_burst_velocity`` — per-user peak trailing-60s event burst via one
+  partitioned RANGE window (the exact rate-limit primitive).
 
 No reference counterpart: these extend the curation/analytics surface
 beyond `/root/reference` (which has no relational query layer at all);
@@ -4484,4 +4486,55 @@ def q_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
             r2(F.col("rev") - trend - seasonal).alias("residual_cents"),
         )
         .orderBy("month_idx")
+    )
+
+
+# ------------------------------------------------- burst-velocity check
+@register(
+    "e_burst_velocity",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, CAST(epoch(ts) AS BIGINT) AS sec, event_id FROM events),
+burst AS (
+  SELECT user_id, event_id,
+         CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
+                             RANGE BETWEEN 59 PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS n_60s
+  FROM ev),
+peak AS (
+  SELECT user_id, MAX(n_60s) AS peak_burst,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM burst GROUP BY user_id)
+SELECT user_id, peak_burst, n_events
+FROM peak
+WHERE peak_burst >= 3
+ORDER BY peak_burst DESC, user_id
+""",
+    doc="burst-velocity screen (the rate-limit / fraud-velocity check): "
+    "for every user, the maximum number of events inside ANY trailing "
+    "60-second window, flagging users whose peak burst >= 3 — the "
+    "primitive behind 'more than N actions per minute' rules, done "
+    "exactly rather than by bucketed approximation (a fixed 60 s "
+    "tumbling bucket misses bursts straddling the boundary; the RANGE "
+    "frame doesn't).  Determinism: the frame is keyed on integer epoch "
+    "seconds, COUNT is tie-insensitive, and the per-user MAX collapses "
+    "any intra-frame ordering ambiguity.  Scale: ONE user-partitioned "
+    "range window + one partial-agg'd rollup; never a global sort.",
+)
+def e_burst_velocity(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("sec")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-59, Window.currentRow)
+    )
+    burst = ev.select("user_id", F.count("*").over(w).alias("n_60s"))
+    peak = burst.groupBy("user_id").agg(
+        F.max("n_60s").alias("peak_burst"), F.count("*").alias("n_events")
+    )
+    return (
+        peak.where(F.col("peak_burst") >= 3)
+        .orderBy(F.col("peak_burst").desc(), "user_id")
     )

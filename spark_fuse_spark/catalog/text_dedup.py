@@ -1719,3 +1719,85 @@ def t_boilerplate_detect(spark: SparkSession, sf: str) -> DataFrame:
             / 1000000
         ).alias("boiler_ratio"),
     ).orderBy("doc_id")
+
+
+# -------------------------------------------- similarity transitivity audit
+@register(
+    "d_transitivity_audit",
+    oracle=f"""
+WITH {_jaccard_cte(3, 0.5)},
+edges AS (SELECT id_a AS u, id_b AS v FROM exact),
+adj AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+wedges AS (
+  SELECT a.v AS lo, b.v AS hi
+  FROM adj a JOIN adj b ON a.u = b.u AND a.v < b.v),
+wedge_t AS (SELECT lo, hi, CAST(COUNT(*) AS BIGINT) AS n_paths FROM wedges
+            GROUP BY lo, hi),
+closed AS (
+  SELECT w.lo, w.hi, w.n_paths,
+         CASE WHEN e.u IS NOT NULL THEN 1 ELSE 0 END AS is_closed
+  FROM wedge_t w LEFT JOIN edges e ON e.u = w.lo AND e.v = w.hi),
+panel AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_2path,
+         CAST(SUM(is_closed) AS BIGINT) AS n_closed,
+         CAST(SUM(n_paths) AS BIGINT) AS n_wedges
+  FROM closed)
+SELECT n_wedges, n_pairs_2path, n_closed,
+       n_pairs_2path - n_closed AS n_violations,
+       FLOOR(CAST(n_closed AS DOUBLE) / n_pairs_2path * 1000000 + 0.5)
+         / 1000000 AS transitivity_rate
+FROM panel
+""",
+    doc="transitivity audit of the >= 0.5 Jaccard similarity graph: "
+    "near-duplication is used as if it were an equivalence relation "
+    "(connected components become dedup clusters), but Jaccard at a "
+    "threshold is NOT transitive — this measures how badly, counting "
+    "distinct 2-path-connected pairs (A~B~C) whose closing edge A~C is "
+    "missing.  A low transitivity_rate warns that cluster-based "
+    "survivorship (d_dedup_clusters) is chaining dissimilar documents "
+    "through hubs and the threshold needs raising.  Scale: wedges come "
+    "from a node-keyed adjacency self-join (O(sum deg^2), the "
+    "triangle-count shape), deduped to distinct endpoint pairs by one "
+    "partial-agg'd groupBy, closed by ONE edge-keyed LEFT join — all "
+    "counts exact integers, one mirrored ratio.",
+)
+def d_transitivity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    edges = (
+        ngram_jaccard_pairs(load_table(spark, sf, "documents"), k=3, threshold=0.5)
+        .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .localCheckpoint()  # feeds adjacency twice + the closing-edge probe
+    )
+    adj = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    a = adj.select(F.col("u").alias("mid"), F.col("v").alias("lo"))
+    b = adj.select(F.col("u").alias("mid"), F.col("v").alias("hi"))
+    wedges = (
+        a.join(b, "mid")
+        .where(F.col("lo") < F.col("hi"))
+        .groupBy("lo", "hi")
+        .agg(F.count("*").alias("n_paths"))
+    )
+    closed = wedges.join(
+        edges.select(F.col("u").alias("lo"), F.col("v").alias("hi")).withColumn(
+            "is_closed", F.lit(1)
+        ),
+        ["lo", "hi"],
+        "left",
+    )
+    panel = closed.agg(
+        F.count("*").alias("n_pairs_2path"),
+        F.sum(F.coalesce(F.col("is_closed"), F.lit(0))).alias("n_closed"),
+        F.sum("n_paths").alias("n_wedges"),
+    )
+    return panel.select(
+        "n_wedges",
+        "n_pairs_2path",
+        "n_closed",
+        (F.col("n_pairs_2path") - F.col("n_closed")).alias("n_violations"),
+        (
+            F.floor(
+                F.col("n_closed").cast("double") / F.col("n_pairs_2path") * 1000000
+                + 0.5
+            )
+            / 1000000
+        ).alias("transitivity_rate"),
+    )

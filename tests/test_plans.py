@@ -823,3 +823,38 @@ def test_executed_metrics_radius_join_never_allpairs(spark, sf_small):
     # 9x explode on the supplier side + customer cells + bounded agg rows
     assert 0 < s["shuffle_records"] < 12 * (n_sup + n_cust)
     assert s["shuffle_records"] < n_sup * n_cust  # the cross-join bound
+
+
+def test_executed_metrics_pca_corpus_pass_is_constant_width(spark, sf_small):
+    """Measured contract for v_pca_power: the only data-sized stage is the
+    moment reduce — shuffle records are bounded by the CONSTANT cell/panel
+    count (2,080 triangle cells + 64-row panels per round, partial-agg'd
+    map-side), never by corpus size, and no unbounded global window."""
+    from spark_fuse_spark.plans import shuffle_summary, unbounded_global_windows
+
+    df = load_all()["v_pca_power"].spark(spark, sf_small)
+    assert unbounded_global_windows(df) == []
+    df.collect()
+    s = shuffle_summary(df)
+    assert s["rows_scanned"] >= 50  # the embeddings corpus
+    # triangle cells x partial-agg partitions + iteration panels; far
+    # below corpus x dims^2 (which would be >= 50 * 4096 = 204,800)
+    assert 0 < s["shuffle_records"] < 40_000, s
+
+
+def test_executed_metrics_hard_negatives_stay_indexed(spark, sf_small):
+    """Measured contract for t_hard_negatives: candidates ride the
+    inverted shingle index (documents meet only on shared shingles), so
+    shuffle volume is O(exploded shingles + candidate pairs) — never the
+    all-pairs corpus square — and the argmax window is anchor-partitioned."""
+    from spark_fuse_spark.plans import shuffle_summary, unbounded_global_windows
+
+    df = load_all()["t_hard_negatives"].spark(spark, sf_small)
+    assert unbounded_global_windows(df) == []
+    df.collect()
+    s = shuffle_summary(df)
+    assert s["rows_scanned"] >= 50
+    n_docs = 50  # sf0.001 documents
+    # all-pairs would be ~n_docs^2 pair rows before filtering; the
+    # inverted index keeps total shuffled rows well under that square
+    assert 0 < s["shuffle_records"] < 40 * n_docs * n_docs, s
