@@ -3500,3 +3500,49 @@ def q_supplier_scorecard(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("n_name", "nation_rank")
     )
+
+
+# ------------------------------------------------- blocklist safety screen
+_BLOCKLIST = (("slow", "latency"), ("big", "capacity"), ("filter", "ops"))
+
+
+@register(
+    "t_blocklist_screen",
+    oracle=f"""
+WITH bl(term, category) AS (VALUES {", ".join(f"('{t}', '{c}')" for t, c in _BLOCKLIST)}),
+toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS tok FROM documents),
+hits AS (SELECT t.doc_id, b.category
+         FROM toks t JOIN bl b ON t.tok = b.term)
+SELECT category,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_flagged,
+       CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM hits
+GROUP BY category
+ORDER BY category
+""",
+    doc="blocklist safety screen (the curation gate run before any "
+    "content ships to training): whitespace tokens equi-join a tiny "
+    "categorized term blocklist; per category, the count of flagged "
+    "documents (distinct) and total term hits — at production scale "
+    "the list is thousands of terms and the SAME broadcast equi-join "
+    "shape holds (token explode never meets tokens outside the list).  "
+    "Deliberately term-exact: regex/fuzzy variants belong to "
+    "t_pii_redact's family.  Scale: one token explode + one broadcast "
+    "join + a two-phase distinct rollup per category.",
+)
+def t_blocklist_screen(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import tokens as _ws_tokens
+
+    bl = spark.createDataFrame(list(_BLOCKLIST), ["term", "category"])
+    toks = load_table(spark, sf, "documents").select(
+        "doc_id", F.explode(_ws_tokens("text")).alias("tok")
+    )
+    hits = toks.join(F.broadcast(bl), toks.tok == bl.term)
+    return (
+        hits.groupBy("category")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs_flagged"),
+            F.count("*").alias("n_hits"),
+        )
+        .orderBy("category")
+    )

@@ -73,6 +73,10 @@ catalog did not yet cover.
   every numerator stays integer cents (x24).
 * ``e_burst_velocity`` — per-user peak trailing-60s event burst via one
   partitioned RANGE window (the exact rate-limit primitive).
+* ``q_kpi_decomposition`` — MoM revenue growth split into customers x
+  frequency x AOV log-contributions with an in-row closure proof.
+* ``q_new_vs_returning`` — acquisition-cohort revenue split via one
+  customer-keyed first-month join.
 
 No reference counterpart: these extend the curation/analytics surface
 beyond `/root/reference` (which has no relational query layer at all);
@@ -4537,4 +4541,159 @@ def e_burst_velocity(spark: SparkSession, sf: str) -> DataFrame:
     return (
         peak.where(F.col("peak_burst") >= 3)
         .orderBy(F.col("peak_burst").desc(), "user_id")
+    )
+
+
+# --------------------------------------------- KPI growth decomposition
+@register(
+    "q_kpi_decomposition",
+    oracle="""
+WITH monthly AS (
+  SELECT CAST((EXTRACT(YEAR FROM o_orderdate) - 1992) * 12
+              + EXTRACT(MONTH FROM o_orderdate) - 1 AS BIGINT) AS m,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS custs,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(ROUND(o_totalprice * 100)) AS BIGINT) AS rev
+  FROM orders GROUP BY 1),
+pairs AS (
+  SELECT b.m AS month_idx,
+         ln(CAST(b.rev AS DOUBLE) / a.rev) AS d_rev,
+         ln(CAST(b.custs AS DOUBLE) / a.custs) AS d_cust,
+         ln((CAST(b.n_orders AS DOUBLE) / b.custs)
+            / (CAST(a.n_orders AS DOUBLE) / a.custs)) AS d_freq,
+         ln((CAST(b.rev AS DOUBLE) / b.n_orders)
+            / (CAST(a.rev AS DOUBLE) / a.n_orders)) AS d_aov
+  FROM monthly a JOIN monthly b ON b.m = a.m + 1)
+SELECT month_idx,
+       FLOOR(d_rev * 1000000 + 0.5) / 1000000 AS ln_rev_change,
+       FLOOR(d_cust * 1000000 + 0.5) / 1000000 AS contrib_customers,
+       FLOOR(d_freq * 1000000 + 0.5) / 1000000 AS contrib_frequency,
+       FLOOR(d_aov * 1000000 + 0.5) / 1000000 AS contrib_aov,
+       ABS(d_rev - d_cust - d_freq - d_aov) < 1e-9 AS decomposition_closes
+FROM pairs
+ORDER BY month_idx
+""",
+    doc="month-over-month revenue growth decomposed through the exact "
+    "multiplicative identity revenue = customers x orders-per-customer "
+    "x average-order-value: in log space the three factor contributions "
+    "SUM to the revenue change, so every growth review can say how "
+    "much came from reach vs frequency vs basket size — with an "
+    "in-row closure check (|d_rev - sum of parts| < 1e-9) proving the "
+    "identity held, not just approximately.  Determinism: factor "
+    "inputs are exact integers from one rollup; each ln() argument is "
+    "one mirrored IEEE ratio.  Scale: one map-side-combined monthly "
+    "rollup (two-phase distinct for customers), one dense month-index "
+    "equi-self-join; calendar-bounded everywhere.",
+)
+def q_kpi_decomposition(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    monthly = o.groupBy(
+        ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("m")
+    ).agg(
+        F.countDistinct("o_custkey").alias("custs"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("rev"),
+    ).localCheckpoint()  # feeds both sides of the adjacency join
+    a, b = monthly.alias("a"), monthly.alias("b")
+    d_rev = F.log(F.col("b.rev").cast("double") / F.col("a.rev"))
+    d_cust = F.log(F.col("b.custs").cast("double") / F.col("a.custs"))
+    d_freq = F.log(
+        (F.col("b.n_orders").cast("double") / F.col("b.custs"))
+        / (F.col("a.n_orders").cast("double") / F.col("a.custs"))
+    )
+    d_aov = F.log(
+        (F.col("b.rev").cast("double") / F.col("b.n_orders"))
+        / (F.col("a.rev").cast("double") / F.col("a.n_orders"))
+    )
+    r6 = lambda c: F.floor(c * 1000000 + 0.5) / 1000000  # noqa: E731
+    return (
+        a.join(b, F.col("b.m") == F.col("a.m") + 1)
+        .select(
+            F.col("b.m").alias("month_idx"),
+            r6(d_rev).alias("ln_rev_change"),
+            r6(d_cust).alias("contrib_customers"),
+            r6(d_freq).alias("contrib_frequency"),
+            r6(d_aov).alias("contrib_aov"),
+            (F.abs(d_rev - d_cust - d_freq - d_aov) < 1e-9).alias(
+                "decomposition_closes"
+            ),
+        )
+        .orderBy("month_idx")
+    )
+
+
+# ------------------------------------------------- new vs returning split
+@register(
+    "q_new_vs_returning",
+    oracle="""
+WITH om AS (
+  SELECT o_custkey,
+         CAST((EXTRACT(YEAR FROM o_orderdate) - 1992) * 12
+              + EXTRACT(MONTH FROM o_orderdate) - 1 AS BIGINT) AS m,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+firstm AS (SELECT o_custkey, MIN(m) AS first_m FROM om GROUP BY o_custkey),
+tagged AS (
+  SELECT om.m, om.cents,
+         CASE WHEN om.m = f.first_m THEN 1 ELSE 0 END AS is_new
+  FROM om JOIN firstm f ON f.o_custkey = om.o_custkey)
+SELECT m AS month_idx,
+       CAST(SUM(CASE WHEN is_new = 1 THEN cents ELSE 0 END) AS BIGINT)
+         AS new_revenue_cents,
+       CAST(SUM(CASE WHEN is_new = 0 THEN cents ELSE 0 END) AS BIGINT)
+         AS returning_revenue_cents,
+       CAST(SUM(CASE WHEN is_new = 1 THEN 1 ELSE 0 END) AS BIGINT) AS new_orders,
+       CAST(SUM(CASE WHEN is_new = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS returning_orders,
+       FLOOR(CAST(SUM(CASE WHEN is_new = 1 THEN cents ELSE 0 END) AS DOUBLE)
+             / SUM(cents) * 1000000 + 0.5) / 1000000 AS new_share
+FROM tagged
+GROUP BY m
+ORDER BY month_idx
+""",
+    doc="new-vs-returning revenue split per month: an order is 'new' "
+    "when it lands in its customer's FIRST active month (the acquisition "
+    "cohort boundary every growth dashboard draws); reports both revenue "
+    "and order counts plus the new-revenue share.  Scale: the first-"
+    "month table is one customer-keyed partial-agg'd MIN; tagging is "
+    "one customer-keyed equi-join (no window, no sort); the monthly "
+    "rollup map-side-combines.  Exact integer cents; one mirrored "
+    "share division.",
+)
+def q_new_vs_returning(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    om = o.select(
+        "o_custkey",
+        ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    firstm = om.groupBy("o_custkey").agg(F.min("m").alias("first_m"))
+    tagged = om.join(firstm, "o_custkey").select(
+        "m",
+        "cents",
+        F.when(F.col("m") == F.col("first_m"), 1).otherwise(0).alias("is_new"),
+    )
+    new_c = F.sum(F.when(F.col("is_new") == 1, F.col("cents")).otherwise(0))
+    ret_c = F.sum(F.when(F.col("is_new") == 0, F.col("cents")).otherwise(0))
+    return (
+        tagged.groupBy(F.col("m").alias("month_idx"))
+        .agg(
+            new_c.cast("long").alias("new_revenue_cents"),
+            ret_c.cast("long").alias("returning_revenue_cents"),
+            F.sum(F.when(F.col("is_new") == 1, 1).otherwise(0)).alias("new_orders"),
+            F.sum(F.when(F.col("is_new") == 0, 1).otherwise(0)).alias(
+                "returning_orders"
+            ),
+            (
+                F.floor(
+                    new_c.cast("double") / F.sum("cents") * 1000000 + 0.5
+                )
+                / 1000000
+            ).alias("new_share"),
+        )
+        .orderBy("month_idx")
     )
