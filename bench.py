@@ -138,6 +138,17 @@ HEADLINE = [
     "e_holt_trend",
     "q_fdr_bh",
     "m_rle_profile",
+    # in-engine PCA (exact-integer covariance + panel power iteration),
+    # dedup-threshold transitivity audit, MoR delete lifecycle, KPI
+    # decomposition, seasonal split, boilerplate DF screen
+    "v_pca_power",
+    "v_pca_project",
+    "d_transitivity_audit",
+    "c_mor_delete_read",
+    "q_kpi_decomposition",
+    "q_seasonal_decompose",
+    "t_boilerplate_detect",
+    "q_supplier_scorecard",
 ]
 
 
