@@ -77,6 +77,8 @@ catalog did not yet cover.
   frequency x AOV log-contributions with an in-row closure proof.
 * ``q_new_vs_returning`` — acquisition-cohort revenue split via one
   customer-keyed first-month join.
+* ``e_ab_conversion_test`` — pooled-variance two-proportion z between
+  parity arms on the above-mean-purchaser flag (exact integer gate).
 
 No reference counterpart: these extend the curation/analytics surface
 beyond `/root/reference` (which has no relational query layer at all);
@@ -4696,4 +4698,108 @@ def q_new_vs_returning(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("new_share"),
         )
         .orderBy("month_idx")
+    )
+
+
+# ------------------------------------------------- two-proportion A/B test
+@register(
+    "e_ab_conversion_test",
+    oracle=f"""
+WITH pc AS (
+  SELECT user_id, user_id % 2 AS arm,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_purch
+  FROM events GROUP BY user_id),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(n_purch) AS BIGINT) AS total_purch
+        FROM pc),
+u AS (
+  SELECT pc.arm,
+         CASE WHEN pc.n_purch * t.n_users > t.total_purch THEN 1 ELSE 0 END
+           AS converted
+  FROM pc CROSS JOIN tot t),
+arms AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS c_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS c_b
+  FROM u),
+z AS (
+  SELECT n_a, n_b, c_a, c_b,
+         (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+           / SQRT((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                  * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                  * (1.0 / n_a + 1.0 / n_b)) AS z_raw
+  FROM arms)
+SELECT n_a, n_b, c_a, c_b,
+       FLOOR(CAST(c_a AS DOUBLE) / n_a * 1000000 + 0.5) / 1000000 AS rate_a,
+       FLOOR(CAST(c_b AS DOUBLE) / n_b * 1000000 + 0.5) / 1000000 AS rate_b,
+       FLOOR(z_raw * 10000 + 0.5) / 10000 AS z_score,
+       FLOOR({_ERFC_SQL.format(az="ABS(z_raw)")} * 1000000 + 0.5) / 1000000
+         AS p_two_sided,
+       {_ERFC_SQL.format(az="ABS(z_raw)")} < 0.05 AS significant
+FROM z
+""",
+    doc="two-proportion test between deterministic user-parity arms on "
+    "the above-mean-purchaser flag (converted iff the user's purchase "
+    "count exceeds the per-user mean — the comparison n_purch * n_users "
+    "> total stays EXACT integer, and unlike raw did-purchase it can't "
+    "saturate to all-ones on dense fixtures): pooled-variance z, A&S "
+    "erfc two-sided p, 5% verdict — the plain A/B readout between "
+    "e_srm_check (validity) and e_cuped_adjust (variance reduction).  "
+    "Scale: one user-keyed partial-agg rollup, a 1-row mean panel "
+    "crossed back, one 4-cell reduce; statistics on a 1-row panel.",
+)
+def e_ab_conversion_test(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    pc = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n_purch"
+        )
+    ).select("user_id", (F.col("user_id") % 2).alias("arm"), "n_purch")
+    tot = pc.agg(
+        F.count("*").alias("n_users"), F.sum("n_purch").alias("total_purch")
+    )
+    u = pc.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        F.when(
+            F.col("n_purch") * F.col("n_users") > F.col("total_purch"), 1
+        )
+        .otherwise(0)
+        .alias("converted"),
+    )
+    arms = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0)).alias("c_b"),
+    )
+    pooled = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z_raw = (
+        F.col("c_a").cast("double") / F.col("n_a")
+        - F.col("c_b").cast("double") / F.col("n_b")
+    ) / F.sqrt(pooled * (1 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    z = arms.select("n_a", "n_b", "c_a", "c_b", z_raw.alias("z_raw"))
+    az = F.abs(F.col("z_raw"))
+    s2 = F.sqrt(F.lit(2.0))
+    denom = (
+        1
+        + 0.278393 * az / s2
+        + 0.230389 * az * az / 2
+        + 0.000972 * F.pow(az / s2, 3)
+        + 0.078108 * F.pow(az / s2, 4)
+    )
+    p = 1 / F.pow(denom, 4)
+    return z.select(
+        "n_a",
+        "n_b",
+        "c_a",
+        "c_b",
+        (F.floor(F.col("c_a").cast("double") / F.col("n_a") * 1000000 + 0.5) / 1000000).alias("rate_a"),
+        (F.floor(F.col("c_b").cast("double") / F.col("n_b") * 1000000 + 0.5) / 1000000).alias("rate_b"),
+        (F.floor(F.col("z_raw") * 10000 + 0.5) / 10000).alias("z_score"),
+        (F.floor(p * 1000000 + 0.5) / 1000000).alias("p_two_sided"),
+        (p < 0.05).alias("significant"),
     )

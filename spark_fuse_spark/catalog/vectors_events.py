@@ -1878,3 +1878,103 @@ def m_tile_energy(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id", "tile_id")
     )
+
+
+# ----------------------------------------- embedding separation audit
+@register(
+    "v_embedding_separation",
+    oracle="""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+intra AS (
+  SELECT a.label,
+         CAST(COUNT(*) AS BIGINT) AS n_intra,
+         CAST(SUM(CAST(FLOOR(ROUND(list_cosine_similarity(b.v, a.v), 6) * 1000000
+                             + 0.5) AS BIGINT)) AS BIGINT) AS s_intra
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  GROUP BY a.label),
+rk AS (SELECT vec_id, label, v,
+              ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS r
+       FROM e),
+inter AS (
+  SELECT a.label,
+         CAST(COUNT(*) AS BIGINT) AS n_inter,
+         CAST(SUM(CAST(FLOOR(ROUND(list_cosine_similarity(b.v, a.v), 6) * 1000000
+                             + 0.5) AS BIGINT)) AS BIGINT) AS s_inter
+  FROM rk a JOIN rk b ON b.label = (a.label + 1) % 10 AND b.r = a.r
+  GROUP BY a.label)
+SELECT i.label, i.n_intra,
+       FLOOR(CAST(i.s_intra AS DOUBLE) / i.n_intra + 0.5) / 1000000
+         AS avg_intra_cos,
+       x.n_inter,
+       FLOOR(CAST(x.s_inter AS DOUBLE) / x.n_inter + 0.5) / 1000000
+         AS avg_inter_cos,
+       FLOOR((CAST(i.s_intra AS DOUBLE) / i.n_intra
+              - CAST(x.s_inter AS DOUBLE) / x.n_inter) + 0.5) / 1000000
+         AS separation
+FROM intra i JOIN inter x ON x.label = i.label
+ORDER BY i.label
+""",
+    doc="embedding-space separation audit: per label, the average cosine "
+    "among same-label pairs (exact within the bounded label shards — "
+    "the SemDeDup cluster contract) versus a deterministic rank-matched "
+    "pairing into the NEXT label (each vector meets exactly ONE "
+    "cross-label partner, so the inter estimate is O(n), never the "
+    "inter-label pair square), and the gap — the go/no-go metric for "
+    "whether an embedding model separates classes well enough for "
+    "label-blocked dedup and kNN graphs to be trustworthy.  "
+    "Determinism: every cosine is rounded to millionths and QUANTIZED "
+    "TO INTEGER micro-units before summation, so group sums are exact "
+    "integers on both engines regardless of aggregation order; the "
+    "three displayed means are mirrored single divisions.  Scale: one "
+    "label-keyed self-join over bounded shards, one label-partitioned "
+    "rank window, one rank-equi join.",
+)
+def v_embedding_separation(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "label", "embedding")
+    a = emb.select("label", F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = emb.select("label", F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    cos_q = lambda vb, va: F.floor(  # noqa: E731
+        F.round(cosine_similarity(vb, va), 6) * 1000000 + 0.5
+    ).cast("long")
+    intra = (
+        a.join(b, "label")
+        .where(F.col("ia") < F.col("ib"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_intra"),
+            F.sum(cos_q(F.col("vb"), F.col("va"))).alias("s_intra"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy("vec_id")
+    rk = emb.withColumn("r", F.row_number().over(w)).localCheckpoint()
+    ra = rk.select("label", "r", F.col("embedding").alias("va"))
+    rb = rk.select(
+        F.col("label").alias("lb"), F.col("r").alias("rb"), F.col("embedding").alias("vb")
+    )
+    inter = (
+        ra.join(
+            rb,
+            (F.col("lb") == (F.col("label") + 1) % 10) & (F.col("rb") == F.col("r")),
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.sum(cos_q(F.col("vb"), F.col("va"))).alias("s_inter"),
+        )
+    )
+    mean_i = F.col("s_intra").cast("double") / F.col("n_intra")
+    mean_x = F.col("s_inter").cast("double") / F.col("n_inter")
+    return (
+        intra.join(inter, "label")
+        .select(
+            "label",
+            "n_intra",
+            (F.floor(mean_i + 0.5) / 1000000).alias("avg_intra_cos"),
+            "n_inter",
+            (F.floor(mean_x + 0.5) / 1000000).alias("avg_inter_cos"),
+            (F.floor(mean_i - mean_x + 0.5) / 1000000).alias("separation"),
+        )
+        .orderBy("label")
+    )
