@@ -79,6 +79,9 @@ catalog did not yet cover.
   customer-keyed first-month join.
 * ``e_ab_conversion_test`` — pooled-variance two-proportion z between
   parity arms on the above-mean-purchaser flag (exact integer gate).
+* ``q_logistic_gd`` — in-engine logistic regression: base-rate-logit
+  warm start + quantized-gradient GD passes (rational sigmoid, integer
+  micro-unit residual sums), integer sign-test accuracy readout.
 
 No reference counterpart: these extend the curation/analytics surface
 beyond `/root/reference` (which has no relational query layer at all);
@@ -4802,4 +4805,158 @@ def e_ab_conversion_test(spark: SparkSession, sf: str) -> DataFrame:
         (F.floor(F.col("z_raw") * 10000 + 0.5) / 10000).alias("z_score"),
         (F.floor(p * 1000000 + 0.5) / 1000000).alias("p_two_sided"),
         (p < 0.05).alias("significant"),
+    )
+
+
+# --------------------------------------------- in-engine logistic GD
+_LOGIT_ETA = 0.05
+_LOGIT_STEPS = 2
+
+# rational sigmoid surrogate: only +,*,/,abs — bit-identical IEEE on both
+# engines (exp() differs by an ulp between libm implementations, which
+# flips the micro-unit floor on ~1 row in 1e5 and corrupts the exact
+# integer gradient; observed at sf0.01)
+_SIG_SQL = "(0.5 + 0.5 * (({z}) / 2) / (1 + ABS(({z}) / 2)))"
+
+
+def _logit_step_sql(prev: str, cur: str) -> str:
+    z = f"(w.qb + w.qw * b.x) / 1000000.0"
+    sig = _SIG_SQL.format(z=z)
+    return f"""g_{cur} AS (
+  SELECT w.n, w.s_y, w.qb, w.qw,
+         CAST(SUM(CAST(FLOOR(({sig} - b.y) * 1000000 + 0.5) AS BIGINT))
+              AS BIGINT) AS rs_b,
+         CAST(SUM(CAST(FLOOR(({sig} - b.y) * 1000000 + 0.5) AS BIGINT) * b.x)
+              AS BIGINT) AS rs_w
+  FROM base b CROSS JOIN {prev} w
+  GROUP BY w.n, w.s_y, w.qb, w.qw),
+{cur} AS (
+  SELECT n, s_y,
+         qb - CAST(FLOOR({_LOGIT_ETA!r} * rs_b / n + 0.5) AS BIGINT) AS qb,
+         qw - CAST(FLOOR({_LOGIT_ETA!r} * rs_w / n + 0.5) AS BIGINT) AS qw
+  FROM g_{cur})"""
+
+
+def _logistic_oracle() -> str:
+    steps = ",\n".join(
+        _logit_step_sql(f"w{t}", f"w{t + 1}") for t in range(_LOGIT_STEPS)
+    )
+    return f"""
+WITH base AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         CAST(l_quantity AS BIGINT) - 25 AS x
+  FROM lineitem),
+mo AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s_y
+  FROM base),
+w0 AS (
+  SELECT n, s_y,
+         CAST(FLOOR(ln(CAST(s_y AS DOUBLE) / (n - s_y)) * 1000000 + 0.5)
+              AS BIGINT) AS qb,
+         CAST(0 AS BIGINT) AS qw
+  FROM mo),
+{steps},
+acc AS (
+  SELECT w.n, w.s_y, w.qb, w.qw,
+         CAST(SUM(CASE WHEN (CASE WHEN w.qb + w.qw * b.x >= 0 THEN 1 ELSE 0 END)
+                            = b.y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+  FROM base b CROSS JOIN w{_LOGIT_STEPS} w
+  GROUP BY w.n, w.s_y, w.qb, w.qw)
+SELECT n AS n_rows, qb AS w_bias_micro, qw AS w_qty_micro,
+       FLOOR(CAST(n_correct AS DOUBLE) / n * 1000000 + 0.5) / 1000000
+         AS accuracy,
+       FLOOR(CAST(GREATEST(s_y, n - s_y) AS DOUBLE) / n * 1000000 + 0.5)
+         / 1000000 AS baseline_accuracy
+FROM acc
+"""
+
+
+@register(
+    "q_logistic_gd",
+    oracle=_logistic_oracle(),
+    doc="in-engine logistic regression predicting the return flag from "
+    "centered quantity: warm-start the bias at the CLOSED-FORM base-"
+    "rate logit (the zero-feature MLE), then two quantized gradient-"
+    "descent passes — each pass computes per-row residuals with the "
+    "RATIONAL sigmoid surrogate z/2/(1+|z/2|) (plus/times/divide/abs "
+    "only, bit-identical across libm implementations, unlike exp) and "
+    "quantizes them to integer micro-units BEFORE summation, so every "
+    "cross-row aggregate is an exact integer and aggregation order "
+    "cannot leak into the weights.  The accuracy readout is a pure "
+    "integer sign test against the majority-class baseline — on TPC-H "
+    "the return flag is date-determined, so the honest result is "
+    "accuracy == baseline with a near-zero feature weight: the query "
+    "demonstrates that the GLM machinery converges to 'no signal' "
+    "rather than hallucinating one.  The quantized-gradient contract "
+    "scales to any GLM: per-row nonlinearities stay per-row, cross-row "
+    "state is integers.  Scale: one scan per GD pass + the accuracy "
+    "scan, each a map-side-combined 1-row reduce against a broadcast "
+    "weight panel.",
+)
+def q_logistic_gd(spark: SparkSession, sf: str) -> DataFrame:
+    eta = _LOGIT_ETA
+    li = load_table(spark, sf, "lineitem")
+    base = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        (F.col("l_quantity").cast("long") - 25).alias("x"),
+    )
+    mo = base.agg(F.count("*").alias("n"), F.sum("y").alias("s_y"))
+    w = mo.select(
+        "n",
+        "s_y",
+        F.floor(
+            F.log(F.col("s_y").cast("double") / (F.col("n") - F.col("s_y"))) * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("qb"),
+        F.lit(0).cast("long").alias("qw"),
+    )
+    for _ in range(_LOGIT_STEPS):
+        z = (F.col("qb") + F.col("qw") * F.col("x")) / 1000000.0
+        sig = 0.5 + 0.5 * (z / 2) / (1 + F.abs(z / 2))
+        resid_q = F.floor((sig - F.col("y")) * 1000000 + 0.5).cast("long")
+        g = (
+            base.crossJoin(F.broadcast(w))
+            .groupBy("n", "s_y", "qb", "qw")
+            .agg(
+                F.sum(resid_q).alias("rs_b"),
+                F.sum(resid_q * F.col("x")).alias("rs_w"),
+            )
+        )
+        w = g.select(
+            "n",
+            "s_y",
+            (
+                F.col("qb")
+                - F.floor(eta * F.col("rs_b") / F.col("n") + 0.5).cast("long")
+            ).alias("qb"),
+            (
+                F.col("qw")
+                - F.floor(eta * F.col("rs_w") / F.col("n") + 0.5).cast("long")
+            ).alias("qw"),
+        )
+    pred = F.when(F.col("qb") + F.col("qw") * F.col("x") >= 0, 1).otherwise(0)
+    acc = (
+        base.crossJoin(F.broadcast(w))
+        .groupBy("n", "s_y", "qb", "qw")
+        .agg(F.sum(F.when(pred == F.col("y"), 1).otherwise(0)).alias("n_correct"))
+    )
+    return acc.select(
+        F.col("n").alias("n_rows"),
+        F.col("qb").alias("w_bias_micro"),
+        F.col("qw").alias("w_qty_micro"),
+        (
+            F.floor(F.col("n_correct").cast("double") / F.col("n") * 1000000 + 0.5)
+            / 1000000
+        ).alias("accuracy"),
+        (
+            F.floor(
+                F.greatest(F.col("s_y"), F.col("n") - F.col("s_y")).cast("double")
+                / F.col("n")
+                * 1000000
+                + 0.5
+            )
+            / 1000000
+        ).alias("baseline_accuracy"),
     )
