@@ -631,3 +631,56 @@ def c_mor_delete_read(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "c_mor_upsert_read",
+    oracle="""
+WITH eff AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS status,
+         CASE WHEN o_orderkey % 7 = 0
+              THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) + 10000
+              ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS cents
+  FROM orders)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM eff GROUP BY status
+ORDER BY status
+""",
+    doc="merge-on-read UPSERT lifecycle end-to-end (cdc/deletes.py "
+    "sequence-numbered segments): orders land as segment 0, then a "
+    "correction batch (every 7th order re-priced +100.00 and "
+    "re-statused 'X') arrives as ONE keys-only delete sidecar + ONE "
+    "appended segment — O(batch), no base rewrite; the sequence rule "
+    "(sidecar applies only to earlier segments) keeps the corrected "
+    "rows alive.  The MOR view aggregates per status and the oracle "
+    "replays the correction as a CASE over the source, so the hash "
+    "check proves sidecar+append == logical merge.  The Iceberg-style "
+    "cheap-upsert complement to c_scd1_two_batch's full MERGE.",
+)
+def c_mor_upsert_read(spark: SparkSession, sf: str) -> DataFrame:
+    from ..cdc import mor_read, mor_upsert, mor_write
+
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    target = tempfile.mkdtemp(prefix="mor_u_") + "/t"
+    mor_write(orders, target)
+    correction = orders.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("status"),
+        (F.col("cents") + 10000).alias("cents"),
+    )
+    mor_upsert(correction, target, ["o_orderkey"])
+    live = mor_read(spark, target, ["o_orderkey"])
+    return (
+        live.groupBy("status")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("status")
+    )

@@ -16,10 +16,12 @@ Re-expresses the reference's Delta-backed change tracking
 """
 
 from spark_fuse_spark.cdc.deletes import (
+    mor_append,
     mor_compact,
     mor_delete,
     mor_read,
     mor_stats,
+    mor_upsert,
     mor_write,
 )
 from spark_fuse_spark.cdc.diff import (
@@ -39,10 +41,12 @@ from spark_fuse_spark.cdc.store import ParquetStore, TableStore, get_store
 from spark_fuse_spark.cdc.versioned import VersionedParquetStore
 
 __all__ = [
+    "mor_append",
     "mor_compact",
     "mor_delete",
     "mor_read",
     "mor_stats",
+    "mor_upsert",
     "mor_write",
     "ChangeTrackingMode",
     "snapshot_diff",

@@ -1,27 +1,37 @@
-"""Deletion vectors: merge-on-read key deletes for parquet targets.
+"""Deletion vectors + merge-on-read upserts for parquet targets.
 
 The public lakehouse MOR pattern (Delta Lake deletion vectors, Iceberg
-equality-delete files): a DELETE appends a small keys-only sidecar
-instead of rewriting data files, readers subtract the union of delete
-keys with an anti-join, and a later COMPACT folds the deletes into one
-rewrite.  This makes deletes O(deleted keys) instead of O(table) — the
-difference between a GDPR erasure request costing seconds and costing a
-100 TB rewrite.  The reference's change tracking only upserts
-(`/root/reference/src/spark_fuse/utils/change_tracking.py` has no delete
-path); this module extends the CDC family with the delete half of the
-lifecycle on the same portable parquet substrate (`cdc/store.py`).
+equality-delete files with sequence numbers): a DELETE appends a small
+keys-only sidecar instead of rewriting data files, an UPSERT is a delete
+sidecar plus an appended data segment, readers subtract applicable
+delete keys with anti-joins, and a later COMPACT folds everything into
+one rewrite.  Deletes cost O(deleted keys) and upserts O(batch) — the
+difference between a GDPR erasure or a late-correction batch costing
+seconds and costing a 100 TB rewrite.  The reference's change tracking
+only upserts via full MERGE (`/root/reference/src/spark_fuse/utils/
+change_tracking.py` has no delete path); this module extends the CDC
+family with the row-lifecycle half on the same portable parquet
+substrate (`cdc/store.py`).
 
 Layout under ``target/``::
 
-    data/                 base parquet segments (append-only between compactions)
-    _deletes/d-<uuid>/    one keys-only parquet dir per delete batch
+    data/seg-00000/            append-only data segments
+    data/seg-00001/
+    _deletes/d-00002-<uuid>/   keys-only sidecars; the embedded number is
+                               the SEQUENCE (segment count at delete time)
 
-Scale shape: ``mor_read`` is base LEFT ANTI JOIN (union of delete keys).
-Delete sidecars are tiny next to the base, so Spark broadcasts them and
-the anti-join costs one base scan with zero base shuffle; if an
-accumulation of deletes ever outgrows the broadcast threshold that is
-exactly the signal to ``mor_compact``.  Compaction reuses the
-staged-swap rename so readers never observe a half-written base.
+**Sequence semantics** (Iceberg's rule): a delete with sequence ``s``
+applies to segments ``0..s-1`` only.  An upsert therefore writes its
+delete sidecar at the CURRENT segment count and then appends the new
+segment — the sidecar kills old copies of the keys but not the rows it
+just wrote.
+
+Scale shape: ``mor_read`` anti-joins each segment against the union of
+its applicable delete keys; sidecars are tiny next to the base, so
+Spark broadcasts them and each segment costs one scan with zero base
+shuffle.  Segment count is bounded by compaction cadence (every
+read-side union member is one plan branch — compact when the manifest
+grows past tens of segments, exactly like any MOR table service).
 """
 
 from __future__ import annotations
@@ -35,6 +45,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "mor_write",
+    "mor_append",
+    "mor_upsert",
     "mor_delete",
     "mor_read",
     "mor_compact",
@@ -45,82 +57,139 @@ _DATA = "data"
 _DELETES = "_deletes"
 
 
-def _data_path(target: str) -> str:
+def _data_root(target: str) -> str:
     return os.path.join(target, _DATA)
 
 
-def _delete_dirs(target: str) -> "list[str]":
-    root = os.path.join(target, _DELETES)
+def _segments(target: str) -> "list[str]":
+    root = _data_root(target)
     if not os.path.isdir(root):
         return []
     return sorted(
-        os.path.join(root, d) for d in os.listdir(root) if d.startswith("d-")
+        os.path.join(root, d) for d in os.listdir(root) if d.startswith("seg-")
     )
 
 
-def mor_write(df: DataFrame, target: str) -> None:
-    """Create/overwrite the base table (clears any delete sidecars)."""
-    df.write.mode("overwrite").parquet(_data_path(target))
+def _delete_files(target: str) -> "list[tuple[int, str]]":
+    """(sequence, path) per sidecar."""
     root = os.path.join(target, _DELETES)
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for d in sorted(os.listdir(root)):
+        if d.startswith("d-"):
+            out.append((int(d.split("-")[1]), os.path.join(root, d)))
+    return out
+
+
+def mor_write(df: DataFrame, target: str) -> None:
+    """Create/overwrite the table as a single segment (clears sidecars)."""
+    root = _data_root(target)
+    staged = f"{root}__staged_{uuid.uuid4().hex[:12]}"
+    df.write.mode("overwrite").parquet(os.path.join(staged, "seg-00000"))
     if os.path.isdir(root):
-        shutil.rmtree(root)
+        retired = f"{root}__retired_{uuid.uuid4().hex[:12]}"
+        os.rename(root, retired)
+        os.rename(staged, root)
+        shutil.rmtree(retired)
+    else:
+        os.makedirs(os.path.dirname(root) or ".", exist_ok=True)
+        os.rename(staged, root)
+    dels = os.path.join(target, _DELETES)
+    if os.path.isdir(dels):
+        shutil.rmtree(dels)
+
+
+def mor_append(df: DataFrame, target: str) -> str:
+    """Append one data segment; returns its path.  O(batch)."""
+    idx = len(_segments(target))
+    path = os.path.join(_data_root(target), f"seg-{idx:05d}")
+    df.write.mode("errorifexists").parquet(path)
+    return path
 
 
 def mor_delete(keys: DataFrame, target: str, key_cols: "list[str]") -> str:
-    """Append one keys-only delete sidecar; returns its path.
+    """Append one keys-only delete sidecar at the current sequence.
 
-    O(|keys|): nothing in ``data/`` is touched.  Re-deleting keys that are
-    already deleted (or never existed) is harmless — the anti-join is
-    idempotent on the key set.
+    O(|keys|): no data segment is touched.  Applies to every segment
+    that exists NOW (sequence = current segment count); segments
+    appended later are unaffected.  Re-deleting absent keys is a no-op.
     """
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
-    path = os.path.join(target, _DELETES, f"d-{uuid.uuid4().hex[:12]}")
+    seq = len(_segments(target))
+    path = os.path.join(target, _DELETES, f"d-{seq:05d}-{uuid.uuid4().hex[:12]}")
     keys.select(*key_cols).distinct().write.mode("errorifexists").parquet(path)
     return path
 
 
+def mor_upsert(df: DataFrame, target: str, key_cols: "list[str]") -> str:
+    """Merge-on-read upsert: delete the batch's keys from all EXISTING
+    segments, then append the batch as a new segment — O(batch), never a
+    base rewrite.  The sequence rule keeps the new rows alive."""
+    mor_delete(df.select(*key_cols), target, key_cols)
+    return mor_append(df, target)
+
+
 def mor_read(spark: SparkSession, target: str, key_cols: "list[str]") -> DataFrame:
-    """The live view: base minus the union of all delete-key sidecars."""
-    base = spark.read.parquet(_data_path(target))
-    dirs = _delete_dirs(target)
-    if not dirs:
-        return base
-    dels = spark.read.parquet(*dirs).select(*key_cols).distinct()
-    # sidecars are small by construction; broadcast makes the MOR view a
-    # single base scan with no base shuffle
-    return base.join(F.broadcast(dels), key_cols, "left_anti")
+    """The live view: each segment minus the delete keys that apply to it
+    (sidecars with sequence > segment index)."""
+    segs = _segments(target)
+    if not segs:
+        raise FileNotFoundError(f"no data segments under {target}")
+    dels = _delete_files(target)
+    parts = []
+    for i, seg in enumerate(segs):
+        base = spark.read.parquet(seg)
+        applicable = [p for s, p in dels if s > i]
+        if applicable:
+            keys = spark.read.parquet(*applicable).select(*key_cols).distinct()
+            base = base.join(F.broadcast(keys), key_cols, "left_anti")
+        parts.append(base)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def mor_compact(spark: SparkSession, target: str, key_cols: "list[str]") -> int:
-    """Fold delete sidecars into one base rewrite (staged swap); returns
+    """Fold segments + sidecars into one segment (staged swap); returns
     the number of sidecars folded.  Readers switch atomically at the
     rename — same protocol as ``cdc/store.ParquetStore.overwrite``."""
-    dirs = _delete_dirs(target)
-    if not dirs:
+    dels = _delete_files(target)
+    segs = _segments(target)
+    if not dels and len(segs) <= 1:
         return 0
-    data = _data_path(target)
-    staged = f"{data}__staged_{uuid.uuid4().hex[:12]}"
-    mor_read(spark, target, key_cols).write.mode("overwrite").parquet(staged)
-    retired = f"{data}__retired_{uuid.uuid4().hex[:12]}"
-    os.rename(data, retired)
-    os.rename(staged, data)
+    live = mor_read(spark, target, key_cols)
+    root = _data_root(target)
+    staged = f"{root}__staged_{uuid.uuid4().hex[:12]}"
+    live.write.mode("overwrite").parquet(os.path.join(staged, "seg-00000"))
+    retired = f"{root}__retired_{uuid.uuid4().hex[:12]}"
+    os.rename(root, retired)
+    os.rename(staged, root)
     shutil.rmtree(retired)
-    shutil.rmtree(os.path.join(target, _DELETES))
-    return len(dirs)
+    dd = os.path.join(target, _DELETES)
+    if os.path.isdir(dd):
+        shutil.rmtree(dd)
+    return len(dels)
 
 
 def mor_stats(spark: SparkSession, target: str, key_cols: "list[str]") -> dict:
-    """Audit panel: base rows, distinct delete keys, live rows, sidecars."""
-    base = spark.read.parquet(_data_path(target)).count()
-    dirs = _delete_dirs(target)
+    """Audit panel: raw segment rows, distinct delete keys, live rows,
+    segment and sidecar counts."""
+    segs = _segments(target)
+    base = sum(spark.read.parquet(s).count() for s in segs)
+    dels = _delete_files(target)
     deleted = (
-        spark.read.parquet(*dirs).select(*key_cols).distinct().count() if dirs else 0
+        spark.read.parquet(*[p for _, p in dels]).select(*key_cols).distinct().count()
+        if dels
+        else 0
     )
     live = mor_read(spark, target, key_cols).count()
     return {
         "base_rows": base,
         "delete_keys": deleted,
         "live_rows": live,
-        "delete_files": len(dirs),
+        "delete_files": len(dels),
+        "segments": len(segs),
     }

@@ -5,7 +5,15 @@ import os
 
 from pyspark.sql import functions as F
 
-from spark_fuse_spark.cdc import mor_compact, mor_delete, mor_read, mor_stats, mor_write
+from spark_fuse_spark.cdc import (
+    mor_append,
+    mor_compact,
+    mor_delete,
+    mor_read,
+    mor_stats,
+    mor_upsert,
+    mor_write,
+)
 
 
 def _base(spark):
@@ -34,6 +42,7 @@ def test_delete_read_compact_roundtrip(spark, tmp_path):
         "delete_keys": 32,
         "live_rows": 68,
         "delete_files": 2,
+        "segments": 1,
     }
 
     before = mor_read(spark, t, ["k"]).orderBy("k").collect()
@@ -47,6 +56,7 @@ def test_delete_read_compact_roundtrip(spark, tmp_path):
         "delete_keys": 0,
         "live_rows": 68,
         "delete_files": 0,
+        "segments": 1,
     }
     assert mor_compact(spark, t, ["k"]) == 0  # nothing to fold
 
@@ -73,3 +83,55 @@ def test_overwrite_clears_sidecars(spark, tmp_path):
     mor_write(_base(spark), t)  # fresh base: old deletes must not apply
     assert mor_read(spark, t, ["k"]).count() == 100
     assert not os.path.isdir(str(tmp_path / "t" / "_deletes"))
+
+
+def test_upsert_sequence_semantics(spark, tmp_path):
+    t = str(tmp_path / "t")
+    mor_write(_base(spark), t)  # k 0..99, v = k % 7
+
+    # upsert: overwrite k 0..9 with v = 100 + k, insert k 100..104
+    batch = spark.range(0, 10).union(spark.range(100, 105)).select(
+        F.col("id").alias("k"), (F.col("id") + 100).alias("v")
+    )
+    mor_upsert(batch, t, ["k"])
+    live = mor_read(spark, t, ["k"])
+    assert live.count() == 105
+    got = {r["k"]: r["v"] for r in live.collect()}
+    assert got[5] == 105  # updated, not the old 5 % 7
+    assert got[50] == 50 % 7  # untouched
+    assert got[102] == 202  # inserted
+
+    # delete AFTER the upsert kills the new copy too
+    mor_delete(spark.range(5, 6).select(F.col("id").alias("k")), t, ["k"])
+    assert mor_read(spark, t, ["k"]).where("k = 5").count() == 0
+
+    # upsert AFTER a delete resurrects the key with the new value
+    mor_upsert(
+        spark.range(5, 6).select(F.col("id").alias("k"), F.lit(999).alias("v")),
+        t,
+        ["k"],
+    )
+    rows = mor_read(spark, t, ["k"]).where("k = 5").collect()
+    assert [r["v"] for r in rows] == [999]
+
+    # compact folds everything; the live view is unchanged
+    before = sorted(map(tuple, mor_read(spark, t, ["k"]).collect()))
+    assert mor_compact(spark, t, ["k"]) >= 3
+    after = sorted(map(tuple, mor_read(spark, t, ["k"]).collect()))
+    assert before == after
+    st = mor_stats(spark, t, ["k"])
+    assert st["segments"] == 1 and st["delete_files"] == 0
+
+
+def test_append_is_untouched_by_earlier_deletes(spark, tmp_path):
+    t = str(tmp_path / "t")
+    mor_write(_base(spark), t)
+    mor_delete(_base(spark).where("k < 50").select("k"), t, ["k"])
+    # a later plain append of the SAME keys is NOT affected by the
+    # earlier sidecar (sequence rule)
+    mor_append(
+        spark.range(0, 5).select(F.col("id").alias("k"), F.lit(7).alias("v")), t
+    )
+    live = mor_read(spark, t, ["k"])
+    assert live.count() == 55
+    assert live.where("k = 3").collect()[0]["v"] == 7
