@@ -82,6 +82,10 @@ catalog did not yet cover.
 * ``q_logistic_gd`` — in-engine logistic regression: base-rate-logit
   warm start + quantized-gradient GD passes (rational sigmoid, integer
   micro-unit residual sums), integer sign-test accuracy readout.
+* ``q_woe_iv`` — weight-of-evidence / information-value feature audit
+  from one integer cross-product ratio per bin inside a mirrored ln.
+* ``q_forecast_backtest`` — rolling-origin naive vs seasonal-naive MAE
+  comparison in exact integer cents, with a per-month win rate.
 
 No reference counterpart: these extend the curation/analytics surface
 beyond `/root/reference` (which has no relational query layer at all);
@@ -4959,4 +4963,169 @@ def q_logistic_gd(spark: SparkSession, sf: str) -> DataFrame:
             )
             / 1000000
         ).alias("baseline_accuracy"),
+    )
+
+
+# --------------------------------------------- WoE / IV feature audit
+@register(
+    "q_woe_iv",
+    oracle="""
+WITH base AS (
+  SELECT CAST((CAST(l_quantity AS BIGINT) - 1) // 10 AS BIGINT) AS bin,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem),
+cells AS (
+  SELECT bin, CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg
+  FROM base GROUP BY bin),
+tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS t_pos,
+               CAST(SUM(n_neg) AS BIGINT) AS t_neg FROM cells),
+w AS (
+  SELECT c.bin, c.n_pos, c.n_neg,
+         ln((CAST(c.n_pos AS DOUBLE) * t.t_neg)
+            / (CAST(c.n_neg AS DOUBLE) * t.t_pos)) AS woe_raw,
+         (CAST(c.n_pos AS DOUBLE) / t.t_pos - CAST(c.n_neg AS DOUBLE) / t.t_neg)
+           * ln((CAST(c.n_pos AS DOUBLE) * t.t_neg)
+                / (CAST(c.n_neg AS DOUBLE) * t.t_pos)) AS iv_raw
+  FROM cells c CROSS JOIN tot t)
+SELECT bin, n_pos, n_neg,
+       FLOOR(woe_raw * 1000000 + 0.5) / 1000000 AS woe,
+       FLOOR(iv_raw * 1000000 + 0.5) / 1000000 AS iv_contrib
+FROM w
+ORDER BY bin
+""",
+    doc="weight-of-evidence / information-value audit of the quantity "
+    "feature against the return flag — the risk-modeling screen run "
+    "BEFORE fitting anything (q_logistic_gd's honest no-signal result "
+    "is exactly what near-zero IV here predicts): per equal-width "
+    "quantity bin, WoE = ln(pos-share/neg-share) computed from one "
+    "integer cross-product ratio inside a single mirrored ln, and the "
+    "IV contribution (share gap x WoE).  Sum of iv_contrib < 0.02 "
+    "reads 'useless feature' on the standard scorecard scale.  Scale: "
+    "one map-side-combined bin rollup, a 1-row total panel crossed "
+    "back, panel math on |bins| rows.",
+)
+def q_woe_iv(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    base = li.select(
+        F.expr("(CAST(l_quantity AS BIGINT) - 1) div 10").alias("bin"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    cells = base.groupBy("bin").agg(
+        F.sum("y").alias("n_pos"),
+        (F.count("*") - F.sum("y")).alias("n_neg"),
+    )
+    tot = cells.agg(
+        F.sum("n_pos").alias("t_pos"), F.sum("n_neg").alias("t_neg")
+    )
+    arg = (F.col("n_pos").cast("double") * F.col("t_neg")) / (
+        F.col("n_neg").cast("double") * F.col("t_pos")
+    )
+    woe = F.log(arg)
+    iv = (
+        F.col("n_pos").cast("double") / F.col("t_pos")
+        - F.col("n_neg").cast("double") / F.col("t_neg")
+    ) * F.log(arg)
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_pos",
+            "n_neg",
+            (F.floor(woe * 1000000 + 0.5) / 1000000).alias("woe"),
+            (F.floor(iv * 1000000 + 0.5) / 1000000).alias("iv_contrib"),
+        )
+        .orderBy("bin")
+    )
+
+
+# --------------------------------------------- rolling-origin backtest
+@register(
+    "q_forecast_backtest",
+    oracle="""
+WITH monthly AS (
+  SELECT CAST((EXTRACT(YEAR FROM o_orderdate) - 1992) * 12
+              + EXTRACT(MONTH FROM o_orderdate) - 1 AS BIGINT) AS m,
+         CAST(SUM(ROUND(o_totalprice * 100)) AS BIGINT) AS rev
+  FROM orders GROUP BY 1),
+j AS (
+  SELECT t.m, t.rev,
+         ABS(t.rev - n1.rev) AS err_naive,
+         ABS(t.rev - s12.rev) AS err_snaive
+  FROM monthly t
+  JOIN monthly n1 ON n1.m = t.m - 1
+  JOIN monthly s12 ON s12.m = t.m - 12),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+         CAST(SUM(err_naive) AS BIGINT) AS se_naive,
+         CAST(SUM(err_snaive) AS BIGINT) AS se_snaive,
+         CAST(SUM(CASE WHEN err_snaive < err_naive THEN 1 ELSE 0 END) AS BIGINT)
+           AS snaive_wins
+  FROM j)
+SELECT n_months,
+       FLOOR(CAST(se_naive AS DOUBLE) / n_months / 100 * 100 + 0.5) / 100
+         AS mae_naive_dollars,
+       FLOOR(CAST(se_snaive AS DOUBLE) / n_months / 100 * 100 + 0.5) / 100
+         AS mae_snaive_dollars,
+       FLOOR(CAST(snaive_wins AS DOUBLE) / n_months * 1000000 + 0.5) / 1000000
+         AS snaive_win_rate,
+       se_snaive < se_naive AS seasonal_model_better
+FROM agg
+""",
+    doc="rolling-origin forecast backtest, fully in-engine: every month "
+    "with both references available scores the naive model (forecast = "
+    "last month) against the seasonal-naive model (forecast = same "
+    "month last year) on monthly revenue; absolute errors stay EXACT "
+    "integer cents, so the MAEs, the per-month win rate, and the "
+    "model verdict are order-independent on both engines — the "
+    "evaluation harness a forecasting team needs before trusting "
+    "q06_forecast_revenue or e_holt_trend in production.  Scale: one "
+    "monthly rollup + two dense month-index equi-self-joins + a 1-row "
+    "reduce; calendar-bounded everywhere.",
+)
+def q_forecast_backtest(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    monthly = o.groupBy(
+        ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("m")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("rev")
+    ).localCheckpoint()  # feeds three aliases of the adjacency joins
+    t, n1, s12 = monthly.alias("t"), monthly.alias("n1"), monthly.alias("s12")
+    j = (
+        t.join(n1, F.col("n1.m") == F.col("t.m") - 1)
+        .join(s12, F.col("s12.m") == F.col("t.m") - 12)
+        .select(
+            F.abs(F.col("t.rev") - F.col("n1.rev")).alias("err_naive"),
+            F.abs(F.col("t.rev") - F.col("s12.rev")).alias("err_snaive"),
+        )
+    )
+    agg = j.agg(
+        F.count("*").alias("n_months"),
+        F.sum("err_naive").alias("se_naive"),
+        F.sum("err_snaive").alias("se_snaive"),
+        F.sum(F.when(F.col("err_snaive") < F.col("err_naive"), 1).otherwise(0)).alias(
+            "snaive_wins"
+        ),
+    )
+    return agg.select(
+        "n_months",
+        (
+            F.floor(F.col("se_naive").cast("double") / F.col("n_months") / 100 * 100 + 0.5)
+            / 100
+        ).alias("mae_naive_dollars"),
+        (
+            F.floor(
+                F.col("se_snaive").cast("double") / F.col("n_months") / 100 * 100 + 0.5
+            )
+            / 100
+        ).alias("mae_snaive_dollars"),
+        (
+            F.floor(
+                F.col("snaive_wins").cast("double") / F.col("n_months") * 1000000 + 0.5
+            )
+            / 1000000
+        ).alias("snaive_win_rate"),
+        (F.col("se_snaive") < F.col("se_naive")).alias("seasonal_model_better"),
     )

@@ -561,6 +561,7 @@ NESTED_LOOP_OK = {
     "v_pca_project": "same panel iteration + broadcast (component, means, n) panels over the corpus scoring scan",
     "e_ab_conversion_test": "1-row mean panel crossed over the per-user rollup + 1-row stat panels",
     "q_logistic_gd": "1-row weight panel broadcast over each GD-pass scan + the accuracy scan",
+    "q_woe_iv": "1-row total panel crossed over the |bins|-row cell table",
 }
 
 
