@@ -3546,3 +3546,118 @@ def t_blocklist_screen(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("category")
     )
+
+
+# ------------------------------------------------- ABC/XYZ classification
+@register(
+    "q_abc_xyz",
+    oracle="""
+WITH bm AS (
+  SELECT p.p_brand AS brand,
+         CAST((EXTRACT(YEAR FROM l.l_shipdate) - 1992) * 12
+              + EXTRACT(MONTH FROM l.l_shipdate) - 1 AS BIGINT) AS m,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty,
+         CAST(SUM(ROUND(l.l_extendedprice * 100)) AS BIGINT) AS rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2),
+b AS (
+  SELECT brand, CAST(SUM(rev) AS BIGINT) AS rev,
+         CAST(COUNT(*) AS BIGINT) AS n_months,
+         CAST(SUM(qty) AS BIGINT) AS s_q,
+         SUM(CAST(qty AS HUGEINT) * qty) AS s_qq
+  FROM bm GROUP BY brand),
+tot AS (SELECT CAST(SUM(rev) AS BIGINT) AS t_rev FROM b),
+ranked AS (
+  SELECT a.brand, a.rev, a.n_months, a.s_q, a.s_qq,
+         CAST(SUM(o.rev) AS BIGINT) AS cum_rev
+  FROM b a JOIN b o
+    ON (o.rev > a.rev) OR (o.rev = a.rev AND o.brand <= a.brand)
+  GROUP BY a.brand, a.rev, a.n_months, a.s_q, a.s_qq),
+cls AS (
+  SELECT r.brand, r.rev,
+         FLOOR(CAST(r.cum_rev AS DOUBLE) / t.t_rev * 1000000 + 0.5) / 1000000
+           AS cum_share,
+         sqrt(CAST(r.n_months * r.s_qq - CAST(r.s_q AS HUGEINT) * r.s_q AS DOUBLE))
+           / r.s_q AS cv_raw
+  FROM ranked r CROSS JOIN tot t)
+SELECT brand, rev AS revenue_cents, cum_share,
+       CASE WHEN cum_share <= 0.8 THEN 'A'
+            WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc,
+       FLOOR(cv_raw * 1000000 + 0.5) / 1000000 AS demand_cv,
+       CASE WHEN cv_raw < 0.5 THEN 'X'
+            WHEN cv_raw < 1.0 THEN 'Y' ELSE 'Z' END AS xyz
+FROM cls
+ORDER BY brand
+""",
+    doc="ABC/XYZ inventory classification per brand: ABC from the "
+    "cumulative revenue share (A <= 80%, B <= 95%) computed by a "
+    "rank-cumsum THETA-self-join on the bounded brand panel — never an "
+    "unpartitioned window — and XYZ from the coefficient of variation "
+    "of MONTHLY demand (X < 0.5, Y < 1.0), whose numerator n*Sqq - Sq^2 "
+    "stays widened-integer inside one mirrored sqrt.  The planning "
+    "matrix every supply chain segments stock by (A-X = automate, C-Z "
+    "= review manually).  Scale: one fact-sized rollup to (brand, "
+    "month), a brand rollup, and |brands|^2 panel joins (25 brands — "
+    "constant).",
+)
+def q_abc_xyz(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    bm = (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            ((F.year("l_shipdate") - 1992) * 12 + F.month("l_shipdate") - 1)
+            .cast("long")
+            .alias("m"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100)).cast("long").alias("rev"),
+        )
+    )
+    b = bm.groupBy("brand").agg(
+        F.sum("rev").alias("rev"),
+        F.count("*").alias("n_months"),
+        F.sum("qty").alias("s_q"),
+        F.sum(dec(F.col("qty")) * F.col("qty")).alias("s_qq"),
+    ).localCheckpoint()  # 25-row panel feeds the theta-self-join twice
+    tot = b.agg(F.sum("rev").alias("t_rev"))
+    a, o = b.alias("a"), b.alias("o")
+    ranked = (
+        a.join(
+            F.broadcast(o),
+            (F.col("o.rev") > F.col("a.rev"))
+            | ((F.col("o.rev") == F.col("a.rev")) & (F.col("o.brand") <= F.col("a.brand"))),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand"),
+            F.col("a.rev").alias("rev"),
+            F.col("a.n_months").alias("n_months"),
+            F.col("a.s_q").alias("s_q"),
+            F.col("a.s_qq").alias("s_qq"),
+        )
+        .agg(F.sum(F.col("o.rev")).alias("cum_rev"))
+    )
+    cv_raw = F.sqrt(
+        (dec(F.col("n_months")) * F.col("s_qq") - F.col("s_q").cast("decimal(38,0)") * F.col("s_q")).cast(
+            "double"
+        )
+    ) / F.col("s_q")
+    cum_share = (
+        F.floor(F.col("cum_rev").cast("double") / F.col("t_rev") * 1000000 + 0.5)
+        / 1000000
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "brand",
+            F.col("rev").alias("revenue_cents"),
+            cum_share.alias("cum_share"),
+            F.when(cum_share <= 0.8, "A").when(cum_share <= 0.95, "B").otherwise("C").alias("abc"),
+            (F.floor(cv_raw * 1000000 + 0.5) / 1000000).alias("demand_cv"),
+            F.when(cv_raw < 0.5, "X").when(cv_raw < 1.0, "Y").otherwise("Z").alias("xyz"),
+        )
+        .orderBy("brand")
+    )

@@ -562,6 +562,7 @@ NESTED_LOOP_OK = {
     "e_ab_conversion_test": "1-row mean panel crossed over the per-user rollup + 1-row stat panels",
     "q_logistic_gd": "1-row weight panel broadcast over each GD-pass scan + the accuracy scan",
     "q_woe_iv": "1-row total panel crossed over the |bins|-row cell table",
+    "q_abc_xyz": "25-brand panel: rank-cumsum theta-self-join + 1-row revenue-total panel",
 }
 
 
