@@ -149,6 +149,14 @@ HEADLINE = [
     "q_seasonal_decompose",
     "t_boilerplate_detect",
     "q_supplier_scorecard",
+    # quantized-gradient GLM, embedding-separation audit, MoR upsert,
+    # risk binning, in-engine forecast backtest, ABC/XYZ planning
+    "q_logistic_gd",
+    "v_embedding_separation",
+    "c_mor_upsert_read",
+    "q_woe_iv",
+    "q_forecast_backtest",
+    "q_abc_xyz",
 ]
 
 
