@@ -86,6 +86,8 @@ catalog did not yet cover.
   from one integer cross-product ratio per bin inside a mirrored ln.
 * ``q_forecast_backtest`` — rolling-origin naive vs seasonal-naive MAE
   comparison in exact integer cents, with a per-month win rate.
+* ``e_behavior_entropy`` — per-user event-mix Shannon entropy with
+  micro-unit-quantized k*ln(k) terms (order-independent group sums).
 
 No reference counterpart: these extend the curation/analytics surface
 beyond `/root/reference` (which has no relational query layer at all);
@@ -5129,3 +5131,63 @@ def q_forecast_backtest(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("snaive_win_rate"),
         (F.col("se_snaive") < F.col("se_naive")).alias("seasonal_model_better"),
     )
+
+
+# ------------------------------------------------- behavioral entropy
+@register(
+    "e_behavior_entropy",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS k
+  FROM events GROUP BY user_id, event_type),
+u AS (
+  SELECT user_id, CAST(SUM(k) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(CAST(FLOOR(CAST(k AS DOUBLE) * ln(CAST(k AS DOUBLE))
+                              * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s_klnk_q
+  FROM c GROUP BY user_id)
+SELECT user_id, n AS n_events, n_types,
+       FLOOR((ln(CAST(n AS DOUBLE)) - CAST(s_klnk_q AS DOUBLE) / 1000000 / n)
+             * 1000000 + 0.5) / 1000000 AS entropy_nats
+FROM u
+ORDER BY user_id
+""",
+    doc="behavioral-diversity score per user: Shannon entropy of the "
+    "user's event-type mix via the count identity H = ln(n) - "
+    "(sum k*ln k)/n, with each per-type k*ln(k) term QUANTIZED to "
+    "integer micro-units before the group sum (the catalog's standard "
+    "order-independence convention — float addition is not "
+    "associative, so raw double group-sums are not engine-portable "
+    "even over 5 terms).  Low entropy = single-purpose "
+    "users, high = browsers — the standard engagement-mix feature.  "
+    "Scale: two map-side-combined rollups, no joins, no windows.",
+)
+def e_behavior_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("k"))
+    u = c.groupBy("user_id").agg(
+        F.sum("k").alias("n"),
+        F.count("*").alias("n_types"),
+        F.sum(
+            F.floor(
+                F.col("k").cast("double") * F.log(F.col("k").cast("double")) * 1000000
+                + 0.5
+            ).cast("long")
+        ).alias("s_klnk_q"),
+    )
+    return u.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        "n_types",
+        (
+            F.floor(
+                (
+                    F.log(F.col("n").cast("double"))
+                    - F.col("s_klnk_q").cast("double") / 1000000 / F.col("n")
+                )
+                * 1000000
+                + 0.5
+            )
+            / 1000000
+        ).alias("entropy_nats"),
+    ).orderBy("user_id")
