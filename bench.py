@@ -1,8 +1,14 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints ONE SHORT JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "sf": ..., "n_queries": K,
+   "queries": {}, "detail": "BENCH_DETAIL.json"}
+and writes the full per-query map (reported min + raw warm/steady
+samples) to BENCH_DETAIL.json next to this script. The per-query map
+used to be inlined into the stdout line; at 104 queries it outgrew the
+driver's byte-limited tail capture and round 3 lost its official bench
+number to a parse failure — keep the final line short.
 
 Each query is executed as the driver would: build the DataFrame, force
 full materialization (count of the collected result), wall-clock it.
@@ -206,24 +212,48 @@ def main() -> None:
     time.sleep(2)
 
     timings: dict[str, float] = {}
+    steady: dict[str, float] = {}
     for name in HEADLINE:
         spec = registry[name]
         t0 = time.perf_counter()
         df = spec.spark(spark, sf_dir)
         n = df.count()
-        timings[name] = round(min(time.perf_counter() - t0, warm[name]), 3)
+        steady[name] = time.perf_counter() - t0
+        timings[name] = round(min(steady[name], warm[name]), 3)
         _ = n
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # The per-query map outgrew the driver's byte-limited tail window in
+    # round 3 (BENCH_r03.json parsed:null despite rc=0), so the FULL map
+    # — reported min plus both raw samples (warm, steady) so historical
+    # comparisons stay auditable — goes to BENCH_DETAIL.json, and the
+    # final stdout line stays short enough to always land in the tail.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "sf": sf_val,
+                "queries": timings,
+                "samples": {name: {"warm": round(warm[name], 3), "steady": round(steady[name], 3)} for name in HEADLINE},
+            },
+            fh,
+            indent=1,
+        )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "queries": {},
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )
