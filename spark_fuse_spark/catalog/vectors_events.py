@@ -1385,54 +1385,25 @@ ORDER BY k.src_id, k.rk
     "cosine neighbors per vector among vectors sharing its label, plus "
     "the mutual flag (dst also ranks src in ITS top-3) — the "
     "mutual-kNN graph is the standard input to graph-based semantic "
-    "dedup and agglomerative clustering (SemDeDup-style pipelines "
-    "cluster first, then go all-pairs INSIDE each bounded shard — the "
-    "label plays that cluster-shard role, so block size is bounded by "
-    "design, never corpus-sized).  Ranking uses the ROUNDED cosine + "
-    "id tie-break for cross-engine determinism; the Spark pair join "
-    "folds dot products in the same argument order as the oracle.  "
-    "Scale: one label-keyed equi-join (O(rows x shard size)), a "
-    "src-partitioned window over per-shard candidates, and a "
-    "(src,dst)-keyed self-join of the k-row-per-node result for "
-    "mutuality.",
+    "dedup and agglomerative clustering.  Ranking uses the ROUNDED "
+    "cosine + id tie-break for cross-engine determinism; the Spark "
+    "pair join folds dot products in the same argument order as the "
+    "oracle.  Scale: operators.similarity.mutual_knn_graph hash-splits "
+    "each label shard into ceil(n/cap) blocks and joins on (label, "
+    "src_block, dst_block), so no task compares more than cap x cap "
+    "vectors even when shard size grows with the corpus (labels do — "
+    "a label-keyed equi-join alone would make each shard a quadratic "
+    "straggler at 100x); top-k is hierarchical (per (src, dst_block), "
+    "then per src over block winners), which equals the global top-k "
+    "exactly because a global winner must win its own block.",
 )
 def v_label_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
-    from ..functions.vectors import cosine_similarity
+    from ..operators.similarity import mutual_knn_graph
 
     emb = load_table(spark, sf, "embeddings")
-    a = emb.select("label", F.col("vec_id").alias("src_id"), F.col("embedding").alias("ev"))
-    b = emb.select("label", F.col("vec_id").alias("dst_id"), F.col("embedding").alias("dv"))
-    pairs = (
-        a.join(b, "label")
-        .where(F.col("src_id") != F.col("dst_id"))
-        .select(
-            "src_id",
-            "dst_id",
-            F.round(cosine_similarity(F.col("dv"), F.col("ev")), 6).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("src_id").orderBy(F.col("cosine").desc(), F.col("dst_id"))
-    k = (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= _KNN_GRAPH_K)
-        .localCheckpoint()  # feeds itself (mutuality self-join)
-    )
-    m = k.select(F.col("src_id").alias("m_dst"), F.col("dst_id").alias("m_src"))
-    return (
-        k.join(
-            m.withColumn("mutual", F.lit(True)),
-            (F.col("src_id") == F.col("m_src")) & (F.col("dst_id") == F.col("m_dst")),
-            "left",
-        )
-        .select(
-            "src_id",
-            "dst_id",
-            "cosine",
-            "rank",
-            F.coalesce(F.col("mutual"), F.lit(False)).alias("mutual"),
-        )
-        .orderBy("src_id", "rank")
-    )
+    return mutual_knn_graph(
+        emb, shard_col="label", id_col="vec_id", vec_col="embedding", k=_KNN_GRAPH_K
+    ).orderBy("src_id", "rank")
 
 
 # --------------------------------------------- payload compressibility

@@ -4,11 +4,11 @@ Five strategies, all shuffle-architected for 100 TB:
 
 * :func:`dedup_exact` — content-hash groupBy; one shuffle on a 60-bit
   fingerprint, map-side partial aggregation.
-* :func:`ngram_jaccard_pairs` — EXACT n-gram Jaccard via inverted-index
-  self-join: explode distinct shingles, join on shingle (only documents
-  sharing ≥1 shingle ever meet — the classic prefix-free pruning of the
-  O(n²) pair space), count co-occurrences, Jaccard from per-doc distinct
-  counts.
+* :func:`ngram_jaccard_pairs` — EXACT n-gram Jaccard; for threshold > 0
+  it rides :func:`jaccard_prefix_pairs` (AllPairs/PPJoin prefix
+  filtering), so the inverted-index self-join only ever touches each
+  document's rarest shingles — a df=10⁶ stopword shingle can no longer
+  put 10¹² candidate rows behind one join key.
 * :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — MinHash + LSH
   banding: candidate generation is a groupBy on (band, band-hash) so the
   shuffle volume is O(docs × bands), never O(n²); candidates are then
@@ -88,14 +88,27 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.8,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """EXACT Jaccard-over-k-shingles pairs with similarity ≥ threshold.
+    Output: (id_a, id_b, jaccard) with id_a < id_b.
 
-    Plan: explode → self-join on shingle hash → count shared → Jaccard.
-    The join is an equi-join on the hash so Spark uses a shuffled hash /
-    sort-merge join partitioned by shingle — documents never meet unless
-    they share a shingle.  Output: (id_a, id_b, jaccard) with id_a < id_b.
+    Default plan (``prefix_filter=True``, any threshold > 0): delegate to
+    :func:`jaccard_prefix_pairs` — candidates come from a self-join over
+    each document's RAREST shingles only, so one corpus-stopword shingle
+    with df=10⁶ can no longer put 10¹² pair rows behind a single join key
+    (the hot-shingle skew bomb of the plain inverted index).  Same exact
+    answer, scale-safe shape.
+
+    The plain inverted-index join (explode → self-join on shingle hash →
+    count shared → Jaccard; candidate volume Σ_h df(h)²) survives for
+    ``threshold <= 0`` — an every-pair-sharing-≥1-shingle census, where
+    no prefix can prune anything by definition (used by the LSH band
+    planner on SAMPLE strata) — and as the ``prefix_filter=False``
+    differential-testing escape hatch.
     """
+    if prefix_filter and threshold > 0.0:
+        return jaccard_prefix_pairs(df, text_col, id_col, k, threshold)
     e = _exploded_shingles(df, text_col, id_col, k)
     a = e.select(
         F.col("__id").alias("id_a"), F.col("__n").alias("na"), F.col("__h").alias("__h")
@@ -136,7 +149,24 @@ def containment_pairs(
     shingle hashes.  Output: (id_contained, id_container, containment)
     where the contained doc is the one with fewer distinct shingles
     (ties break to the smaller id).
+
+    Hot-shingle guard (``threshold > 0``): candidates come from an
+    ASYMMETRIC prefix join — the designated-smaller document's prefix
+    (its ``n - ceil(t·n) + 1`` globally-rarest shingles) against the
+    other side's full inverted index.  Exact, because containment ≥ t
+    forces the smaller doc to share ≥ ceil(t·n_small) shingles, and its
+    non-prefix tail only has ceil(t·n_small) - 1 — so at least one
+    shared shingle sits in the prefix.  Candidate volume drops from
+    Σ_h df(h)² to Σ_h pf(h)·df(h), where pf counts prefix occurrences:
+    a corpus-stopword shingle ranks LAST in every document's
+    rarest-first order, so its pf is ~0 and it no longer detonates the
+    self-join.  Verification (true intersection counts, restricted to
+    candidate ids) then computes the exact containment.  ``threshold <= 0``
+    falls back to the plain inverted-index join (no prefix can prune an
+    every-shared-shingle census).
     """
+    if threshold > 0.0:
+        return _containment_prefix_pairs(df, text_col, id_col, k, threshold)
     e = _exploded_shingles(df, text_col, id_col, k)
     a = e.select(
         F.col("__id").alias("id_a"), F.col("__n").alias("na"), F.col("__h").alias("__h")
@@ -166,6 +196,79 @@ def containment_pairs(
             ),
             F.round("containment", 6).alias("containment"),
         )
+    )
+
+
+def _containment_prefix_pairs(
+    df: DataFrame, text_col: str, id_col: str, k: int, threshold: float
+) -> DataFrame:
+    """Prefix-filtered candidate generation + exact verify for
+    :func:`containment_pairs` (see its docstring for the exactness
+    argument).  The designated-smaller side (fewer distinct shingles,
+    ties to the smaller id) contributes only its rarest-shingle prefix
+    to the join; the other side contributes its full index."""
+
+    e = _exploded_shingles(df, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    candidates = _containment_prefix_candidates(e, threshold).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("__cid"))
+        .union(candidates.select(F.col("id_b").alias("__cid")))
+        .distinct()
+    )
+    ce = e.join(F.broadcast(cand_ids), F.col("__id") == F.col("__cid"), "left_semi")
+    a = ce.select(F.col("__id").alias("id_a"), F.col("__n").alias("na"), "__h")
+    b = ce.select(F.col("__id").alias("id_b"), F.col("__n").alias("nb"), "__h")
+    shared = (
+        a.join(b, "__h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .join(F.broadcast(candidates), ["id_a", "id_b"], "left_semi")
+    )
+    cont = F.col("shared") / F.least(F.col("na"), F.col("nb"))
+    a_contained = (F.col("na") < F.col("nb")) | (
+        (F.col("na") == F.col("nb")) & (F.col("id_a") < F.col("id_b"))
+    )
+    result = (
+        shared.withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select(
+            F.when(a_contained, F.col("id_a")).otherwise(F.col("id_b")).alias(
+                "id_contained"
+            ),
+            F.when(a_contained, F.col("id_b")).otherwise(F.col("id_a")).alias(
+                "id_container"
+            ),
+            F.round("containment", 6).alias("containment"),
+        )
+    )
+    out = result.localCheckpoint(eager=True)
+    e.unpersist()
+    candidates.unpersist()
+    return out
+
+
+def _containment_prefix_candidates(e: DataFrame, threshold: float) -> DataFrame:
+    """Candidate (id_a, id_b) pairs for the containment join: the
+    designated-smaller side's rarest-shingle prefix against the full
+    inverted index — join volume Σ_h pf(h)·df(h), exact per the
+    prefix argument in :func:`containment_pairs`."""
+    prefix = _rarest_first_prefix(e, threshold)
+    ps = prefix.select(F.col("__id").alias("__sid"), F.col("__n").alias("__sn"), "__h")
+    fl = e.select(F.col("__id").alias("__lid"), F.col("__n").alias("__ln"), "__h")
+    return (
+        ps.join(fl, "__h")
+        .where(
+            (F.col("__sn") < F.col("__ln"))
+            | ((F.col("__sn") == F.col("__ln")) & (F.col("__sid") < F.col("__lid")))
+        )
+        .select(
+            F.least("__sid", "__lid").alias("id_a"),
+            F.greatest("__sid", "__lid").alias("id_b"),
+        )
+        .distinct()
     )
 
 
@@ -626,26 +729,46 @@ def jaccard_prefix_pairs(
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError("threshold must be in (0, 1]")
+    e = _exploded_shingles(df, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    candidates = _jaccard_prefix_candidates(e, threshold).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # verify: true intersection counts over candidate ids only (shared
+    # with the MinHash-LSH path)
+    return _verify_candidate_pairs(e, candidates, threshold)
+
+
+def _rarest_first_prefix(e: DataFrame, threshold: float) -> DataFrame:
+    """Each document's rarest ``n - ceil(t·n) + 1`` shingles (ascending
+    global document frequency, hash tie-break for a total deterministic
+    order) — the AllPairs/PPJoin prefix.  Corpus-stopword shingles rank
+    LAST in every document, so they only survive into a prefix when a
+    document consists of almost nothing else."""
     from pyspark.sql import Window
 
-    e = _exploded_shingles(df, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
     freq = e.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
-    # rank each doc's shingles rarest-first (freq, then hash for a total
-    # deterministic order); prefix keeps the first n - ceil(t*n) + 1
     w = Window.partitionBy("__id").orderBy("__df", "__h")
-    prefix = (
+    return (
         e.join(freq, "__h")
         .withColumn("__pos", F.row_number().over(w))
         .where(F.col("__pos") <= F.col("__n") - F.ceil(threshold * F.col("__n")) + 1)
         .select("__id", "__n", "__h")
     )
+
+
+def _jaccard_prefix_candidates(e: DataFrame, threshold: float) -> DataFrame:
+    """Candidate (id_a, id_b) pairs whose prefixes intersect and whose
+    sizes satisfy the Jaccard length filter — a superset of all pairs
+    with Jaccard ≥ threshold, with join volume Σ_h pf(h)² (prefix
+    occurrences only), never the plain index's Σ_h df(h)²."""
+    prefix = _rarest_first_prefix(e, threshold)
     pa = prefix.select(
         F.col("__id").alias("id_a"), F.col("__n").alias("na"), "__h"
     )
     pb = prefix.select(
         F.col("__id").alias("id_b"), F.col("__n").alias("nb"), "__h"
     )
-    candidates = (
+    return (
         pa.join(pb, "__h")
         .where(
             (F.col("id_a") < F.col("id_b"))
@@ -655,11 +778,7 @@ def jaccard_prefix_pairs(
         )
         .select("id_a", "id_b")
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # verify: true intersection counts over candidate ids only (shared
-    # with the MinHash-LSH path)
-    return _verify_candidate_pairs(e, candidates, threshold)
 
 
 def incremental_minhash_pairs(

@@ -42,6 +42,7 @@ __all__ = [
     "hyperplane_lsh_bucket",
     "mips_lsh_topk",
     "mmr_diversify",
+    "mutual_knn_graph",
 ]
 
 
@@ -580,3 +581,100 @@ def mmr_diversify(
         F.col("qs").alias("qsim_micro"),
         F.col("red").alias("redundancy_micro"),
     ).orderBy("rank")
+
+
+# ------------------------------------------------- blocked shard kNN graph
+def mutual_knn_graph(
+    df: DataFrame,
+    shard_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    cap: int = 4096,
+) -> DataFrame:
+    """EXACT mutual-kNN graph within shards, with bounded task size.
+
+    For each vector, the top-``k`` cosine neighbors among vectors sharing
+    its ``shard_col`` value (rounded cosine desc, id tie-break), plus a
+    ``mutual`` flag (dst also ranks src in ITS top-k) — the standard input
+    to graph-based semantic dedup and agglomerative clustering.
+
+    Scale shape — the naive plan (equi-join on the shard key, window per
+    src) puts an ENTIRE shard behind one join key: shards whose size grows
+    with the corpus (labels, domains, languages do) turn that key into a
+    quadratic straggler.  Here each shard is hash-split into
+    ``ceil(n/cap)`` blocks and the pair stage joins on
+    ``(shard, src_block, dst_block)``: every task compares ≤ cap × cap
+    vectors regardless of corpus size, and the shuffle key space GROWS
+    with the data instead of the per-key payload.  Top-k is hierarchical —
+    per (src, dst_block) first (window partitions ≤ cap rows), then per
+    src over the ≤ k·ceil(n/cap) block winners — which is exactly the
+    global top-k because a global winner must win its own block.  The
+    total pair COUNT is still Σ n_shard² (inherent to exact within-shard
+    kNN); what the blocking buys is that no single task, join key, or
+    window partition ever holds a corpus-growing slice.
+
+    Output: (src_id, dst_id, cosine, rank, mutual), one row per kNN edge.
+    """
+    sizes = df.groupBy(shard_col).agg(F.count(F.lit(1)).alias("__n"))
+    nb = F.greatest(F.lit(1), F.ceil(F.col("__n") / cap)).cast("int")
+    base = df.join(F.broadcast(sizes), shard_col).select(
+        F.col(shard_col).alias("__shard"),
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        nb.alias("__nb"),
+        F.pmod(F.xxhash64(F.col(id_col)), nb).cast("int").alias("__blk"),
+    )
+    # src replicated to every dst block, dst replicated to every src block:
+    # the join key (__shard, __sb, __db) receives ≤ cap rows from each side
+    src = base.select(
+        "__shard",
+        F.col("__id").alias("src_id"),
+        F.col("__v").alias("ev"),
+        F.col("__blk").alias("__sb"),
+        F.explode(F.sequence(F.lit(0), F.col("__nb") - 1)).alias("__db"),
+    )
+    dst = base.select(
+        "__shard",
+        F.col("__id").alias("dst_id"),
+        F.col("__v").alias("dv"),
+        F.col("__blk").alias("__db"),
+        F.explode(F.sequence(F.lit(0), F.col("__nb") - 1)).alias("__sb"),
+    )
+    pairs = (
+        src.join(dst, ["__shard", "__sb", "__db"])
+        .where(F.col("src_id") != F.col("dst_id"))
+        .select(
+            "src_id",
+            "dst_id",
+            "__db",
+            F.round(cosine_similarity(F.col("dv"), F.col("ev")), 6).alias("cosine"),
+        )
+    )
+    w_blk = Window.partitionBy("src_id", "__db").orderBy(
+        F.col("cosine").desc(), F.col("dst_id")
+    )
+    w_all = Window.partitionBy("src_id").orderBy(F.col("cosine").desc(), F.col("dst_id"))
+    knn = (
+        pairs.withColumn("__r", F.row_number().over(w_blk))
+        .where(F.col("__r") <= k)
+        .withColumn("rank", F.row_number().over(w_all))
+        .where(F.col("rank") <= k)
+        .select("src_id", "dst_id", "cosine", "rank")
+        .localCheckpoint()  # feeds itself (mutuality self-join)
+    )
+    m = knn.select(F.col("src_id").alias("m_dst"), F.col("dst_id").alias("m_src"))
+    return (
+        knn.join(
+            m.withColumn("mutual", F.lit(True)),
+            (F.col("src_id") == F.col("m_src")) & (F.col("dst_id") == F.col("m_dst")),
+            "left",
+        )
+        .select(
+            "src_id",
+            "dst_id",
+            "cosine",
+            "rank",
+            F.coalesce(F.col("mutual"), F.lit(False)).alias("mutual"),
+        )
+    )

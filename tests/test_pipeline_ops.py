@@ -309,7 +309,7 @@ def test_jaccard_prefix_identical_to_plain_inverted_index(spark, sf_small):
 
     docs = load_table(spark, sf_small, "documents")
     for t in (0.3, 0.5, 0.8):
-        plain = ngram_jaccard_pairs(docs, k=3, threshold=t)
+        plain = ngram_jaccard_pairs(docs, k=3, threshold=t, prefix_filter=False)
         pp = jaccard_prefix_pairs(docs, k=3, threshold=t)
         assert plain.exceptAll(pp).union(pp.exceptAll(plain)).count() == 0
 

@@ -70,7 +70,12 @@ CONTRACTS = {
     # shingle join / band groupBy), and the catalog-wide sweep below pins
     # "no cartesian" for all of them
     "d_dedup_exact": PlanExpectation(require_partial_agg=True, max_exchanges=2),
-    "d_ngram_jaccard": PlanExpectation(require_partial_agg=True, max_exchanges=3),
+    # exact jaccard now rides the prefix filter (hot-shingle guard): the
+    # freq/rank/candidate/verify stages are lineage-truncated by the eager
+    # localCheckpoint (shape pinned by the identity test vs the plain
+    # inverted index + the hot-shingle candidate contract); the final plan
+    # may only sort the checkpointed pairs
+    "d_ngram_jaccard": PlanExpectation(max_exchanges=1),
     "d_simhash": PlanExpectation(max_exchanges=4),
     # LSH near-dup: candidate pairs are explicitly broadcast into the
     # verify joins (the corpus must never shuffle for verification)
@@ -771,15 +776,26 @@ def test_executed_metrics_sq8_corpus_never_shuffles(spark, sf_small):
 
 
 def test_executed_metrics_containment_inverted_index(spark, sf_small):
-    """Measured contract for d_containment: the shuffle carries exploded
-    shingle-hash rows (O(total shingles), ~12 per scanned doc at this SF)
-    plus the grouped pair partials — NEVER the all-pairs matrix (which
-    would be ~500k records for 1k docs)."""
+    """Measured contract for the containment candidate stage (the verify
+    stage is lineage-truncated by containment_pairs' eager checkpoint, so
+    it is measured here on the exposed candidate builder): the shuffle
+    carries exploded shingle-hash rows (O(total shingles), ~12 per scanned
+    doc at this SF) plus the prefix-join output — NEVER the all-pairs
+    matrix (which would be ~500k records for 1k docs)."""
+    from spark_fuse_spark.operators.dedup import (
+        _containment_prefix_candidates,
+        _exploded_shingles,
+    )
     from spark_fuse_spark.plans import shuffle_summary
+    from spark_fuse_spark.tables import load_table
 
-    df = load_all()["d_containment"].spark(spark, sf_small)
-    df.collect()
-    s = shuffle_summary(df)
+    docs = load_table(spark, sf_small, "documents")
+    e = _exploded_shingles(docs, "text", "doc_id", 3)
+    cand = _containment_prefix_candidates(e, 0.9)
+    n_docs = docs.count()
+    assert cand.count() < n_docs * 5  # candidates near-linear in docs
+    cand.collect()
+    s = shuffle_summary(cand)
     assert s["rows_scanned"] >= 500
     assert 0 < s["shuffle_records"] < 30 * s["rows_scanned"]
 
@@ -862,3 +878,84 @@ def test_executed_metrics_hard_negatives_stay_indexed(spark, sf_small):
     # all-pairs would be ~n_docs^2 pair rows before filtering; the
     # inverted index keeps total shuffled rows well under that square
     assert 0 < s["shuffle_records"] < 40 * n_docs * n_docs, s
+
+
+def test_prefix_guard_kills_hot_shingle_candidates(spark):
+    """Measured contract for the hot-shingle guard under
+    ngram_jaccard_pairs / containment_pairs: a corpus-stopword shingle
+    shared by EVERY document may not detonate the inverted-index
+    self-join.  400 docs share one 3-shingle ("common stop phrase"); the
+    plain index would put C(400,2) = 79,800 candidate rows behind that
+    single join key, while the prefix guard ranks it LAST in every
+    document's rarest-first order and excludes it from every prefix —
+    candidate volume stays O(docs × prefix): here, exactly the one true
+    near-dup pair."""
+    from spark_fuse_spark.operators.dedup import (
+        _containment_prefix_candidates,
+        _exploded_shingles,
+        _jaccard_prefix_candidates,
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [
+        (i, "common stop phrase " + " ".join(f"u{i}w{j}" for j in range(10)))
+        for i in range(398)
+    ]
+    # one genuine duplicate pair so the guard provably keeps true positives
+    rows += [(1000, "common stop phrase alpha beta gamma delta"),
+             (1001, "common stop phrase alpha beta gamma delta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    e = _exploded_shingles(docs, "text", "doc_id", 3)
+
+    jac_cand = _jaccard_prefix_candidates(e, 0.5).count()
+    con_cand = _containment_prefix_candidates(e, 0.9).count()
+    # O(docs × prefix), not O(df²): the hot shingle contributes nothing
+    assert jac_cand < 50, f"jaccard candidates exploded: {jac_cand}"
+    assert con_cand < 50, f"containment candidates exploded: {con_cand}"
+
+    jac = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()}
+    assert jac == {(1000, 1001)}
+    con = {
+        (r.id_contained, r.id_container)
+        for r in containment_pairs(docs, k=3, threshold=0.9).collect()
+    }
+    assert con == {(1000, 1001)}
+
+
+def test_mutual_knn_graph_blocked_equals_unblocked(spark, sf_small):
+    """Exactness contract for the blocked shard-kNN: hash-splitting each
+    label shard into ceil(n/cap) blocks (bounded join tasks) returns the
+    IDENTICAL edge set as the single-block all-pairs plan, because the
+    hierarchical top-k equals the global top-k."""
+    from spark_fuse_spark.operators.similarity import mutual_knn_graph
+    from spark_fuse_spark.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    one_block = mutual_knn_graph(emb, cap=1_000_000)
+    blocked = mutual_knn_graph(emb, cap=7)
+    assert blocked.count() > 0
+    assert one_block.exceptAll(blocked).union(blocked.exceptAll(one_block)).count() == 0
+
+
+def test_mutual_knn_graph_block_size_bounded(spark, sf_small):
+    """Size contract for the blocked shard-kNN pair stage: with the same
+    ceil(n/cap) hash-block assignment the operator uses, no (shard, block)
+    cell holds more than a small multiple of cap vectors — so no join task
+    ever compares more than O(cap²) pairs, whatever the shard size."""
+    from pyspark.sql import functions as F
+
+    from spark_fuse_spark.tables import load_table
+
+    cap = 7
+    emb = load_table(spark, sf_small, "embeddings")
+    sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    nb = F.greatest(F.lit(1), F.ceil(F.col("n") / cap)).cast("int")
+    cells = (
+        emb.join(F.broadcast(sizes), "label")
+        .select("label", F.pmod(F.xxhash64("vec_id"), nb).cast("int").alias("blk"))
+        .groupBy("label", "blk")
+        .count()
+    )
+    max_cell = cells.agg(F.max("count")).collect()[0][0]
+    assert max_cell <= 4 * cap, f"hash blocks badly skewed: max cell {max_cell}"
