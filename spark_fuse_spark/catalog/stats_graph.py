@@ -4303,9 +4303,13 @@ signs AS (
   SELECT a.m, CASE WHEN b.rev > a.rev THEN 1 ELSE -1 END AS s
   FROM monthly a JOIN monthly b ON b.m = a.m + 1
   WHERE b.rev <> a.rev),
+nxt AS (
+  SELECT a.m, a.s, MIN(b.m) AS nm
+  FROM signs a JOIN signs b ON b.m > a.m
+  GROUP BY a.m, a.s),
 flips AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_flips
-  FROM signs a JOIN signs b ON b.m = a.m + 1 AND b.s <> a.s),
+  FROM nxt JOIN signs c ON c.m = nxt.nm AND c.s <> nxt.s),
 cnt AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_plus,
@@ -4330,9 +4334,12 @@ FROM z
 """,
     doc="Wald-Wolfowitz runs test for randomness of the month-over-month "
     "revenue DIRECTION sequence: up/down signs from exact integer-cent "
-    "monthly totals, runs counted as adjacent sign flips + 1 (both "
-    "adjacency joins are index-equi on the dense month number — no "
-    "window, no sort), the normal approximation z = (R - mu)/sigma "
+    "monthly totals (tie months drop, per the standard compacted-"
+    "sequence definition), runs counted as flips between each sign and "
+    "its NEXT SURVIVING sign (min-over-later-months join, so a dropped "
+    "tie never severs the chain) + 1 — still no window, no sort over "
+    "the calendar-bounded sign table — the normal approximation "
+    "z = (R - mu)/sigma "
     "with the standard runs-test moments, and the A&S 7.1.25 erfc "
     "two-sided p — the sanity check that a 'trend' on the dashboard "
     "is not just coin flips.  Scale: one map-side-combined monthly "
@@ -4357,8 +4364,14 @@ def q_runs_test(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint()  # feeds the flip join twice and the count panel
     )
     sa, sb = signs.alias("sa"), signs.alias("sb")
-    flips = sa.join(
-        sb, (F.col("sb.m") == F.col("sa.m") + 1) & (F.col("sb.s") != F.col("sa.s"))
+    nxt = (
+        sa.join(sb, F.col("sb.m") > F.col("sa.m"))
+        .groupBy(F.col("sa.m").alias("pm"), F.col("sa.s").alias("ps"))
+        .agg(F.min("sb.m").alias("nm"))
+    )
+    flips = nxt.join(
+        signs.alias("sc"),
+        (F.col("sc.m") == F.col("nm")) & (F.col("sc.s") != F.col("ps")),
     ).agg(F.count(F.lit(1)).alias("n_flips"))
     cnt = signs.agg(
         F.count("*").alias("n"),
@@ -4984,11 +4997,12 @@ tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS t_pos,
                CAST(SUM(n_neg) AS BIGINT) AS t_neg FROM cells),
 w AS (
   SELECT c.bin, c.n_pos, c.n_neg,
-         ln((CAST(c.n_pos AS DOUBLE) * t.t_neg)
-            / (CAST(c.n_neg AS DOUBLE) * t.t_pos)) AS woe_raw,
-         (CAST(c.n_pos AS DOUBLE) / t.t_pos - CAST(c.n_neg AS DOUBLE) / t.t_neg)
-           * ln((CAST(c.n_pos AS DOUBLE) * t.t_neg)
-                / (CAST(c.n_neg AS DOUBLE) * t.t_pos)) AS iv_raw
+         ln(((CAST(c.n_pos AS DOUBLE) + 0.5) * t.t_neg)
+            / ((CAST(c.n_neg AS DOUBLE) + 0.5) * t.t_pos)) AS woe_raw,
+         ((CAST(c.n_pos AS DOUBLE) + 0.5) / t.t_pos
+            - (CAST(c.n_neg AS DOUBLE) + 0.5) / t.t_neg)
+           * ln(((CAST(c.n_pos AS DOUBLE) + 0.5) * t.t_neg)
+                / ((CAST(c.n_neg AS DOUBLE) + 0.5) * t.t_pos)) AS iv_raw
   FROM cells c CROSS JOIN tot t)
 SELECT bin, n_pos, n_neg,
        FLOOR(woe_raw * 1000000 + 0.5) / 1000000 AS woe,
@@ -5000,9 +5014,13 @@ ORDER BY bin
     "feature against the return flag — the risk-modeling screen run "
     "BEFORE fitting anything (q_logistic_gd's honest no-signal result "
     "is exactly what near-zero IV here predicts): per equal-width "
-    "quantity bin, WoE = ln(pos-share/neg-share) computed from one "
-    "integer cross-product ratio inside a single mirrored ln, and the "
-    "IV contribution (share gap x WoE).  Sum of iv_contrib < 0.02 "
+    "quantity bin, WoE = ln(pos-share/neg-share) on 0.5-Laplace-"
+    "adjusted bin counts (the standard scorecard smoothing — a pure "
+    "bin with n_neg=0 would otherwise hit ln(inf), where Spark floor() "
+    "saturates to Long.MaxValue but DuckDB keeps inf: a latent cross-"
+    "engine mismatch), computed from one cross-product ratio inside a "
+    "single mirrored ln, and the IV contribution (adjusted-share gap "
+    "x WoE).  Sum of iv_contrib < 0.02 "
     "reads 'useless feature' on the standard scorecard scale.  Scale: "
     "one map-side-combined bin rollup, a 1-row total panel crossed "
     "back, panel math on |bins| rows.",
@@ -5020,14 +5038,11 @@ def q_woe_iv(spark: SparkSession, sf: str) -> DataFrame:
     tot = cells.agg(
         F.sum("n_pos").alias("t_pos"), F.sum("n_neg").alias("t_neg")
     )
-    arg = (F.col("n_pos").cast("double") * F.col("t_neg")) / (
-        F.col("n_neg").cast("double") * F.col("t_pos")
-    )
+    ap = F.col("n_pos").cast("double") + 0.5
+    an = F.col("n_neg").cast("double") + 0.5
+    arg = (ap * F.col("t_neg")) / (an * F.col("t_pos"))
     woe = F.log(arg)
-    iv = (
-        F.col("n_pos").cast("double") / F.col("t_pos")
-        - F.col("n_neg").cast("double") / F.col("t_neg")
-    ) * F.log(arg)
+    iv = (ap / F.col("t_pos") - an / F.col("t_neg")) * F.log(arg)
     return (
         cells.crossJoin(F.broadcast(tot))
         .select(

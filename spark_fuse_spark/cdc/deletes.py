@@ -15,10 +15,22 @@ substrate (`cdc/store.py`).
 
 Layout under ``target/``::
 
-    data/seg-00000/            append-only data segments
+    data/seg-00000/                 append-only data segments
     data/seg-00001/
-    _deletes/d-00002-<uuid>/   keys-only sidecars; the embedded number is
-                               the SEQUENCE (segment count at delete time)
+    data/_deletes/d-00002-<uuid>/   keys-only sidecars; the embedded number
+                                    is the SEQUENCE (segment count at
+                                    delete time)
+
+Sidecars live INSIDE the data root so that ``mor_write``/``mor_compact``
+replace data and sidecars with a SINGLE directory rename: a concurrent
+reader resolves either the old complete state (old segments + their
+sidecars) or the new complete state (one segment, no sidecars) — never
+a compacted segment with stale sequence>0 sidecars still applied, which
+the old two-step (rename data, then rmtree a sibling ``_deletes``) could
+expose.  A reader that races the swap instant itself can find the root
+briefly absent or a retired segment file deleted mid-scan; both fail
+LOUDLY (retry the read) rather than silently dropping rows.  Writes
+assume a single writer, as throughout ``cdc/``.
 
 **Sequence semantics** (Iceberg's rule): a delete with sequence ``s``
 applies to segments ``0..s-1`` only.  An upsert therefore writes its
@@ -70,9 +82,13 @@ def _segments(target: str) -> "list[str]":
     )
 
 
+def _deletes_root(target: str) -> str:
+    return os.path.join(target, _DATA, _DELETES)
+
+
 def _delete_files(target: str) -> "list[tuple[int, str]]":
     """(sequence, path) per sidecar."""
-    root = os.path.join(target, _DELETES)
+    root = _deletes_root(target)
     if not os.path.isdir(root):
         return []
     out = []
@@ -83,7 +99,9 @@ def _delete_files(target: str) -> "list[tuple[int, str]]":
 
 
 def mor_write(df: DataFrame, target: str) -> None:
-    """Create/overwrite the table as a single segment (clears sidecars)."""
+    """Create/overwrite the table as a single segment.  Old sidecars live
+    inside the replaced data root, so the swap clears them in the same
+    rename that publishes the new segment — no stale-sidecar window."""
     root = _data_root(target)
     staged = f"{root}__staged_{uuid.uuid4().hex[:12]}"
     df.write.mode("overwrite").parquet(os.path.join(staged, "seg-00000"))
@@ -95,9 +113,6 @@ def mor_write(df: DataFrame, target: str) -> None:
     else:
         os.makedirs(os.path.dirname(root) or ".", exist_ok=True)
         os.rename(staged, root)
-    dels = os.path.join(target, _DELETES)
-    if os.path.isdir(dels):
-        shutil.rmtree(dels)
 
 
 def mor_append(df: DataFrame, target: str) -> str:
@@ -118,7 +133,7 @@ def mor_delete(keys: DataFrame, target: str, key_cols: "list[str]") -> str:
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
     seq = len(_segments(target))
-    path = os.path.join(target, _DELETES, f"d-{seq:05d}-{uuid.uuid4().hex[:12]}")
+    path = os.path.join(_deletes_root(target), f"d-{seq:05d}-{uuid.uuid4().hex[:12]}")
     keys.select(*key_cols).distinct().write.mode("errorifexists").parquet(path)
     return path
 
@@ -154,8 +169,10 @@ def mor_read(spark: SparkSession, target: str, key_cols: "list[str]") -> DataFra
 
 def mor_compact(spark: SparkSession, target: str, key_cols: "list[str]") -> int:
     """Fold segments + sidecars into one segment (staged swap); returns
-    the number of sidecars folded.  Readers switch atomically at the
-    rename — same protocol as ``cdc/store.ParquetStore.overwrite``."""
+    the number of sidecars folded.  Because sidecars live inside the data
+    root, the ONE rename that publishes the compacted segment also retires
+    every sidecar — a reader can never pair the new segment with stale
+    sequence>0 deletes (the wrong-data race of a two-step swap)."""
     dels = _delete_files(target)
     segs = _segments(target)
     if not dels and len(segs) <= 1:
@@ -168,9 +185,6 @@ def mor_compact(spark: SparkSession, target: str, key_cols: "list[str]") -> int:
     os.rename(root, retired)
     os.rename(staged, root)
     shutil.rmtree(retired)
-    dd = os.path.join(target, _DELETES)
-    if os.path.isdir(dd):
-        shutil.rmtree(dd)
     return len(dels)
 
 

@@ -82,7 +82,7 @@ def test_overwrite_clears_sidecars(spark, tmp_path):
     mor_delete(_base(spark).where("k < 50").select("k"), t, ["k"])
     mor_write(_base(spark), t)  # fresh base: old deletes must not apply
     assert mor_read(spark, t, ["k"]).count() == 100
-    assert not os.path.isdir(str(tmp_path / "t" / "_deletes"))
+    assert not os.path.isdir(str(tmp_path / "t" / "data" / "_deletes"))
 
 
 def test_upsert_sequence_semantics(spark, tmp_path):

@@ -1,7 +1,10 @@
 """Differential-oracle gate: every oracle-bearing catalog query must
-hash-match DuckDB on the same parquet (mirrors the driver's CORRECTNESS
-check, at sf0.001 for speed — run tests/test_oracle_parity.py -k sf001
-against sf0.01 before benching)."""
+hash-match DuckDB on the same parquet.  Runs at sf0.001 by default (part
+of every `pytest tests/` invocation); the same sweep at sf0.01 — the
+driver's correctness SF — is one opt-in command:
+
+    python -m pytest tests/test_oracle_parity.py -m sf01 -q
+"""
 
 from __future__ import annotations
 
@@ -24,6 +27,20 @@ def duck(sf_small):
 def test_parity(spark, sf_small, duck, name):
     spec = load_all()[name]
     result = compare_frames(name, spec.spark(spark, sf_small), duck, spec.oracle)
+    assert result.ok, f"{result.detail}\nmismatches: {result.mismatches}"
+
+
+@pytest.fixture(scope="module")
+def duck_med(sf_med):
+    return duckdb_connection(sf_med)
+
+
+@pytest.mark.sf01
+@pytest.mark.parametrize("name", _oracle_names())
+def test_parity_sf01(spark, sf_med, duck_med, name):
+    """The identical sweep at the driver's correctness SF (sf0.01)."""
+    spec = load_all()[name]
+    result = compare_frames(name, spec.spark(spark, sf_med), duck_med, spec.oracle)
     assert result.ok, f"{result.detail}\nmismatches: {result.mismatches}"
 
 
