@@ -4913,72 +4913,14 @@ FROM acc
     "weight panel.",
 )
 def q_logistic_gd(spark: SparkSession, sf: str) -> DataFrame:
-    eta = _LOGIT_ETA
+    from ..operators.glm import logistic_gd_quantized
+
     li = load_table(spark, sf, "lineitem")
     base = li.select(
         F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
         (F.col("l_quantity").cast("long") - 25).alias("x"),
     )
-    mo = base.agg(F.count("*").alias("n"), F.sum("y").alias("s_y"))
-    w = mo.select(
-        "n",
-        "s_y",
-        F.floor(
-            F.log(F.col("s_y").cast("double") / (F.col("n") - F.col("s_y"))) * 1000000
-            + 0.5
-        )
-        .cast("long")
-        .alias("qb"),
-        F.lit(0).cast("long").alias("qw"),
-    )
-    for _ in range(_LOGIT_STEPS):
-        z = (F.col("qb") + F.col("qw") * F.col("x")) / 1000000.0
-        sig = 0.5 + 0.5 * (z / 2) / (1 + F.abs(z / 2))
-        resid_q = F.floor((sig - F.col("y")) * 1000000 + 0.5).cast("long")
-        g = (
-            base.crossJoin(F.broadcast(w))
-            .groupBy("n", "s_y", "qb", "qw")
-            .agg(
-                F.sum(resid_q).alias("rs_b"),
-                F.sum(resid_q * F.col("x")).alias("rs_w"),
-            )
-        )
-        w = g.select(
-            "n",
-            "s_y",
-            (
-                F.col("qb")
-                - F.floor(eta * F.col("rs_b") / F.col("n") + 0.5).cast("long")
-            ).alias("qb"),
-            (
-                F.col("qw")
-                - F.floor(eta * F.col("rs_w") / F.col("n") + 0.5).cast("long")
-            ).alias("qw"),
-        )
-    pred = F.when(F.col("qb") + F.col("qw") * F.col("x") >= 0, 1).otherwise(0)
-    acc = (
-        base.crossJoin(F.broadcast(w))
-        .groupBy("n", "s_y", "qb", "qw")
-        .agg(F.sum(F.when(pred == F.col("y"), 1).otherwise(0)).alias("n_correct"))
-    )
-    return acc.select(
-        F.col("n").alias("n_rows"),
-        F.col("qb").alias("w_bias_micro"),
-        F.col("qw").alias("w_qty_micro"),
-        (
-            F.floor(F.col("n_correct").cast("double") / F.col("n") * 1000000 + 0.5)
-            / 1000000
-        ).alias("accuracy"),
-        (
-            F.floor(
-                F.greatest(F.col("s_y"), F.col("n") - F.col("s_y")).cast("double")
-                / F.col("n")
-                * 1000000
-                + 0.5
-            )
-            / 1000000
-        ).alias("baseline_accuracy"),
-    )
+    return logistic_gd_quantized(base, "y", "x", steps=_LOGIT_STEPS, eta=_LOGIT_ETA)
 
 
 # --------------------------------------------- WoE / IV feature audit

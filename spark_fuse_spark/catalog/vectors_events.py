@@ -1550,96 +1550,11 @@ ORDER BY dim
     "all-positive start vector fixes the eigenvector sign.",
 )
 def v_pca_power(spark: SparkSession, sf: str) -> DataFrame:
-    d, scale, iters = _PCA_DIMS, _PCA_SCALE, _PCA_ITERS
+    from ..operators.pca import pca_dominant_component
+
     emb = load_table(spark, sf, "embeddings").select("embedding")
-    q = emb.select(
-        F.expr(
-            f"transform(CAST(embedding AS ARRAY<DOUBLE>),"
-            f" x -> CAST(floor(x * {scale}.0 + 0.5) AS BIGINT))"
-        ).alias("q")
-    )
-    n_t = q.agg(F.count(F.lit(1)).alias("n"))
-    first = q.select(F.posexplode("q").alias("i", "xi"), "q")
-    pairs = first.select("i", "xi", F.posexplode("q").alias("j", "xj")).where(
-        F.col("j") >= F.col("i")
-    )
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    cells = pairs.groupBy("i", "j").agg(F.sum(dec(F.col("xi")) * F.col("xj")).alias("s"))
-    means = first.groupBy("i").agg(F.sum(dec(F.col("xi"))).alias("m"))
-    mi = means.select(F.col("i").alias("mi_i"), F.col("m").alias("mi"))
-    mj = means.select(F.col("i").alias("mj_j"), F.col("m").alias("mj"))
-    cn = (
-        cells.join(F.broadcast(mi), F.col("i") == F.col("mi_i"))
-        .join(F.broadcast(mj), F.col("j") == F.col("mj_j"))
-        .crossJoin(F.broadcast(n_t))
-        .select(
-            "i",
-            "j",
-            (dec(F.col("n")) * F.col("s") - F.col("mi") * F.col("mj"))
-            .cast("double")
-            .alias("c"),
-        )
-    )
-    fullm = cn.select("i", "j", "c").unionAll(
-        cn.where(F.col("i") < F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "c"
-        )
-    )
-    mat = (
-        fullm.groupBy("i")
-        .agg(
-            F.expr("transform(sort_array(collect_list(struct(j, c))), s -> s.c)").alias(
-                "carr"
-            )
-        )
-        .localCheckpoint()  # the 64-row matrix feeds every iteration
-    )
-    dot_expr = (
-        "aggregate(zip_with(carr, varr, (x, y) -> x * y), 0.0D, (acc, t) -> acc + t)"
-    )
-    v = spark.range(1).select(
-        F.expr(f"transform(sequence(1, {d}), k -> 0.125D)").alias("varr")
-    )
-    v_prev = None
-    wp = None
-    for _ in range(iters):
-        v_prev = v
-        w = mat.crossJoin(F.broadcast(v)).select("i", F.expr(dot_expr).alias("w"))
-        wp = w.agg(
-            F.expr("transform(sort_array(collect_list(struct(i, w))), s -> s.w)").alias(
-                "warr"
-            )
-        )
-        v = wp.select(
-            F.expr(
-                "transform(warr, x -> x / sqrt(aggregate(transform(warr, y -> y * y),"
-                " 0.0D, (acc, t) -> acc + t)))"
-            ).alias("varr")
-        )
-    lam = v_prev.crossJoin(wp).select(
-        F.expr(
-            "aggregate(zip_with(varr, warr, (x, y) -> x * y), 0.0D,"
-            " (acc, t) -> acc + t)"
-        ).alias("lam_raw")
-    )
-    return (
-        v.crossJoin(F.broadcast(lam))
-        .crossJoin(F.broadcast(n_t))
-        .select(F.posexplode("varr").alias("dim", "x"), "lam_raw", "n")
-        .select(
-            F.col("dim").cast("long").alias("dim"),
-            (F.floor(F.col("x") * 1000000 + 0.5) / 1000000).alias("loading"),
-            (
-                F.floor(
-                    F.col("lam_raw")
-                    / (F.col("n").cast("double") * F.col("n") * 1099511627776.0)
-                    * 10000
-                    + 0.5
-                )
-                / 10000
-            ).alias("eigenvalue"),
-        )
-        .orderBy("dim")
+    return pca_dominant_component(
+        spark, emb, "embedding", dims=_PCA_DIMS, scale=_PCA_SCALE, iters=_PCA_ITERS
     )
 
 
@@ -1684,92 +1599,11 @@ ORDER BY rank
     "TakeOrdered, never a global window over the corpus.",
 )
 def v_pca_project(spark: SparkSession, sf: str) -> DataFrame:
-    d, scale, iters = _PCA_DIMS, _PCA_SCALE, _PCA_ITERS
+    from ..operators.pca import pca_projection_scores
+
     emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
-    q = emb.select(
-        "vec_id",
-        F.expr(
-            f"transform(CAST(embedding AS ARRAY<DOUBLE>),"
-            f" x -> CAST(floor(x * {scale}.0 + 0.5) AS BIGINT))"
-        ).alias("q"),
-    )
-    n_t = q.agg(F.count(F.lit(1)).alias("n"))
-    first = q.select(F.posexplode("q").alias("i", "xi"), "q")
-    pairs = first.select("i", "xi", F.posexplode("q").alias("j", "xj")).where(
-        F.col("j") >= F.col("i")
-    )
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    cells = pairs.groupBy("i", "j").agg(F.sum(dec(F.col("xi")) * F.col("xj")).alias("s"))
-    means = first.groupBy("i").agg(F.sum(dec(F.col("xi"))).alias("m")).localCheckpoint()
-    mi = means.select(F.col("i").alias("mi_i"), F.col("m").alias("mi"))
-    mj = means.select(F.col("i").alias("mj_j"), F.col("m").alias("mj"))
-    cn = (
-        cells.join(F.broadcast(mi), F.col("i") == F.col("mi_i"))
-        .join(F.broadcast(mj), F.col("j") == F.col("mj_j"))
-        .crossJoin(F.broadcast(n_t))
-        .select(
-            "i",
-            "j",
-            (dec(F.col("n")) * F.col("s") - F.col("mi") * F.col("mj"))
-            .cast("double")
-            .alias("c"),
-        )
-    )
-    fullm = cn.select("i", "j", "c").unionAll(
-        cn.where(F.col("i") < F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "c"
-        )
-    )
-    mat = (
-        fullm.groupBy("i")
-        .agg(
-            F.expr("transform(sort_array(collect_list(struct(j, c))), s -> s.c)").alias(
-                "carr"
-            )
-        )
-        .localCheckpoint()
-    )
-    dot_expr = (
-        "aggregate(zip_with(carr, varr, (x, y) -> x * y), 0.0D, (acc, t) -> acc + t)"
-    )
-    v = spark.range(1).select(
-        F.expr(f"transform(sequence(1, {d}), k -> 0.125D)").alias("varr")
-    )
-    for _ in range(iters):
-        w = mat.crossJoin(F.broadcast(v)).select("i", F.expr(dot_expr).alias("w"))
-        wp = w.agg(
-            F.expr("transform(sort_array(collect_list(struct(i, w))), s -> s.w)").alias(
-                "warr"
-            )
-        )
-        v = wp.select(
-            F.expr(
-                "transform(warr, x -> x / sqrt(aggregate(transform(warr, y -> y * y),"
-                " 0.0D, (acc, t) -> acc + t)))"
-            ).alias("varr")
-        )
-    marr = means.agg(
-        F.expr("transform(sort_array(collect_list(struct(i, m))), s -> CAST(s.m AS DOUBLE))").alias(
-            "marr"
-        )
-    )
-    # fold (n*x_q - m) * v_k in written order; the integers are exact, the
-    # products/sums replay identically on both engines
-    score_expr = (
-        "aggregate(zip_with(zip_with(q, marr, (xq, m) -> CAST(n AS DOUBLE) * xq - m),"
-        " varr, (cx, vk) -> cx * vk), 0.0D, (acc, t) -> acc + t)"
-    )
-    scores = (
-        q.crossJoin(F.broadcast(v))
-        .crossJoin(F.broadcast(marr))
-        .crossJoin(F.broadcast(n_t))
-        .select(
-            "vec_id",
-            (
-                F.expr(score_expr)
-                / (F.col("n").cast("double") * F.col("n") * float(scale))
-            ).alias("score"),
-        )
+    scores = pca_projection_scores(
+        spark, emb, "vec_id", "embedding", dims=_PCA_DIMS, scale=_PCA_SCALE, iters=_PCA_ITERS
     )
     top = scores.orderBy(F.abs(F.col("score")).desc(), F.col("vec_id")).limit(10)
     w10 = Window.orderBy(F.abs(F.col("score")).desc(), F.col("vec_id"))

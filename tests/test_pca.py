@@ -59,3 +59,45 @@ def test_pca_power_rayleigh_brackets_spectrum(spark):
     # (the synthetic spectrum is nearly flat at the top: lambda_2/lambda_1
     # = 0.93, the worst case for power iteration); pin a safe floor
     assert lam >= vals[-1] * 0.85
+
+
+def test_pca_operator_library_surface(spark):
+    """The promoted operators/pca.py functions are callable outside the
+    catalog registry and behave on synthetic data: the dominant component
+    of a corpus varying only along dimension 0 loads ~1.0 on dim 0."""
+    import random
+
+    from spark_fuse_spark.operators.pca import (
+        pca_dominant_component,
+        pca_projection_scores,
+    )
+
+    rng = random.Random(7)
+    rows = [([rng.uniform(-1, 1), rng.uniform(-0.01, 0.01), 0.0, 0.0], i) for i in range(200)]
+    df = spark.createDataFrame(rows, "embedding array<double>, vec_id long")
+    comp = {r.dim: r.loading for r in pca_dominant_component(spark, df, dims=4, iters=8).collect()}
+    assert abs(abs(comp[0]) - 1.0) < 0.01, comp
+    assert all(abs(comp[d]) < 0.1 for d in (1, 2, 3)), comp
+    scores = pca_projection_scores(spark, df, dims=4, iters=8)
+    assert scores.count() == 200
+    # score sign tracks the dim-0 coordinate (component sign is fixed by
+    # the all-positive start)
+    joined = scores.join(df, "vec_id").collect()
+    agree = sum(1 for r in joined if (r.score > 0) == (r.embedding[0] > sum(e[0][0] for e in rows) / 200))
+    assert agree >= 195, agree
+
+
+def test_logistic_gd_operator_recovers_separable_signal(spark):
+    """operators/glm.logistic_gd_quantized on a linearly separable feature:
+    accuracy beats the majority baseline and the weight sign is right."""
+    from pyspark.sql import functions as F
+
+    from spark_fuse_spark.operators.glm import logistic_gd_quantized
+
+    base = spark.range(1000).select(
+        (F.col("id") % 21 - 10).cast("long").alias("x")
+    ).select("x", F.when(F.col("x") > 0, 1).otherwise(0).alias("y"))
+    rep = logistic_gd_quantized(base, "y", "x", steps=6, eta=0.5).collect()[0]
+    assert rep.n_rows == 1000
+    assert rep.w_qty_micro > 0
+    assert rep.accuracy > rep.baseline_accuracy
