@@ -163,6 +163,10 @@ HEADLINE = [
     "q_woe_iv",
     "q_forecast_backtest",
     "q_abc_xyz",
+    # round-4 additions: the blocked exact-kNN audit shape and the
+    # multimodal decode family get driver-bench representation
+    "v_label_knn_graph",
+    "m_frame_energy",
 ]
 
 

@@ -5148,3 +5148,105 @@ def e_behavior_entropy(spark: SparkSession, sf: str) -> DataFrame:
             / 1000000
         ).alias("entropy_nats"),
     ).orderBy("user_id")
+
+
+# --------------------------------------------- split-conformal interval
+_CONF_SPLIT_M = 48  # calibrate on 1992-1995, score 1996+
+_CONF_ALPHA = 0.2
+
+
+@register(
+    "q_conformal_interval",
+    oracle=f"""
+WITH monthly AS (
+  SELECT CAST((EXTRACT(YEAR FROM o_orderdate) - 1992) * 12
+              + EXTRACT(MONTH FROM o_orderdate) - 1 AS BIGINT) AS m,
+         CAST(SUM(ROUND(o_totalprice * 100)) AS BIGINT) AS rev
+  FROM orders GROUP BY 1),
+resid AS (
+  SELECT t.m, ABS(t.rev - p.rev) AS r
+  FROM monthly t JOIN monthly p ON p.m = t.m - 1),
+cal AS (SELECT m, r FROM resid WHERE m < {_CONF_SPLIT_M}),
+tst AS (SELECT m, r FROM resid WHERE m >= {_CONF_SPLIT_M}),
+nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+              CAST(CEIL((COUNT(*) + 1) * {1 - _CONF_ALPHA}) AS BIGINT) AS k
+       FROM cal),
+ranked AS (
+  SELECT a.m, a.r, CAST(COUNT(*) AS BIGINT) AS rk
+  FROM cal a JOIN cal b ON (b.r < a.r) OR (b.r = a.r AND b.m <= a.m)
+  GROUP BY a.m, a.r),
+q AS (SELECT r AS q_hat FROM ranked JOIN nc ON ranked.rk = nc.k),
+cov AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN t.r <= q.q_hat THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_cov
+        FROM tst t CROSS JOIN q)
+SELECT nc.n_cal, cov.n_test, q.q_hat AS q_hat_cents,
+       FLOOR(CAST(cov.n_cov AS DOUBLE) / cov.n_test * 1000000 + 0.5) / 1000000
+         AS empirical_coverage,
+       {1 - _CONF_ALPHA} AS nominal_coverage
+FROM nc CROSS JOIN q CROSS JOIN cov
+""",
+    doc="split-conformal prediction interval for the naive monthly "
+    "forecast (forecast = last month): absolute residuals in exact "
+    "integer cents on the 1992-1995 calibration window, the conformal "
+    "quantile q_hat = the ceil((n_cal+1)(1-alpha))-th order statistic "
+    "(alpha=0.2) found by a lexicographic rank theta-join on the "
+    "calendar-bounded residual panel (no window, no sort — the "
+    "q_fdr_bh shape), then the distribution-free coverage claim "
+    "'|actual - forecast| <= q_hat with prob >= 80%' is AUDITED on the "
+    "1996+ holdout months.  This is the calibration harness a "
+    "forecast-serving team runs before promising an interval to "
+    "downstream consumers.  Scale: one map-side-combined monthly "
+    "rollup (calendar-bounded), a <=48-row theta self-join, 1-row "
+    "panels crossed into the single report row.",
+)
+def q_conformal_interval(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    monthly = o.groupBy(
+        ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("m")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("rev"))
+    t, p = monthly.alias("t"), monthly.alias("p")
+    resid = (
+        t.join(p, F.col("p.m") == F.col("t.m") - 1)
+        .select(F.col("t.m").alias("m"), F.abs(F.col("t.rev") - F.col("p.rev")).alias("r"))
+        .localCheckpoint()  # feeds cal (x3 consumers) and tst
+    )
+    cal = resid.where(F.col("m") < _CONF_SPLIT_M)
+    tst = resid.where(F.col("m") >= _CONF_SPLIT_M)
+    nc = cal.agg(
+        F.count("*").cast("long").alias("n_cal"),
+        F.ceil((F.count("*") + 1) * (1 - _CONF_ALPHA)).cast("long").alias("k"),
+    )
+    a, b = cal.alias("a"), cal.alias("b")
+    ranked = (
+        a.join(
+            b,
+            (F.col("b.r") < F.col("a.r"))
+            | ((F.col("b.r") == F.col("a.r")) & (F.col("b.m") <= F.col("a.m"))),
+        )
+        .groupBy(F.col("a.m").alias("m"), F.col("a.r").alias("r"))
+        .agg(F.count("*").cast("long").alias("rk"))
+    )
+    q = ranked.join(F.broadcast(nc), F.col("rk") == F.col("k")).select(
+        "n_cal", F.col("r").alias("q_hat")
+    )
+    cov = tst.crossJoin(F.broadcast(q)).agg(
+        F.first("n_cal").alias("n_cal"),
+        F.first("q_hat").alias("q_hat"),
+        F.count("*").cast("long").alias("n_test"),
+        F.sum(F.when(F.col("r") <= F.col("q_hat"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_cov"),
+    )
+    return cov.select(
+        "n_cal",
+        "n_test",
+        F.col("q_hat").alias("q_hat_cents"),
+        (
+            F.floor(F.col("n_cov").cast("double") / F.col("n_test") * 1000000 + 0.5)
+            / 1000000
+        ).alias("empirical_coverage"),
+        F.lit(1 - _CONF_ALPHA).alias("nominal_coverage"),
+    )

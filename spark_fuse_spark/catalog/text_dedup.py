@@ -1801,3 +1801,111 @@ def d_transitivity_audit(spark: SparkSession, sf: str) -> DataFrame:
             / 1000000
         ).alias("transitivity_rate"),
     )
+
+
+# --------------------------------------------------- group-aware holdout
+@register(
+    "t_group_holdout",
+    oracle=f"""
+WITH {_jaccard_cte(3, 0.5)},
+assign AS (
+  SELECT doc_id, source,
+         {portable_hash64_sql("source || 'holdout'")} % 5 = 0 AS holdout,
+         CAST(len({_TOKS.format(col="text")}) AS BIGINT) AS n_tokens
+  FROM documents),
+splits AS (
+  SELECT CAST(SUM(CASE WHEN holdout THEN 0 ELSE 1 END) AS BIGINT) AS n_docs_train,
+         CAST(SUM(CASE WHEN holdout THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_holdout,
+         CAST(COUNT(DISTINCT CASE WHEN NOT holdout THEN source END) AS BIGINT)
+           AS n_sources_train,
+         CAST(COUNT(DISTINCT CASE WHEN holdout THEN source END) AS BIGINT)
+           AS n_sources_holdout,
+         CAST(SUM(CASE WHEN holdout THEN n_tokens ELSE 0 END) AS BIGINT)
+           AS holdout_tokens
+  FROM assign),
+leak AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS neardup_pairs_total,
+         CAST(SUM(CASE WHEN fa.holdout <> fb.holdout THEN 1 ELSE 0 END) AS BIGINT)
+           AS pairs_straddling
+  FROM exact e
+  JOIN assign fa ON fa.doc_id = e.id_a
+  JOIN assign fb ON fb.doc_id = e.id_b)
+SELECT s.n_docs_train, s.n_docs_holdout, s.n_sources_train, s.n_sources_holdout,
+       s.holdout_tokens, l.neardup_pairs_total, l.pairs_straddling,
+       CASE WHEN l.neardup_pairs_total = 0 THEN 0.0
+            ELSE FLOOR(CAST(l.pairs_straddling AS DOUBLE) / l.neardup_pairs_total
+                       * 1000000 + 0.5) / 1000000 END AS straddle_frac
+FROM splits s CROSS JOIN leak l
+""",
+    doc="group-aware train/holdout split + leakage audit: documents are "
+    "assigned to the holdout by hashing their SOURCE (portable md5 "
+    "hash, ~1/5 of sources), never individually — the split every "
+    "eval-design review asks for, because a doc-level split puts "
+    "near-identical crawl copies on both sides and inflates eval "
+    "scores.  The audit then measures what source-level splitting "
+    "CANNOT fix: near-dup pairs (exact 3-shingle Jaccard >= 0.5, the "
+    "d_ngram_jaccard machinery with its hot-shingle prefix guard) that "
+    "straddle the split because the duplicates live in DIFFERENT "
+    "sources — reported as pairs_straddling / straddle_frac, the "
+    "number a leakage-aware curator feeds back into cross-source "
+    "dedup (d_cross_source_leakage) before freezing the benchmark.  "
+    "Scale: the assignment is a pure per-row hash (no shuffle); the "
+    "audit joins the bounded pair list to a 2-column flag table; "
+    "count panels cross into one row.",
+)
+def t_group_holdout(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    assign = docs.select(
+        "doc_id",
+        "source",
+        (F.pmod(portable_hash64(F.concat(F.col("source"), F.lit("holdout"))), F.lit(5)) == 0).alias(
+            "holdout"
+        ),
+        token_count("text").alias("n_tokens"),
+    ).localCheckpoint()  # feeds the split panel and both pair-flag joins
+    splits = assign.agg(
+        F.sum(F.when(F.col("holdout"), 0).otherwise(1)).cast("long").alias("n_docs_train"),
+        F.sum(F.when(F.col("holdout"), 1).otherwise(0)).cast("long").alias("n_docs_holdout"),
+        F.countDistinct(F.when(~F.col("holdout"), F.col("source"))).cast("long").alias(
+            "n_sources_train"
+        ),
+        F.countDistinct(F.when(F.col("holdout"), F.col("source"))).cast("long").alias(
+            "n_sources_holdout"
+        ),
+        F.sum(F.when(F.col("holdout"), F.col("n_tokens")).otherwise(0)).cast("long").alias(
+            "holdout_tokens"
+        ),
+    )
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    fa = assign.select(F.col("doc_id").alias("id_a"), F.col("holdout").alias("ha"))
+    fb = assign.select(F.col("doc_id").alias("id_b"), F.col("holdout").alias("hb"))
+    leak = (
+        pairs.join(fa, "id_a")
+        .join(fb, "id_b")
+        .agg(
+            F.count("*").cast("long").alias("neardup_pairs_total"),
+            F.sum(F.when(F.col("ha") != F.col("hb"), 1).otherwise(0))
+            .cast("long")
+            .alias("pairs_straddling"),
+        )
+    )
+    return splits.crossJoin(F.broadcast(leak)).select(
+        "n_docs_train",
+        "n_docs_holdout",
+        "n_sources_train",
+        "n_sources_holdout",
+        "holdout_tokens",
+        "neardup_pairs_total",
+        "pairs_straddling",
+        F.when(F.col("neardup_pairs_total") == 0, F.lit(0.0))
+        .otherwise(
+            F.floor(
+                F.col("pairs_straddling").cast("double")
+                / F.col("neardup_pairs_total")
+                * 1000000
+                + 0.5
+            )
+            / 1000000
+        )
+        .alias("straddle_frac"),
+    )

@@ -1783,3 +1783,144 @@ def v_embedding_separation(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------- perceptual-hash near-dup
+def _dhash_bits_sql(g) -> str:
+    """24-bit dHash from a 4x4 tile-mean grid: 12 horizontal + 12 vertical
+    gradient sign bits.  ``g(i)`` renders the SQL for tile i's mean (row-
+    major, 0-based); the generated CASE chain is shared verbatim in shape
+    by the Spark plan and the DuckDB oracle."""
+    terms = []
+    kbit = 0
+    for r in range(4):
+        for c in range(3):
+            terms.append(
+                f"CASE WHEN {g(r * 4 + c)} > {g(r * 4 + c + 1)}"
+                f" THEN {1 << kbit} ELSE 0 END"
+            )
+            kbit += 1
+    for c in range(4):
+        for r in range(3):
+            terms.append(
+                f"CASE WHEN {g(r * 4 + c)} > {g((r + 1) * 4 + c)}"
+                f" THEN {1 << kbit} ELSE 0 END"
+            )
+            kbit += 1
+    return " + ".join(terms)
+
+
+_DHASH_MAX_HAMMING = 2
+
+
+@register(
+    "m_dhash_neardup",
+    oracle=f"""
+WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+           WHERE octet_length(encode(text)) > 0),
+h AS (SELECT doc_id, text, n, (n + 31) // 32 AS rows FROM t),
+ix AS (SELECT doc_id, text, n, rows, UNNEST(generate_series(0, n - 1)) AS p FROM h),
+cell AS (SELECT doc_id,
+                LEAST(3, (p // 32) * 4 // rows) * 4 + LEAST(3, (p % 32) // 8)
+                  AS tile_id,
+                ascii(substring(text, CAST(p + 1 AS INT), 1)) AS byte
+         FROM ix),
+tile AS (SELECT doc_id, tile_id,
+                (CAST(SUM(byte) AS BIGINT) * 1000000) // COUNT(*) AS avgm
+         FROM cell GROUP BY doc_id, tile_id),
+grid AS (SELECT d.doc_id, k.tile_id, COALESCE(tl.avgm, 0) AS avgm
+         FROM (SELECT DISTINCT doc_id FROM tile) d
+         CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS tile_id) k
+         LEFT JOIN tile tl ON tl.doc_id = d.doc_id AND tl.tile_id = k.tile_id),
+arr AS (SELECT doc_id, LIST(avgm ORDER BY tile_id) AS a FROM grid GROUP BY doc_id),
+sig AS (SELECT doc_id,
+               CAST({_dhash_bits_sql(lambda i: f"a[{i + 1}]")} AS BIGINT) AS dh
+        FROM arr),
+p AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+             CAST(({" + ".join(f"CASE WHEN ((x.dh >> {b}) & 1) <> ((y.dh >> {b}) & 1) THEN 1 ELSE 0 END" for b in range(24))}) AS INT)
+               AS hamming
+      FROM sig x JOIN sig y ON x.doc_id < y.doc_id)
+SELECT id_a, id_b, hamming
+FROM p WHERE hamming <= {_DHASH_MAX_HAMMING}
+ORDER BY id_a, id_b
+""",
+    doc="perceptual-hash payload near-dup (dHash, the standard image "
+    "near-dup technique): the payload's 4x4 tile-mean grid (the "
+    "m_tile_energy lattice; integer micro-unit means, so both engines "
+    "agree exactly) is reduced to a 24-bit gradient-sign fingerprint "
+    "— 12 horizontal + 12 vertical brightness-gradient bits, the "
+    "standard dHash construction — and pairs within Hamming distance "
+    f"{_DHASH_MAX_HAMMING} are reported.  A real image pipeline swaps "
+    "the fake decode for a decoder + downscale and keeps the IDENTICAL "
+    "grid/hash/banding plan.  Scale: candidates come from a "
+    "(max_hamming+1)-block pigeonhole equi-join on 8-bit signature "
+    "blocks — the simhash_pairs shape, O(docs x blocks) shuffle, never "
+    "all-pairs (the oracle's quadratic join is the REPLAY, not the "
+    "plan) — then exact bit_count(xor) verification.",
+)
+def m_dhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.multimodal import attach_binary_payload
+
+    d = attach_binary_payload(load_table(spark, sf, "documents"), "text", "payload")
+    base = (
+        d.select("doc_id", F.col("payload").cast("string").alias("s"))
+        .where(F.length("s") > 0)
+        .select(
+            "doc_id",
+            F.split("s", "").alias("arr"),
+            F.floor((F.length("s") + 31) / 32).alias("rows"),
+        )
+    )
+    cell = base.select("doc_id", "rows", F.posexplode("arr").alias("p", "ch")).select(
+        "doc_id",
+        (
+            F.least(F.lit(3).cast("long"), F.expr("(p div 32) * 4 div rows")) * 4
+            + F.least(F.lit(3).cast("long"), F.expr("(p % 32) div 8"))
+        ).alias("tile_id"),
+        F.ascii("ch").alias("byte"),
+    )
+    tile = (
+        cell.groupBy("doc_id", "tile_id")
+        .agg(F.sum("byte").cast("long").alias("e"), F.count("*").alias("n"))
+        .select("doc_id", "tile_id", F.expr("(e * 1000000) div n").alias("avgm"))
+    )
+    mp = tile.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("tile_id", "avgm"))).alias("mp")
+    )
+    dh_sql = _dhash_bits_sql(lambda i: f"coalesce(element_at(mp, CAST({i} AS BIGINT)), 0L)")
+    sig = mp.select("doc_id", F.expr(f"CAST({dh_sql} AS BIGINT)").alias("dh"))
+    # pigeonhole banding: 3 x 8-bit blocks; hamming <= 2 guarantees >= 1
+    # exact block match, so candidates ride an equi-join, never all-pairs
+    blocks = _DHASH_MAX_HAMMING + 1
+    block_rows = sig.select(
+        "doc_id",
+        "dh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("dh"), i * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("bv"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "dh", "b.blk", "b.bv")
+    left = block_rows.select(
+        F.col("doc_id").alias("id_a"), F.col("dh").alias("ha"), "blk", "bv"
+    )
+    right = block_rows.select(
+        F.col("doc_id").alias("id_b"), F.col("dh").alias("hb"), "blk", "bv"
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
+    return (
+        left.join(right, ["blk", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= _DHASH_MAX_HAMMING)
+        .orderBy("id_a", "id_b")
+    )

@@ -914,8 +914,18 @@ def bbit_minhash_pairs(
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .select("id_a", "id_b", F.round(est, 6).alias("bbit_estimate"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    exact = ngram_jaccard_pairs(df, text_col, id_col, k=k, threshold=threshold)
-    return scored.join(exact, ["id_a", "id_b"]).select(
+    # exact-Jaccard verification restricted to the banded candidates (the
+    # result is candidates ∩ {jaccard ≥ threshold} with true values, so
+    # computing the full exact pair set first would be pure waste — and
+    # at corpus scale the unrestricted join is exactly the cost the
+    # banding exists to avoid)
+    exact = _verify_candidate_pairs(
+        e, scored.select("id_a", "id_b"), threshold
+    )
+    out = scored.join(exact, ["id_a", "id_b"]).select(
         "id_a", "id_b", "bbit_estimate", "jaccard"
-    )
+    ).localCheckpoint(eager=True)
+    scored.unpersist()
+    return out

@@ -496,6 +496,8 @@ def test_pushed_filter_names_scoped_by_table(spark, sf_small):
 # intentionally non-equi join.  Everything else in the catalog must join
 # hash- or sort-merge-based; a new entry here needs a reason.
 NESTED_LOOP_OK = {
+    "q_conformal_interval": "<=48-row calendar-bounded residual-rank theta self-join + 1-row panel crosses",
+    "t_group_holdout": "1-row leakage panel crossed into the 1-row split panel",
     "q11_important_parts": "1-row broadcast global-total threshold",
     "q22_idle_customers": "1-row broadcast global average",
     "q_asof_join": "non-equi as-of condition",
