@@ -161,3 +161,62 @@ def test_revenue_concentration_lorenz_invariants(spark):
     assert abs(cums[-1] - 1.0) < 1e-5
     shares = [r.revenue_share for r in rows]
     assert shares[-1] == max(shares)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=hst.lists(
+        hst.tuples(
+            hst.integers(min_value=0, max_value=2),  # shard label
+            hst.lists(
+                hst.integers(min_value=-8, max_value=8), min_size=3, max_size=3
+            ),
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_mutual_knn_graph_equals_python_bruteforce(spark, data):
+    """mutual_knn_graph (blocked, cap=2 so multi-block paths exercise on
+    every shard of size > 2) == a python brute-force kNN with the same
+    rounded-cosine + id tie-break ranking and mutuality rule."""
+    import math
+
+    from spark_fuse_spark.operators.similarity import mutual_knn_graph
+
+    rows = [(i, lbl, [float(x) for x in vec]) for i, (lbl, vec) in enumerate(data)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    got = {
+        (r.src_id, r.dst_id): (r.cosine, r.rank, r.mutual)
+        for r in mutual_knn_graph(df, cap=2, k=2).collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(b, a))
+        da, db = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(x * x for x in b))
+        if da == 0 or db == 0:
+            return 0.0  # functions.vectors.cosine_similarity's zero-norm rule
+        return round(num / (da * db), 6)
+
+    # python brute force (cosine desc, id asc tie-break)
+    knn = {}
+    for i, la, va in rows:
+        cands = []
+        for j, lb, vb in rows:
+            if j == i or lb != la:
+                continue
+            cands.append((-cos(va, vb), j))
+        cands.sort()
+        knn[i] = [(j, -negc) for negc, j in cands[:2]]
+    expected = {}
+    for i, lst in knn.items():
+        for rank, (j, c) in enumerate(lst, start=1):
+            mutual = any(jj == i for jj, _ in knn.get(j, []))
+            expected[(i, j)] = (c, rank, mutual)
+    assert got == expected
