@@ -5250,3 +5250,150 @@ def q_conformal_interval(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("empirical_coverage"),
         F.lit(1 - _CONF_ALPHA).alias("nominal_coverage"),
     )
+
+
+# --------------------------------------------- portable HLL sketch
+def _bitlen54_sql(w: str) -> str:
+    """Exact integer bit-length of a 54-bit value as a comparison chain —
+    no float log2, so both engines agree bit-for-bit."""
+    return "(" + " + ".join(
+        f"(CASE WHEN {w} >= {1 << b} THEN 1 ELSE 0 END)" for b in range(54)
+    ) + ")"
+
+
+_HLL_M = 64
+# alpha_64 * m^2 * 2^55 — ONE shared double literal, so both engines run
+# the identical IEEE division against the exact integer register sum
+_HLL_C = repr(0.7213 / (1 + 1.079 / 64) * 4096 * float(1 << 55))
+
+
+@register(
+    "x_hll_portable",
+    oracle=f"""
+WITH rows_h AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         user_id,
+         {portable_hash64_sql("CAST(user_id AS VARCHAR)")} AS h
+  FROM events),
+reg_in AS (
+  SELECT event_type, day, h % {_HLL_M} AS bucket,
+         55 - {_bitlen54_sql(f"(h // {_HLL_M})")} AS rho
+  FROM rows_h),
+daily AS (
+  SELECT event_type, day, bucket, MAX(rho) AS mj
+  FROM reg_in GROUP BY 1, 2, 3),
+merged AS (
+  SELECT event_type, bucket, MAX(mj) AS mj FROM daily GROUP BY 1, 2),
+direct AS (
+  SELECT event_type, bucket, MAX(rho) AS mj FROM reg_in GROUP BY 1, 2),
+est_m AS (
+  SELECT event_type,
+         CAST(SUM(CAST(1 AS BIGINT) << CAST(55 - mj AS INT)) AS BIGINT)
+           + ({_HLL_M} - COUNT(*)) * {1 << 55} AS s,
+         {_HLL_M} - CAST(COUNT(*) AS BIGINT) AS v
+  FROM merged GROUP BY 1),
+est_d AS (
+  SELECT event_type,
+         CAST(SUM(CAST(1 AS BIGINT) << CAST(55 - mj AS INT)) AS BIGINT)
+           + ({_HLL_M} - COUNT(*)) * {1 << 55} AS s,
+         {_HLL_M} - CAST(COUNT(*) AS BIGINT) AS v
+  FROM direct GROUP BY 1),
+ex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY 1)
+SELECT ex.event_type, ex.exact_users,
+       FLOOR((CASE WHEN {_HLL_C} / d.s <= 160.0 AND d.v > 0
+                   THEN 64.0 * ln(64.0 / d.v)
+                   ELSE {_HLL_C} / d.s END) * 1000000 + 0.5) / 1000000
+         AS hll_direct,
+       FLOOR((CASE WHEN {_HLL_C} / m.s <= 160.0 AND m.v > 0
+                   THEN 64.0 * ln(64.0 / m.v)
+                   ELSE {_HLL_C} / m.s END) * 1000000 + 0.5) / 1000000
+         AS hll_merged,
+       FLOOR(ABS((CASE WHEN {_HLL_C} / d.s <= 160.0 AND d.v > 0
+                       THEN 64.0 * ln(64.0 / d.v)
+                       ELSE {_HLL_C} / d.s END) - ex.exact_users)
+             / ex.exact_users * 10000 + 0.5) / 100 AS rel_err_pct
+FROM ex JOIN est_d d ON d.event_type = ex.event_type
+        JOIN est_m m ON m.event_type = ex.event_type
+ORDER BY ex.event_type
+""",
+    doc="PORTABLE HyperLogLog distinct-user sketch per event type, fully "
+    "oracle-paired (the q_hll_sketch twin: that query exercises Spark's "
+    "built-in DataSketches HLL, whose registers are engine-specific and "
+    "therefore rows-only; THIS one builds HLL from the engine-portable "
+    "md5 hash so DuckDB replays it bit-for-bit).  Construction: 64 "
+    "registers (low 6 hash bits), rho = leading-zero rank of the "
+    "remaining 54 bits via an exact comparison-chain bit-length (no "
+    "float log2), register algebra in exact integers — the harmonic "
+    "denominator is SUM(2^(55-Mj)), an integer, so the only float ops "
+    "are one shared-literal alpha*m^2*2^55 division and the standard "
+    "linear-counting branch (64*ln(64/V) when E <= 2.5m and zeros "
+    "remain).  Mergeability is PROVEN in-query: per-day partial "
+    "registers max-merged equal the direct registers exactly (max is "
+    "associative — unlike the DataSketches sparse->dense promotion, "
+    "the portable sketch is bit-identical under any partitioning), so "
+    "hll_direct == hll_merged down to the last decimal.  Scale: "
+    "register build is a map-side-combined groupBy to <= groups x 64 "
+    "cells; merges are max-folds over 64-row panels — the incremental "
+    "rollup pattern that replaces exact count-distinct at 100 TB.  "
+    "The exact count and relative error ride along as the audit.",
+)
+def x_hll_portable(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    h = portable_hash64(F.col("user_id").cast("string"))
+    rows = ev.select(
+        "event_type", F.to_date("ts").alias("day"), "user_id", h.alias("h")
+    ).select(
+        "event_type",
+        "day",
+        "user_id",
+        F.pmod(F.col("h"), F.lit(_HLL_M)).alias("bucket"),
+        F.expr(f"55 - {_bitlen54_sql(f'(h div {_HLL_M})')}").alias("rho"),
+    )
+    daily = rows.groupBy("event_type", "day", "bucket").agg(F.max("rho").alias("mj"))
+    merged = daily.groupBy("event_type", "bucket").agg(F.max("mj").alias("mj"))
+    direct = rows.groupBy("event_type", "bucket").agg(F.max("rho").alias("mj"))
+
+    def est_panel(regs: DataFrame, s_name: str, v_name: str) -> DataFrame:
+        return regs.groupBy("event_type").agg(
+            (
+                F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - mj AS INT))"))
+                + (F.lit(_HLL_M) - F.count("*")) * F.lit(1 << 55)
+            )
+            .cast("long")
+            .alias(s_name),
+            (F.lit(_HLL_M) - F.count("*")).cast("long").alias(v_name),
+        )
+
+    est_d = est_panel(direct, "sd", "vd")
+    est_m = est_panel(merged, "sm", "vm")
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+
+    def est_expr(s: str, v: str):
+        raw = F.lit(float(_HLL_C)) / F.col(s)
+        lc = F.lit(64.0) * F.log(F.lit(64.0) / F.col(v))
+        return F.when((raw <= 160.0) & (F.col(v) > 0), lc).otherwise(raw)
+
+    return (
+        ex.join(est_d, "event_type")
+        .join(est_m, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (F.floor(est_expr("sd", "vd") * 1000000 + 0.5) / 1000000).alias("hll_direct"),
+            (F.floor(est_expr("sm", "vm") * 1000000 + 0.5) / 1000000).alias("hll_merged"),
+            (
+                F.floor(
+                    F.abs(est_expr("sd", "vd") - F.col("exact_users"))
+                    / F.col("exact_users")
+                    * 10000
+                    + 0.5
+                )
+                / 100
+            ).alias("rel_err_pct"),
+        )
+        .orderBy("event_type")
+    )

@@ -457,3 +457,18 @@ def test_resample_weighted_floor_convention_non_dyadic_rates(spark):
     want = {doc_id: n for doc_id, n in want_rows}
     # rows with n == 0 emit nothing from the explode
     assert got == {k: v for k, v in want.items() if v >= 1}
+
+
+# -------------------------------------------------------------- portable HLL
+def test_hll_portable_merge_is_bit_identical(spark, sf_small):
+    """The portable HLL's per-day partials max-merged must equal the
+    direct registers EXACTLY (max is associative) — the mergeability
+    property the engine-specific DataSketches twin can only hold
+    approximately."""
+    from spark_fuse_spark.catalog import load_all
+
+    rows = load_all()["x_hll_portable"].spark(spark, sf_small).collect()
+    assert rows, "no event types"
+    for r in rows:
+        assert r.hll_direct == r.hll_merged, r
+        assert r.exact_users > 0
