@@ -56,6 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="after the run, print executed-plan metrics (rows scanned, shuffle records/bytes)",
     )
 
+    parity = sub.add_parser(
+        "parity", help="differential-oracle sweep: run catalog queries vs DuckDB"
+    )
+    parity.add_argument("names", nargs="*", help="queries to check (default: every oracle-paired query)")
+    parity.add_argument("--sf", default=None, help="scale-factor directory (default $SPARK_GRAFT_SF_DIR)")
+
     table = sub.add_parser(
         "table", help="inspect/maintain a versioned parquet table (cdc.versioned)"
     )
@@ -152,6 +158,21 @@ def _cmd_run(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_parity(args: argparse.Namespace) -> int:
+    from spark_fuse_spark.session import create_session
+    from spark_fuse_spark.tables import default_sf_dir
+    from spark_fuse_spark.testing import run_parity
+
+    spark = create_session(app_name="cli-parity")
+    spark.sparkContext.setLogLevel("ERROR")
+    results = run_parity(spark, args.sf or default_sf_dir(), args.names or None)
+    for r in results:
+        print(f"{'PASS' if r.ok else 'FAIL'} {r.name}" + ("" if r.ok else f"  {r.detail}"))
+    failures = [r.name for r in results if not r.ok]
+    print(f"{len(results) - len(failures)}/{len(results)} pass; failures: {failures}")
+    return 0 if not failures else 1
+
+
 def _cmd_table(args: argparse.Namespace) -> int:
     from spark_fuse_spark.cdc import VersionedParquetStore
 
@@ -194,6 +215,8 @@ def main(argv: "list[str] | None" = None) -> int:
         return _cmd_queries()
     if args.command == "run":
         return _cmd_run(args)
+    if args.command == "parity":
+        return _cmd_parity(args)
     if args.command == "table":
         return _cmd_table(args)
     return 2

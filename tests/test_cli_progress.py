@@ -145,3 +145,11 @@ def test_cli_run_check_rows_only_is_clean(capsys):
     ) == 0
     out = capsys.readouterr().out
     assert "rows-only" in out
+
+
+def test_cli_parity_subcommand(capsys):
+    assert main(
+        ["parity", "q_count_distinct", "--sf", "/root/testdata/sf0.001"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "PASS q_count_distinct" in out and "1/1 pass" in out
