@@ -197,3 +197,33 @@ def test_zorder_value_accepts_precomputed_bounds(spark):
         .count()
     )
     assert mism == 0
+
+
+def test_ivf_list_layout_prunes_unprobed_lists(spark, sf_small, tmp_path_factory):
+    """The SCALE.md encode-once contract, pinned end-to-end: assign the
+    corpus to IVF lists, write partitionBy(ivf_list), and a probe-bounded
+    read must show a PartitionFilters entry on ivf_list — unprobed lists
+    are never scanned, which is what makes IVF's candidate cut a DISK cut
+    too at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from spark_fuse_spark.operators.similarity import ivf_assign, train_ivf_centroids
+    from spark_fuse_spark.plans import scan_summaries
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    cents = train_ivf_centroids(emb, k=4, sample_rows=200)
+    assigned = ivf_assign(emb, cents)
+    path = str(tmp_path_factory.mktemp("ivf_layout") / "emb")
+    assigned.write.mode("overwrite").partitionBy("ivf_list").parquet(path)
+
+    probes = [cents[0][0], cents[1][0]]
+    rd = spark.read.parquet(path).where(F.col("ivf_list").isin(probes))
+    scans = scan_summaries(rd)
+    assert scans, "no parquet scan in plan"
+    assert any(
+        any("ivf_list" in f for f in s.partition_filters) for s in scans
+    ), scans
+    # the probe read touches a strict subset of the corpus
+    total = spark.read.parquet(path).count()
+    probed = rd.count()
+    assert 0 < probed < total
