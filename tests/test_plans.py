@@ -350,10 +350,11 @@ CONTRACTS = {
     "v_bq_topk": PlanExpectation(
         min_broadcast_joins=3, require_partial_agg=True, max_exchanges=20
     ),
-    # b-bit minhash: same band-groupBy shape as d_minhash_lsh; the static
-    # plan re-counts the persisted shingle subtree under the signature,
-    # estimate, and verify branches
-    "d_minhash_bbit": PlanExpectation(require_partial_agg=True, max_exchanges=28),
+    # b-bit minhash: band-groupBy candidates + candidate-restricted exact
+    # verify, both lineage-truncated by the eager localCheckpoint (shape
+    # pinned by the band/verify tests + the oracle); the final plan may
+    # only sort the checkpointed scored pairs
+    "d_minhash_bbit": PlanExpectation(max_exchanges=1),
     # Lorenz deciles: two-phase prefix rank (range partition + local
     # windows + bounded offsets broadcast) + 10-row triangular self-join;
     # static explain re-counts the spend rollup under the rank/panel/
