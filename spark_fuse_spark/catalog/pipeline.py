@@ -1416,3 +1416,147 @@ def t_heaps(spark: SparkSession, sf: str) -> DataFrame:
             (F.floor(r2 * 1000000 + 0.5) / 1000000).alias("r2"),
         )
     )
+
+
+# ------------------------------------------------- topic-grouped packing
+def _all_stopwords() -> "list[str]":
+    from ..functions.text import STOPWORDS
+
+    out = set()
+    for words in STOPWORDS.values():
+        out.update(words)
+    return sorted(out)
+
+
+_TP_BUDGET = 256
+
+
+def _topic_packing_oracle() -> str:
+    sw = ", ".join(f"'{w}'" for w in _all_stopwords())
+    arm = """
+pk_{a} AS (
+  SELECT doc_id, topic, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY {order}
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS so
+  FROM base),
+win_{a} AS (
+  SELECT doc_id, topic,
+         UNNEST(generate_series(so // {b}, (so + n_tokens - 1) // {b})) AS w
+  FROM pk_{a}),
+cells_{a} AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT topic) AS BIGINT) AS n_topics
+  FROM win_{a} GROUP BY w),
+agg_{a} AS (
+  SELECT '{a}' AS arm,
+         CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS multi_doc_windows,
+         CASE WHEN SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) = 0 THEN 0.0
+              ELSE FLOOR(CAST(SUM(CASE WHEN n_docs > 1 AND n_topics = 1
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                   / SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)
+                   * 1000000 + 0.5) / 1000000 END AS mono_topic_share,
+         FLOOR(CAST(SUM(n_docs) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000
+           AS avg_docs_per_window
+  FROM cells_{a})"""
+    return f"""
+WITH toks AS (SELECT doc_id, {{toks}} AS t FROM documents),
+ex AS (SELECT doc_id, UNNEST(t) AS tok FROM toks),
+cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM ex
+        WHERE tok NOT IN ({sw}) GROUP BY doc_id, tok),
+tp AS (SELECT doc_id, tok AS topic
+       FROM (SELECT doc_id, tok,
+                    ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY c DESC, tok) AS rn
+             FROM cnt) WHERE rn = 1),
+base AS (
+  SELECT t.doc_id, COALESCE(tp.topic, '') AS topic,
+         CAST(len(t.t) AS BIGINT) AS n_tokens
+  FROM toks t LEFT JOIN tp ON tp.doc_id = t.doc_id),
+{arm.format(a="topic", order="topic, doc_id", b=_TP_BUDGET)},
+{arm.format(a="baseline", order="doc_id", b=_TP_BUDGET)}
+SELECT * FROM agg_topic UNION ALL SELECT * FROM agg_baseline
+ORDER BY arm DESC
+""".format(toks=_TOKS.format(col="text"))
+
+
+@register(
+    "t_topic_packing",
+    oracle=_topic_packing_oracle(),
+    doc="topic-grouped sequence packing + coherence audit (the in-context-"
+    "pretraining layout: packing RELATED documents into the same context "
+    "window instead of arbitrary doc_id neighbors): each doc's topic key "
+    "is its most frequent non-stopword token (ties to the smallest — a "
+    "deterministic proxy; a real pipeline swaps in cluster ids from "
+    "d_semantic_dedup over the identical shape), the corpus is packed "
+    "into 256-token windows twice — ordered by (topic, doc_id) and by "
+    "plain doc_id — and the audit reports, per arm, how many multi-doc "
+    "windows are single-topic and the mean docs per window.  Both "
+    "packings ride the two-phase distributed prefix sum (the struct "
+    "order key range-partitions like any orderable column); the oracle "
+    "replays them with plain global windows.  Scale: token counting and "
+    "topic argmax are map-side-combined aggregates (argmax via min over "
+    "(-count, token) structs — no per-doc sort); window cells are a "
+    "bounded explode (n_seqs per doc) into one groupBy.",
+)
+def t_topic_packing(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t")).localCheckpoint()
+    ex = toks.select("doc_id", F.explode("t").alias("tok"))
+    cnt = (
+        ex.where(~F.col("tok").isin(_all_stopwords()))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    topic = cnt.groupBy("doc_id").agg(
+        F.min(F.struct((-F.col("c")).alias("nc"), F.col("tok").alias("tok")))
+        .getField("tok")
+        .alias("topic")
+    )
+    base = (
+        toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+        .join(topic, "doc_id", "left")
+        .select("doc_id", F.coalesce("topic", F.lit("")).alias("topic"), "n_tokens")
+        .localCheckpoint()  # feeds both packing arms
+    )
+
+    def arm(name: str, order_col: str) -> DataFrame:
+        packed = pack_sequences(base.withColumn("__ord", F.expr(order_col)), "__ord", "n_tokens", budget=_TP_BUDGET)
+        cells = (
+            packed.select(
+                "doc_id",
+                "topic",
+                F.explode(F.sequence("seq_first", "seq_last")).alias("w"),
+            )
+            .groupBy("w")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.countDistinct("topic").cast("long").alias("n_topics"),
+            )
+        )
+        multi = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+        mono_multi = F.sum(
+            F.when((F.col("n_docs") > 1) & (F.col("n_topics") == 1), 1).otherwise(0)
+        )
+        return cells.agg(
+            F.lit(name).alias("arm"),
+            F.count("*").cast("long").alias("n_windows"),
+            multi.cast("long").alias("multi_doc_windows"),
+            F.when(multi == 0, F.lit(0.0))
+            .otherwise(
+                F.floor(mono_multi.cast("double") / multi * 1000000 + 0.5) / 1000000
+            )
+            .alias("mono_topic_share"),
+            (
+                F.floor(F.sum("n_docs").cast("double") / F.count("*") * 1000000 + 0.5)
+                / 1000000
+            ).alias("avg_docs_per_window"),
+        )
+
+    return arm("topic", "struct(topic, doc_id)").unionByName(
+        arm("baseline", "struct(doc_id)")
+    ).orderBy(F.col("arm").desc())
