@@ -38,6 +38,7 @@ from spark_fuse_spark.streaming.ops import (
     stream_join_view,
     stream_to_scd,
     tumbling_event_counts,
+    windowed_distinct_estimate,
 )
 
 __all__ = [
@@ -60,4 +61,5 @@ __all__ = [
     "funnel_with_state",
     "interval_join_stream",
     "running_totals_with_state",
+    "windowed_distinct_estimate",
 ]

@@ -924,3 +924,69 @@ def stream_neardup_filter(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def windowed_distinct_estimate(
+    df: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    keys: Sequence[str] = ("event_type",),
+    id_col: str = "user_id",
+) -> DataFrame:
+    """Watermarked per-window distinct-``id_col`` estimate via the
+    portable 64-register HyperLogLog (the streaming twin of the
+    ``x_hll_portable`` catalog query).
+
+    Exact ``COUNT(DISTINCT)`` is the classic streaming trap: the state
+    store would have to remember every id seen per open window.  HLL
+    registers bound the state to EXACTLY 64 longs per (window, key)
+    group, whatever the cardinality — expressed as ONE stateful
+    aggregation (64 conditional ``max`` columns, one per register, so no
+    chained-stateful-operator support is required), with the estimate
+    derived statelessly on top.  The registers are max-mergeable, so
+    late rows inside the watermark fold in exactly; the same function on
+    a batch frame is the bit-identical ground truth (pinned in tests).
+    """
+    from ..functions.hashing import portable_hash64
+
+    h = portable_hash64(F.col(id_col).cast("string"))
+    bitlen = "(" + " + ".join(
+        f"(CASE WHEN __w >= {1 << b} THEN 1 ELSE 0 END)" for b in range(54)
+    ) + ")"
+    rows = df.withColumn("__h", h).withColumn(
+        "__bkt", F.pmod(F.col("__h"), F.lit(64)).cast("int")
+    ).withColumn("__w", F.expr("__h div 64")).withColumn(
+        "__rho", F.expr(f"55 - {bitlen}")
+    )
+    regs = [
+        F.max(F.when(F.col("__bkt") == i, F.col("__rho"))).alias(f"__m{i}")
+        for i in range(64)
+    ]
+    agg = (
+        rows.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), *keys)
+        .agg(*regs)
+    )
+    # stateless estimate over the 64 register columns: exact integer
+    # harmonic sum, one shared-literal alpha*m^2*2^55 division, linear
+    # counting when E <= 2.5m and empty registers remain
+    terms = [
+        f"shiftleft(CAST(1 AS BIGINT), CAST(55 - coalesce(__m{i}, 0) AS INT))"
+        for i in range(64)
+    ]
+    s_expr = "(" + " + ".join(terms) + ")"
+    v_expr = "(" + " + ".join(
+        f"(CASE WHEN __m{i} IS NULL THEN 1 ELSE 0 END)" for i in range(64)
+    ) + ")"
+    c_lit = repr(0.7213 / (1 + 1.079 / 64) * 4096 * float(1 << 55))
+    est = (
+        f"CASE WHEN {c_lit} / {s_expr} <= 160.0 AND {v_expr} > 0 "
+        f"THEN 64.0 * ln(64.0 / {v_expr}) ELSE {c_lit} / {s_expr} END"
+    )
+    return agg.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        *keys,
+        (F.floor(F.expr(est) * 1000000 + 0.5) / 1000000).alias("approx_distinct"),
+    )

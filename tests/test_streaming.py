@@ -599,3 +599,36 @@ def test_neardup_batch_applier_filters_and_replays(spark, tmp_path):
     apply_batch(b1, 1)
     assert sorted(r.doc_id for r in spark.read.parquet(corpus).collect()) == accepted1
     assert spark.read.parquet(pairs).count() == n_pairs
+
+
+def test_windowed_distinct_estimate_stream_equals_batch(spark, event_dir):
+    """Streaming HLL registers fold incrementally across micro-batches to
+    the bit-identical batch answer, and the estimate lands within HLL's
+    expected error of the exact per-window distinct count."""
+    stream = st.read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    q = _run_stream(
+        st.windowed_distinct_estimate(stream), "t_hll_win", "complete"
+    )
+    got = {
+        (r.window_start, r.event_type): r.approx_distinct
+        for r in spark.table("t_hll_win").collect()
+    }
+    q.stop()
+    batch = st.windowed_distinct_estimate(spark.read.parquet(event_dir))
+    want = {
+        (r.window_start, r.event_type): r.approx_distinct
+        for r in batch.collect()
+    }
+    assert got == want and got
+    exact = {
+        (r.window_start, r.event_type): r.n
+        for r in spark.read.parquet(event_dir)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n")
+        .collect()
+    }
+    for k, est in got.items():
+        n = exact[k]
+        # 64 registers -> sigma ~ 1.04/8 = 13%; allow 4 sigma + small-n slack
+        assert abs(est - n) <= max(3.0, 0.55 * n), (k, est, n)
