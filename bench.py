@@ -167,6 +167,9 @@ HEADLINE = [
     # multimodal decode family get driver-bench representation
     "v_label_knn_graph",
     "m_frame_energy",
+    # portable mergeable-sketch + in-context packing families
+    "x_hll_portable",
+    "t_topic_packing",
 ]
 
 
