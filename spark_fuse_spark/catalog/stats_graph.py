@@ -5397,3 +5397,111 @@ def x_hll_portable(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------- calibration reliability
+def _calibration_oracle() -> str:
+    steps = ",\n".join(
+        _logit_step_sql(f"w{t}", f"w{t + 1}") for t in range(_LOGIT_STEPS)
+    )
+    sig = _SIG_SQL.format(z="(w.qb + w.qw * b.x) / 1000000.0")
+    return f"""
+WITH base AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         CAST(l_quantity AS BIGINT) - 25 AS x
+  FROM lineitem),
+mo AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s_y
+  FROM base),
+w0 AS (
+  SELECT n, s_y,
+         CAST(FLOOR(ln(CAST(s_y AS DOUBLE) / (n - s_y)) * 1000000 + 0.5)
+              AS BIGINT) AS qb,
+         CAST(0 AS BIGINT) AS qw
+  FROM mo),
+{steps},
+scored AS (
+  SELECT b.y,
+         LEAST(9, CAST(FLOOR({sig} * 10) AS INT)) AS bin,
+         CAST(FLOOR({sig} * 1000000 + 0.5) AS BIGINT) AS p_micro
+  FROM base b CROSS JOIN w{_LOGIT_STEPS} w)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       FLOOR(CAST(SUM(p_micro) AS DOUBLE) / COUNT(*) / 1000000 * 1000000 + 0.5)
+         / 1000000 AS avg_pred,
+       FLOOR(CAST(SUM(y) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000
+         AS obs_rate,
+       FLOOR(ABS(CAST(SUM(p_micro) AS DOUBLE) / COUNT(*) / 1000000
+                 - CAST(SUM(y) AS DOUBLE) / COUNT(*)) * 1000000 + 0.5) / 1000000
+         AS calibration_gap
+FROM scored
+GROUP BY bin
+ORDER BY bin
+""".replace("FROM base b CROSS JOIN w", "FROM base b CROSS JOIN w")
+
+
+@register(
+    "q_calibration_bins",
+    oracle=_calibration_oracle(),
+    doc="reliability diagram for the fitted GLM (q_logistic_gd's weights, "
+    "re-derived through the identical quantized-gradient chain): every "
+    "row's predicted probability from the rational sigmoid surrogate, "
+    "micro-quantized per row BEFORE any sum so the per-bin mean "
+    "prediction is an exact integer ratio, bucketed into ten "
+    "probability bins against the observed positive rate — the "
+    "calibration audit a model-serving team runs before trusting "
+    "scores as probabilities (per-bin |avg_pred - obs_rate| is the ECE "
+    "integrand).  Scale: the GD passes are the q_logistic_gd shape "
+    "(1-row broadcast weight panel per scan); the scoring pass is one "
+    "more scan into a map-side-combined <=10-row bin rollup.",
+)
+def q_calibration_bins(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.glm import logistic_gd_weights
+
+    li = load_table(spark, sf, "lineitem")
+    base = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        (F.col("l_quantity").cast("long") - 25).alias("x"),
+    )
+    w = logistic_gd_weights(base, "y", "x", steps=_LOGIT_STEPS, eta=_LOGIT_ETA).select(
+        "qb", "qw"
+    )
+    z = (F.col("qb") + F.col("qw") * F.col("x")) / 1000000.0
+    sig = 0.5 + 0.5 * (z / 2) / (1 + F.abs(z / 2))
+    scored = base.crossJoin(F.broadcast(w)).select(
+        "y",
+        F.least(F.lit(9), F.floor(sig * 10).cast("int")).alias("bin"),
+        F.floor(sig * 1000000 + 0.5).cast("long").alias("p_micro"),
+    )
+    return (
+        scored.groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("p_micro").alias("sp"),
+            F.sum("y").alias("sy"),
+        )
+        .select(
+            "bin",
+            "n_rows",
+            (
+                F.floor(F.col("sp").cast("double") / F.col("n_rows") / 1000000 * 1000000 + 0.5)
+                / 1000000
+            ).alias("avg_pred"),
+            (
+                F.floor(F.col("sy").cast("double") / F.col("n_rows") * 1000000 + 0.5)
+                / 1000000
+            ).alias("obs_rate"),
+            (
+                F.floor(
+                    F.abs(
+                        F.col("sp").cast("double") / F.col("n_rows") / 1000000
+                        - F.col("sy").cast("double") / F.col("n_rows")
+                    )
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000
+            ).alias("calibration_gap"),
+        )
+        .orderBy("bin")
+    )

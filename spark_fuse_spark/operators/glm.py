@@ -26,26 +26,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["logistic_gd_quantized"]
+__all__ = ["logistic_gd_weights", "logistic_gd_quantized"]
 
 
-def logistic_gd_quantized(
+def logistic_gd_weights(
     base: DataFrame,
     y_col: str = "y",
     x_col: str = "x",
     steps: int = 2,
     eta: float = 0.05,
 ) -> DataFrame:
-    """One-row fit report: (n_rows, w_bias_micro, w_qty_micro, accuracy,
-    baseline_accuracy).
-
-    ``base`` must carry an integer 0/1 ``y_col`` and an integer (ideally
-    centered) feature ``x_col``.  The bias starts at the log-odds of the
-    base rate (floor-quantized), the weight at 0; ``accuracy`` is the 0/1
-    accuracy of sign(qb + qw·x) and ``baseline_accuracy`` the
-    majority-class rate — report both, so a no-signal feature reads
-    honestly as accuracy == baseline.
-    """
+    """One-row weight panel (n, s_y, qb, qw) after ``steps`` quantized
+    GD passes — the fitting core, without the accuracy read-out scan
+    (callers that only score, e.g. calibration audits, broadcast this
+    panel directly)."""
     y, x = F.col(y_col), F.col(x_col)
     mo = base.agg(F.count("*").alias("n"), F.sum(y_col).alias("s_y"))
     w = mo.select(
@@ -83,6 +77,28 @@ def logistic_gd_quantized(
                 - F.floor(eta * F.col("rs_w") / F.col("n") + 0.5).cast("long")
             ).alias("qw"),
         )
+    return w
+
+
+def logistic_gd_quantized(
+    base: DataFrame,
+    y_col: str = "y",
+    x_col: str = "x",
+    steps: int = 2,
+    eta: float = 0.05,
+) -> DataFrame:
+    """One-row fit report: (n_rows, w_bias_micro, w_qty_micro, accuracy,
+    baseline_accuracy).
+
+    ``base`` must carry an integer 0/1 ``y_col`` and an integer (ideally
+    centered) feature ``x_col``.  The bias starts at the log-odds of the
+    base rate (floor-quantized), the weight at 0; ``accuracy`` is the 0/1
+    accuracy of sign(qb + qw·x) and ``baseline_accuracy`` the
+    majority-class rate — report both, so a no-signal feature reads
+    honestly as accuracy == baseline.
+    """
+    y, x = F.col(y_col), F.col(x_col)
+    w = logistic_gd_weights(base, y_col, x_col, steps, eta)
     pred = F.when(F.col("qb") + F.col("qw") * x >= 0, 1).otherwise(0)
     acc = (
         base.crossJoin(F.broadcast(w))
