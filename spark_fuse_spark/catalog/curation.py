@@ -3661,3 +3661,166 @@ def q_abc_xyz(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+# ----------------------------------------------- stupid-backoff LM score
+@register(
+    "t_trigram_backoff",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t,
+                     {portable_hash64_sql("CAST(doc_id AS VARCHAR) || 'lm'")} % 5 = 0
+                       AS is_eval
+              FROM documents),
+tr AS (SELECT doc_id, t FROM toks WHERE NOT is_eval),
+ev AS (SELECT doc_id, t FROM toks WHERE is_eval AND len(t) >= 3),
+c1 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+       FROM (SELECT unnest(t) AS tok FROM tr) GROUP BY tok),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t_toks,
+               CAST(COUNT(*) AS BIGINT) AS v FROM c1),
+b2 AS (SELECT concat_ws(' ', t[i], t[i+1]) AS b, CAST(COUNT(*) AS BIGINT) AS c
+       FROM (SELECT t, unnest(generate_series(1, len(t)-1)) AS i
+             FROM tr WHERE len(t) >= 2) GROUP BY b),
+c3 AS (SELECT concat_ws(' ', t[i], t[i+1], t[i+2]) AS g, CAST(COUNT(*) AS BIGINT) AS c
+       FROM (SELECT t, unnest(generate_series(1, len(t)-2)) AS i
+             FROM tr WHERE len(t) >= 3) GROUP BY g),
+eg AS (SELECT doc_id,
+              t[i+1] AS w2, t[i+2] AS w3,
+              concat_ws(' ', t[i], t[i+1]) AS b12,
+              concat_ws(' ', t[i+1], t[i+2]) AS b23,
+              concat_ws(' ', t[i], t[i+1], t[i+2]) AS g
+       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM ev)),
+sc AS (SELECT eg.doc_id,
+              CASE WHEN COALESCE(c3.c, 0) > 0 THEN 1
+                   WHEN COALESCE(b23c.c, 0) > 0 THEN 2 ELSE 3 END AS branch,
+              CASE WHEN COALESCE(c3.c, 0) > 0
+                     THEN -ln(CAST(c3.c AS DOUBLE) / b12c.c)
+                   WHEN COALESCE(b23c.c, 0) > 0
+                     THEN -ln(0.4 * CAST(b23c.c AS DOUBLE) / w2c.c)
+                   ELSE -ln(0.16 * (CAST(COALESCE(w3c.c, 0) AS DOUBLE) + 1)
+                            / (tot.t_toks + tot.v)) END AS nl
+       FROM eg
+       LEFT JOIN c3 ON c3.g = eg.g
+       LEFT JOIN b2 b12c ON b12c.b = eg.b12
+       LEFT JOIN b2 b23c ON b23c.b = eg.b23
+       LEFT JOIN c1 w2c ON w2c.tok = eg.w2
+       LEFT JOIN c1 w3c ON w3c.tok = eg.w3
+       CROSS JOIN tot)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       CAST(SUM(CASE WHEN branch = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit3,
+       CAST(SUM(CASE WHEN branch = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit2,
+       CAST(SUM(CASE WHEN branch = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni_or_oov,
+       ROUND(AVG(nl), 6) AS avg_neg_logscore
+FROM sc GROUP BY doc_id
+ORDER BY doc_id
+""",
+    doc="stupid-backoff trigram language-model scoring on a HELD-OUT "
+    "split (the CCNet-style LM quality filter, fully in-engine): "
+    "1/5 of documents (portable doc_id hash) are scored against "
+    "trigram/bigram/unigram count tables built from the other 4/5, so "
+    "the backoff ladder actually exercises — trigram hit -> "
+    "c3/c2(w1w2); bigram hit -> 0.4·c2(w2w3)/c1(w2); else the 0.16·"
+    "Laplace unigram floor (c1(w3)+1)/(T+V), which also absorbs OOV "
+    "tokens without ln(0).  Per eval doc: mean negative log score plus "
+    "per-branch hit counts, the telemetry that separates 'fluent but "
+    "unseen domain' (bigram backoffs) from 'word salad' (unigram "
+    "floor).  Scale: three train count tables (map-side-combined "
+    "groupBys keyed by short ngram strings) equi-joined onto the "
+    "exploded eval trigram stream — no self-joins, no broadcast of "
+    "corpus-sized tables — then a per-doc rollup.",
+)
+def t_trigram_backoff(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        tokens("text").alias("t"),
+        (
+            F.pmod(
+                portable_hash64(F.concat(F.col("doc_id").cast("string"), F.lit("lm"))),
+                F.lit(5),
+            )
+            == 0
+        ).alias("is_eval"),
+    ).localCheckpoint()  # feeds the three train tables and the eval stream
+    tr = toks.where(~F.col("is_eval"))
+    ev = toks.where(F.col("is_eval") & (F.size("t") >= 3))
+    c1 = (
+        tr.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = c1.agg(
+        F.sum("c").cast("long").alias("t_toks"), F.count(F.lit(1)).cast("long").alias("v")
+    )
+    b2 = (
+        tr.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t)-1), i -> concat_ws(' ', slice(t, i, 2)))"
+                )
+            ).alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    c3 = (
+        tr.where(F.size("t") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t)-2), i -> concat_ws(' ', slice(t, i, 3)))"
+                )
+            ).alias("g")
+        )
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    eg = ev.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t)-2), i -> struct("
+                "element_at(t, i+1) AS w2, element_at(t, i+2) AS w3, "
+                "concat_ws(' ', slice(t, i, 2)) AS b12, "
+                "concat_ws(' ', slice(t, i+1, 2)) AS b23, "
+                "concat_ws(' ', slice(t, i, 3)) AS g))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.*")
+    j = (
+        eg.join(c3.withColumnRenamed("c", "c3c"), "g", "left")
+        .join(b2.select(F.col("b").alias("b12"), F.col("c").alias("b12c")), "b12", "left")
+        .join(b2.select(F.col("b").alias("b23"), F.col("c").alias("b23c")), "b23", "left")
+        .join(c1.select(F.col("tok").alias("w2"), F.col("c").alias("w2c")), "w2", "left")
+        .join(c1.select(F.col("tok").alias("w3"), F.col("c").alias("w3c")), "w3", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    hit3 = F.coalesce(F.col("c3c"), F.lit(0)) > 0
+    hit2 = F.coalesce(F.col("b23c"), F.lit(0)) > 0
+    branch = F.when(hit3, 1).when(hit2, 2).otherwise(3)
+    nl = (
+        F.when(hit3, -F.log(F.col("c3c").cast("double") / F.col("b12c")))
+        .when(hit2, -F.log(0.4 * F.col("b23c").cast("double") / F.col("w2c")))
+        .otherwise(
+            -F.log(
+                0.16
+                * (F.coalesce(F.col("w3c"), F.lit(0)).cast("double") + 1)
+                / (F.col("t_toks") + F.col("v"))
+            )
+        )
+    )
+    return (
+        j.select("doc_id", branch.alias("branch"), nl.alias("nl"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.sum(F.when(F.col("branch") == 1, 1).otherwise(0)).cast("long").alias("n_hit3"),
+            F.sum(F.when(F.col("branch") == 2, 1).otherwise(0)).cast("long").alias("n_hit2"),
+            F.sum(F.when(F.col("branch") == 3, 1).otherwise(0))
+            .cast("long")
+            .alias("n_uni_or_oov"),
+            F.round(F.avg("nl"), 6).alias("avg_neg_logscore"),
+        )
+        .orderBy("doc_id")
+    )
