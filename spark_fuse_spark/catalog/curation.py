@@ -3824,3 +3824,82 @@ def t_trigram_backoff(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------- temperature mixing
+_MIX_BUDGET = 1_000_000
+
+
+@register(
+    "t_mix_temperature",
+    oracle=f"""
+WITH s AS (
+  SELECT source, CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_tokens,
+               CAST(SUM(CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000)
+                             AS BIGINT)) AS BIGINT) AS z_micro FROM s)
+SELECT s.source, s.n_docs, s.n_tokens,
+       FLOOR(CAST(s.n_tokens AS DOUBLE) / tot.t_tokens * 1000000 + 0.5) / 1000000
+         AS p_natural,
+       FLOOR(FLOOR(sqrt(CAST(s.n_tokens AS DOUBLE)) * 1000000) / tot.z_micro
+             * 1000000 + 0.5) / 1000000 AS p_temp,
+       CAST(FLOOR(FLOOR(sqrt(CAST(s.n_tokens AS DOUBLE)) * 1000000) / tot.z_micro
+                  * {_MIX_BUDGET}) AS BIGINT) AS alloc_tokens,
+       FLOOR(FLOOR(FLOOR(sqrt(CAST(s.n_tokens AS DOUBLE)) * 1000000) / tot.z_micro
+                   * {_MIX_BUDGET})
+             / CAST(s.n_tokens AS DOUBLE) * 1000000 + 0.5) / 1000000 AS epochs
+FROM s CROSS JOIN tot
+ORDER BY s.source
+""",
+    doc="temperature-scaled training-mix planner (the multilingual/"
+    "multi-source sampling rule, alpha = 0.5): per source, the natural "
+    "token share and the temperature share p_s ∝ n_s^0.5 — sqrt, not "
+    "pow(x, alpha), so both engines compute the exact IEEE value with "
+    "no libm-pow divergence, and each source's sqrt is quantized to "
+    "integer micro-units BEFORE the normalizer sum, so aggregation "
+    "order cannot move the shares — plus the token allocation under a 1M-"
+    "token budget and the implied EPOCHS per source (allocation over "
+    "available tokens: the number every mix review asks for, because "
+    "epochs >> 1 on a small source means memorization risk, the reason "
+    "temperature sampling exists).  Scale: one map-side-combined "
+    "per-source rollup (sources are bounded), a 1-row total panel "
+    "crossed back over the source table.",
+)
+def t_mix_temperature(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    s = d.groupBy("source").agg(
+        F.sum(token_count("text")).cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    tot = s.agg(
+        F.sum("n_tokens").cast("long").alias("t_tokens"),
+        # per-source sqrt quantized to integer micro-units BEFORE the sum:
+        # the normalizer is an exact integer, so no float-summation-order
+        # divergence across engines/partitionings
+        F.sum(F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000000).cast("long"))
+        .cast("long")
+        .alias("z_micro"),
+    )
+    w = F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000000)
+    alloc = F.floor(w / F.col("z_micro") * _MIX_BUDGET)
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (
+                F.floor(F.col("n_tokens").cast("double") / F.col("t_tokens") * 1000000 + 0.5)
+                / 1000000
+            ).alias("p_natural"),
+            (F.floor(w / F.col("z_micro") * 1000000 + 0.5) / 1000000).alias("p_temp"),
+            alloc.cast("long").alias("alloc_tokens"),
+            (
+                F.floor(alloc / F.col("n_tokens").cast("double") * 1000000 + 0.5)
+                / 1000000
+            ).alias("epochs"),
+        )
+        .orderBy("source")
+    )
