@@ -1924,3 +1924,105 @@ def m_dhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("hamming") <= _DHASH_MAX_HAMMING)
         .orderBy("id_a", "id_b")
     )
+
+
+# --------------------------------------------- Goertzel tone detection
+_GOERTZEL_C = repr(2.0 * 0.7071067811865476)  # 2cos(2*pi*4/32) = sqrt(2), exact IEEE
+
+
+@register(
+    "m_goertzel_tone",
+    oracle=f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+  WHERE octet_length(encode(text)) > 0),
+f AS (SELECT doc_id, n,
+             UNNEST(generate_series(0, (n + 31) // 32 - 1)) AS frame_index,
+             text
+      FROM t),
+fr AS (SELECT doc_id, frame_index,
+              substring(text, CAST(frame_index * 32 + 1 AS INT), 32) AS fs,
+              LEAST(32, n - frame_index * 32) AS fl
+       FROM f),
+step AS (
+  SELECT doc_id, frame_index, fl, fs, 0 AS j,
+         CAST(0 AS DOUBLE) AS s1, CAST(0 AS DOUBLE) AS s2
+  FROM fr
+  UNION ALL
+  SELECT doc_id, frame_index, fl, fs, j + 1,
+         (CASE WHEN j + 1 <= fl
+               THEN CAST(ascii(substring(fs, CAST(j + 1 AS INT), 1)) AS DOUBLE) - 64
+               ELSE 0.0 END) + {_GOERTZEL_C} * s1 - s2,
+         s1
+  FROM step WHERE j < 32)
+SELECT doc_id, CAST(frame_index AS BIGINT) AS frame_index,
+       CAST(fl AS BIGINT) AS n_samples,
+       FLOOR((s1 * s1 + s2 * s2 - {_GOERTZEL_C} * s1 * s2) * 1000 + 0.5) / 1000
+         AS tone_power
+FROM step WHERE j = 32
+ORDER BY doc_id, frame_index
+""",
+    doc="Goertzel single-bin tone energy per 32-byte frame (the DSP "
+    "primitive behind DTMF/pilot-tone detection and cheap band "
+    "features — what an audio pipeline runs when a full FFT is "
+    "overkill): bytes center to x = byte - 64, and the classic "
+    "second-order recurrence s[n] = x[n] + 2cos(w)s[n-1] - s[n-2] "
+    "folds over each frame with the detection bin pinned at k=4 of "
+    "N=32 so the coefficient is EXACTLY sqrt(2) — no cos() libm call "
+    "on either engine — and short tail frames zero-pad to the fixed "
+    "32 steps so both engines walk the identical 32-step IEEE "
+    "trajectory (Spark: one sequential aggregate() fold per frame; "
+    "oracle: the same 32 steps as a recursive-CTE replay — an "
+    "unrolled alias chain would blow up exponentially under alias "
+    "substitution).  "
+    "The real-audio version swaps byte windows for PCM samples over "
+    "the identical frame/fold shape.  Scale: one 1-to-ceil(n/32) "
+    "frame explode, then per-row JVM arithmetic — zero extra "
+    "shuffles beyond the final presentation sort.",
+)
+def m_goertzel_tone(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.multimodal import attach_binary_payload
+
+    d = attach_binary_payload(load_table(spark, sf, "documents"), "text", "payload")
+    base = (
+        d.select("doc_id", F.col("payload").cast("string").alias("s"))
+        .where(F.length("s") > 0)
+        .select(
+            "doc_id",
+            "s",
+            F.length("s").alias("n"),
+            F.explode(
+                F.sequence(F.lit(0), F.ceil(F.length("s") / 32).cast("long") - 1)
+            ).alias("frame_index"),
+        )
+    )
+    fr = base.select(
+        "doc_id",
+        "frame_index",
+        F.expr("substring(s, CAST(frame_index * 32 + 1 AS INT), 32)").alias("fs"),
+        F.least(F.lit(32).cast("long"), F.col("n") - F.col("frame_index") * 32).alias(
+            "fl"
+        ),
+    )
+    xs = (
+        "transform(sequence(1, 32), j -> CASE WHEN j <= fl"
+        " THEN CAST(ascii(substring(fs, j, 1)) AS DOUBLE) - 64 ELSE 0.0D END)"
+    )
+    fold = (
+        f"aggregate({xs}, struct(CAST(0.0 AS DOUBLE) AS s1, CAST(0.0 AS DOUBLE) AS s2),"
+        f" (acc, x) -> struct(x + {_GOERTZEL_C}D * acc.s1 - acc.s2, acc.s1))"
+    )
+    power = (
+        f"FLOOR((__g.s1 * __g.s1 + __g.s2 * __g.s2 - {_GOERTZEL_C}D * __g.s1 * __g.s2)"
+        " * 1000 + 0.5) / 1000"
+    )
+    return (
+        fr.withColumn("__g", F.expr(fold))
+        .select(
+            "doc_id",
+            F.col("frame_index").cast("long").alias("frame_index"),
+            F.col("fl").cast("long").alias("n_samples"),
+            F.expr(power).alias("tone_power"),
+        )
+        .orderBy("doc_id", "frame_index")
+    )
