@@ -4920,7 +4920,9 @@ def q_logistic_gd(spark: SparkSession, sf: str) -> DataFrame:
         F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
         (F.col("l_quantity").cast("long") - 25).alias("x"),
     )
-    return logistic_gd_quantized(base, "y", "x", steps=_LOGIT_STEPS, eta=_LOGIT_ETA)
+    return logistic_gd_quantized(
+        base, "y", "x", steps=_LOGIT_STEPS, eta=_LOGIT_ETA
+    ).withColumnRenamed("w_0_micro", "w_qty_micro")
 
 
 # --------------------------------------------- WoE / IV feature audit
@@ -5464,7 +5466,7 @@ def q_calibration_bins(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("l_quantity").cast("long") - 25).alias("x"),
     )
     w = logistic_gd_weights(base, "y", "x", steps=_LOGIT_STEPS, eta=_LOGIT_ETA).select(
-        "qb", "qw"
+        "qb", F.col("qw_0").alias("qw")
     )
     z = (F.col("qb") + F.col("qw") * F.col("x")) / 1000000.0
     sig = 0.5 + 0.5 * (z / 2) / (1 + F.abs(z / 2))
@@ -5504,4 +5506,91 @@ def q_calibration_bins(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("calibration_gap"),
         )
         .orderBy("bin")
+    )
+
+
+# ------------------------------------------ two-feature logistic GD
+def _logit2_step_sql(prev: str, cur: str) -> str:
+    z = "(w.qb + w.qw0 * b.x0 + w.qw1 * b.x1) / 1000000.0"
+    sig = _SIG_SQL.format(z=z)
+    return f"""g_{cur} AS (
+  SELECT w.n, w.s_y, w.qb, w.qw0, w.qw1,
+         CAST(SUM(CAST(FLOOR(({sig} - b.y) * 1000000 + 0.5) AS BIGINT))
+              AS BIGINT) AS rs_b,
+         CAST(SUM(CAST(FLOOR(({sig} - b.y) * 1000000 + 0.5) AS BIGINT) * b.x0)
+              AS BIGINT) AS rs_0,
+         CAST(SUM(CAST(FLOOR(({sig} - b.y) * 1000000 + 0.5) AS BIGINT) * b.x1)
+              AS BIGINT) AS rs_1
+  FROM base b CROSS JOIN {prev} w
+  GROUP BY w.n, w.s_y, w.qb, w.qw0, w.qw1),
+{cur} AS (
+  SELECT n, s_y,
+         qb - CAST(FLOOR({_LOGIT_ETA!r} * rs_b / n + 0.5) AS BIGINT) AS qb,
+         qw0 - CAST(FLOOR({_LOGIT_ETA!r} * rs_0 / n + 0.5) AS BIGINT) AS qw0,
+         qw1 - CAST(FLOOR({_LOGIT_ETA!r} * rs_1 / n + 0.5) AS BIGINT) AS qw1
+  FROM g_{cur})"""
+
+
+def _logistic2_oracle() -> str:
+    steps = ",\n".join(
+        _logit2_step_sql(f"w{t}", f"w{t + 1}") for t in range(_LOGIT_STEPS)
+    )
+    return f"""
+WITH base AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         CAST(l_quantity AS BIGINT) - 25 AS x0,
+         CAST(ROUND(l_discount * 100) AS BIGINT) - 5 AS x1
+  FROM lineitem),
+mo AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s_y
+  FROM base),
+w0 AS (
+  SELECT n, s_y,
+         CAST(FLOOR(ln(CAST(s_y AS DOUBLE) / (n - s_y)) * 1000000 + 0.5)
+              AS BIGINT) AS qb,
+         CAST(0 AS BIGINT) AS qw0, CAST(0 AS BIGINT) AS qw1
+  FROM mo),
+{steps},
+acc AS (
+  SELECT w.n, w.s_y, w.qb, w.qw0, w.qw1,
+         CAST(SUM(CASE WHEN (CASE WHEN w.qb + w.qw0 * b.x0 + w.qw1 * b.x1 >= 0
+                                  THEN 1 ELSE 0 END) = b.y
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+  FROM base b CROSS JOIN w{_LOGIT_STEPS} w
+  GROUP BY w.n, w.s_y, w.qb, w.qw0, w.qw1)
+SELECT n AS n_rows, qb AS w_bias_micro, qw0 AS w_qty_micro, qw1 AS w_disc_micro,
+       FLOOR(CAST(n_correct AS DOUBLE) / n * 1000000 + 0.5) / 1000000 AS accuracy,
+       FLOOR(CAST(GREATEST(s_y, n - s_y) AS DOUBLE) / n * 1000000 + 0.5) / 1000000
+         AS baseline_accuracy
+FROM acc
+"""
+
+
+@register(
+    "q_logistic_gd2",
+    oracle=_logistic2_oracle(),
+    doc="TWO-feature quantized-gradient logistic regression (centered "
+    "quantity + centered integer discount points) — the proof that the "
+    "q_logistic_gd contract generalizes: per-row nonlinearities stay "
+    "per-row (rational sigmoid), cross-row state is K+1 integer "
+    "micro-unit weights in one broadcast panel, gradients are "
+    "order-independent integer sums per feature, and the oracle "
+    "replays the full multi-weight trajectory.  Same honest-no-signal "
+    "readout as the single-feature fit.  Scale: one scan per GD pass + "
+    "the accuracy scan; the panel grows by one long per feature, "
+    "nothing else changes.",
+)
+def q_logistic_gd2(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.glm import logistic_gd_quantized
+
+    li = load_table(spark, sf, "lineitem")
+    base = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        (F.col("l_quantity").cast("long") - 25).alias("x0"),
+        (F.round(F.col("l_discount") * 100).cast("long") - 5).alias("x1"),
+    )
+    return (
+        logistic_gd_quantized(base, "y", ["x0", "x1"], steps=_LOGIT_STEPS, eta=_LOGIT_ETA)
+        .withColumnRenamed("w_0_micro", "w_qty_micro")
+        .withColumnRenamed("w_1_micro", "w_disc_micro")
     )

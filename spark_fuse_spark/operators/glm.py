@@ -1,12 +1,12 @@
 """In-engine quantized-gradient GLM fitting.
 
 Promoted from the ``q_logistic_gd`` catalog query so the scan is callable
-as a library (the catalog entry is a thin wrapper).  Single-feature
-logistic regression by bounded-round gradient descent with every piece of
-shared state quantized to integer micro-units:
+as a library (the catalog entry is a thin wrapper).  Logistic regression
+(any number of integer features) by bounded-round gradient descent with
+every piece of shared state quantized to integer micro-units:
 
-* weights live as (qb, qw) integer micro-unit longs in a 1-row panel that
-  is BROADCAST over each gradient scan — no driver collect, no .rdd, and
+* weights live as integer micro-unit longs in a 1-row panel that is
+  BROADCAST over each gradient scan — no driver collect, no .rdd, and
   the panel algebra is exact integer math, so independent engines (or
   re-partitioned re-runs) walk bit-identical weight trajectories;
 * the sigmoid is the rational softsign surrogate
@@ -29,18 +29,24 @@ from pyspark.sql import functions as F
 __all__ = ["logistic_gd_weights", "logistic_gd_quantized"]
 
 
+def _as_cols(x_cols: "str | list[str]") -> "list[str]":
+    return [x_cols] if isinstance(x_cols, str) else list(x_cols)
+
+
 def logistic_gd_weights(
     base: DataFrame,
     y_col: str = "y",
-    x_col: str = "x",
+    x_cols: "str | list[str]" = "x",
     steps: int = 2,
     eta: float = 0.05,
 ) -> DataFrame:
-    """One-row weight panel (n, s_y, qb, qw) after ``steps`` quantized
-    GD passes — the fitting core, without the accuracy read-out scan
-    (callers that only score, e.g. calibration audits, broadcast this
-    panel directly)."""
-    y, x = F.col(y_col), F.col(x_col)
+    """One-row weight panel (n, s_y, qb, qw_0..qw_{K-1}) after ``steps``
+    quantized GD passes over ``x_cols`` (a single name or a list) — the
+    fitting core, without the accuracy read-out scan (callers that only
+    score, e.g. calibration audits, broadcast this panel directly)."""
+    xs = _as_cols(x_cols)
+    y = F.col(y_col)
+    qw_names = [f"qw_{i}" for i in range(len(xs))]
     mo = base.agg(F.count("*").alias("n"), F.sum(y_col).alias("s_y"))
     w = mo.select(
         "n",
@@ -51,18 +57,24 @@ def logistic_gd_weights(
         )
         .cast("long")
         .alias("qb"),
-        F.lit(0).cast("long").alias("qw"),
+        *[F.lit(0).cast("long").alias(q) for q in qw_names],
     )
     for _ in range(steps):
-        z = (F.col("qb") + F.col("qw") * x) / 1000000.0
+        z = (
+            F.col("qb")
+            + sum(F.col(q) * F.col(x) for q, x in zip(qw_names, xs))
+        ) / 1000000.0
         sig = 0.5 + 0.5 * (z / 2) / (1 + F.abs(z / 2))
         resid_q = F.floor((sig - y) * 1000000 + 0.5).cast("long")
         g = (
             base.crossJoin(F.broadcast(w))
-            .groupBy("n", "s_y", "qb", "qw")
+            .groupBy("n", "s_y", "qb", *qw_names)
             .agg(
                 F.sum(resid_q).alias("rs_b"),
-                F.sum(resid_q * x).alias("rs_w"),
+                *[
+                    F.sum(resid_q * F.col(x)).alias(f"rs_{i}")
+                    for i, x in enumerate(xs)
+                ],
             )
         )
         w = g.select(
@@ -72,10 +84,13 @@ def logistic_gd_weights(
                 F.col("qb")
                 - F.floor(eta * F.col("rs_b") / F.col("n") + 0.5).cast("long")
             ).alias("qb"),
-            (
-                F.col("qw")
-                - F.floor(eta * F.col("rs_w") / F.col("n") + 0.5).cast("long")
-            ).alias("qw"),
+            *[
+                (
+                    F.col(q)
+                    - F.floor(eta * F.col(f"rs_{i}") / F.col("n") + 0.5).cast("long")
+                ).alias(q)
+                for i, q in enumerate(qw_names)
+            ],
         )
     return w
 
@@ -83,32 +98,37 @@ def logistic_gd_weights(
 def logistic_gd_quantized(
     base: DataFrame,
     y_col: str = "y",
-    x_col: str = "x",
+    x_cols: "str | list[str]" = "x",
     steps: int = 2,
     eta: float = 0.05,
 ) -> DataFrame:
-    """One-row fit report: (n_rows, w_bias_micro, w_qty_micro, accuracy,
+    """One-row fit report: (n_rows, w_bias_micro, w_0_micro.., accuracy,
     baseline_accuracy).
 
-    ``base`` must carry an integer 0/1 ``y_col`` and an integer (ideally
-    centered) feature ``x_col``.  The bias starts at the log-odds of the
-    base rate (floor-quantized), the weight at 0; ``accuracy`` is the 0/1
-    accuracy of sign(qb + qw·x) and ``baseline_accuracy`` the
-    majority-class rate — report both, so a no-signal feature reads
-    honestly as accuracy == baseline.
+    ``base`` must carry an integer 0/1 ``y_col`` and integer (ideally
+    centered) features.  The bias starts at the log-odds of the base rate
+    (floor-quantized), the weights at 0; ``accuracy`` is the 0/1 accuracy
+    of sign(qb + Σ qw_i·x_i) and ``baseline_accuracy`` the majority-class
+    rate — report both, so a no-signal feature set reads honestly as
+    accuracy == baseline.
     """
-    y, x = F.col(y_col), F.col(x_col)
-    w = logistic_gd_weights(base, y_col, x_col, steps, eta)
-    pred = F.when(F.col("qb") + F.col("qw") * x >= 0, 1).otherwise(0)
+    xs = _as_cols(x_cols)
+    y = F.col(y_col)
+    qw_names = [f"qw_{i}" for i in range(len(xs))]
+    w = logistic_gd_weights(base, y_col, xs, steps, eta)
+    score = F.col("qb") + sum(F.col(q) * F.col(x) for q, x in zip(qw_names, xs))
+    pred = F.when(score >= 0, 1).otherwise(0)
     acc = (
         base.crossJoin(F.broadcast(w))
-        .groupBy("n", "s_y", "qb", "qw")
+        .groupBy("n", "s_y", "qb", *qw_names)
         .agg(F.sum(F.when(pred == y, 1).otherwise(0)).alias("n_correct"))
     )
+    weight_cols = [F.col("qb").alias("w_bias_micro")] + [
+        F.col(q).alias(f"w_{i}_micro") for i, q in enumerate(qw_names)
+    ]
     return acc.select(
         F.col("n").alias("n_rows"),
-        F.col("qb").alias("w_bias_micro"),
-        F.col("qw").alias("w_qty_micro"),
+        *weight_cols,
         (
             F.floor(F.col("n_correct").cast("double") / F.col("n") * 1000000 + 0.5)
             / 1000000

@@ -99,5 +99,5 @@ def test_logistic_gd_operator_recovers_separable_signal(spark):
     ).select("x", F.when(F.col("x") > 0, 1).otherwise(0).alias("y"))
     rep = logistic_gd_quantized(base, "y", "x", steps=6, eta=0.5).collect()[0]
     assert rep.n_rows == 1000
-    assert rep.w_qty_micro > 0
+    assert rep.w_0_micro > 0
     assert rep.accuracy > rep.baseline_accuracy
