@@ -5594,3 +5594,78 @@ def q_logistic_gd2(spark: SparkSession, sf: str) -> DataFrame:
         .withColumnRenamed("w_0_micro", "w_qty_micro")
         .withColumnRenamed("w_1_micro", "w_disc_micro")
     )
+
+
+# --------------------------------------------- grouped OLS (elasticity)
+@register(
+    "q_price_elasticity",
+    oracle="""
+WITH base AS (
+  SELECT p.p_brand AS brand,
+         CAST(FLOOR(ln(l_extendedprice / l_quantity) * 1000000) AS BIGINT) AS xq,
+         CAST(FLOOR(ln(l_quantity) * 1000000) AS BIGINT) AS yq
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+m AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(xq AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(yq AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(xq AS HUGEINT) * yq) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(xq AS HUGEINT) * xq) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(yq AS HUGEINT) * yq) AS HUGEINT) AS syy
+  FROM base GROUP BY brand)
+SELECT brand, n,
+       FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5) / 1000000
+         AS elasticity,
+       FLOOR(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+             / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS r2
+FROM m
+ORDER BY brand
+""",
+    doc="grouped closed-form OLS — per-brand price elasticity of demand "
+    "(slope of ln quantity on ln unit price), ALL brands fitted in one "
+    "pass: the 'thousands of small models' pattern, where each group's "
+    "regression reduces to five moment sums inside a single map-side-"
+    "combined groupBy, no per-group iteration or driver loop.  "
+    "Determinism: per-row ln values floor-quantize to integer "
+    "micro-units BEFORE summation (aggregation order cannot move the "
+    "moments), one operand lifts to DECIMAL(38)/HUGEINT before every "
+    "cross-moment multiply (the house overflow rule — xq*yq sums pass "
+    "signed-64 at corpus scale), and the slope/r2 emerge through "
+    "mirrored decimal->double casts with the squaring done in doubles "
+    "(a decimal square of the 1e25-scale numerator would overflow 38 "
+    "digits).  On TPC-H unit price is quantity-independent by "
+    "construction, so the honest readout is elasticity ~ 0 with r2 ~ 0 "
+    "— the machinery proves absence of signal rather than inventing "
+    "one.  Scale: one fact-dim join (part broadcast) + one groupBy to "
+    "|brands| rows.",
+)
+def q_price_elasticity(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    base = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.floor(F.log(F.col("l_extendedprice") / F.col("l_quantity")) * 1000000)
+        .cast("long")
+        .alias("xq"),
+        F.floor(F.log(F.col("l_quantity")) * 1000000).cast("long").alias("yq"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = base.groupBy("brand").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dec(F.col("xq"))).alias("sx"),
+        F.sum(dec(F.col("yq"))).alias("sy"),
+        F.sum(dec(F.col("xq")) * F.col("yq")).alias("sxy"),
+        F.sum(dec(F.col("xq")) * F.col("xq")).alias("sxx"),
+        F.sum(dec(F.col("yq")) * F.col("yq")).alias("syy"),
+    )
+    num = (dec(F.col("n")) * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den_x = (dec(F.col("n")) * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    den_y = (dec(F.col("n")) * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        "brand",
+        "n",
+        (F.floor(num / den_x * 1000000 + 0.5) / 1000000).alias("elasticity"),
+        (F.floor(num * num / (den_x * den_y) * 1000000 + 0.5) / 1000000).alias("r2"),
+    ).orderBy("brand")
