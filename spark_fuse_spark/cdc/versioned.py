@@ -81,7 +81,14 @@ class VersionedParquetStore(TableStore):
             return json.load(f)
 
     # ----------------------------------------------------------- commit
-    def _commit(self, target: str, segments: "list[str]", op: str) -> int:
+    def _commit(
+        self,
+        target: str,
+        segments: "list[str]",
+        op: str,
+        schema: "list[list[str]] | None" = None,
+        evolved: bool = False,
+    ) -> int:
         prev = self.latest_version(target)
         version = (prev or 0) + 1
         os.makedirs(os.path.join(target, _MANIFEST_DIR), exist_ok=True)
@@ -91,6 +98,12 @@ class VersionedParquetStore(TableStore):
             "segments": segments,
             "committed_at": time.time(),
         }
+        if schema is not None:
+            manifest["schema"] = schema
+        if evolved:
+            # sticky: once any retained segment set spans two schemas the
+            # reader must footer-merge (mergeSchema) for this version
+            manifest["evolved"] = True
         tmp = _manifest_path(target, version) + f".tmp_{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -128,24 +141,58 @@ class VersionedParquetStore(TableStore):
     def read_version(self, spark: SparkSession, target: str, version: int) -> DataFrame:
         manifest = self._manifest(target, version)
         paths = [os.path.join(target, seg) for seg in manifest["segments"]]
-        return spark.read.parquet(*paths)
+        reader = spark.read
+        if manifest.get("evolved"):
+            # segments span two schemas: merge footers so columns added by
+            # later appends surface (null-filled on old segments) instead
+            # of being silently dropped by single-footer schema inference
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
+
+    @staticmethod
+    def _schema_list(df: DataFrame) -> "list[list[str]]":
+        return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
 
     def append(self, df: DataFrame, target: str, merge_schema: bool = False) -> None:
+        """Append one segment.  If the table already has a schema and the
+        batch's differs, this fails LOUDLY unless ``merge_schema=True``
+        (evolution: new columns null-fill on old segments at read time;
+        silent column loss is the failure mode this guards)."""
         prev = self.latest_version(target)
-        segments = self._manifest(target, prev)["segments"] if prev else []
+        prev_manifest = self._manifest(target, prev) if prev else None
+        segments = prev_manifest["segments"] if prev_manifest else []
+        new_schema = self._schema_list(df)
+        evolved = bool(prev_manifest and prev_manifest.get("evolved"))
+        prev_schema = prev_manifest.get("schema") if prev_manifest else None
+        if prev_schema is not None and prev_schema != new_schema:
+            if not merge_schema:
+                raise ValueError(
+                    f"append schema {new_schema} differs from table schema "
+                    f"{prev_schema} at {target}; pass merge_schema=True to evolve"
+                )
+            evolved = True
+            # committed schema = union in first-seen column order
+            seen = {tuple(c) for c in prev_schema}
+            new_schema = prev_schema + [c for c in new_schema if tuple(c) not in seen]
         seg = self._write_segment(df, target)
-        self._commit(target, segments + [seg], "append")
+        self._commit(target, segments + [seg], "append", schema=new_schema, evolved=evolved)
 
     def overwrite(self, df: DataFrame, target: str) -> None:
         seg = self._write_segment(df, target)
-        self._commit(target, [seg], "overwrite")
+        self._commit(target, [seg], "overwrite", schema=self._schema_list(df))
 
     # ------------------------------------------------- travel/maintenance
     def rollback(self, target: str, version: int) -> int:
         """Commit a NEW version whose content is ``version``'s — history
         stays append-only and no segment moves."""
         manifest = self._manifest(target, version)
-        return self._commit(target, manifest["segments"], f"rollback:{version}")
+        return self._commit(
+            target,
+            manifest["segments"],
+            f"rollback:{version}",
+            schema=manifest.get("schema"),
+            evolved=bool(manifest.get("evolved")),
+        )
 
     def vacuum(self, target: str, keep_last: int = 2) -> "list[str]":
         """Drop manifests older than the last ``keep_last`` versions and

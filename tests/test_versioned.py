@@ -7,6 +7,8 @@ import os
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from spark_fuse_spark.cdc import VersionedParquetStore, get_store
 
 
@@ -275,3 +277,38 @@ def test_concurrent_commit_fails_loudly(spark, store, tmp_path, monkeypatch):
     # the winner's manifest is untouched and still the latest
     assert store.latest_version(target) == 2
     assert open(rival).read() == rival_body
+
+
+def test_append_schema_mismatch_fails_loudly(spark, store, tmp_path):
+    t = str(tmp_path / "t")
+    store.overwrite(spark.range(5).select(F.col("id").alias("k")), t)
+    widened = spark.range(5).select(F.col("id").alias("k"), F.lit("x").alias("extra"))
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        store.append(widened, t)
+
+
+def test_append_merge_schema_evolves_and_time_travels(spark, store, tmp_path):
+    t = str(tmp_path / "t")
+    store.overwrite(spark.range(3).select(F.col("id").alias("k")), t)
+    widened = spark.range(3, 5).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("extra")
+    )
+    store.append(widened, t, merge_schema=True)
+    live = store.read(spark, t)
+    # the evolved column surfaces, null-filled on the old segment — not
+    # silently dropped by single-footer schema inference
+    assert set(live.columns) == {"k", "extra"}
+    rows = {r.k: r.extra for r in live.collect()}
+    assert rows[0] is None and rows[3] == 30 and len(rows) == 5
+    # time travel to v1 shows the original narrow schema
+    assert store.read_version(spark, t, 1).columns == ["k"]
+    # a further SAME-schema append keeps working and stays evolved
+    store.append(
+        spark.range(5, 6).select(F.col("id").alias("k"), (F.col("id") * 10).alias("extra")),
+        t,
+        merge_schema=True,
+    )
+    assert store.read(spark, t).count() == 6
+    # rollback carries the evolution flag (read still merges footers)
+    v = store.rollback(t, 2)
+    assert set(store.read_version(spark, t, v).columns) == {"k", "extra"}
