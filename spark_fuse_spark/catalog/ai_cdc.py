@@ -684,3 +684,69 @@ def c_mor_upsert_read(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# --------------------------------------------- schema evolution e2e
+@register(
+    "c_schema_evolution",
+    oracle="""
+WITH live AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderkey % 4 = 0
+              THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS cents
+  FROM orders)
+SELECT o_orderpriority AS priority,
+       CAST(SUM(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_legacy,
+       CAST(SUM(CASE WHEN cents IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_evolved,
+       CAST(SUM(COALESCE(cents, 0)) AS BIGINT) AS sum_cents
+FROM live
+GROUP BY o_orderpriority
+ORDER BY priority
+""",
+    doc="schema evolution on the versioned store, end to end: v1 commits "
+    "the NARROW schema (3/4 of orders, no cents column), a "
+    "merge_schema append lands the widened batch (the remaining 1/4 "
+    "with integer cents), and the live read surfaces the evolved "
+    "column null-filled on legacy segments — the manifest records the "
+    "union schema plus a sticky evolved flag, so the reader "
+    "footer-merges instead of silently dropping the new column (the "
+    "classic parquet-union trap this module guards with a loud "
+    "ValueError when evolution wasn't requested).  The oracle replays "
+    "the logical outcome straight from the source table, so the hash "
+    "check proves physical evolution == logical widening.  Scale: "
+    "evolution costs ZERO data rewrite — one appended segment + one "
+    "manifest; the read-side mergeSchema is a footer union, not a "
+    "data pass.",
+)
+def c_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    from ..cdc import VersionedParquetStore
+
+    store = VersionedParquetStore()
+    orders = load_table(spark, sf, "orders")
+    target = tempfile.mkdtemp(prefix="evo_q_") + "/t"
+    narrow = orders.where(F.col("o_orderkey") % 4 != 0).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    widened = orders.where(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    store.overwrite(narrow, target)
+    store.append(widened, target, merge_schema=True)
+    live = store.read(spark, target)
+    return (
+        live.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.sum(F.when(F.col("cents").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_legacy"),
+            F.sum(F.when(F.col("cents").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_evolved"),
+            F.sum(F.coalesce(F.col("cents"), F.lit(0))).cast("long").alias("sum_cents"),
+        )
+        .orderBy("priority")
+    )
