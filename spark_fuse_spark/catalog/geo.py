@@ -494,3 +494,123 @@ def g_dbscan_core(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# ----------------------------------------------- full DBSCAN clusters
+@register(
+    "g_dbscan_clusters",
+    oracle=f"""
+WITH RECURSIVE pts AS (SELECT c_custkey, {_coords_sql('c_custkey', 'c')} FROM customer),
+pairs AS (
+  SELECT a.c_custkey AS p, b.c_custkey AS q
+  FROM pts a JOIN pts b ON a.c_custkey <> b.c_custkey
+  WHERE (a.lat_micro - b.lat_micro) * (a.lat_micro - b.lat_micro)
+        + (a.lon_micro - b.lon_micro) * (a.lon_micro - b.lon_micro) <= {R_SQ}),
+cnt AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_neighbors FROM pairs GROUP BY p),
+core AS (SELECT p FROM cnt WHERE n_neighbors >= {_DBSCAN_MINPTS}),
+ce AS (SELECT pr.p AS u, pr.q AS v
+       FROM pairs pr JOIN core ca ON pr.p = ca.p JOIN core cb ON pr.q = cb.p),
+reach(u, v) AS (
+  SELECT u, v FROM ce
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN ce e ON r.v = e.u WHERE e.v <> r.u),
+clabels AS (
+  SELECT c.p AS node,
+         COALESCE(LEAST(c.p, MIN(r.v)), c.p) AS cluster_id
+  FROM core c LEFT JOIN reach r ON r.u = c.p GROUP BY c.p),
+bord AS (
+  SELECT pr.p, MIN(cl.cluster_id) AS cluster_id
+  FROM pairs pr
+  JOIN clabels cl ON cl.node = pr.q
+  LEFT JOIN core self ON self.p = pr.p
+  WHERE self.p IS NULL
+  GROUP BY pr.p),
+assigned AS (
+  SELECT node AS c_custkey, cluster_id, 'core' AS role FROM clabels
+  UNION ALL
+  SELECT p, cluster_id, 'border' FROM bord),
+sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM assigned GROUP BY cluster_id)
+SELECT t.c_custkey,
+       COALESCE(a.role, 'noise') AS role,
+       COALESCE(a.cluster_id, -1) AS cluster_id,
+       COALESCE(s.cluster_size, 0) AS cluster_size
+FROM pts t
+LEFT JOIN assigned a ON a.c_custkey = t.c_custkey
+LEFT JOIN sizes s ON s.cluster_id = a.cluster_id
+ORDER BY t.c_custkey
+""",
+    doc="FULL DBSCAN cluster assignment (completes g_dbscan_core's role "
+    "classification): core points within eps link into clusters via "
+    "connected components over the core-core edge list (density-"
+    "reachability collapses to plain connectivity among cores), border "
+    "points attach to the MINIMUM cluster id among their core "
+    "neighbors (the deterministic stand-in for DBSCAN's first-visitor "
+    "tie rule), noise stays at cluster_id -1.  Cluster labels are "
+    "minimum member ids, sizes count core + border members.  Scale: "
+    "eps-neighbors ride the 3x3 radius grid join (never all-pairs); "
+    "CC is the large-star/small-star operator (2 shuffles/round, "
+    "localCheckpoint per round); the border attach is one edge-keyed "
+    "join + min-agg.  The oracle replays connectivity with a "
+    "recursive CTE and the hash check proves the blocked+iterative "
+    "plan equals brute-force DBSCAN.",
+)
+def g_dbscan_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import connected_components
+    from ..operators.spatial import radius_join
+
+    lat, lon = _coords("c_custkey", "c")
+    pts = load_table(spark, sf, "customer").select("c_custkey", lat, lon)
+    build = pts.select(
+        F.col("c_custkey").alias("b_custkey"),
+        F.col("lat_micro").alias("b_lat"),
+        F.col("lon_micro").alias("b_lon"),
+    )
+    pairs = (
+        radius_join(pts, build, radius=R_MICRO, build_lat="b_lat", build_lon="b_lon")
+        .where(F.col("c_custkey") != F.col("b_custkey"))
+        .select(F.col("c_custkey").alias("p"), F.col("b_custkey").alias("q"))
+        .localCheckpoint()  # feeds the count, the edge list, and the border attach
+    )
+    cnt = pairs.groupBy("p").agg(F.count("*").alias("n_neighbors"))
+    core = cnt.where(F.col("n_neighbors") >= _DBSCAN_MINPTS).select("p").localCheckpoint()
+    ce = (
+        pairs.join(core, "p")
+        .join(core.withColumnRenamed("p", "q"), "q")
+        .select(F.col("p").alias("id_a"), F.col("q").alias("id_b"))
+    )
+    cc = connected_components(ce)  # (node, component) — min-id labels
+    clabels = (
+        core.join(cc, core.p == cc.node, "left")
+        .select(
+            F.col("p").alias("node"),
+            F.coalesce(F.col("component"), F.col("p")).alias("cluster_id"),
+        )
+        .localCheckpoint()  # feeds the border attach and the union
+    )
+    bord = (
+        pairs.join(clabels.withColumnRenamed("node", "q"), "q")
+        .join(core, "p", "left_anti")
+        .groupBy("p")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    assigned = clabels.select(
+        F.col("node").alias("c_custkey"), "cluster_id", F.lit("core").alias("role")
+    ).unionByName(
+        bord.select(F.col("p").alias("c_custkey"), "cluster_id", F.lit("border").alias("role"))
+    ).localCheckpoint()  # feeds sizes and the final join
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return (
+        pts.select("c_custkey")
+        .join(assigned, "c_custkey", "left")
+        .join(sizes, "cluster_id", "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("role"), F.lit("noise")).alias("role"),
+            F.coalesce(F.col("cluster_id"), F.lit(-1)).cast("long").alias("cluster_id"),
+            F.coalesce(F.col("cluster_size"), F.lit(0)).cast("long").alias("cluster_size"),
+        )
+        .orderBy("c_custkey")
+    )
