@@ -5669,3 +5669,115 @@ def q_price_elasticity(spark: SparkSession, sf: str) -> DataFrame:
         (F.floor(num / den_x * 1000000 + 0.5) / 1000000).alias("elasticity"),
         (F.floor(num * num / (den_x * den_y) * 1000000 + 0.5) / 1000000).alias("r2"),
     ).orderBy("brand")
+
+
+# --------------------------------------------- event-study leads/lags
+_ES_EVENT_M = 36  # 1995-01 in 0-based months since 1992-01
+_ES_HORIZON = 6
+
+
+@register(
+    "q_event_study",
+    oracle=f"""
+WITH o AS (
+  SELECT CAST((EXTRACT(YEAR FROM o.o_orderdate) - 1992) * 12
+              + EXTRACT(MONTH FROM o.o_orderdate) - 1 AS BIGINT) AS m,
+         CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS treated,
+         CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+win AS (
+  SELECT m - {_ES_EVENT_M} AS k, treated,
+         CAST(SUM(cents) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM o
+  WHERE m BETWEEN {_ES_EVENT_M - _ES_HORIZON} AND {_ES_EVENT_M + _ES_HORIZON}
+  GROUP BY 1, 2),
+gap AS (
+  SELECT t.k,
+         CAST(FLOOR((CAST(t.s AS DOUBLE) / t.n - CAST(c.s AS DOUBLE) / c.n)
+                    * 100 + 0.5) AS BIGINT) AS g_centi,
+         t.n AS n_treated, c.n AS n_control
+  FROM win t JOIN win c ON c.k = t.k AND t.treated = 1 AND c.treated = 0),
+pre AS (
+  SELECT CAST(SUM(g_centi) AS BIGINT) AS sp, CAST(COUNT(*) AS BIGINT) AS np
+  FROM gap WHERE k < 0)
+SELECT gap.k AS rel_month, gap.n_treated, gap.n_control,
+       gap.g_centi / 100.0 AS gap_cents,
+       FLOOR(gap.g_centi - CAST(pre.sp AS DOUBLE) / pre.np + 0.5) / 100
+         AS effect_cents,
+       gap.k >= 0 AS post
+FROM gap CROSS JOIN pre
+ORDER BY rel_month
+""",
+    doc="difference-in-differences EVENT STUDY (the leads/lags readout "
+    "that validates e_did_estimate's parallel-trends assumption): "
+    "around a fixed event month, the per-relative-month gap in mean "
+    "order value between the BUILDING segment (treated) and the rest "
+    "(control), centered on the pre-period mean gap — pre-event "
+    "effect_cents hovering near zero IS the parallel-trends check, and "
+    "post-event coefficients are the dynamic treatment path.  Exact "
+    "integer-cent sums per (relative month, arm); the only float ops "
+    "are the mirrored mean/centering divisions.  The honest TPC-H "
+    "readout is no effect — uniform synthetic demand — which is "
+    "exactly what the pre/post symmetry shows.  Scale: one fact-dim "
+    "join (customer broadcast at these SFs, shuffled hash at 100 TB), "
+    "one map-side-combined rollup to 13 x 2 cells, panel math on a "
+    "13-row frame.",
+)
+def q_event_study(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("m"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("treated"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    win = (
+        base.where(
+            (F.col("m") >= _ES_EVENT_M - _ES_HORIZON)
+            & (F.col("m") <= _ES_EVENT_M + _ES_HORIZON)
+        )
+        .groupBy((F.col("m") - _ES_EVENT_M).alias("k"), "treated")
+        .agg(F.sum("cents").cast("long").alias("s"), F.count("*").cast("long").alias("n"))
+        .localCheckpoint()  # feeds both arms of the gap join
+    )
+    t = win.where(F.col("treated") == 1).select(
+        "k",
+        (F.col("s").cast("double") / F.col("n")).alias("mt"),
+        F.col("n").alias("n_treated"),
+    )
+    ctl = win.where(F.col("treated") == 0).select(
+        F.col("k").alias("kc"),
+        (F.col("s").cast("double") / F.col("n")).alias("mc"),
+        F.col("n").alias("n_control"),
+    )
+    # per-month gaps quantize to integer centi-cents BEFORE the pre-period
+    # panel sum, so the parallel-trends baseline is an exact integer ratio
+    # (float-summation order cannot move it)
+    gap = t.join(ctl, t.k == ctl.kc).select(
+        "k",
+        F.floor((F.col("mt") - F.col("mc")) * 100 + 0.5).cast("long").alias("g_centi"),
+        "n_treated",
+        "n_control",
+    ).localCheckpoint()  # feeds the pre-period panel and the final rows
+    pre = gap.where(F.col("k") < 0).agg(
+        F.sum("g_centi").cast("long").alias("sp"), F.count("*").cast("long").alias("np")
+    )
+    return (
+        gap.crossJoin(F.broadcast(pre))
+        .select(
+            F.col("k").alias("rel_month"),
+            "n_treated",
+            "n_control",
+            (F.col("g_centi") / 100.0).alias("gap_cents"),
+            (
+                F.floor(
+                    F.col("g_centi") - F.col("sp").cast("double") / F.col("np") + 0.5
+                )
+                / 100
+            ).alias("effect_cents"),
+            (F.col("k") >= 0).alias("post"),
+        )
+        .orderBy("rel_month")
+    )
