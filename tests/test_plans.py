@@ -501,6 +501,7 @@ NESTED_LOOP_OK = {
     "t_group_holdout": "1-row leakage panel crossed into the 1-row split panel",
     "q_calibration_bins": "1-row broadcast weight panel over the GD and scoring scans (q_logistic_gd's declared shape)",
     "q_logistic_gd2": "1-row 3-weight panel broadcast over each GD-pass scan + the accuracy scan",
+    "q_event_study": "1-row pre-period baseline panel crossed into the 13-row gap table",
     "t_trigram_backoff": "1-row broadcast (T, V) total panel over the eval trigram stream",
     "t_mix_temperature": "1-row broadcast token-total/normalizer panel over the bounded source table",
     "q11_important_parts": "1-row broadcast global-total threshold",
