@@ -5672,7 +5672,7 @@ def q_price_elasticity(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------- event-study leads/lags
-_ES_EVENT_M = 36  # 1995-01 in 0-based months since 1992-01
+_ES_EVENT_M = 72  # 1998-01 in 0-based months since 1992-01 (orders span 1995-01..2001-08, so the +/-6 window has a full pre-period)
 _ES_HORIZON = 6
 
 
