@@ -5153,7 +5153,7 @@ def e_behavior_entropy(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------- split-conformal interval
-_CONF_SPLIT_M = 48  # calibrate on 1992-1995, score 1996+
+_CONF_SPLIT_M = 90  # orders span 1995-01..2001-08 (months 36..115): calibrate on 1995-01..1999-06 (~53 residuals), score 1999-07+
 _CONF_ALPHA = 0.2
 
 
@@ -5190,7 +5190,8 @@ FROM nc CROSS JOIN q CROSS JOIN cov
 """,
     doc="split-conformal prediction interval for the naive monthly "
     "forecast (forecast = last month): absolute residuals in exact "
-    "integer cents on the 1992-1995 calibration window, the conformal "
+    "integer cents on the 1995-mid-1999 calibration window (the data's "
+    "actual span), the conformal "
     "quantile q_hat = the ceil((n_cal+1)(1-alpha))-th order statistic "
     "(alpha=0.2) found by a lexicographic rank theta-join on the "
     "calendar-bounded residual panel (no window, no sort — the "
