@@ -982,3 +982,68 @@ def q_window_suite(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.first("o_totalprice").over(wf), 2).alias("first_price"),
         F.round(F.nth_value("o_totalprice", 2).over(wf), 2).alias("second_price"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+# ------------------------------------------------- backlog aging buckets
+@register(
+    "q_order_aging",
+    oracle="""
+WITH open_o AS (
+  SELECT o_orderkey, o_totalprice,
+         CAST((EXTRACT(YEAR FROM DATE '1999-01-01')
+               - EXTRACT(YEAR FROM o_orderdate)) * 12
+              + EXTRACT(MONTH FROM DATE '1999-01-01')
+              - EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS age_months
+  FROM orders
+  WHERE o_orderstatus <> 'F' AND o_orderdate < DATE '1999-01-01'),
+b AS (
+  SELECT CASE WHEN age_months <= 3 THEN '0-3m'
+              WHEN age_months <= 6 THEN '3-6m'
+              WHEN age_months <= 12 THEN '6-12m'
+              ELSE '12m+' END AS age_bucket,
+         o_totalprice
+  FROM open_o)
+SELECT age_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS backlog_cents
+FROM b
+GROUP BY age_bucket
+ORDER BY age_bucket
+""",
+    doc="backlog aging snapshot (the AR-aging shape every ops dashboard "
+    "carries): non-finalized orders open as of a fixed snapshot date, "
+    "bucketed by whole-month age (calendar month arithmetic, no "
+    "day-count ambiguity) with order counts and exact integer-cent "
+    "backlog value per bucket.  Scale: one pushed-down status+date "
+    "filter (both reach the parquet scan), one map-side-combined "
+    "rollup to 4 cells.",
+)
+def q_order_aging(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    snap_y, snap_m = 1999, 1
+    age = (
+        (F.lit(snap_y) - F.year("o_orderdate")) * 12
+        + F.lit(snap_m)
+        - F.month("o_orderdate")
+    ).cast("long")
+    open_o = o.where(
+        (F.col("o_orderstatus") != "F") & (F.col("o_orderdate") < F.lit("1999-01-01"))
+    ).select("o_totalprice", age.alias("age_months"))
+    bucket = (
+        F.when(F.col("age_months") <= 3, "0-3m")
+        .when(F.col("age_months") <= 6, "3-6m")
+        .when(F.col("age_months") <= 12, "6-12m")
+        .otherwise("12m+")
+    )
+    return (
+        open_o.select(bucket.alias("age_bucket"), "o_totalprice")
+        .groupBy("age_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("backlog_cents"),
+        )
+        .orderBy("age_bucket")
+    )

@@ -5782,3 +5782,51 @@ def q_event_study(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("rel_month")
     )
+
+
+# --------------------------------------------- grouped exact quantiles
+@register(
+    "q_grouped_quantiles",
+    oracle="""
+WITH q AS (
+  SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+         quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS qs
+  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+SELECT l_returnflag, l_linestatus, n,
+       FLOOR(qs[1] * 100 + 0.5) / 100 AS p25,
+       FLOOR(qs[2] * 100 + 0.5) / 100 AS p50,
+       FLOOR(qs[3] * 100 + 0.5) / 100 AS p75,
+       FLOOR((qs[3] - qs[1]) * 100 + 0.5) / 100 AS iqr
+FROM q
+ORDER BY l_returnflag, l_linestatus
+""",
+    doc="EXACT per-group quantiles via the engine's sort-based "
+    "percentile aggregate (linear interpolation on order statistics — "
+    "Spark percentile() and DuckDB quantile_cont share the definition "
+    "bit-for-bit, probed before pairing): p25/median/p75 + IQR of "
+    "extended price per (return flag, line status) cell.  Complements the sketch/prefix "
+    "paths: q_percentiles holds the approx-vs-exact contrast, "
+    "q_weighted_deciles the shuffle-free two-phase GLOBAL quantiles — "
+    "this is the right tool when the GROUP count is bounded (each "
+    "group's sort is partition-local after the hash shuffle) and "
+    "exactness is non-negotiable, e.g. SLA percentiles per class.  "
+    "Scale: one hash shuffle on the group key; per-group sort cost "
+    "lives inside the aggregate, so skewed groups are the thing to "
+    "watch — for corpus-sized groups switch to the prefix-sum path.",
+)
+def q_grouped_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    q = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").alias("qs"),
+    )
+    c2 = lambda c: F.floor(c * 100 + 0.5) / 100  # noqa: E731
+    return q.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        c2(F.expr("qs[0]")).alias("p25"),
+        c2(F.expr("qs[1]")).alias("p50"),
+        c2(F.expr("qs[2]")).alias("p75"),
+        c2(F.expr("qs[2] - qs[0]")).alias("iqr"),
+    ).orderBy("l_returnflag", "l_linestatus")
