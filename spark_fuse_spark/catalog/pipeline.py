@@ -1474,7 +1474,8 @@ tp AS (SELECT doc_id, tok AS topic
 base AS (
   SELECT t.doc_id, COALESCE(tp.topic, '') AS topic,
          CAST(len(t.t) AS BIGINT) AS n_tokens
-  FROM toks t LEFT JOIN tp ON tp.doc_id = t.doc_id),
+  FROM toks t LEFT JOIN tp ON tp.doc_id = t.doc_id
+  WHERE len(t.t) > 0),
 {arm.format(a="topic", order="topic, doc_id", b=_TP_BUDGET)},
 {arm.format(a="baseline", order="doc_id", b=_TP_BUDGET)}
 SELECT * FROM agg_topic UNION ALL SELECT * FROM agg_baseline
@@ -1519,6 +1520,10 @@ def t_topic_packing(spark: SparkSession, sf: str) -> DataFrame:
     )
     base = (
         toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+        # zero-token docs diverge between pack_sequences (pins one window
+        # cell) and the oracle's generate_series (zero rows on a boundary
+        # offset) — exclude them in BOTH arms so the two agree
+        .where(F.col("n_tokens") > 0)
         .join(topic, "doc_id", "left")
         .select("doc_id", F.coalesce("topic", F.lit("")).alias("topic"), "n_tokens")
         .localCheckpoint()  # feeds both packing arms

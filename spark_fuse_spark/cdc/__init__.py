@@ -19,6 +19,7 @@ from spark_fuse_spark.cdc.deletes import (
     mor_append,
     mor_compact,
     mor_delete,
+    mor_migrate_legacy_deletes,
     mor_read,
     mor_stats,
     mor_upsert,
@@ -44,6 +45,7 @@ __all__ = [
     "mor_append",
     "mor_compact",
     "mor_delete",
+    "mor_migrate_legacy_deletes",
     "mor_read",
     "mor_stats",
     "mor_upsert",

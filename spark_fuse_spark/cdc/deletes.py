@@ -56,6 +56,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = [
+    "mor_migrate_legacy_deletes",
     "mor_write",
     "mor_append",
     "mor_upsert",
@@ -87,7 +88,23 @@ def _deletes_root(target: str) -> str:
 
 
 def _delete_files(target: str) -> "list[tuple[int, str]]":
-    """(sequence, path) per sidecar."""
+    """(sequence, path) per sidecar.
+
+    Refuses to read a table whose sidecars still live at the pre-rename
+    layout (``target/_deletes`` as a SIBLING of ``data/``): silently
+    ignoring them would resurrect deleted rows, which for a module that
+    advertises GDPR-erasure semantics is the one failure that must be
+    loud.  Run :func:`mor_migrate_legacy_deletes` once to fold the old
+    sidecars into the current layout.
+    """
+    legacy = os.path.join(target, _DELETES)
+    if os.path.isdir(legacy):
+        raise RuntimeError(
+            f"legacy delete-sidecar layout detected at {legacy}: this table "
+            "was written before sidecars moved inside data/. Reading it now "
+            "would silently resurrect deleted rows. Run "
+            "mor_migrate_legacy_deletes(target) once to migrate."
+        )
     root = _deletes_root(target)
     if not os.path.isdir(root):
         return []
@@ -96,6 +113,27 @@ def _delete_files(target: str) -> "list[tuple[int, str]]":
         if d.startswith("d-"):
             out.append((int(d.split("-")[1]), os.path.join(root, d)))
     return out
+
+
+def mor_migrate_legacy_deletes(target: str) -> int:
+    """One-shot migration for tables written before sidecars moved inside
+    ``data/``: moves every ``target/_deletes/d-*`` sidecar into
+    ``target/data/_deletes/`` (sequence numbers are embedded in the
+    directory names, so they carry over unchanged) and removes the legacy
+    root.  Returns the number of sidecars migrated.  Idempotent: a table
+    already on the new layout is a no-op."""
+    legacy = os.path.join(target, _DELETES)
+    if not os.path.isdir(legacy):
+        return 0
+    new_root = _deletes_root(target)
+    os.makedirs(new_root, exist_ok=True)
+    moved = 0
+    for d in sorted(os.listdir(legacy)):
+        if d.startswith("d-"):
+            os.rename(os.path.join(legacy, d), os.path.join(new_root, d))
+            moved += 1
+    shutil.rmtree(legacy)
+    return moved
 
 
 def mor_write(df: DataFrame, target: str) -> None:

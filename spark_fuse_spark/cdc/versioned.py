@@ -170,6 +170,22 @@ class VersionedParquetStore(TableStore):
                     f"append schema {new_schema} differs from table schema "
                     f"{prev_schema} at {target}; pass merge_schema=True to evolve"
                 )
+            prev_types = {name: typ for name, typ in prev_schema}
+            conflicts = [
+                (name, prev_types[name], typ)
+                for name, typ in new_schema
+                if name in prev_types and prev_types[name] != typ
+            ]
+            if conflicts:
+                # a (name, type) union would commit two entries for the same
+                # column and only fail later as an opaque mergeSchema parquet
+                # error at read time — reject type evolution up front
+                detail = ", ".join(f"{n}: {a} -> {b}" for n, a, b in conflicts)
+                raise ValueError(
+                    f"type evolution unsupported at {target}: column(s) would "
+                    f"change type ({detail}); cast the batch to the table "
+                    "schema before appending"
+                )
             evolved = True
             # committed schema = union in first-seen column order
             seen = {tuple(c) for c in prev_schema}

@@ -48,15 +48,28 @@ def logistic_gd_weights(
     y = F.col(y_col)
     qw_names = [f"qw_{i}" for i in range(len(xs))]
     mo = base.agg(F.count("*").alias("n"), F.sum(y_col).alias("s_y"))
+    # degenerate labels (all-0 or all-1 y) make the log-odds init log(0) or
+    # a division by zero, which would propagate as a silent all-null fit;
+    # assert_true keeps the guard inside the plan (no extra action) and
+    # fails the job loudly instead
+    labels_ok = F.assert_true(
+        (F.col("s_y") > 0) & (F.col("s_y") < F.col("n")),
+        F.lit(
+            "logistic_gd_weights: degenerate labels — y is all-0 or all-1, "
+            "log-odds initialization is undefined"
+        ),
+    )
     w = mo.select(
         "n",
         "s_y",
-        F.floor(
-            F.log(F.col("s_y").cast("double") / (F.col("n") - F.col("s_y"))) * 1000000
-            + 0.5
-        )
-        .cast("long")
-        .alias("qb"),
+        F.when(
+            labels_ok.isNull(),
+            F.floor(
+                F.log(F.col("s_y").cast("double") / (F.col("n") - F.col("s_y")))
+                * 1000000
+                + 0.5
+            ).cast("long"),
+        ).alias("qb"),
         *[F.lit(0).cast("long").alias(q) for q in qw_names],
     )
     for _ in range(steps):

@@ -112,11 +112,19 @@ def power_iteration(
     round earlier; ``wp``: the final un-normalized matvec — together they
     give the Rayleigh quotient λ ≈ v_prevᵀ·w without another corpus touch.
     """
+    if iters < 1:
+        # iters=0 would return wp=None (callers crossJoin it) and iters=1's
+        # Rayleigh quotient uses the start vector, so it must be unit-norm
+        raise ValueError(f"power_iteration requires iters >= 1, got {iters}")
     dot_expr = (
         "aggregate(zip_with(carr, varr, (x, y) -> x * y), 0.0D, (acc, t) -> acc + t)"
     )
+    # unit-norm all-positive start (1/sqrt(dims)) so a single-round Rayleigh
+    # quotient is correctly scaled for ANY dims (0.125 was only right for 64)
     v = spark.range(1).select(
-        F.expr(f"transform(sequence(1, {dims}), k -> 0.125D)").alias("varr")
+        F.expr(
+            f"transform(sequence(1, {dims}), k -> 1.0D / sqrt(double({dims})))"
+        ).alias("varr")
     )
     v_prev = v
     wp = None

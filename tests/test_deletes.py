@@ -135,3 +135,34 @@ def test_append_is_untouched_by_earlier_deletes(spark, tmp_path):
     live = mor_read(spark, t, ["k"])
     assert live.count() == 55
     assert live.where("k = 3").collect()[0]["v"] == 7
+
+
+def test_legacy_sidecar_layout_fails_loudly_and_migrates(spark, tmp_path):
+    import pytest
+
+    from spark_fuse_spark.cdc import mor_migrate_legacy_deletes
+
+    t = str(tmp_path / "t")
+    mor_write(_base(spark), t)
+    mor_delete(_base(spark).where("k < 10").select("k"), t, ["k"])
+    assert mor_read(spark, t, ["k"]).count() == 90
+
+    # simulate a table written before sidecars moved inside data/: its
+    # sidecar sits at target/_deletes (sibling of data/)
+    legacy = os.path.join(t, "_deletes")
+    os.makedirs(legacy, exist_ok=True)
+    cur = os.path.join(t, "data", "_deletes")
+    name = os.listdir(cur)[0]
+    os.rename(os.path.join(cur, name), os.path.join(legacy, name))
+
+    # silently resurrecting deleted rows is the GDPR failure mode —
+    # every read/compact path must refuse the legacy layout
+    with pytest.raises(RuntimeError, match="legacy"):
+        mor_read(spark, t, ["k"])
+    with pytest.raises(RuntimeError, match="legacy"):
+        mor_compact(spark, t, ["k"])
+
+    assert mor_migrate_legacy_deletes(t) == 1
+    assert not os.path.isdir(legacy)
+    assert mor_read(spark, t, ["k"]).count() == 90  # deletes apply again
+    assert mor_migrate_legacy_deletes(t) == 0  # idempotent

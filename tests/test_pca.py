@@ -101,3 +101,45 @@ def test_logistic_gd_operator_recovers_separable_signal(spark):
     assert rep.n_rows == 1000
     assert rep.w_0_micro > 0
     assert rep.accuracy > rep.baseline_accuracy
+
+
+def test_power_iteration_rejects_zero_iters(spark):
+    import pytest
+
+    from spark_fuse_spark.operators.pca import power_iteration
+
+    with pytest.raises(ValueError, match="iters >= 1"):
+        power_iteration(spark, None, dims=4, iters=0)
+
+
+def test_pca_single_iter_eigenvalue_scaled_for_any_dims(spark):
+    """iters=1's Rayleigh quotient uses the start vector, so the start must
+    be unit-norm for EVERY dims (the old 0.125 constant was only right for
+    dims=64): on a rank-1 4-dim corpus the uniform unit start's Rayleigh
+    quotient is exactly lambda/dims, so lam1/lam8 must sit at ~1/4 — the
+    unnormalized 0.125 start would report 1/64 (a further 16x off)."""
+    import random
+
+    from spark_fuse_spark.operators.pca import pca_dominant_component
+
+    rng = random.Random(11)
+    rows = [([rng.uniform(-1, 1), 0.0, 0.0, 0.0], i) for i in range(100)]
+    df = spark.createDataFrame(rows, "embedding array<double>, vec_id long")
+    lam1 = pca_dominant_component(spark, df, dims=4, iters=1).collect()[0].eigenvalue
+    lam8 = pca_dominant_component(spark, df, dims=4, iters=8).collect()[0].eigenvalue
+    assert lam8 > 0
+    assert 0.2 < lam1 / lam8 < 0.3, (lam1, lam8)
+
+
+def test_logistic_gd_degenerate_labels_fail_loudly(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    from spark_fuse_spark.operators.glm import logistic_gd_weights
+
+    base = spark.range(100).select(
+        F.col("id").cast("double").alias("x"), F.lit(1).alias("y")
+    )
+    with pytest.raises(Exception, match="degenerate labels"):
+        logistic_gd_weights(base, "y", "x").collect()

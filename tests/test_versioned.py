@@ -312,3 +312,20 @@ def test_append_merge_schema_evolves_and_time_travels(spark, store, tmp_path):
     # rollback carries the evolution flag (read still merges footers)
     v = store.rollback(t, 2)
     assert set(store.read_version(spark, t, v).columns) == {"k", "extra"}
+
+
+def test_append_type_evolution_rejected_up_front(spark, store, tmp_path):
+    t = str(tmp_path / "t")
+    store.overwrite(
+        spark.range(3).select(F.col("id").alias("k"), F.lit(1).alias("v")), t
+    )
+    # same column name, different type: a (name, type) union would commit a
+    # duplicate-name schema that only explodes later as an opaque parquet
+    # mergeSchema error — the append itself must refuse with a clear message
+    retyped = spark.range(3, 5).select(
+        F.col("id").alias("k"), F.lit("s").alias("v")
+    )
+    with pytest.raises(ValueError, match="type evolution unsupported"):
+        store.append(retyped, t, merge_schema=True)
+    # the table is untouched and still readable
+    assert store.read(spark, t).count() == 3
