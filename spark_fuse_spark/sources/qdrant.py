@@ -9,11 +9,14 @@ collection auto-create, ``writer.py:26-72`` vector normalization):
   with ``next_page_offset`` cursor), ``with_payload``/``with_vectors``
   projection, server-side ``filter`` JSON, ``limit``/``page_size``/
   ``max_pages``, ``api-key`` header auth;
-* write: batched point upserts (``PUT /collections/{c}/points``) with a
-  legacy flat-batch fallback, optional collection auto-create with the
-  vector schema derived from the first record, id/vector/payload column
-  mapping, strict numeric vector coercion (incl. MLlib DenseVector and
-  numpy arrays).
+* write: batched point upserts negotiating the reference's FULL
+  payload-format x verb matrix (``points`` modern list, ``batch``
+  PointsBatch envelope, ``flat_batch`` legacy columnar — each via PUT or
+  POST; ``writer.py:388-467``), pinnable via ``payload_format`` /
+  ``write_method`` config, with the winning leg cached per task; optional
+  collection auto-create with the vector schema derived from the first
+  record, id/vector/payload column mapping, strict numeric vector
+  coercion (incl. MLlib DenseVector and numpy arrays).
 
 Scale fixes over the reference (SURVEY.md §4.3):
 
@@ -137,13 +140,29 @@ def build_qdrant_write_config(
     timeout: float = 30.0,
     max_retries: int = 3,
     backoff_factor: float = 0.5,
+    payload_format: str = "auto",
+    write_method: str = "auto",
 ) -> str:
-    """Validate + serialize an upsert-write config for the ``fuse-qdrant`` format."""
+    """Validate + serialize an upsert-write config for the ``fuse-qdrant`` format.
+
+    ``payload_format`` pins the request shape (``points`` modern list,
+    ``batch`` PointsBatch envelope, ``flat_batch`` legacy columnar) and
+    ``write_method`` the HTTP verb; ``auto`` negotiates the full 6-leg
+    matrix the reference speaks (``writer.py:388-467``), PUT before POST,
+    points -> batch -> flat_batch within each verb.
+    """
     validate_http_url(endpoint)
     if not collection.strip():
         raise ValueError("collection must be non-empty")
     if batch_size <= 0:
         raise ValueError("batch_size must be positive")
+    if payload_format not in ("auto", "points", "batch", "flat_batch"):
+        raise ValueError(
+            "payload_format must be one of auto|points|batch|flat_batch, "
+            f"got {payload_format!r}"
+        )
+    if write_method not in ("auto", "put", "post"):
+        raise ValueError(f"write_method must be one of auto|put|post, got {write_method!r}")
     cfg = {
         "mode": "write",
         "endpoint": endpoint.rstrip("/"),
@@ -160,6 +179,8 @@ def build_qdrant_write_config(
         "timeout": timeout,
         "max_retries": max_retries,
         "backoff_factor": backoff_factor,
+        "payload_format": payload_format,
+        "write_method": write_method,
     }
     return json.dumps(cfg)
 
@@ -367,34 +388,65 @@ class _QdrantWriter(DataSourceWriter):
             f"(status {status}): {body!r}"
         )
 
-    def _flush(self, client: HttpClient, url: str, batch: list[dict]) -> None:
-        # modern points-list payload first; legacy flat-batch as fallback
-        # (reference negotiates points/batch/flat-batch × PUT/POST,
-        # writer.py:388-467 — two formats cover current + legacy servers).
-        # Fallback only fires on 400/404 (the statuses a legacy server
-        # answers the modern shape with); 5xx/network exhaustion raises
-        # directly, and if the fallback also fails the error carries the
-        # ORIGINAL modern-format status + body so e.g. a wrong vector
-        # dimension isn't reported as a legacy-format problem.
-        status, body = client.request_json_status(url, method="PUT", json_body={"points": batch})
-        if status is not None and 200 <= status < 300:
-            return
-        if status not in (400, 404):
-            raise RuntimeError(
-                f"Qdrant upsert failed for {len(batch)} points (status {status}): {body!r}"
-            )
-        flat = {
+    @staticmethod
+    def _payload_for(fmt: str, batch: "list[dict]") -> dict:
+        if fmt == "points":
+            return {"points": batch}
+        cols = {
             "ids": [p.get("id") for p in batch],
             "vectors": [p.get("vector") for p in batch],
         }
         if any("payload" in p for p in batch):
-            flat["payloads"] = [p.get("payload") for p in batch]
-        status2, body2 = client.request_json_status(url, method="POST", json_body=flat)
-        if status2 is not None and 200 <= status2 < 300:
-            return
+            cols["payloads"] = [p.get("payload") for p in batch]
+        if fmt == "batch":  # PointsBatch envelope
+            return {"batch": cols}
+        return cols  # flat_batch: legacy columnar shape, no envelope
+
+    def _attempt_matrix(self) -> "list[tuple[str, str]]":
+        """(method, format) attempts in reference order (writer.py:388-467):
+        pinned configs try exactly one leg; ``auto`` walks PUT before POST
+        and points -> batch -> flat_batch within each method — 6 legs."""
+        cfg = self.cfg
+        fmt = cfg.get("payload_format", "auto")
+        meth = cfg.get("write_method", "auto")
+        formats = ["points", "batch", "flat_batch"] if fmt == "auto" else [fmt]
+        methods = ["PUT", "POST"] if meth == "auto" else [meth.upper()]
+        return [(m, f) for m in methods for f in formats]
+
+    def _flush(self, client: HttpClient, url: str, batch: list[dict]) -> None:
+        # Negotiate the server's accepted (method, payload-format) leg —
+        # the full points/batch/flat_batch x PUT/POST matrix the reference
+        # speaks (writer.py:388-467), not just 2 of 6.  Negotiation only
+        # advances on 400/404/405 (what a server answers an unknown shape
+        # or verb with); 5xx / retry exhaustion raises immediately so an
+        # outage is never misread as a format problem, and the final error
+        # carries the FIRST leg's status + body so e.g. a wrong vector
+        # dimension isn't reported as a legacy-format failure.  The winning
+        # leg is remembered per writer (one negotiation per task, then
+        # every subsequent flush goes straight to it — cheaper than the
+        # reference's per-batch renegotiation at 100 TB batch counts).
+        won = getattr(self, "_won_leg", None)
+        attempts = [won] if won else self._attempt_matrix()
+        first_fail: "tuple[str, str, object, object] | None" = None
+        for method, fmt in attempts:
+            status, body = client.request_json_status(
+                url, method=method, json_body=self._payload_for(fmt, batch)
+            )
+            if status is not None and 200 <= status < 300:
+                self._won_leg = (method, fmt)
+                return
+            if first_fail is None:
+                first_fail = (method, fmt, status, body)
+            if status not in (400, 404, 405):
+                raise RuntimeError(
+                    f"Qdrant upsert failed for {len(batch)} points via "
+                    f"{method} {fmt} (status {status}): {body!r}"
+                )
+        m0, f0, s0, b0 = first_fail  # type: ignore[misc]
         raise RuntimeError(
-            f"Qdrant upsert failed for {len(batch)} points: modern format "
-            f"(status {status}): {body!r}; legacy fallback (status {status2}): {body2!r}"
+            f"Qdrant upsert failed for {len(batch)} points: no accepted "
+            f"(method, payload-format) combination among {attempts}; first "
+            f"attempt {m0} {f0} (status {s0}): {b0!r}"
         )
 
     def commit(self, messages) -> None:

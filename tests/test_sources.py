@@ -364,6 +364,142 @@ def test_qdrant_write_upsert_and_autocreate(spark, mock_server, tmp_path):
     assert by_id[1]["payload"] == {"name": "ann"}
 
 
+def _qdrant_write(spark, mock_server, collection, df, **cfg_overrides):
+    cfg = qd.build_qdrant_write_config(mock_server.url, collection, **cfg_overrides)
+    (
+        df.coalesce(1)
+        .write.format(qd.FORMAT_NAME)
+        .option(qd.CONFIG_OPTION, cfg)
+        .mode("append")
+        .save()
+    )
+
+
+def _points_upserts(mock_server, collection):
+    return [
+        (m, b)
+        for m, p, b in mock_server.requests
+        if p.startswith(f"/collections/{collection}/points")
+    ]
+
+
+def test_qdrant_write_negotiates_to_legacy_post_flat_batch(spark, mock_server):
+    """A legacy server that only speaks POST + flat columnar batches: the
+    auto matrix walks PUT points/batch/flat_batch then POST points/batch
+    before landing on POST flat_batch (reference writer.py:388-467)."""
+    acked = {"status": "ok", "result": {"status": "acknowledged"}}
+
+    def put_reject(handler, body):
+        return (400, {"status": {"error": "bad request"}})
+
+    def post_flat_only(handler, body):
+        if isinstance(body, dict) and "ids" in body and "batch" not in body:
+            return acked
+        return (400, {"status": {"error": "missing field `ids`"}})
+
+    mock_server.route("PUT", "/collections/legacy/points", put_reject)
+    mock_server.route("POST", "/collections/legacy/points", post_flat_only)
+    qd.register(spark)
+    df = spark.createDataFrame([(1, [0.1, 0.2], "a"), (2, [0.3, 0.4], "b")], ["id", "vector", "name"])
+    _qdrant_write(spark, mock_server, "legacy", df, batch_size=10)
+    reqs = _points_upserts(mock_server, "legacy")
+    # 3 PUT rejections, then POST points, POST batch, POST flat_batch ok
+    assert [m for m, _ in reqs] == ["PUT", "PUT", "PUT", "POST", "POST", "POST"]
+    final = reqs[-1][1]
+    assert sorted(final["ids"]) == [1, 2] and len(final["vectors"]) == 2
+    assert final["payloads"] == [{"name": "a"}, {"name": "b"}]
+
+
+def test_qdrant_write_pinned_put_batch_envelope(spark, mock_server):
+    """payload_format='batch' + write_method='put' sends exactly one leg:
+    the PointsBatch envelope via PUT, no negotiation traffic."""
+    acked = {"status": "ok", "result": {"status": "acknowledged"}}
+
+    def put_batch_only(handler, body):
+        if isinstance(body, dict) and set(body) <= {"batch"} and "batch" in body:
+            return acked
+        return (400, {"status": {"error": "expected batch envelope"}})
+
+    mock_server.route("PUT", "/collections/env/points", put_batch_only)
+    qd.register(spark)
+    df = spark.createDataFrame([(7, [1.0, 0.0], "x")], ["id", "vector", "name"])
+    _qdrant_write(
+        spark, mock_server, "env", df, batch_size=10,
+        payload_format="batch", write_method="put",
+    )
+    reqs = _points_upserts(mock_server, "env")
+    assert [m for m, _ in reqs] == ["PUT"]
+    assert reqs[0][1]["batch"]["ids"] == [7]
+    assert reqs[0][1]["batch"]["payloads"] == [{"name": "x"}]
+
+
+def test_qdrant_write_pinned_post_points(spark, mock_server):
+    acked = {"status": "ok", "result": {"status": "acknowledged"}}
+
+    def post_points_only(handler, body):
+        if isinstance(body, dict) and "points" in body:
+            return acked
+        return (400, {"status": {"error": "expected points list"}})
+
+    mock_server.route("POST", "/collections/pp/points", post_points_only)
+    qd.register(spark)
+    df = spark.createDataFrame([(9, [0.5, 0.5], "y")], ["id", "vector", "name"])
+    _qdrant_write(
+        spark, mock_server, "pp", df, batch_size=10,
+        payload_format="points", write_method="post",
+    )
+    reqs = _points_upserts(mock_server, "pp")
+    assert [m for m, _ in reqs] == ["POST"]
+    assert reqs[0][1]["points"][0]["id"] == 9
+
+
+def test_qdrant_write_winning_leg_is_sticky_across_flushes(spark, mock_server):
+    """After one negotiation, later flushes in the same task go straight to
+    the winning leg — no per-batch renegotiation."""
+    acked = {"status": "ok", "result": {"status": "acknowledged"}}
+
+    def put_reject(handler, body):
+        return (400, {"status": {"error": "nope"}})
+
+    def post_any(handler, body):
+        if isinstance(body, dict) and "points" in body:
+            return acked
+        return (400, {"status": {"error": "missing field `ids`"}})
+
+    mock_server.route("PUT", "/collections/st/points", put_reject)
+    mock_server.route("POST", "/collections/st/points", post_any)
+    qd.register(spark)
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0], f"n{i}") for i in range(4)], ["id", "vector", "name"]
+    )
+    _qdrant_write(spark, mock_server, "st", df, batch_size=1)
+    reqs = _points_upserts(mock_server, "st")
+    # first flush negotiates (3 PUT fails + POST points win); the other
+    # three flushes are single POST hits on the remembered leg
+    assert [m for m, _ in reqs] == ["PUT", "PUT", "PUT"] + ["POST"] * 4
+
+
+def test_qdrant_write_server_error_is_not_renegotiated(spark, mock_server):
+    """5xx is an outage, not a format problem: the writer raises on the
+    first leg instead of walking the matrix and masking the real error."""
+    mock_server.route(
+        "PUT", "/collections/down/points", (503, {"status": {"error": "unavailable"}})
+    )
+    qd.register(spark)
+    df = spark.createDataFrame([(1, [0.1, 0.2], "a")], ["id", "vector", "name"])
+    with pytest.raises(Exception, match="status 503"):
+        _qdrant_write(spark, mock_server, "down", df, batch_size=10, max_retries=0)
+    reqs = _points_upserts(mock_server, "down")
+    assert all(m == "PUT" for m, _ in reqs)  # never advanced to POST legs
+
+
+def test_qdrant_write_config_validates_matrix_knobs():
+    with pytest.raises(ValueError, match="payload_format"):
+        qd.build_qdrant_write_config("http://h", "c", payload_format="csv")
+    with pytest.raises(ValueError, match="write_method"):
+        qd.build_qdrant_write_config("http://h", "c", write_method="patch")
+
+
 # ------------------------------------------------------- REST streaming
 
 
