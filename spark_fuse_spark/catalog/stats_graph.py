@@ -1032,41 +1032,20 @@ ORDER BY e.status, e.q
     "windows partition by (status[, q]) over <= 256 bin rows.",
 )
 def x_histogram_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.histogram import (
+        equi_width_histogram,
+        histogram_quantiles,
+        value_span,
+    )
+
     o = load_table(spark, sf, "orders")
-    span = o.agg(
-        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    base = o.select(F.col("o_orderstatus").alias("status"), "o_totalprice")
+    span = value_span(base, "o_totalprice")
+    h = equi_width_histogram(
+        base, "o_totalprice", _HQ_BINS, group_cols=["status"], span=span
     )
-    b = o.crossJoin(F.broadcast(span)).select(
-        F.col("o_orderstatus").alias("status"),
-        F.least(
-            F.lit(_HQ_BINS - 1),
-            F.floor(
-                (F.col("o_totalprice") - F.col("lo"))
-                / (F.col("hi") - F.col("lo"))
-                * _HQ_BINS
-            ),
-        ).alias("bin"),
-    )
-    h = b.groupBy("status", "bin").agg(F.count("*").alias("c"))
-    n = h.groupBy("status").agg(F.sum("c").alias("n"))
-    w_cum = Window.partitionBy("status").orderBy("bin")
-    cum = h.join(n, "status").select(
-        "status", "bin", "c", "n", F.sum("c").over(w_cum).alias("cc")
-    )
-    qs = spark.createDataFrame([(0.5,), (0.95,)], "q double")
-    w_hit = Window.partitionBy("status", "q").orderBy("bin")
-    hit = (
-        cum.crossJoin(F.broadcast(qs))
-        .where(F.col("cc") >= F.col("q") * F.col("n"))
-        .select("status", "q", "bin", F.row_number().over(w_hit).alias("rk"))
-        .where(F.col("rk") == 1)
-    )
-    est = hit.crossJoin(F.broadcast(span)).select(
-        "status",
-        "q",
-        (
-            F.col("lo") + (F.col("bin") + 0.5) * (F.col("hi") - F.col("lo")) / _HQ_BINS
-        ).alias("est"),
+    est = histogram_quantiles(
+        spark, h, span, [0.5, 0.95], _HQ_BINS, group_cols=["status"]
     )
     exact = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
         F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("x50"),
@@ -1084,6 +1063,88 @@ def x_histogram_quantiles(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("status", "quantile")
     )
+
+
+# --------------------------------------- per-group-span histogram quantiles
+_BH_BINS = 64
+
+
+@register(
+    "q_brand_price_histogram",
+    oracle=f"""
+WITH span AS (
+  SELECT p_brand, MIN(p_retailprice) AS lo, MAX(p_retailprice) AS hi
+  FROM part GROUP BY p_brand),
+b AS (
+  SELECT p.p_brand,
+         CASE WHEN s.hi = s.lo THEN 0
+              ELSE LEAST({_BH_BINS - 1},
+                         CAST(FLOOR((p.p_retailprice - s.lo)
+                                    / (s.hi - s.lo) * {_BH_BINS}) AS BIGINT))
+         END AS bin
+  FROM part p JOIN span s ON p.p_brand = s.p_brand),
+h AS (SELECT p_brand, bin, COUNT(*) AS c FROM b GROUP BY p_brand, bin),
+n AS (SELECT p_brand, SUM(c) AS n FROM h GROUP BY p_brand),
+cum AS (
+  SELECT h.p_brand, h.bin, h.c, n.n,
+         SUM(h.c) OVER (PARTITION BY h.p_brand ORDER BY h.bin) AS cc
+  FROM h JOIN n ON h.p_brand = n.p_brand),
+qs AS (SELECT * FROM (VALUES (0.25), (0.5), (0.75)) v(q)),
+hit AS (
+  SELECT p_brand, q, bin,
+         ROW_NUMBER() OVER (PARTITION BY p_brand, q ORDER BY bin) AS rk
+  FROM cum CROSS JOIN qs WHERE cc >= q * n),
+est AS (
+  SELECT h.p_brand, h.q,
+         s.lo + (h.bin + 0.5) * (s.hi - s.lo) / {_BH_BINS} AS est
+  FROM hit h JOIN span s ON h.p_brand = s.p_brand WHERE h.rk = 1)
+SELECT p_brand, q AS quantile, FLOOR(est * 100 + 0.5) / 100 AS est_price
+FROM est
+ORDER BY p_brand, quantile
+""",
+    doc="per-group-SPAN histogram quantiles (the second consumer of the "
+    "promoted operators/histogram.py machinery): each brand's retail-"
+    "price p25/p50/p75 estimated from a 64-bin equi-width histogram "
+    "binned against that brand's OWN lo/hi — the right variant when "
+    "group value ranges differ by orders of magnitude and a shared "
+    "global span would collapse small-range groups into one bin.  "
+    "Scale: identical mergeable-histogram shape as "
+    "x_histogram_quantiles — one bounded (brand, bin) aggregate, all "
+    "windows over <= 64 rows per (brand, q); the span join broadcasts "
+    "a |brands|-row panel.",
+)
+def q_brand_price_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.histogram import (
+        equi_width_histogram,
+        histogram_quantiles,
+        value_span,
+    )
+
+    p = load_table(spark, sf, "part")
+    base = p.select("p_brand", "p_retailprice")
+    span = value_span(base, "p_retailprice", ["p_brand"])
+    h = equi_width_histogram(
+        base,
+        "p_retailprice",
+        _BH_BINS,
+        group_cols=["p_brand"],
+        span=span,
+        span_group_cols=["p_brand"],
+    )
+    est = histogram_quantiles(
+        spark,
+        h,
+        span,
+        [0.25, 0.5, 0.75],
+        _BH_BINS,
+        group_cols=["p_brand"],
+        span_group_cols=["p_brand"],
+    )
+    return est.select(
+        "p_brand",
+        F.col("q").alias("quantile"),
+        (F.floor(F.col("est") * 100 + 0.5) / 100).alias("est_price"),
+    ).orderBy("p_brand", "quantile")
 
 
 # ------------------------------------------------- rolling N-day retention
@@ -5459,7 +5520,7 @@ ORDER BY bin
     "more scan into a map-side-combined <=10-row bin rollup.",
 )
 def q_calibration_bins(spark: SparkSession, sf: str) -> DataFrame:
-    from ..operators.glm import logistic_gd_weights
+    from ..operators.glm import logistic_gd_weights, with_logit_probability
 
     li = load_table(spark, sf, "lineitem")
     base = li.select(
@@ -5467,11 +5528,10 @@ def q_calibration_bins(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("l_quantity").cast("long") - 25).alias("x"),
     )
     w = logistic_gd_weights(base, "y", "x", steps=_LOGIT_STEPS, eta=_LOGIT_ETA).select(
-        "qb", F.col("qw_0").alias("qw")
+        "qb", "qw_0"
     )
-    z = (F.col("qb") + F.col("qw") * F.col("x")) / 1000000.0
-    sig = 0.5 + 0.5 * (z / 2) / (1 + F.abs(z / 2))
-    scored = base.crossJoin(F.broadcast(w)).select(
+    sig = F.col("p_sig")
+    scored = with_logit_probability(base, w, "x").select(
         "y",
         F.least(F.lit(9), F.floor(sig * 10).cast("int")).alias("bin"),
         F.floor(sig * 1000000 + 0.5).cast("long").alias("p_micro"),

@@ -26,11 +26,51 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["logistic_gd_weights", "logistic_gd_quantized"]
+__all__ = [
+    "logistic_gd_weights",
+    "logistic_gd_quantized",
+    "rational_sigmoid",
+    "logit_z",
+    "with_logit_probability",
+]
 
 
 def _as_cols(x_cols: "str | list[str]") -> "list[str]":
     return [x_cols] if isinstance(x_cols, str) else list(x_cols)
+
+
+def rational_sigmoid(z: "F.Column") -> "F.Column":
+    """The engine-portable logistic link: sigma(z) ~ 0.5 + 0.5*(z/2)/(1+|z/2|).
+
+    A rational surrogate instead of 1/(1+exp(-z)) so the identical
+    arithmetic runs on Spark and any SQL oracle with no exp() overflow
+    or libm rounding divergence.  Shared by the GD residual step and
+    every downstream scoring scan (calibration, accuracy read-outs)."""
+    return 0.5 + 0.5 * (z / 2) / (1 + F.abs(z / 2))
+
+
+def logit_z(x_cols: "str | list[str]") -> "F.Column":
+    """Linear predictor (qb + sum qw_i*x_i)/1e6 over the micro-quantized
+    weight panel columns produced by :func:`logistic_gd_weights`."""
+    xs = _as_cols(x_cols)
+    return (
+        F.col("qb")
+        + sum(F.col(f"qw_{i}") * F.col(x) for i, x in enumerate(xs))
+    ) / 1000000.0
+
+
+def with_logit_probability(
+    base: DataFrame,
+    weights: DataFrame,
+    x_cols: "str | list[str]",
+    prob_col: str = "p_sig",
+) -> DataFrame:
+    """Score every row of ``base`` against a 1-row weight panel: broadcast
+    cross-join (the panel is one row — no shuffle of the fact side) plus a
+    rational-sigmoid probability column.  The scoring scan shared by the
+    calibration / reliability family."""
+    scored = base.crossJoin(F.broadcast(weights))
+    return scored.withColumn(prob_col, rational_sigmoid(logit_z(x_cols)))
 
 
 def logistic_gd_weights(
@@ -73,11 +113,7 @@ def logistic_gd_weights(
         *[F.lit(0).cast("long").alias(q) for q in qw_names],
     )
     for _ in range(steps):
-        z = (
-            F.col("qb")
-            + sum(F.col(q) * F.col(x) for q, x in zip(qw_names, xs))
-        ) / 1000000.0
-        sig = 0.5 + 0.5 * (z / 2) / (1 + F.abs(z / 2))
+        sig = rational_sigmoid(logit_z(xs))
         resid_q = F.floor((sig - y) * 1000000 + 0.5).cast("long")
         g = (
             base.crossJoin(F.broadcast(w))

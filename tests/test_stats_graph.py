@@ -800,3 +800,89 @@ def test_rfm_segments_matches_python_brute_force(spark):
         assert r.n_customers == cnt
         assert r.monetary_dollars == pytest.approx(mtot / 100, abs=1e-6)
         assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
+
+
+def test_histogram_operators_match_exact_quantiles(spark):
+    """operators/histogram.py: midpoint estimates land within half a bin
+    width of the exact quantiles on uniform data, for both global-span
+    and per-group-span variants; degenerate (constant) groups pin bin 0."""
+    from pyspark.sql import functions as F
+
+    from spark_fuse_spark.operators.histogram import (
+        equi_width_histogram,
+        histogram_quantiles,
+        value_span,
+    )
+
+    df = spark.range(2000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+    )
+    bins = 100
+    span = value_span(df, "v")
+    h = equi_width_histogram(df, "v", bins, group_cols=["g"], span=span)
+    assert h.count() <= 2 * bins
+    est = {
+        (r.g, r.q): r.est
+        for r in histogram_quantiles(
+            spark, h, span, [0.5, 0.9], bins, group_cols=["g"]
+        ).collect()
+    }
+    half_bin = 999.0 / bins / 2
+    for g in ("0", "1"):
+        assert abs(est[(g, 0.5)] - 499.5) <= half_bin + 5
+        assert abs(est[(g, 0.9)] - 899.1) <= half_bin + 5
+
+    # per-group spans: group "a" in [0,100), group "b" constant at 7.0
+    df2 = spark.range(200).select(
+        F.when(F.col("id") < 100, "a").otherwise("b").alias("g"),
+        F.when(F.col("id") < 100, F.col("id").cast("double")).otherwise(7.0).alias("v"),
+    )
+    span2 = value_span(df2, "v", ["g"])
+    h2 = equi_width_histogram(
+        df2, "v", 10, group_cols=["g"], span=span2, span_group_cols=["g"]
+    )
+    est2 = {
+        (r.g, r.q): r.est
+        for r in histogram_quantiles(
+            spark, h2, span2, [0.5], 10, group_cols=["g"], span_group_cols=["g"]
+        ).collect()
+    }
+    assert abs(est2[("a", 0.5)] - 49.5) <= 99.0 / 10 / 2 + 1
+    assert est2[("b", 0.5)] == 7.0  # zero-width span: midpoint is lo
+
+    import pytest
+
+    with pytest.raises(ValueError, match="bins"):
+        equi_width_histogram(df, "v", 0)
+
+
+def test_glm_scoring_helpers_shared_expressions(spark):
+    """with_logit_probability reproduces the calibration scan's sigmoid
+    math from the weight panel; rational_sigmoid is bounded in (0, 1)."""
+    from pyspark.sql import functions as F
+
+    from spark_fuse_spark.operators.glm import (
+        logistic_gd_weights,
+        rational_sigmoid,
+        with_logit_probability,
+    )
+
+    base = spark.range(400).select(
+        (F.col("id") % 21 - 10).cast("long").alias("x")
+    ).select("x", F.when(F.col("x") > 0, 1).otherwise(0).alias("y"))
+    w = logistic_gd_weights(base, "y", "x", steps=4, eta=0.5).select("qb", "qw_0")
+    scored = with_logit_probability(base, w, "x").select("x", "y", "p_sig")
+    rows = scored.collect()
+    assert len(rows) == 400
+    assert all(0.0 < r.p_sig < 1.0 for r in rows)
+    # separable signal: positive x scores above negative x
+    hi = sum(r.p_sig for r in rows if r.x > 0) / sum(1 for r in rows if r.x > 0)
+    lo = sum(r.p_sig for r in rows if r.x < 0) / sum(1 for r in rows if r.x < 0)
+    assert hi > 0.5 > lo
+    # the surrogate saturates softly: extreme z still inside (0, 1)
+    edge = spark.range(1).select(
+        rational_sigmoid(F.lit(1e9)).alias("hi"),
+        rational_sigmoid(F.lit(-1e9)).alias("lo"),
+    ).collect()[0]
+    assert 0.999 < edge.hi < 1.0 and 0.0 < edge.lo < 0.001
