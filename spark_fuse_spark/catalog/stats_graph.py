@@ -1117,37 +1117,18 @@ ORDER BY exact_cnt DESC, custkey
     "the broadcast-sized sketch.",
 )
 def x_countmin_heavy(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.sketches import count_min_cells, count_min_probe
+
     o = load_table(spark, sf, "orders")
     ks = o.select(F.col("o_custkey").cast("string").alias("k"))
-    js = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("j")
-    hashed = ks.select("k", js).select(
-        "j",
-        F.pmod(
-            portable_hash64(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("k"))),
-            F.lit(_CMS_W),
-        ).alias("b"),
-    )
-    cells = hashed.groupBy("j", "b").agg(F.count("*").cast("long").alias("c"))
+    cells = count_min_cells(ks, "k", _CMS_D, _CMS_W)
     exact = (
         ks.groupBy("k")
         .agg(F.count("*").cast("long").alias("exact_cnt"))
         .orderBy(F.col("exact_cnt").desc(), "k")
         .limit(10)
     )
-    probes = exact.select("k", "exact_cnt", js).select(
-        "k",
-        "exact_cnt",
-        "j",
-        F.pmod(
-            portable_hash64(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("k"))),
-            F.lit(_CMS_W),
-        ).alias("b"),
-    )
-    est = (
-        probes.join(cells, ["j", "b"])
-        .groupBy("k", "exact_cnt")
-        .agg(F.min("c").cast("long").alias("cms_est"))
-    )
+    est = count_min_probe(cells, exact, "k", _CMS_D, _CMS_W)
     return est.select(
         F.col("k").alias("custkey"),
         "exact_cnt",

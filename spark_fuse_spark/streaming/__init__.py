@@ -39,6 +39,7 @@ from spark_fuse_spark.streaming.ops import (
     stream_to_scd,
     tumbling_event_counts,
     windowed_distinct_estimate,
+    windowed_heavy_hitter_cms,
 )
 
 __all__ = [
@@ -62,4 +63,5 @@ __all__ = [
     "interval_join_stream",
     "running_totals_with_state",
     "windowed_distinct_estimate",
+    "windowed_heavy_hitter_cms",
 ]

@@ -44,6 +44,7 @@ __all__ = [
     "interval_join_stream",
     "running_totals_with_state",
     "flag_stream_anomalies",
+    "windowed_heavy_hitter_cms",
 ]
 
 # events.parquet schema with ts at micros precision (see tables.py for the
@@ -989,4 +990,45 @@ def windowed_distinct_estimate(
         F.col("win.end").alias("window_end"),
         *keys,
         (F.floor(F.expr(est) * 1000000 + 0.5) / 1000000).alias("approx_distinct"),
+    )
+
+
+def windowed_heavy_hitter_cms(
+    df: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Watermarked per-window Count-Min sketch cells — the streaming twin
+    of the ``x_countmin_heavy`` catalog query, built on the SAME
+    ``operators/sketches.count_min_cells`` expressions.
+
+    Exact per-key counting is the heavy-hitter streaming trap: state
+    grows with key cardinality.  CMS cells bound the state store to
+    EXACTLY ``depth * width`` counters per open window whatever the
+    cardinality, as ONE stateful aggregation (the explode happens before
+    the groupBy, so no chained-stateful-operator support is needed).
+    Cells are sums, so late rows inside the watermark fold in exactly and
+    the same function on a batch frame is the bit-identical ground truth
+    (pinned in tests).  Probing (min-over-rows estimates for candidate
+    keys via ``count_min_probe``) runs downstream over the maintained
+    cell table — the production layout: the stream maintains the sketch,
+    monitoring queries read it.
+
+    Returns (window_start, window_end, j, b, c).
+    """
+    from ..operators.sketches import count_min_cells
+
+    win = F.window(F.col(ts_col), window).alias("win")
+    base = df.withWatermark(ts_col, watermark).select(win, F.col(key_col))
+    cells = count_min_cells(base, key_col, depth, width, extra_group_cols=["win"])
+    return cells.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        "j",
+        "b",
+        "c",
     )

@@ -345,3 +345,46 @@ def test_with_prev_value_matches_python(spark, vals, parts):
     s = sorted(vals)
     want = {v: (s[i - 1] if i else None) for i, v in enumerate(s)}
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=80),
+    depth=st.integers(min_value=1, max_value=4),
+    width=st.integers(min_value=4, max_value=32),
+)
+def test_count_min_sketch_matches_python_model(spark, keys, depth, width):
+    """operators/sketches vs a pure-Python CMS with the same md5 hashing:
+    identical cells, identical estimates, and the one-sided guarantee
+    (estimate >= exact count for every key)."""
+    import hashlib
+    from collections import Counter
+
+    from spark_fuse_spark.operators.sketches import count_min_cells, count_min_probe
+
+    df = spark.createDataFrame([(str(k),) for k in keys], "k string")
+    cells = {
+        (r.j, r.b): r.c
+        for r in count_min_cells(df, "k", depth, width).collect()
+    }
+
+    def bucket(j, k):
+        return int(hashlib.md5(f"{j}:{k}".encode()).hexdigest()[:15], 16) % width
+
+    model = Counter()
+    for k in keys:
+        for j in range(depth):
+            model[(j, bucket(j, str(k)))] += 1
+    assert cells == dict(model)
+
+    exact = Counter(str(k) for k in keys)
+    cand = spark.createDataFrame([(k,) for k in exact], "k string")
+    est = {
+        r.k: r.cms_est
+        for r in count_min_probe(
+            count_min_cells(df, "k", depth, width), cand, "k", depth, width
+        ).collect()
+    }
+    for k, n in exact.items():
+        assert est[k] >= n
+        assert est[k] == min(model[(j, bucket(j, k))] for j in range(depth))

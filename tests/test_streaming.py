@@ -632,3 +632,42 @@ def test_windowed_distinct_estimate_stream_equals_batch(spark, event_dir):
         n = exact[k]
         # 64 registers -> sigma ~ 1.04/8 = 13%; allow 4 sigma + small-n slack
         assert abs(est - n) <= max(3.0, 0.55 * n), (k, est, n)
+
+
+def test_windowed_heavy_hitter_cms_stream_equals_batch(spark, event_dir):
+    """Streaming CMS cells fold additively across micro-batches to the
+    bit-identical batch sketch; state is bounded at depth*width cells per
+    window; probing the merged cells never under-counts any key."""
+    from spark_fuse_spark.operators.sketches import count_min_probe
+
+    depth, width = 4, 64
+    stream = st.read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    q = _run_stream(
+        st.windowed_heavy_hitter_cms(stream, depth=depth, width=width),
+        "t_cms_win",
+        "complete",
+    )
+    got = {
+        (r.window_start, r.j, r.b): r.c for r in spark.table("t_cms_win").collect()
+    }
+    q.stop()
+    batch = st.windowed_heavy_hitter_cms(
+        spark.read.parquet(event_dir), depth=depth, width=width
+    )
+    want = {(r.window_start, r.j, r.b): r.c for r in batch.collect()}
+    assert got == want and got
+    # state bound: at most depth*width cells per window
+    windows = {w for w, _, _ in got}
+    for w in windows:
+        assert sum(1 for k in got if k[0] == w) <= depth * width
+    # one-sided guarantee on the batch twin: est >= exact for EVERY key
+    cells = batch.select("j", "b", "c")  # merge across windows is a sum
+    merged = cells.groupBy("j", "b").agg(F.sum("c").alias("c"))
+    exact = (
+        spark.read.parquet(event_dir)
+        .groupBy(F.col("user_id").cast("string").alias("k"))
+        .agg(F.count("*").alias("exact_cnt"))
+    )
+    est = count_min_probe(merged, exact, "k", depth, width)
+    bad = est.where(F.col("cms_est") < F.col("exact_cnt")).count()
+    assert bad == 0
