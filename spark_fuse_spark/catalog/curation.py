@@ -1583,35 +1583,18 @@ LIMIT 10
     "fully oracle-replayed.",
 )
 def x_cms(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.sketches import count_min_cells, count_min_probe
+
     ev = load_table(spark, sf, "events")
-
-    def cms_col(r: int, key=F.col("user_id")):
-        return (
-            portable_hash64(F.concat(key.cast("string"), F.lit(f"#cms{r}"))) % _CMS_W
-        ).alias("col")
-
-    rows = None
-    for r in range(_CMS_D):
-        part = ev.select("user_id", F.lit(r).alias("r"), cms_col(r))
-        rows = part if rows is None else rows.unionByName(part)
-    cms = rows.groupBy("r", "col").agg(F.count(F.lit(1)).alias("c"))
+    cms = count_min_cells(ev, "user_id", _CMS_D, _CMS_W)
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
-    probe = None
-    for r in range(_CMS_D):
-        part = exact.select("user_id", F.lit(r).alias("r"), cms_col(r))
-        probe = part if probe is None else probe.unionByName(part)
-    est = (
-        probe.join(F.broadcast(cms), ["r", "col"])
-        .groupBy("user_id")
-        .agg(F.min("c").alias("cms_estimate"))
-    )
+    est = count_min_probe(cms, exact, "user_id", _CMS_D, _CMS_W)
     return (
-        exact.join(est, "user_id")
-        .select(
+        est.select(
             "user_id",
             "exact_count",
-            "cms_estimate",
-            (F.col("cms_estimate") >= F.col("exact_count")).alias("never_undercounts"),
+            F.col("cms_est").alias("cms_estimate"),
+            (F.col("cms_est") >= F.col("exact_count")).alias("never_undercounts"),
         )
         .orderBy(F.col("exact_count").desc(), "user_id")
         .limit(10)

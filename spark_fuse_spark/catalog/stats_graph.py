@@ -1065,78 +1065,6 @@ def x_histogram_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# ------------------------------------------------ portable count-min sketch
-_CMS_D = 4
-_CMS_W = 256
-
-
-def _cms_oracle() -> str:
-    h = portable_hash64_sql("CAST(j AS VARCHAR) || ':' || k")
-    return f"""
-WITH ks AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders),
-js AS (SELECT * FROM (VALUES (0), (1), (2), (3)) v(j)),
-rows_h AS (SELECT j, {h} % {_CMS_W} AS b FROM ks CROSS JOIN js),
-cells AS (SELECT j, b, CAST(COUNT(*) AS BIGINT) AS c FROM rows_h GROUP BY j, b),
-exact AS (
-  SELECT CAST(o_custkey AS VARCHAR) AS k,
-         CAST(COUNT(*) AS BIGINT) AS exact_cnt
-  FROM orders GROUP BY 1
-  ORDER BY exact_cnt DESC, k LIMIT 10),
-probes AS (
-  SELECT e.k, e.exact_cnt, js.j,
-         {portable_hash64_sql("CAST(js.j AS VARCHAR) || ':' || e.k")} % {_CMS_W} AS b
-  FROM exact e CROSS JOIN js),
-est AS (
-  SELECT p.k, p.exact_cnt, CAST(MIN(c.c) AS BIGINT) AS cms_est
-  FROM probes p JOIN cells c ON c.j = p.j AND c.b = p.b
-  GROUP BY p.k, p.exact_cnt)
-SELECT k AS custkey, exact_cnt, cms_est,
-       CAST(cms_est - exact_cnt AS BIGINT) AS overcount
-FROM est
-ORDER BY exact_cnt DESC, custkey
-"""
-
-
-@register(
-    "x_countmin_heavy",
-    oracle=_cms_oracle(),
-    doc="PORTABLE Count-Min sketch heavy-hitter audit (completes the "
-    "mergeable-sketch family next to x_hll_portable/x_kmv_setops): a "
-    f"{_CMS_D}x{_CMS_W} CMS over per-customer order counts, hashed with "
-    "the engine-portable md5 hash so DuckDB replays the registers "
-    "bit-for-bit, then the exact top-10 customers are probed against "
-    "the sketch — cms_est = min over rows of the hashed cell, and the "
-    "one-sided guarantee (cms_est >= exact, overcount >= 0) is part of "
-    "the audited output.  CMS cells are plain sums, so per-shard/per-day "
-    "partials merge by cell-wise addition — the same one-pass rollup "
-    "shape that replaces exact per-key counting for skew/heavy-hitter "
-    "monitoring at 100 TB (the reason to keep d small: the sketch is "
-    f"{_CMS_D * _CMS_W} integers regardless of key cardinality).  Scale: "
-    "the build is one map-side-combined groupBy to <= d*w cells over a "
-    "d-fold row explode; the probe side is a 10-row panel joined against "
-    "the broadcast-sized sketch.",
-)
-def x_countmin_heavy(spark: SparkSession, sf: str) -> DataFrame:
-    from ..operators.sketches import count_min_cells, count_min_probe
-
-    o = load_table(spark, sf, "orders")
-    ks = o.select(F.col("o_custkey").cast("string").alias("k"))
-    cells = count_min_cells(ks, "k", _CMS_D, _CMS_W)
-    exact = (
-        ks.groupBy("k")
-        .agg(F.count("*").cast("long").alias("exact_cnt"))
-        .orderBy(F.col("exact_cnt").desc(), "k")
-        .limit(10)
-    )
-    est = count_min_probe(cells, exact, "k", _CMS_D, _CMS_W)
-    return est.select(
-        F.col("k").alias("custkey"),
-        "exact_cnt",
-        "cms_est",
-        (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
-    ).orderBy(F.col("exact_cnt").desc(), "custkey")
-
-
 # --------------------------------------- per-group-span histogram quantiles
 _BH_BINS = 64
 

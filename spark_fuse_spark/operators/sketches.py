@@ -17,9 +17,9 @@ DataFrames; ``streaming/ops.windowed_heavy_hitter_cms`` wraps
 :func:`count_min_cells` with a watermarked event-time window, bounding
 stream state at ``depth*width`` counters per open window.
 
-Used by the ``x_countmin_heavy`` catalog query (reference-free extension;
-the sketch family sibling of the portable HLL in
-``catalog/stats_graph.py``).
+Used by the ``x_count_min_sketch`` catalog query (reference-free
+extension; the sketch family sibling of the portable HLL in
+``catalog/stats_graph.py``) and its streaming twin.
 """
 
 from __future__ import annotations
@@ -36,10 +36,11 @@ __all__ = ["cms_bucket", "count_min_cells", "count_min_probe"]
 
 def cms_bucket(j: Column, key: Column, width: int) -> Column:
     """Row-``j`` counter index for ``key``: portable md5 hash of
-    ``"<j>:<key>"`` mod ``width`` (DuckDB twin:
-    ``portable_hash64_sql("CAST(j AS VARCHAR) || ':' || k") % width``)."""
+    ``"<key>#cms<j>"`` mod ``width`` (DuckDB twin:
+    ``portable_hash64_sql("CAST(k AS VARCHAR) || '#cms' || j") % width`` —
+    the salt convention the ``x_count_min_sketch`` oracle already pins)."""
     return F.pmod(
-        portable_hash64(F.concat(j.cast("string"), F.lit(":"), key)),
+        portable_hash64(F.concat(key, F.lit("#cms"), j.cast("string"))),
         F.lit(width),
     )
 
@@ -86,7 +87,7 @@ def count_min_probe(
         "b", cms_bucket(F.col("j"), F.col(key_col).cast("string"), width)
     )
     return (
-        probes.join(cells.select("j", "b", "c"), ["j", "b"])
+        probes.join(F.broadcast(cells.select("j", "b", "c")), ["j", "b"])
         .groupBy(*keep)
         .agg(F.min("c").cast("long").alias("cms_est"))
     )

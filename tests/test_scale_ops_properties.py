@@ -369,7 +369,7 @@ def test_count_min_sketch_matches_python_model(spark, keys, depth, width):
     }
 
     def bucket(j, k):
-        return int(hashlib.md5(f"{j}:{k}".encode()).hexdigest()[:15], 16) % width
+        return int(hashlib.md5(f"{k}#cms{j}".encode()).hexdigest()[:15], 16) % width
 
     model = Counter()
     for k in keys:
