@@ -1065,6 +1065,71 @@ def x_histogram_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------- one-way ANOVA
+@register(
+    "q_anova_oneway",
+    oracle="""
+WITH pts AS (
+  SELECT o_orderpriority AS grp,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders),
+g AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(y * y AS DECIMAL(38,0))) AS syy
+  FROM pts GROUP BY grp),
+pan AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nt,
+         CAST(SUM(sy) AS DOUBLE) AS s, CAST(SUM(syy) AS DOUBLE) AS q,
+         SUM(CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n) AS t
+  FROM g)
+SELECT k AS k_groups, nt AS n_total,
+       FLOOR(((t - s * s / nt) / (k - 1)) / ((q - t) / (nt - k)) * 10000 + 0.5)
+         / 10000 AS f_stat,
+       FLOOR((t - s * s / nt) / (q - s * s / nt) * 1000000 + 0.5) / 1000000
+         AS eta_sq
+FROM pan
+""",
+    doc="one-way ANOVA over order totals by priority class (completes the "
+    "hypothesis-test family next to the t/KS/Mann-Whitney/chi-square "
+    "panels): F = (SSB/(k-1)) / (SSW/(N-k)) plus the eta-squared effect "
+    "size, derived entirely from per-group exact integer moment sums "
+    "(cents as BIGINT, sums lifted to DECIMAL(38) per the house rule so "
+    "a 100 TB row count cannot overflow) — SSB = T - S^2/N and "
+    "SSW = Q - T with T = sum(S_g^2/n_g) computed on the k-row panel.  "
+    "Scale: ONE map-side-combined shuffle to k rows; per-group state is "
+    "three numbers regardless of group size; panel math is k-row.",
+)
+def q_anova_oneway(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    y = F.round(F.col("o_totalprice") * 100).cast("long")
+    pts = o.select(F.col("o_orderpriority").alias("grp"), y.alias("y"))
+    g = pts.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+    )
+    pan = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("sy").cast("double").alias("s"),
+        F.sum("syy").cast("double").alias("q"),
+        F.sum(
+            F.col("sy").cast("double") * F.col("sy").cast("double") / F.col("n")
+        ).alias("t"),
+    )
+    ssb = F.col("t") - F.col("s") * F.col("s") / F.col("nt")
+    ssw = F.col("q") - F.col("t")
+    sst = F.col("q") - F.col("s") * F.col("s") / F.col("nt")
+    f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("nt") - F.col("k")))
+    return pan.select(
+        F.col("k").alias("k_groups"),
+        F.col("nt").alias("n_total"),
+        (F.floor(f_stat * 10000 + 0.5) / 10000).alias("f_stat"),
+        (F.floor(ssb / sst * 1000000 + 0.5) / 1000000).alias("eta_sq"),
+    )
+
+
 # --------------------------------------- per-group-span histogram quantiles
 _BH_BINS = 64
 

@@ -336,6 +336,16 @@ CONTRACTS = {
     "x_histogram_quantiles": PlanExpectation(
         min_broadcast_joins=2, require_partial_agg=True, max_exchanges=30
     ),
+    # per-group-span variant: the brand span panel broadcast into binning
+    # and the estimate; quantile panel is the declared 3-row BNLJ cross
+    "q_brand_price_histogram": PlanExpectation(
+        min_broadcast_joins=3, require_partial_agg=True, max_exchanges=10
+    ),
+    # blocked edit distance: ONE equi join on the block key (never
+    # all-pairs), zero shuffle joins, the quadratic stage bounded per block
+    "d_levenshtein_blocked": PlanExpectation(
+        min_broadcast_joins=1, max_shuffle_joins=0, max_exchanges=2
+    ),
     # survivorship: CC labels checkpointed + broadcast back; quality join
     # broadcast; rank/size windows partition by cluster_id
     "d_cluster_survivorship": PlanExpectation(min_broadcast_joins=1, max_exchanges=12),
