@@ -170,6 +170,11 @@ HEADLINE = [
     # portable mergeable-sketch + in-context packing families
     "x_hll_portable",
     "t_topic_packing",
+    # round-5 additions: per-group-span histogram quantiles, blocked
+    # edit-distance dedup, exact-moment ANOVA
+    "q_brand_price_histogram",
+    "d_levenshtein_blocked",
+    "q_anova_oneway",
 ]
 
 

@@ -86,8 +86,10 @@ def count_min_probe(
     probes = candidates.select(*keep, j).withColumn(
         "b", cms_bucket(F.col("j"), F.col(key_col).cast("string"), width)
     )
+    # LEFT join + coalesce(0): a never-inserted key hits empty cells and
+    # must estimate 0, not silently vanish from the output
     return (
-        probes.join(F.broadcast(cells.select("j", "b", "c")), ["j", "b"])
+        probes.join(F.broadcast(cells.select("j", "b", "c")), ["j", "b"], "left")
         .groupBy(*keep)
-        .agg(F.min("c").cast("long").alias("cms_est"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("cms_est"))
     )

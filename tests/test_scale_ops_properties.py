@@ -388,3 +388,85 @@ def test_count_min_sketch_matches_python_model(spark, keys, depth, width):
     for k, n in exact.items():
         assert est[k] >= n
         assert est[k] == min(model[(j, bucket(j, k))] for j in range(depth))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1000, max_value=1000, allow_nan=False, width=32),
+        min_size=5,
+        max_size=120,
+    ),
+    bins=st.integers(min_value=2, max_value=64),
+    q=st.sampled_from([0.1, 0.5, 0.9]),
+)
+def test_histogram_quantiles_match_python_model(spark, vals, bins, q):
+    """operators/histogram vs a pure-Python equi-width model: identical
+    cells, identical midpoint estimate, and the estimate lands within half
+    a bin width of the true order statistic; cells built from two disjoint
+    halves and sum-merged equal the direct cells (mergeability)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from spark_fuse_spark.operators.histogram import (
+        equi_width_histogram,
+        histogram_quantiles,
+        value_span,
+    )
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    lo, hi = min(vals), max(vals)
+    span = value_span(df, "v")
+    hist = equi_width_histogram(df, "v", bins, span=span)
+    got_cells = {r.bin: r.c for r in hist.collect()}
+
+    def pybin(v):
+        if hi == lo:
+            return 0
+        return min(bins - 1, math.floor((v - lo) / (hi - lo) * bins))
+
+    model = {}
+    for v in vals:
+        model[pybin(v)] = model.get(pybin(v), 0) + 1
+    assert got_cells == model
+
+    est = histogram_quantiles(spark, hist, span, [q], bins).collect()
+    assert len(est) == 1
+    got = est[0].est
+    # python model of the same estimator
+    n = len(vals)
+    cum = 0
+    for b in sorted(model):
+        cum += model[b]
+        if cum >= q * n:
+            want = lo + (b + 0.5) * (hi - lo) / bins
+            break
+    assert abs(got - want) < 1e-9
+    # accuracy: within half a bin width of the true order statistic
+    rank_val = sorted(vals)[max(0, math.ceil(q * n) - 1)]
+    assert abs(got - rank_val) <= (hi - lo) / bins / 2 + 1e-9 or hi == lo
+
+    # mergeability: per-half partial histograms sum-merge to the direct one
+    half = len(vals) // 2
+    if half and len(vals) - half:
+        a = spark.createDataFrame([(float(v),) for v in vals[:half]], "v double")
+        b = spark.createDataFrame([(float(v),) for v in vals[half:]], "v double")
+        merged = (
+            equi_width_histogram(a, "v", bins, span=span)
+            .unionByName(equi_width_histogram(b, "v", bins, span=span))
+            .groupBy("bin")
+            .agg(F.sum("c").alias("c"))
+        )
+        assert {r.bin: r.c for r in merged.collect()} == model
+
+
+def test_count_min_probe_unseen_key_estimates_zero(spark):
+    from spark_fuse_spark.operators.sketches import count_min_cells, count_min_probe
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    cells = count_min_cells(df, "k", 4, 64)
+    cand = spark.createDataFrame([("a",), ("zzz-never-seen",)], "k string")
+    est = {r.k: r.cms_est for r in count_min_probe(cells, cand, "k", 4, 64).collect()}
+    assert est["a"] >= 2
+    assert est["zzz-never-seen"] == 0  # empty cells -> 0, row not dropped
