@@ -453,6 +453,25 @@ def test_qdrant_write_pinned_post_points(spark, mock_server):
     assert reqs[0][1]["points"][0]["id"] == 9
 
 
+def test_qdrant_write_negotiates_to_put_flat_batch(spark, mock_server):
+    """A server accepting only PUT + flat columnar batches: negotiation
+    stops at the third leg without ever issuing a POST."""
+    acked = {"status": "ok", "result": {"status": "acknowledged"}}
+
+    def put_flat_only(handler, body):
+        if isinstance(body, dict) and "ids" in body and "batch" not in body:
+            return acked
+        return (400, {"status": {"error": "missing field `ids`"}})
+
+    mock_server.route("PUT", "/collections/pf/points", put_flat_only)
+    qd.register(spark)
+    df = spark.createDataFrame([(3, [0.2, 0.8], "c")], ["id", "vector", "name"])
+    _qdrant_write(spark, mock_server, "pf", df, batch_size=10)
+    reqs = _points_upserts(mock_server, "pf")
+    assert [m for m, _ in reqs] == ["PUT", "PUT", "PUT"]  # points, batch, flat
+    assert reqs[-1][1]["ids"] == [3] and "batch" not in reqs[-1][1]
+
+
 def test_qdrant_write_winning_leg_is_sticky_across_flushes(spark, mock_server):
     """After one negotiation, later flushes in the same task go straight to
     the winning leg — no per-batch renegotiation."""
