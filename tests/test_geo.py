@@ -192,3 +192,51 @@ def test_nearest_within_decodes_exactly_past_double_precision(spark):
     )
     (r,) = nearest_within(pairs, ["pid"], "bid", id_bound=4).collect()
     assert (r.n_within, r.dist_sq, r.bid) == (1, dist, 3)
+
+
+def test_point_in_polygon_matches_python_raycast(spark):
+    """The unrolled integer ray-cast expression vs an INDEPENDENT pure-
+    Python implementation (float half-plane form) on a deterministic grid
+    of probe points covering inside, outside, and near-vertex cases —
+    validates the non-convex geometry itself, not just oracle textual
+    agreement."""
+    from pyspark.sql import functions as F
+
+    from spark_fuse_spark.catalog.geo import LAT0, LON0, _PIP_POLY, _pip_inside_sql
+
+    poly = [(x + LON0, y + LAT0) for x, y in _PIP_POLY]
+
+    def py_inside(px, py):
+        inside = False
+        n = len(poly)
+        for i in range(n):
+            x1, y1 = poly[i]
+            x2, y2 = poly[(i + 1) % n]
+            if (y1 > py) != (y2 > py):
+                x_cross = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+                if px < x_cross:
+                    inside = not inside
+        return inside
+
+    import random
+
+    rng = random.Random(13)
+    probes = [
+        (LON0 + rng.randrange(0, 10_000_001), LAT0 + rng.randrange(0, 10_000_001))
+        for _ in range(400)
+    ]
+    # plus points hugging each vertex (the numerically nasty region)
+    for vx, vy in poly:
+        for dx in (-3, 3):
+            for dy in (-3, 3):
+                probes.append((vx + dx, vy + dy))
+    df = spark.createDataFrame(probes, "px long, py long")
+    got = {
+        (r.px, r.py): r.inside
+        for r in df.select(
+            "px", "py", F.expr(_pip_inside_sql("px", "py")).alias("inside")
+        ).collect()
+    }
+    mismatches = [(p, got[p], py_inside(*p)) for p in got if got[p] != py_inside(*p)]
+    assert not mismatches, mismatches[:5]
+    assert 0 < sum(got.values()) < len(got)  # both classes exercised
