@@ -1065,6 +1065,93 @@ def x_histogram_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------- price index panel
+@register(
+    "q_price_index",
+    oracle="""
+WITH cells AS (
+  SELECT CAST((EXTRACT(YEAR FROM l.l_shipdate) - 1995) * 12
+              + EXTRACT(MONTH FROM l.l_shipdate) - 1 AS BIGINT) AS m,
+         p.p_brand AS b,
+         CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS q,
+         SUM(CAST(ROUND(l.l_extendedprice * 100) AS DECIMAL(38,0))) AS r
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2),
+mn AS (SELECT CAST(MIN(m) AS BIGINT) AS m0 FROM cells),
+base AS (
+  SELECT c.b, c.q AS q0, c.r AS r0 FROM cells c JOIN mn ON c.m = mn.m0),
+j AS (
+  SELECT c.m, c.b, c.q, CAST(c.r AS DOUBLE) AS r,
+         b0.q0, CAST(b0.r0 AS DOUBLE) AS r0
+  FROM cells c JOIN base b0 ON c.b = b0.b),
+idx AS (
+  SELECT m, CAST(COUNT(*) AS BIGINT) AS n_brands,
+         SUM(r * q0 / q) / SUM(r0) AS laspeyres,
+         SUM(r) / SUM(r0 * q / q0) AS paasche
+  FROM j GROUP BY m)
+SELECT m AS month_idx, n_brands,
+       FLOOR(laspeyres * 1000000 + 0.5) / 1000000 AS laspeyres,
+       FLOOR(paasche * 1000000 + 0.5) / 1000000 AS paasche,
+       FLOOR(sqrt(laspeyres * paasche) * 1000000 + 0.5) / 1000000 AS fisher
+FROM idx
+ORDER BY month_idx
+""",
+    doc="Laspeyres / Paasche / Fisher price indices per shipping month "
+    "over the brand basket (the CPI construction, base = the corpus's "
+    "first month): per-(month, brand) quantity and revenue aggregates "
+    "in exact integers (quantities BIGINT, cents DECIMAL(38)), unit "
+    "prices formed only at the bounded per-month panel — Laspeyres "
+    "reuses the base basket (sum r_m*q0/q_m over base revenue), Paasche "
+    "the current one, Fisher their geometric mean.  Scale: one "
+    "(month, brand)-keyed partial-agg'd shuffle on the fact scan (the "
+    "part dim broadcasts), then all index math runs on |months|x|brands| "
+    "rows; the base basket is a broadcast |brands|-row panel.",
+)
+def q_price_index(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    m = (
+        (F.year("l_shipdate") - F.lit(1995)) * 12 + F.month("l_shipdate") - 1
+    ).cast("long")
+    cells = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(m.alias("m"), F.col("p_brand").alias("b"))
+        .agg(
+            F.sum(F.round("l_quantity").cast("long")).cast("long").alias("q"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+            ).alias("r"),
+        )
+    )
+    mn = cells.agg(F.min("m").cast("long").alias("m0"))
+    base = (
+        cells.crossJoin(F.broadcast(mn))
+        .where(F.col("m") == F.col("m0"))
+        .select("b", F.col("q").alias("q0"), F.col("r").alias("r0"))
+    )
+    j = cells.join(F.broadcast(base), "b").select(
+        "m",
+        "b",
+        "q",
+        F.col("r").cast("double").alias("r"),
+        "q0",
+        F.col("r0").cast("double").alias("r0"),
+    )
+    idx = j.groupBy("m").agg(
+        F.count("*").cast("long").alias("n_brands"),
+        (F.sum(F.col("r") * F.col("q0") / F.col("q")) / F.sum("r0")).alias("laspeyres"),
+        (F.sum("r") / F.sum(F.col("r0") * F.col("q") / F.col("q0"))).alias("paasche"),
+    )
+    m6 = lambda c: F.floor(c * 1000000 + 0.5) / 1000000  # noqa: E731
+    return idx.select(
+        F.col("m").alias("month_idx"),
+        "n_brands",
+        m6(F.col("laspeyres")).alias("laspeyres"),
+        m6(F.col("paasche")).alias("paasche"),
+        m6(F.sqrt(F.col("laspeyres") * F.col("paasche"))).alias("fisher"),
+    ).orderBy("month_idx")
+
+
 # --------------------------------------------------------- one-way ANOVA
 @register(
     "q_anova_oneway",
