@@ -546,6 +546,7 @@ NESTED_LOOP_OK = {
     "m_payload_neardup": "1-row corpus-total panel crossed into the signature quantization",
     "x_histogram_quantiles": "1-row min/max span panel + 2-row quantile panel crossed into binning",
     "q_brand_price_histogram": "3-row quantile panel crossed into the <=64-bins-per-brand cumulative table",
+    "q_price_index": "1-row base-month panel crossed into the (month, brand) cell table",
     "v_bq_topk": "8-row query word panel crossed over the corpus code scan",
     "q_revenue_concentration": "1-row n/total panel crossed into decile cut and shares",
     "q_chi2_independence": "1-row total/dims panels crossed into the tiny contingency-cell table",
