@@ -671,9 +671,8 @@ _KM_CUT_US = 86_400_000_000  # censor users still active in the last 24h
 _HOUR_US = 3_600_000_000
 
 
-@register(
-    "e_survival_curve",
-    oracle=f"""
+# shared by e_survival_curve (directly) and e_weibull_fit (as a subquery)
+_KM_ORACLE = f"""
 WITH u AS (
   SELECT user_id,
          (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // {_HOUR_US} AS dur,
@@ -710,7 +709,12 @@ SELECT lst[i].t AS duration_hours,
 FROM km
 WHERE lst[i].d > 0
 ORDER BY duration_hours
-""",
+"""
+
+
+@register(
+    "e_survival_curve",
+    oracle=_KM_ORACLE,
     doc="Kaplan-Meier survival curve over user lifetimes (hours between "
     "first and last event; users still active in the final 24 h are "
     "right-censored): S(t) = prod over churn times <= t of (1 - d/n) — "
@@ -800,6 +804,102 @@ def e_survival_curve(spark: SparkSession, sf: str) -> DataFrame:
             (F.floor(surv * 1000000 + 0.5) / 1000000).alias("survival"),
         )
         .orderBy("duration_hours")
+    )
+
+
+# ------------------------------------------------ parametric survival fit
+@register(
+    "e_weibull_fit",
+    oracle=f"""
+WITH km_out AS ({_KM_ORACLE}),
+pts AS (
+  SELECT list({{'x': ln(duration_hours), 'y': ln(-ln(survival))}}
+              ORDER BY duration_hours) AS l
+  FROM km_out
+  WHERE duration_hours > 0 AND survival > 0 AND survival < 1),
+s AS (
+  SELECT CAST(len(l) AS BIGINT) AS n,
+         list_reduce(list_transform(l, p -> p.x), (a, b) -> a + b) AS sx,
+         list_reduce(list_transform(l, p -> p.y), (a, b) -> a + b) AS sy,
+         list_reduce(list_transform(l, p -> p.x * p.x), (a, b) -> a + b) AS sxx,
+         list_reduce(list_transform(l, p -> p.x * p.y), (a, b) -> a + b) AS sxy,
+         list_reduce(list_transform(l, p -> p.y * p.y), (a, b) -> a + b) AS syy
+  FROM pts),
+fit AS (
+  SELECT n, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS k, sx, sy,
+         (n * sxy - sx * sy) * (n * sxy - sx * sy)
+           / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+  FROM s WHERE n >= 3)
+SELECT n AS n_points,
+       FLOOR(k * 1000000 + 0.5) / 1000000 AS shape_k,
+       FLOOR(exp(-((sy - k * sx) / n) / k) * 100 + 0.5) / 100 AS scale_hours,
+       FLOOR(r2 * 1000000 + 0.5) / 1000000 AS r2
+FROM fit
+""",
+    doc="parametric Weibull fit of the Kaplan-Meier survival curve (the "
+    "e_survival_curve output consumed downstream — same composition a "
+    "reliability team runs): the product-limit S(t) linearizes as "
+    "ln(-ln S) = k*ln t - k*ln lambda, so shape k and scale lambda come "
+    "from a closed-form OLS over the (bounded) churn-step panel, with "
+    "r^2 as the Weibull-ness diagnostic (k<1 infant-mortality churn, "
+    "k=1 memoryless/exponential, k>1 wear-out).  Determinism: the "
+    "regression consumes the ROUNDED survival values (already proven "
+    "bit-identical cross-engine), the points list is duration-sorted, "
+    "and every moment is a LEFT fold over that list on both engines "
+    "(F.aggregate vs list_reduce — same pairwise sequence), so the "
+    "doubles match before the final floor-rounding.  Scale: inherits "
+    "the K-M shape (one user-keyed shuffle + single-row panel fold); "
+    "the regression adds panel-only math.",
+)
+def e_weibull_fit(spark: SparkSession, sf: str) -> DataFrame:
+    km = e_survival_curve(spark, sf)
+    pts = (
+        km.where(
+            (F.col("duration_hours") > 0)
+            & (F.col("survival") > 0)
+            & (F.col("survival") < 1)
+        )
+        .select(
+            F.log(F.col("duration_hours").cast("double")).alias("x"),
+            F.log(-F.log("survival")).alias("y"),
+        )
+        .agg(F.sort_array(F.collect_list(F.struct("x", "y"))).alias("l"))
+    )
+
+    def fold(expr: str) -> "F.Column":
+        return F.expr(f"aggregate(transform(l, p -> {expr}), 0.0D, (a, b) -> a + b)")
+
+    s = pts.select(
+        F.size("l").cast("long").alias("n"),
+        fold("p.x").alias("sx"),
+        fold("p.y").alias("sy"),
+        fold("p.x * p.x").alias("sxx"),
+        fold("p.x * p.y").alias("sxy"),
+        fold("p.y * p.y").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    k = num / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    r2 = (num * num) / (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    # degenerate panels (fewer than 3 usable churn steps at tiny SFs)
+    # yield no fit row on BOTH engines rather than a divide-by-zero
+    fit = s.where(F.col("n") >= 3).select(
+        "n", k.alias("k"), "sx", "sy", r2.alias("r2")
+    )
+    return fit.select(
+        F.col("n").alias("n_points"),
+        (F.floor(F.col("k") * 1000000 + 0.5) / 1000000).alias("shape_k"),
+        (
+            F.floor(
+                F.exp(-((F.col("sy") - F.col("k") * F.col("sx")) / F.col("n")) / F.col("k"))
+                * 100
+                + 0.5
+            )
+            / 100
+        ).alias("scale_hours"),
+        (F.floor(F.col("r2") * 1000000 + 0.5) / 1000000).alias("r2"),
     )
 
 
