@@ -139,7 +139,14 @@ def mor_migrate_legacy_deletes(target: str) -> int:
 def mor_write(df: DataFrame, target: str) -> None:
     """Create/overwrite the table as a single segment.  Old sidecars live
     inside the replaced data root, so the swap clears them in the same
-    rename that publishes the new segment — no stale-sidecar window."""
+    rename that publishes the new segment — no stale-sidecar window.
+
+    A pre-rename-layout table may also carry sidecars at the legacy
+    SIBLING location ``target/_deletes``; an overwrite replaces the whole
+    table, so those are dead too and are removed here.  Leaving them
+    would make every later read raise the legacy-layout error, and
+    migrating them would apply the OLD table's deletes to the fresh
+    seg-00000 — silently deleting freshly written rows."""
     root = _data_root(target)
     staged = f"{root}__staged_{uuid.uuid4().hex[:12]}"
     df.write.mode("overwrite").parquet(os.path.join(staged, "seg-00000"))
@@ -151,6 +158,9 @@ def mor_write(df: DataFrame, target: str) -> None:
     else:
         os.makedirs(os.path.dirname(root) or ".", exist_ok=True)
         os.rename(staged, root)
+    legacy = os.path.join(target, _DELETES)
+    if os.path.isdir(legacy):
+        shutil.rmtree(legacy)
 
 
 def mor_append(df: DataFrame, target: str) -> str:

@@ -137,8 +137,11 @@ def _cmd_run(args: argparse.Namespace) -> int:
         from spark_fuse_spark.plans import executed_metrics, shuffle_summary
 
         # metrics attach to THIS DataFrame's queryExecution, and show()
-        # runs a separate limited plan — drive the full query once
-        n_rows = len(df.collect())
+        # runs a separate limited plan — drive the full query once.
+        # Counting the executed plan's own RDD keeps the metrics attached
+        # (df.count() would execute a different plan) WITHOUT collecting
+        # the result to the driver: the count is a JVM-side RDD action.
+        n_rows = df._jdf.queryExecution().executedPlan().execute().count()
         print(f"rows: {n_rows}")
         print(json.dumps(shuffle_summary(df)))
         for n in executed_metrics(df):

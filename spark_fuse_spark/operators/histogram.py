@@ -60,10 +60,17 @@ def equi_width_histogram(
     directly comparable across groups).  Pass ``span_group_cols`` to bin
     each group against its own span instead (span is then joined on those
     columns).  Values at ``hi`` land in the last bin.
+
+    Null values of ``value_col`` are EXCLUDED before binning (matching
+    ``value_span``, whose min/max already ignore them): a null bin would
+    be counted into ``n`` by :func:`histogram_quantiles` and sort
+    engine-dependently (Spark nulls-first vs DuckDB nulls-last in the
+    cumulative window), skewing estimates on nullable inputs.
     """
     if bins < 1:
         raise ValueError(f"bins must be >= 1, got {bins}")
     group_cols = list(group_cols or [])
+    df = df.where(F.col(value_col).isNotNull())
     if span is None:
         span = value_span(df, value_col, span_group_cols)
     if span_group_cols:

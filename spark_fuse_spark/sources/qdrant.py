@@ -404,12 +404,20 @@ class _QdrantWriter(DataSourceWriter):
 
     def _attempt_matrix(self) -> "list[tuple[str, str]]":
         """(method, format) attempts in reference order (writer.py:388-467):
-        pinned configs try exactly one leg; ``auto`` walks PUT before POST
-        and points -> batch -> flat_batch within each method — 6 legs."""
+        ``auto`` walks PUT before POST and points -> batch -> flat_batch
+        within each method — 6 legs.  Pinned ``payload_format='batch'``
+        keeps the reference's batch -> flat_batch -> points fallback
+        (writer.py:398-407) so migrating users hitting flat-batch-only
+        servers degrade the same way; other pins try exactly one format."""
         cfg = self.cfg
         fmt = cfg.get("payload_format", "auto")
         meth = cfg.get("write_method", "auto")
-        formats = ["points", "batch", "flat_batch"] if fmt == "auto" else [fmt]
+        if fmt == "auto":
+            formats = ["points", "batch", "flat_batch"]
+        elif fmt == "batch":
+            formats = ["batch", "flat_batch", "points"]
+        else:
+            formats = [fmt]
         methods = ["PUT", "POST"] if meth == "auto" else [meth.upper()]
         return [(m, f) for m in methods for f in formats]
 
@@ -425,9 +433,28 @@ class _QdrantWriter(DataSourceWriter):
         # leg is remembered per writer (one negotiation per task, then
         # every subsequent flush goes straight to it — cheaper than the
         # reference's per-batch renegotiation at 100 TB batch counts).
+        # A 4xx on the cached leg does NOT mean the task failed: a
+        # mid-job server change (upgrade/downgrade behind a load
+        # balancer) can retire the leg that won negotiation while the
+        # server still speaks another — renegotiate the full matrix once
+        # before raising.
         won = getattr(self, "_won_leg", None)
-        attempts = [won] if won else self._attempt_matrix()
         first_fail: "tuple[str, str, object, object] | None" = None
+        if won is not None:
+            method, fmt = won
+            status, body = client.request_json_status(
+                url, method=method, json_body=self._payload_for(fmt, batch)
+            )
+            if status is not None and 200 <= status < 300:
+                return
+            if status not in (400, 404, 405):
+                raise RuntimeError(
+                    f"Qdrant upsert failed for {len(batch)} points via "
+                    f"{method} {fmt} (status {status}): {body!r}"
+                )
+            self._won_leg = None
+            first_fail = (method, fmt, status, body)
+        attempts = self._attempt_matrix()
         for method, fmt in attempts:
             status, body = client.request_json_status(
                 url, method=method, json_body=self._payload_for(fmt, batch)

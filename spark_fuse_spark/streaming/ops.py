@@ -1003,7 +1003,7 @@ def windowed_heavy_hitter_cms(
     width: int = 256,
 ) -> DataFrame:
     """Watermarked per-window Count-Min sketch cells — the streaming twin
-    of the ``x_countmin_heavy`` catalog query, built on the SAME
+    of the ``x_count_min_sketch`` catalog query, built on the SAME
     ``operators/sketches.count_min_cells`` expressions.
 
     Exact per-key counting is the heavy-hitter streaming trap: state

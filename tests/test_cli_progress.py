@@ -40,6 +40,19 @@ def test_cli_unknown_query_exit_code(capsys):
     assert main(["run", "--query", "nope"]) == 2
 
 
+def test_cli_run_metrics_drives_plan_without_driver_collect(spark, capsys):
+    """--metrics counts via the executed plan's own JVM RDD (metrics stay
+    attached to this queryExecution) — never a full driver collect()."""
+    rc = main(
+        ["run", "--query", "q01_pricing_summary", "--sf", "/root/testdata/sf0.001",
+         "--show", "1", "--metrics"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "rows: 6" in out  # q01's (returnflag, linestatus) groups at sf0.001
+    assert "shuffle_records" in out and "rows_scanned" in out
+
+
 def test_record_validation():
     with pytest.raises(ValueError):
         LogEventRecord(event="").validate()

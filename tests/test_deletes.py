@@ -166,3 +166,22 @@ def test_legacy_sidecar_layout_fails_loudly_and_migrates(spark, tmp_path):
     assert not os.path.isdir(legacy)
     assert mor_read(spark, t, ["k"]).count() == 90  # deletes apply again
     assert mor_migrate_legacy_deletes(t) == 0  # idempotent
+
+
+def test_overwrite_clears_legacy_sibling_sidecars(spark, tmp_path):
+    """A full overwrite of a legacy-layout table must also retire the
+    legacy target/_deletes sibling: leaving it would make every later
+    read raise the legacy error, and migrating it would apply the OLD
+    table's deletes to the fresh seg-00000."""
+    t = str(tmp_path / "t")
+    mor_write(_base(spark), t)
+    mor_delete(_base(spark).where("k < 10").select("k"), t, ["k"])
+    legacy = os.path.join(t, "_deletes")
+    os.makedirs(legacy, exist_ok=True)
+    cur = os.path.join(t, "data", "_deletes")
+    name = os.listdir(cur)[0]
+    os.rename(os.path.join(cur, name), os.path.join(legacy, name))
+
+    mor_write(_base(spark), t)  # overwrite: the whole old table is dead
+    assert not os.path.isdir(legacy)
+    assert mor_read(spark, t, ["k"]).count() == 100  # nothing resurfaces/deletes

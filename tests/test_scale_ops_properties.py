@@ -461,6 +461,29 @@ def test_histogram_quantiles_match_python_model(spark, vals, bins, q):
         assert {r.bin: r.c for r in merged.collect()} == model
 
 
+def test_histogram_excludes_nulls_from_bins_and_n(spark):
+    """Null values must not become a null bin: a null bin would be counted
+    into n by histogram_quantiles and sort engine-dependently (Spark
+    nulls-first vs DuckDB nulls-last), skewing estimates on nullable
+    inputs.  Nulls are excluded before binning; n counts binned rows."""
+    from spark_fuse_spark.operators.histogram import (
+        equi_width_histogram,
+        histogram_quantiles,
+        value_span,
+    )
+
+    vals = [0.0, 1.0, 2.0, 3.0, None, None, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    span = value_span(df, "v")
+    hist = equi_width_histogram(df, "v", 4, span=span)
+    cells = {r.bin: r.c for r in hist.collect()}
+    assert None not in cells
+    assert sum(cells.values()) == 4  # only non-null rows binned
+    # median over {0,1,2,3}: cc >= 0.5*4 first at bin 1 -> midpoint 1.125
+    est = histogram_quantiles(spark, hist, span, [0.5], 4).collect()
+    assert abs(est[0].est - (0.0 + 1.5 * 3.0 / 4)) < 1e-9
+
+
 def test_count_min_probe_unseen_key_estimates_zero(spark):
     from spark_fuse_spark.operators.sketches import count_min_cells, count_min_probe
 

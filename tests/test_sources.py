@@ -498,6 +498,68 @@ def test_qdrant_write_winning_leg_is_sticky_across_flushes(spark, mock_server):
     assert [m for m, _ in reqs] == ["PUT", "PUT", "PUT"] + ["POST"] * 4
 
 
+def test_qdrant_write_cached_leg_4xx_renegotiates_once(spark, mock_server):
+    """A mid-job server change that retires the cached winning leg but
+    still speaks another: the writer clears the cache, re-walks the full
+    matrix once, and continues on the new winner instead of failing the
+    task with a one-leg 'no accepted combination' error."""
+    acked = {"status": "ok", "result": {"status": "acknowledged"}}
+    state = {"flipped": False}
+
+    def put_route(handler, body):
+        # old server: rejects everything; new server: batch envelope only
+        if state["flipped"] and isinstance(body, dict) and "batch" in body:
+            return acked
+        return (400, {"status": {"error": "nope"}})
+
+    def post_route(handler, body):
+        # old server: points list only; flips to the new server after its
+        # first accepted upsert (simulating an upgrade behind an LB)
+        if not state["flipped"] and isinstance(body, dict) and "points" in body:
+            state["flipped"] = True
+            return acked
+        return (400, {"status": {"error": "retired shape"}})
+
+    mock_server.route("PUT", "/collections/flip/points", put_route)
+    mock_server.route("POST", "/collections/flip/points", post_route)
+    qd.register(spark)
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0], f"n{i}") for i in range(3)], ["id", "vector", "name"]
+    )
+    _qdrant_write(spark, mock_server, "flip", df, batch_size=1)
+    reqs = _points_upserts(mock_server, "flip")
+    # flush 1: PUT points/batch/flat all 400, POST points wins (old server)
+    # flush 2: cached POST points now 400 -> renegotiate: PUT points 400,
+    #          PUT batch wins (new server)
+    # flush 3: straight to the re-cached PUT batch
+    assert [m for m, _ in reqs] == ["PUT"] * 3 + ["POST", "POST", "PUT", "PUT", "PUT"]
+    assert "batch" in reqs[-1][1]
+
+
+def test_qdrant_write_pinned_batch_keeps_reference_fallback(spark, mock_server):
+    """payload_format='batch' pins the format INTENT but keeps the
+    reference's batch -> flat_batch -> points fallback (writer.py:398-407)
+    so a flat-batch-only server still succeeds."""
+    acked = {"status": "ok", "result": {"status": "acknowledged"}}
+
+    def put_flat_only(handler, body):
+        if isinstance(body, dict) and "ids" in body and "batch" not in body:
+            return acked
+        return (400, {"status": {"error": "missing field `ids`"}})
+
+    mock_server.route("PUT", "/collections/pbf/points", put_flat_only)
+    qd.register(spark)
+    df = spark.createDataFrame([(4, [0.4, 0.6], "d")], ["id", "vector", "name"])
+    _qdrant_write(
+        spark, mock_server, "pbf", df, batch_size=10,
+        payload_format="batch", write_method="put",
+    )
+    reqs = _points_upserts(mock_server, "pbf")
+    assert [m for m, _ in reqs] == ["PUT", "PUT"]  # batch 400, flat_batch ok
+    assert "batch" in reqs[0][1]
+    assert reqs[1][1]["ids"] == [4] and "batch" not in reqs[1][1]
+
+
 def test_qdrant_write_server_error_is_not_renegotiated(spark, mock_server):
     """5xx is an outage, not a format problem: the writer raises on the
     first leg instead of walking the matrix and masking the real error."""
