@@ -175,6 +175,12 @@ HEADLINE = [
     "q_brand_price_histogram",
     "d_levenshtein_blocked",
     "q_anova_oneway",
+    # round-6 additions: the three round-5 late-batch queries get their
+    # perf regression guard (integer-exact ray casting, CPI index panel,
+    # parametric survival fit)
+    "g_point_in_polygon",
+    "q_price_index",
+    "e_weibull_fit",
 ]
 
 

@@ -733,6 +733,11 @@ ORDER BY duration_hours
     "panel, not the corpus, stays the bounded object.",
 )
 def e_survival_curve(spark: SparkSession, sf: str) -> DataFrame:
+    # product-limit machinery promoted to operators/survival.py (round 6);
+    # this oracle-paired query pins it bit-for-bit
+    from ..operators.panels import attach_scalar_panel
+    from ..operators.survival import km_survival
+
     ev = load_table(spark, sf, "events")
     # ts may surface as TIMESTAMP or TIMESTAMP_NTZ depending on the
     # session's parquet nanos handling; the NTZ->TIMESTAMP cast applies a
@@ -747,63 +752,14 @@ def e_survival_curve(spark: SparkSession, sf: str) -> DataFrame:
         F.max(us).alias("last_us"),
     )
     cut = ev.agg((F.max(us) - F.lit(_KM_CUT_US)).alias("cutoff"))
-    subj = u.crossJoin(F.broadcast(cut)).select(
+    subj = attach_scalar_panel(u, cut).select(
         "dur", F.when(F.col("last_us") < F.col("cutoff"), 1).otherwise(0).alias("churned")
     )
-    steps = subj.groupBy(F.col("dur").alias("t")).agg(
-        F.sum("churned").alias("d"), F.count("*").alias("ended")
-    )
-    panel = steps.agg(
-        F.sort_array(F.collect_list(F.struct("t", "d", "ended"))).alias("lst")
-    )
-    lst = F.col("lst")
-    total = F.aggregate(lst, F.lit(0).cast("long"), lambda a, x: a + x["ended"])
-    # before_i[i] = subjects ended strictly before step i: elements
-    # 0..i-1 == slice(lst, 1, i) with Spark's 0-based lambda index
-    before_i = F.transform(
-        lst,
-        lambda x, i: F.aggregate(
-            F.slice(lst, F.lit(1), i),
-            F.lit(0).cast("long"),
-            lambda a, y: a + y["ended"],
-        ),
-    )
-    arrs = panel.select(
-        lst.alias("lst"), total.alias("total"), before_i.alias("before_i")
-    )
-    factors = F.transform(
-        F.col("lst"),
-        lambda x, i: F.when(
-            x["d"] > 0,
-            F.lit(1.0)
-            - x["d"].cast("double")
-            / (F.col("total") - F.element_at(F.col("before_i"), i + 1)),
-        ).otherwise(F.lit(1.0)),
-    )
-    arrs2 = arrs.select("lst", "total", "before_i", factors.alias("factors"))
-    km = arrs2.select(
-        "total", "before_i", "factors", F.posexplode("lst").alias("i0", "s")
-    )
-    # survival(i) = left fold of factors[0..i].  The oracle's list_reduce
-    # starts from the first factor while this fold seeds with 1.0 — the
-    # extra leading 1.0*f1 is an EXACT multiply, so the remaining pairwise
-    # sequence (and hence the double) is identical on both engines.
-    surv = F.aggregate(
-        F.slice(F.col("factors"), F.lit(1), F.col("i0") + 1),
-        F.lit(1.0),
-        lambda a, f: a * f,
-    )
-    return (
-        km.where(F.col("s")["d"] > 0)
-        .select(
-            F.col("s")["t"].alias("duration_hours"),
-            (F.col("total") - F.element_at(F.col("before_i"), F.col("i0") + 1)).alias(
-                "n_risk"
-            ),
-            F.col("s")["d"].alias("n_churned"),
-            (F.floor(surv * 1000000 + 0.5) / 1000000).alias("survival"),
-        )
-        .orderBy("duration_hours")
+    return km_survival(subj, "dur", "churned").select(
+        F.col("duration").alias("duration_hours"),
+        "n_risk",
+        F.col("n_events").alias("n_churned"),
+        "survival",
     )
 
 
@@ -852,54 +808,15 @@ FROM fit
     "the regression adds panel-only math.",
 )
 def e_weibull_fit(spark: SparkSession, sf: str) -> DataFrame:
-    km = e_survival_curve(spark, sf)
-    pts = (
-        km.where(
-            (F.col("duration_hours") > 0)
-            & (F.col("survival") > 0)
-            & (F.col("survival") < 1)
-        )
-        .select(
-            F.log(F.col("duration_hours").cast("double")).alias("x"),
-            F.log(-F.log("survival")).alias("y"),
-        )
-        .agg(F.sort_array(F.collect_list(F.struct("x", "y"))).alias("l"))
-    )
-
-    def fold(expr: str) -> "F.Column":
-        return F.expr(f"aggregate(transform(l, p -> {expr}), 0.0D, (a, b) -> a + b)")
-
-    s = pts.select(
-        F.size("l").cast("long").alias("n"),
-        fold("p.x").alias("sx"),
-        fold("p.y").alias("sy"),
-        fold("p.x * p.x").alias("sxx"),
-        fold("p.x * p.y").alias("sxy"),
-        fold("p.y * p.y").alias("syy"),
-    )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    k = num / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-    r2 = (num * num) / (
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
-    )
+    # linearized-OLS fit promoted to operators/survival.py (round 6);
     # degenerate panels (fewer than 3 usable churn steps at tiny SFs)
     # yield no fit row on BOTH engines rather than a divide-by-zero
-    fit = s.where(F.col("n") >= 3).select(
-        "n", k.alias("k"), "sx", "sy", r2.alias("r2")
-    )
+    from ..operators.survival import weibull_from_km
+
+    km = e_survival_curve(spark, sf)
+    fit = weibull_from_km(km, "duration_hours", "survival")
     return fit.select(
-        F.col("n").alias("n_points"),
-        (F.floor(F.col("k") * 1000000 + 0.5) / 1000000).alias("shape_k"),
-        (
-            F.floor(
-                F.exp(-((F.col("sy") - F.col("k") * F.col("sx")) / F.col("n")) / F.col("k"))
-                * 100
-                + 0.5
-            )
-            / 100
-        ).alias("scale_hours"),
-        (F.floor(F.col("r2") * 1000000 + 0.5) / 1000000).alias("r2"),
+        "n_points", "shape_k", F.col("scale").alias("scale_hours"), "r2"
     )
 
 
@@ -6142,3 +6059,110 @@ def q_grouped_quantiles(spark: SparkSession, sf: str) -> DataFrame:
         c2(F.expr("qs[2]")).alias("p75"),
         c2(F.expr("qs[2] - qs[0]")).alias("iqr"),
     ).orderBy("l_returnflag", "l_linestatus")
+
+
+# --------------------------------------------------- multi-touch attribution
+@register(
+    "e_attribution_credit",
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT), 0) AS g
+  FROM events),
+t AS (SELECT * FROM e WHERE event_type IN ('view', 'click', 'signup')),
+c AS (SELECT user_id, g FROM e WHERE event_type = 'purchase'),
+a AS (SELECT t.user_id, t.g, t.event_type, t.ts, t.event_id
+      FROM t JOIN c ON t.user_id = c.user_id AND t.g = c.g),
+a2 AS (SELECT event_type,
+              COUNT(*) OVER (PARTITION BY user_id, g) AS n_touch,
+              ROW_NUMBER() OVER (PARTITION BY user_id, g
+                                 ORDER BY ts, event_id) AS rn_asc,
+              ROW_NUMBER() OVER (PARTITION BY user_id, g
+                                 ORDER BY ts DESC, event_id DESC) AS rn_desc
+       FROM a),
+by_n AS (SELECT event_type AS channel, n_touch,
+                CAST(SUM(CASE WHEN rn_asc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ft,
+                CAST(SUM(CASE WHEN rn_desc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS lt,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM a2 GROUP BY 1, 2),
+fold AS (SELECT channel,
+                CAST(SUM(ft) AS BIGINT) AS first_touch,
+                CAST(SUM(lt) AS BIGINT) AS last_touch,
+                list({'n': n_touch, 'c': cnt} ORDER BY n_touch) AS l
+         FROM by_n GROUP BY channel)
+SELECT channel, first_touch, last_touch,
+       ROUND(list_reduce(list_transform(l, x -> CAST(x.c AS DOUBLE) / x.n),
+                         (p, q) -> p + q), 6) AS linear_credit
+FROM fold ORDER BY channel
+""",
+    doc="multi-touch conversion attribution over user journeys: each "
+    "purchase closes a conversion window (touches since the user's "
+    "previous purchase), and the view/click/signup touches inside it "
+    "earn credit under the three standard models — first-touch, "
+    "last-touch (one credit to the window's first/last touch) and "
+    "linear (1/n_touch to every touch).  The window key is a cumulative "
+    "count of PRIOR purchases per user, so grouping is one window "
+    "function, not a per-conversion scan.  Determinism: window order is "
+    "the total (ts, event_id) order; first/last are exact integers; "
+    "linear credit is folded LEFT-TO-RIGHT over the (n_touch, count) "
+    "panel sorted by n_touch — cross-engine identical doubles, never a "
+    "float sum in engine-chosen row order.  Scale: one user-keyed "
+    "window pass + one channel-keyed aggregate; the fold panel is "
+    "bounded by DISTINCT window sizes, not by events.",
+)
+def e_attribution_credit(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    w_before = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g = F.coalesce(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(
+            w_before
+        ),
+        F.lit(0),
+    ).cast("long")
+    e = ev.select("user_id", "ts", "event_id", "event_type", g.alias("g"))
+    touches = e.where(F.col("event_type").isin("view", "click", "signup"))
+    convs = e.where(F.col("event_type") == "purchase").select("user_id", "g")
+    a = touches.join(convs, ["user_id", "g"])
+    wg = Window.partitionBy("user_id", "g")
+    a2 = a.select(
+        "event_type",
+        F.count(F.lit(1)).over(wg).alias("n_touch"),
+        F.row_number()
+        .over(Window.partitionBy("user_id", "g").orderBy("ts", "event_id"))
+        .alias("rn_asc"),
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id", "g").orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
+            )
+        )
+        .alias("rn_desc"),
+    )
+    by_n = a2.groupBy(F.col("event_type").alias("channel"), "n_touch").agg(
+        F.sum(F.when(F.col("rn_asc") == 1, 1).otherwise(0)).alias("ft"),
+        F.sum(F.when(F.col("rn_desc") == 1, 1).otherwise(0)).alias("lt"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    fold = by_n.groupBy("channel").agg(
+        F.sum("ft").alias("first_touch"),
+        F.sum("lt").alias("last_touch"),
+        F.sort_array(F.collect_list(F.struct("n_touch", "cnt"))).alias("l"),
+    )
+    linear = F.aggregate(
+        F.transform(F.col("l"), lambda x: x["cnt"].cast("double") / x["n_touch"]),
+        F.lit(0.0),
+        lambda p, q: p + q,
+    )
+    return fold.select(
+        "channel",
+        "first_touch",
+        "last_touch",
+        F.round(linear, 6).alias("linear_credit"),
+    ).orderBy("channel")

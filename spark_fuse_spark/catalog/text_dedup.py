@@ -1971,3 +1971,67 @@ def d_levenshtein_blocked(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("edit_dist") >= 0)
         .orderBy("id_a", "id_b")
     )
+
+
+# ------------------------------------------------------------- winnowing
+_WINNOW_K = 8   # char k-gram length
+_WINNOW_W = 4   # window of consecutive k-gram hashes per fingerprint
+_WINNOW_MAXDF = 10
+
+
+@register(
+    "d_winnowing",
+    oracle=f"""
+WITH d AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+           FROM documents),
+h AS (SELECT doc_id,
+             CASE WHEN length(t) >= {_WINNOW_K}
+                  THEN list_transform(range(1, length(t) - {_WINNOW_K - 2}),
+                         i -> {portable_hash64_sql(f"substr(t, CAST(i AS INT), {_WINNOW_K})")})
+                  ELSE [] END AS hs
+      FROM d),
+fpl AS (SELECT doc_id,
+               CASE WHEN len(hs) > 0
+                    THEN list_distinct(list_transform(
+                           range(1, greatest(len(hs) - {_WINNOW_W - 1}, 1) + 1),
+                           j -> list_aggregate(list_slice(hs, j, j + {_WINNOW_W - 1}), 'min')))
+                    ELSE [] END AS fps
+        FROM h),
+fps AS (SELECT doc_id, UNNEST(fps) AS fingerprint FROM fpl),
+rare AS (SELECT fingerprint FROM fps GROUP BY fingerprint
+         HAVING COUNT(*) <= {_WINNOW_MAXDF}),
+kept AS (SELECT f.doc_id, f.fingerprint FROM fps f JOIN rare USING (fingerprint)),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM kept GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(COUNT(*) AS BIGINT) AS shared
+          FROM kept a JOIN kept b
+            ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+SELECT id_a, id_b, shared,
+       ROUND(shared / (sa.n + sb.n - shared), 6) AS jaccard
+FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+ORDER BY jaccard DESC, id_a, id_b
+""",
+    doc="winnowing fingerprint near-dup pairs (Schleimer, Wilkerson & "
+    "Aiken 2003 — the MOSS algorithm): per document, hash every 8-char "
+    "k-gram with the portable md5 hash and keep the minimum of each "
+    "4-hash sliding window, guaranteeing any shared substring of length "
+    ">= 11 chars leaves a shared fingerprint while selecting only "
+    "~2/(w+1) of the k-grams — position-robust contamination/plagiarism "
+    "detection the shingle families miss when edits shift token "
+    "boundaries.  Pairs come from the inverted-index self-join on "
+    "fingerprints with a doc-frequency cap (> 10 docs = boilerplate, "
+    "dropped BEFORE the join — the hot-key discipline of "
+    "minhash_lsh_pairs), Jaccard over the retained sets, >= 2 shared.  "
+    "All per-doc array work is narrow Catalyst; the wide stages touch "
+    "only selected fingerprints (operators/dedup.winnowing_pairs).",
+)
+def d_winnowing(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.dedup import winnowing_pairs
+
+    docs = load_table(spark, sf, "documents")
+    pairs = winnowing_pairs(
+        docs, "text", "doc_id", k=_WINNOW_K, w=_WINNOW_W,
+        max_df=_WINNOW_MAXDF, min_shared=2,
+    )
+    return pairs.orderBy(F.col("jaccard").desc(), "id_a", "id_b")

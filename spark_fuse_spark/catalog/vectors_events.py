@@ -127,6 +127,164 @@ def v_sq8(spark: SparkSession, sf: str) -> DataFrame:
                         corpus_id="vec_id", corpus_vec="embedding")
 
 
+def _rp_base_cte(dims: int, m: int, seed: int) -> str:
+    """Shared DuckDB CTE prefix for the random-projection family:
+    unit-normalize → signed projection (identical md5-sign literals from
+    the SAME generator the Spark side uses) → projected-cosine scores for
+    the vec_id<10 query panel (CTEs ``e``/``u``/``pr``/``q``/``c``/
+    ``scored``)."""
+    from ..operators.quantization import rp_signs
+
+    rows = rp_signs(dims, m, seed)
+    sm = "[" + ", ".join(
+        "[" + ", ".join(f"{x:.1f}" for x in row) + "]" for row in rows
+    ) + "]"
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+u AS (SELECT vec_id,
+             CASE WHEN sqrt(list_sum(list_transform(v, x -> x * x))) = 0 THEN v
+                  ELSE list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y))))
+             END AS cu
+      FROM e),
+pr AS (SELECT vec_id,
+              list_transform({sm}, row ->
+                list_sum(list_transform(range(1, {dims + 1}), i -> row[i] * cu[i]))) AS pv
+       FROM u),
+q AS (SELECT vec_id AS query_id, pv AS qp FROM pr WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, pv AS cp FROM pr),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         ROUND(CASE WHEN sqrt(list_sum(list_transform(qp, x -> x * x))) > 0
+                     AND sqrt(list_sum(list_transform(cp, x -> x * x))) > 0
+                    THEN list_sum(list_transform(range(1, {m + 1}), j -> qp[j] * cp[j]))
+                         / (sqrt(list_sum(list_transform(qp, x -> x * x)))
+                            * sqrt(list_sum(list_transform(cp, x -> x * x))))
+                    ELSE 0.0 END, 6) AS pc
+  FROM c CROSS JOIN q)"""
+
+
+def _rp_oracle(dims: int, m: int, k: int, rerank: int, seed: int) -> str:
+    """DuckDB twin of the full random-projection path: projection +
+    projected-cosine candidates (shared ``_rp_base_cte``) → exact
+    re-rank.  Closed-form IEEE arithmetic end-to-end, so like SQ8 the
+    ENTIRE approximate path replays, not just row counts."""
+    return f"""{_rp_base_cte(dims, m, seed)},
+cand AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY pc DESC, neighbor_id) AS rk
+        FROM scored)
+  WHERE rk <= {rerank}),
+exact AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROUND(list_cosine_similarity(cv.v, qv.v), 6) AS cosine
+  FROM cand
+  JOIN e cv ON cand.neighbor_id = cv.vec_id
+  JOIN e qv ON cand.query_id = qv.vec_id)
+SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM exact)
+WHERE rk <= {k}
+"""
+
+
+@register(
+    "v_rp_topk",
+    oracle=_rp_oracle(dims=64, m=32, k=5, rerank=50, seed=42),
+    doc="random-projection (Johnson-Lindenstrauss) ANN with exact "
+    "re-rank: vectors fold through a deterministic md5-parity ±1 sign "
+    "matrix (Achlioptas 2003) from 64 to 32 dims in ONE "
+    "whole-stage-codegen map — no training pass at all, the cheapest "
+    "rung of the ANN ladder (below SQ8) — then candidates score by "
+    "projected cosine (2× fewer multiply-adds per corpus row; the m "
+    "knob trades recall for compute — the sign matrix performs on par "
+    "with a true Gaussian JL projection, measured) and the "
+    "top-50 re-rank with exact cosine over the original vectors.  "
+    "Broadcast query panel × one corpus scan of 32-double projections, "
+    "zero corpus shuffle; project once, persist, reuse across query "
+    "batches.  Both the sign matrix and every fold are closed-form, so "
+    "the DuckDB oracle replays the ENTIRE approximate path bit-for-bit "
+    "(operators/quantization.rp_topk).",
+)
+def v_rp(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.quantization import rp_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return rp_topk(emb, queries, dims=64, m=32, k=5, rerank=50,
+                   corpus_id="vec_id", corpus_vec="embedding")
+
+
+def _rank_metrics_oracle(dims: int, m: int, k: int, seed: int) -> str:
+    from ..operators.retrieval import ideal_dcg
+
+    return f"""{_rp_base_cte(dims, m, seed)},
+sys AS (
+  SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY pc DESC, neighbor_id) AS rk
+        FROM scored)
+  WHERE rk <= {k}),
+ex AS (
+  SELECT q2.query_id, c2.neighbor_id,
+         ROUND(list_cosine_similarity(c2.v, q2.v), 6) AS cosine
+  FROM (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 10) q2
+  CROSS JOIN (SELECT vec_id AS neighbor_id, v FROM e) c2),
+tru AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM ex)
+  WHERE rk <= {k}),
+rel AS (
+  SELECT s.query_id, s.rank,
+         CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM sys s LEFT JOIN tru t
+    ON s.query_id = t.query_id AND s.neighbor_id = t.neighbor_id)
+SELECT query_id,
+       CAST(SUM(rel) AS BIGINT) AS n_relevant,
+       ROUND(SUM(rel) / {float(k)}, 6) AS precision_at_k,
+       ROUND(COALESCE(1.0 / MIN(CASE WHEN rel = 1 THEN rank END), 0.0), 6) AS mrr,
+       ROUND(SUM(rel / (ln(rank + 1.0) / ln(2.0))) / {ideal_dcg(k)!r}, 6) AS ndcg
+FROM rel GROUP BY query_id ORDER BY query_id
+"""
+
+
+@register(
+    "v_rank_metrics",
+    oracle=_rank_metrics_oracle(dims=64, m=32, k=10, seed=42),
+    doc="in-engine retrieval-quality evaluation (operators/retrieval."
+    "ranking_metrics): NDCG@10, MRR and precision@10 of the random-"
+    "projection ranking (v_rp_topk's candidate stage, pre-re-rank) "
+    "against exact-cosine ground truth, per query — binary relevance, "
+    "IDCG normalization (Järvelin & Kekäläinen 2002).  This is the "
+    "recall/quality audit loop a vector platform runs after every index "
+    "build; both the system run and the truth set are deterministic "
+    "closed-form rankings, so the WHOLE eval replays on the oracle — "
+    "the metrics themselves are differentially verified, not just "
+    "sampled.  Scale: metric cost is k-bounded per query (a join of two "
+    "10-row-per-query relations); producing the rankings dominates, and "
+    "the truth side is the one exact pass you amortize across every "
+    "index variant under test.",
+)
+def v_rank_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.quantization import rp_topk
+    from ..operators.retrieval import ranking_metrics
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    system = rp_topk(emb, queries, dims=64, m=32, k=10, rerank=0,
+                     corpus_id="vec_id", corpus_vec="embedding")
+    truth = brute_force_topk(emb, queries, k=10, corpus_id="vec_id",
+                             corpus_vec="embedding")
+    return ranking_metrics(system, truth, k=10)
+
+
 @register(
     "v_ivf_topk",
     oracle=None,  # centroids come from MLlib KMeans — engine-specific

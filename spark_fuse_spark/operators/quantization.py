@@ -49,6 +49,9 @@ __all__ = [
     "sq8_minmax_panel",
     "sq8_encode",
     "sq8_adc_topk",
+    "rp_signs",
+    "rp_project",
+    "rp_topk",
 ]
 
 
@@ -467,6 +470,136 @@ def ivfpq_topk(
     cand = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= take)
     if not rerank:
         return cand.select(query_id, "neighbor_id", F.col("adc").alias("cosine"), "rank")
+
+    exact = (
+        corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec))
+        .join(F.broadcast(cand.select(query_id, "neighbor_id")), "neighbor_id")
+        .join(F.broadcast(queries.select(query_id, query_vec)), query_id)
+        .select(
+            query_id,
+            "neighbor_id",
+            F.round(cosine_similarity(F.col(corpus_vec), F.col(query_vec)), 6).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------- random projection (JL)
+def rp_signs(dims: int, m: int, seed: int = 42) -> "list[list[float]]":
+    """Deterministic ±1 projection matrix (m rows × dims cols) from md5
+    parity — the Achlioptas (2003) database-friendly Johnson-Lindenstrauss
+    construction with a sign matrix any engine can regenerate: entry
+    (j, i) is +1 when the first hex digit of ``md5("rp_<seed>_<j>_<i>")``
+    is even.  No RNG state, so the Spark side, retries, and the SQL
+    oracle all inline the identical literals.
+    """
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"rp_{seed}_{j}_{i}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1.0
+            for i in range(dims)
+        ]
+        for j in range(m)
+    ]
+
+
+def _signs_literal(signs: "list[list[float]]"):
+    return F.array(*[F.array(*[F.lit(x) for x in row]) for row in signs])
+
+
+def rp_project(
+    df: DataFrame,
+    signs: "list[list[float]]",
+    vec_col: str = "embedding",
+    out_col: str = "rp_proj",
+) -> DataFrame:
+    """Append the m-dim signed projection of the L2-normalized vector:
+    ``proj[j] = Σᵢ û[i] · sign[j][i]`` — a narrow whole-stage-codegen map
+    (one ``transform``/``aggregate`` fold per row, no shuffle, no Python).
+    At 100 TB this is the dimensionality-reduction pass you run ONCE and
+    persist: downstream scoring touches m doubles per row instead of
+    dims (4× fewer for 64→16), with JL-lemma distance distortion bounds.
+    """
+    proj = F.transform(
+        _signs_literal(signs),
+        lambda row: F.aggregate(
+            F.zip_with(row, F.col("__unit"), lambda s, x: s * x),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ),
+    )
+    return (
+        df.withColumn("__unit", l2_normalize(vec_col))
+        .withColumn(out_col, proj)
+        .drop("__unit")
+    )
+
+
+def rp_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: int,
+    m: int = 16,
+    k: int = 10,
+    rerank: int = 0,
+    seed: int = 42,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k by cosine in the random-projection space, with
+    optional exact cosine re-rank — the cheapest rung of the ANN ladder
+    (below SQ8: no training pass at all, just a hash-derived sign fold).
+
+    Scoring is projected cosine (dot of projections over norm product;
+    degenerate zero-norm projections score 0), rounded to 6 dp with id
+    tie-break so ordering is engine-deterministic.  Shape: broadcast
+    query panel × one corpus scan of m-dim projections — zero corpus
+    shuffle; with ``rerank = r`` the top-r candidates per query re-score
+    with exact cosine over the original vectors (broadcast semi-join).
+
+    Output: ``query_id, neighbor_id, cosine, rank``.
+    """
+    signs = rp_signs(dims, m, seed)
+    enc = rp_project(
+        corpus.select(F.col(corpus_id).alias("neighbor_id"), corpus_vec),
+        signs,
+        corpus_vec,
+        "__pc",
+    ).select("neighbor_id", "__pc")
+    q = rp_project(
+        queries.select(query_id, query_vec), signs, query_vec, "__pq"
+    ).select(query_id, "__pq")
+
+    def _norm(col: str):
+        return F.sqrt(
+            F.aggregate(F.col(col), F.lit(0.0), lambda a, x: a + x * x)
+        )
+
+    dot = F.expr("aggregate(zip_with(__pq, __pc, (x, y) -> x * y), 0.0D, (a, v) -> a + v)")
+    score = F.when(
+        (_norm("__pq") > 0.0) & (_norm("__pc") > 0.0),
+        dot / (_norm("__pq") * _norm("__pc")),
+    ).otherwise(F.lit(0.0))
+    scored = enc.crossJoin(F.broadcast(q)).select(
+        query_id, "neighbor_id", F.round(score, 6).alias("proj_cosine")
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("proj_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    take = max(k, rerank)
+    cand = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= take)
+    if not rerank:
+        return cand.select(query_id, "neighbor_id", F.col("proj_cosine").alias("cosine"), "rank")
 
     exact = (
         corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec))

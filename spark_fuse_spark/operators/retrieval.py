@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 
-__all__ = ["bm25_scores", "bm25_topk", "rrf_fuse"]
+__all__ = ["bm25_scores", "bm25_topk", "rrf_fuse", "ranking_metrics", "ideal_dcg"]
 
 
 def bm25_scores(
@@ -151,4 +151,69 @@ def rrf_fuse(
         F.col(id_col),
         F.round(score, 6).alias("rrf_score"),
         *[F.col(f"rank_{i}") for i in range(len(rankings))],
+    )
+
+
+def ideal_dcg(k: int) -> float:
+    """IDCG@k for binary relevance with all k slots relevant:
+    ``Σ_{p=1..k} 1/log2(p+1)`` — a plain Python constant so the Spark
+    side and any SQL oracle inline the identical literal."""
+    import math
+
+    return sum(1.0 / math.log2(p + 1) for p in range(1, k + 1))
+
+
+def ranking_metrics(
+    system: DataFrame,
+    truth: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    neighbor_id: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query retrieval-quality metrics of ``system`` against ``truth``.
+
+    ``system`` is a ranked run (``query_id, neighbor_id, rank`` with
+    rank 1..k); ``truth`` holds the relevant ids per query (its ranks are
+    ignored — binary relevance).  Returns one row per query:
+
+    * ``n_relevant`` — hits among the top-k;
+    * ``precision_at_k`` — hits / k;
+    * ``mrr`` — 1/rank of the first hit (0.0 when none);
+    * ``ndcg`` — ``Σ rel_p / log2(p+1)`` over system positions,
+      normalized by the all-relevant IDCG@k (binary-relevance NDCG,
+      Järvelin & Kekäläinen 2002).
+
+    The in-engine eval loop for ANN/rerank pipelines: both inputs are
+    k-bounded relations (a few rows per query), so the join and the
+    aggregate cost nothing next to producing the rankings — run it after
+    every index build instead of sampling offline.  log2 is computed as
+    ``ln(x)/ln(2)`` on both engines; metrics round to 6 dp.
+    """
+    rel_flag = (
+        truth.select(query_id, neighbor_id).withColumn("__rel", F.lit(1))
+    )
+    rel = system.select(query_id, neighbor_id, rank_col).join(
+        rel_flag, [query_id, neighbor_id], "left"
+    ).withColumn("__rel", F.coalesce("__rel", F.lit(0)))
+    log2_pos = F.log(F.col(rank_col) + F.lit(1.0)) / F.log(F.lit(2.0))
+    idcg = ideal_dcg(k)
+    return (
+        rel.groupBy(query_id)
+        .agg(
+            F.sum("__rel").alias("n_relevant"),
+            F.round(F.sum("__rel") / F.lit(float(k)), 6).alias("precision_at_k"),
+            F.round(
+                F.coalesce(
+                    F.lit(1.0)
+                    / F.min(F.when(F.col("__rel") == 1, F.col(rank_col))),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("mrr"),
+            F.round(
+                F.sum(F.col("__rel") / log2_pos) / F.lit(idcg), 6
+            ).alias("ndcg"),
+        )
+        .orderBy(query_id)
     )

@@ -86,6 +86,11 @@ def create_session(
         # misconfigured cluster profile can't silently disable the fast path.
         "spark.sql.parquet.filterPushdown": "true",
         "spark.sql.parquet.aggregatePushdown": "true",
+        # Allow Python Data Source readers to implement pushFilters()
+        # (fuse-rest filter_param_map, fuse-qdrant predicate_pushdown);
+        # Spark 4.1 hard-errors on a reader that defines the method while
+        # this conf is false, so the engine session always permits it.
+        "spark.sql.python.filterPushdown.enabled": "true",
         # local-mode friendliness (harmless on clusters with proper DNS)
         "spark.driver.bindAddress": os.environ.get("SPARK_DRIVER_BIND", "127.0.0.1"),
         "spark.ui.enabled": "false",

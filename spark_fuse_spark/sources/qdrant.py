@@ -41,7 +41,16 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamWriter,
     DataSourceWriter,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
     WriterCommitMessage,
 )
 from pyspark.sql.types import Row, StructType, _infer_schema, _merge_type
@@ -91,8 +100,17 @@ def build_qdrant_read_config(
     backoff_factor: float = 0.5,
     infer_schema: bool = True,
     infer_sample_records: int = 100,
+    predicate_pushdown: bool = False,
 ) -> str:
-    """Validate + serialize a scroll-read config for the ``fuse-qdrant`` format."""
+    """Validate + serialize a scroll-read config for the ``fuse-qdrant`` format.
+
+    ``predicate_pushdown=True`` lets Catalyst WHERE predicates on payload
+    fields / point ids reach the server-side scroll ``filter`` (see
+    ``_QdrantPushdownReader.pushFilters``); Spark still re-evaluates every
+    predicate post-scan, so this is purely a transfer-volume optimization.
+    Requires ``spark.sql.python.filterPushdown.enabled=true`` (set by
+    ``create_session``) — hence opt-in.
+    """
     validate_http_url(endpoint)
     if not collection.strip():
         raise ValueError("collection must be non-empty")
@@ -120,6 +138,7 @@ def build_qdrant_read_config(
         "backoff_factor": backoff_factor,
         "infer_schema": infer_schema,
         "infer_sample_records": infer_sample_records,
+        "predicate_pushdown": predicate_pushdown,
     }
     return json.dumps(cfg)
 
@@ -264,6 +283,65 @@ def _normalize_point(point: Any, include_payload: bool, include_vectors: bool) -
     return row
 
 
+_MATCHABLE = (str, int, bool)  # Qdrant `match` supports keyword/integer/bool — not float
+
+
+def _qdrant_condition(f: Filter) -> "dict | None":
+    """Translate one Catalyst filter into a Qdrant filter condition.
+
+    Returns ``None`` for anything Qdrant can't express server-side
+    (float equality, Not/StringContains, non-payload columns, ...).
+    ``id`` is the point id — equality/membership map to ``has_id``;
+    payload fields arrive as multi-part attributes (``("payload",
+    "title")`` — the scroll row keeps ``payload`` as a nested struct) and
+    map to Qdrant's dotted payload-key notation.  Range conditions are
+    numeric-only: Qdrant's ``range`` clause compares numbers, while
+    Spark's may compare strings or dates, so non-numeric operands stay
+    Spark-side.
+    """
+    attr = getattr(f, "attribute", None)
+    if not attr:
+        return None
+    is_id = len(attr) == 1 and attr[0] == "id"
+    if is_id:
+        col = "id"
+    elif attr[0] == "payload" and len(attr) >= 2:
+        col = ".".join(attr[1:])
+    else:
+        return None
+    if isinstance(f, EqualTo):
+        if is_id:
+            return {"has_id": [f.value]} if isinstance(f.value, _MATCHABLE) else None
+        if isinstance(f.value, _MATCHABLE):
+            return {"key": col, "match": {"value": f.value}}
+        return None
+    if isinstance(f, In):
+        values = list(f.value)
+        if not values or not all(isinstance(v, _MATCHABLE) for v in values):
+            return None
+        if is_id:
+            return {"has_id": values}
+        return {"key": col, "match": {"any": values}}
+    if is_id:
+        return None
+    if isinstance(f, (GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)):
+        if isinstance(f.value, bool) or not isinstance(f.value, (int, float)):
+            return None
+        op = {
+            GreaterThan: "gt",
+            GreaterThanOrEqual: "gte",
+            LessThan: "lt",
+            LessThanOrEqual: "lte",
+        }[type(f)]
+        return {"key": col, "range": {op: f.value}}
+    if isinstance(f, IsNull):
+        return {"is_null": {"key": col}}
+    if isinstance(f, IsNotNull):
+        # a nested filter clause is a valid condition in Qdrant's grammar
+        return {"must_not": [{"is_null": {"key": col}}]}
+    return None
+
+
 class _QdrantPartition(InputPartition):
     def __init__(self, shard_json: "str | None"):
         self.shard_json = shard_json
@@ -285,6 +363,38 @@ class _QdrantReader(DataSourceReader):
         names = self.schema.fieldNames()
         for record in _scroll_points(self.cfg, shard):
             yield tuple(record.get(n) for n in names)
+
+
+class _QdrantPushdownReader(_QdrantReader):
+    """Reader variant with Catalyst → Qdrant predicate pushdown.
+
+    A separate class because Spark 4.1 treats the mere presence of
+    ``pushFilters`` as "this source requires
+    ``spark.sql.python.filterPushdown.enabled``" and hard-errors when the
+    conf is off — the opt-in ``predicate_pushdown=True`` config selects
+    this class so default readers keep working on any session
+    (``create_session`` enables the conf).
+    """
+
+    def pushFilters(self, filters: "list[Filter]"):
+        """Catalyst predicate pushdown → Qdrant server-side ``filter`` JSON.
+
+        The reference connector only supports a config-time static filter
+        (``/root/reference/src/spark_fuse/io/qdrant/reader.py:219-325``);
+        here WHERE clauses on payload fields / point ids reach the scroll
+        request itself, so the server prunes points before they cross the
+        wire.  Deliberately conservative: every filter — pushed or not —
+        is returned to Spark for re-evaluation (the API's partial-pushdown
+        contract), so a semantic mismatch between Qdrant match rules and
+        Spark comparison rules can only cost a little post-filter CPU,
+        never a wrong answer.
+        """
+        conditions = [c for c in map(_qdrant_condition, filters) if c is not None]
+        if conditions:
+            cfg = dict(self.cfg)
+            cfg["filter"] = _merged_filter(cfg.get("filter"), {"must": conditions})
+            self.cfg = cfg
+        return filters
 
 
 # ----------------------------------------------------------------- write
@@ -548,6 +658,8 @@ class QdrantDataSource(DataSource):
         return merged
 
     def reader(self, schema: StructType) -> DataSourceReader:
+        if self.cfg.get("predicate_pushdown"):
+            return _QdrantPushdownReader(self.cfg, schema)
         return _QdrantReader(self.cfg, schema)
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:

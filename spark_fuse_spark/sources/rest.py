@@ -38,6 +38,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    In,
     InputPartition,
 )
 from pyspark.sql.types import StructType, _infer_schema, _merge_type
@@ -80,6 +83,7 @@ def build_rest_config(
     infer_schema: bool = True,
     infer_sample_records: int = 100,
     stream: "Mapping[str, Any] | None" = None,
+    filter_param_map: "Mapping[str, str] | None" = None,
 ) -> str:
     """Validate + normalize connector options into the JSON config string.
 
@@ -90,7 +94,18 @@ def build_rest_config(
     dotted path of the total-record-count field in the response payload,
     ``page_size`` (default 100) rows per request, ``max_records_per_batch``
     (default 32*page_size) caps one microbatch, ``start_offset``
-    (default 0) is the initial position."""
+    (default 0) is the initial position.
+
+    ``filter_param_map`` maps result-column names to server-side query
+    parameters the endpoint natively filters by (e.g. ``{"status":
+    "status"}`` for ``GET /items?status=open``).  When Catalyst pushes an
+    equality/IN predicate on a mapped column, the value is appended to
+    every request's query string so the server prunes records before they
+    cross the wire; Spark still re-evaluates the predicate post-scan, so
+    an endpoint that ignores the parameter stays correct (see
+    ``_RestPushdownReader.pushFilters``; requires
+    ``spark.sql.python.filterPushdown.enabled=true``, set by
+    ``create_session``)."""
     sources = [url] if isinstance(url, str) else list(url)
     for u in sources:
         validate_http_url(u)
@@ -136,6 +151,7 @@ def build_rest_config(
         "infer_schema": infer_schema,
         "infer_sample_records": infer_sample_records,
         "stream": dict(stream) if stream else None,
+        "filter_param_map": dict(filter_param_map) if filter_param_map else None,
     }
     return json.dumps(cfg)
 
@@ -316,6 +332,15 @@ class _RestPartition(InputPartition):
         self.items_json = items_json
 
 
+def _rest_param_value(value: Any) -> "str | None":
+    """Render one predicate operand as a query-string value (None = unpushable)."""
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, (str, int, float)):
+        return str(value)
+    return None
+
+
 class _RestReader(DataSourceReader):
     def __init__(self, cfg: dict, schema: StructType):
         self.cfg = cfg
@@ -341,6 +366,50 @@ class _RestReader(DataSourceReader):
         for item in json.loads(partition.items_json):
             for row in _iter_item_records(client, item, self.cfg):
                 yield tuple(row.get(n) for n in names)
+
+
+class _RestPushdownReader(_RestReader):
+    """Reader variant with Catalyst → query-parameter predicate pushdown.
+
+    Selected only when the config declares a ``filter_param_map`` —
+    Spark 4.1 hard-errors on readers that define ``pushFilters`` while
+    ``spark.sql.python.filterPushdown.enabled`` is false, so the default
+    reader must not carry the method (``create_session`` enables the
+    conf).
+    """
+
+    def pushFilters(self, filters: "list[Filter]"):
+        """Catalyst predicate pushdown → server-side query parameters.
+
+        Only columns the user has declared in ``filter_param_map`` are
+        pushed (the connector can't know which parameters an arbitrary
+        endpoint filters by — the reference's config-static ``params``,
+        ``rest_api.py:557-605``, is the same contract minus Catalyst
+        integration).  Equality renders as ``param=value``; IN renders as
+        the comma-joined ``param=a,b,c`` convention.  Every filter is
+        returned for Spark-side re-evaluation, so endpoints that ignore
+        unknown parameters still yield correct results — pushdown is a
+        transfer-volume optimization, never a correctness dependency.
+        """
+        fmap = self.cfg.get("filter_param_map") or {}
+        pushed: dict[str, str] = {}
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if not attr or len(attr) != 1 or attr[0] not in fmap:
+                continue
+            if isinstance(f, EqualTo):
+                value = _rest_param_value(f.value)
+                if value is not None:
+                    pushed[fmap[attr[0]]] = value
+            elif isinstance(f, In):
+                values = [_rest_param_value(v) for v in f.value]
+                if values and all(v is not None for v in values):
+                    pushed[fmap[attr[0]]] = ",".join(values)  # type: ignore[arg-type]
+        if pushed:
+            cfg = dict(self.cfg)
+            cfg["params"] = {**(cfg.get("params") or {}), **pushed}
+            self.cfg = cfg
+        return filters
 
 
 class RestDataSource(DataSource):
@@ -392,6 +461,8 @@ class RestDataSource(DataSource):
         return merged
 
     def reader(self, schema: StructType) -> DataSourceReader:
+        if self.cfg.get("filter_param_map"):
+            return _RestPushdownReader(self.cfg, schema)
         return _RestReader(self.cfg, schema)
 
     def streamReader(self, schema: StructType) -> "DataSourceStreamReader":

@@ -520,6 +520,8 @@ NESTED_LOOP_OK = {
     "q_cross_join_small": "intentional cross join of two tiny dims",
     "q_range_join": "non-equi range condition",
     "v_ann_bruteforce": "broadcast query-vector panel x corpus scan",
+    "v_rp_topk": "broadcast query-projection panel x corpus projection scan (v_ann_bruteforce's declared shape)",
+    "v_rank_metrics": "broadcast query panels x corpus scans for the system and truth rankings",
     "t_unigram_surprisal": "1-row broadcast corpus-total for the surprisal denominator",
     "t_tfidf_keywords": "1-row broadcast doc-count for the idf numerator",
     "t_length_buckets": "1-row broadcast decile-cutoff panel",

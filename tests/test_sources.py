@@ -186,6 +186,48 @@ def test_rest_link_pagination_max_pages_cap(spark, mock_server):
     assert [r["id"] for r in df.collect()] == [1, 1, 1]
 
 
+def test_rest_filter_pushdown_appends_query_params(spark, mock_server):
+    records = [
+        {"id": 1, "status": "open", "kind": "a"},
+        {"id": 2, "status": "closed", "kind": "b"},
+        {"id": 3, "status": "open", "kind": "c"},
+    ]
+    mock_server.route("GET", "/items", {"data": records})
+    rest.register(spark)
+    cfg = rest.build_rest_config(
+        f"{mock_server.url}/items",
+        records_field="data",
+        filter_param_map={"status": "status", "kind": "kind"},
+    )
+    df = spark.read.format(rest.FORMAT_NAME).option(rest.CONFIG_OPTION, cfg).load()
+    from pyspark.sql import functions as F
+
+    out = df.filter(
+        (F.col("status") == "open") & F.col("kind").isin("a", "c") & (F.col("id") > 0)
+    ).collect()
+    # the mock ignores the params and returns everything; Spark's
+    # re-evaluation still yields exactly the matching rows
+    assert sorted(r["id"] for r in out) == [1, 3]
+    # the read request (inference fetches first, without pushdown)
+    # carried the mapped predicates as query parameters; the unmapped
+    # id>0 predicate did not reach the wire
+    paths = [path for method, path, _ in mock_server.requests]
+    assert any("status=open" in p and "kind=a%2Cc" in p for p in paths), paths
+    assert all("id" not in p for p in paths)
+
+
+def test_rest_filter_pushdown_requires_declared_map(spark, mock_server):
+    """Without filter_param_map the plain reader is used: same results,
+    nothing appended to the query string (endpoints that 400 on unknown
+    params stay safe)."""
+    mock_server.route("GET", "/items", {"data": [{"id": 1, "status": "open"}]})
+    rest.register(spark)
+    cfg = rest.build_rest_config(f"{mock_server.url}/items", records_field="data")
+    df = spark.read.format(rest.FORMAT_NAME).option(rest.CONFIG_OPTION, cfg).load()
+    assert df.filter(df.status == "open").count() == 1
+    assert all("status=" not in path for _, path, _ in mock_server.requests)
+
+
 # ------------------------------------------------------------------ SPARQL
 
 
@@ -328,6 +370,112 @@ def test_qdrant_partition_filters(spark, mock_server):
     )
     df = spark.read.format(qd.FORMAT_NAME).option(qd.CONFIG_OPTION, cfg).load()
     assert sorted(r["id"] for r in df.collect()) == [100, 200]
+
+
+def test_qdrant_predicate_pushdown_reaches_scroll_filter(spark, mock_server):
+    points = [
+        {"id": 1, "payload": {"lang": "en", "score": 5}},
+        {"id": 2, "payload": {"lang": "de", "score": 1}},
+    ]
+    mock_server.route(
+        "POST",
+        "/collections/docs/points/scroll",
+        {"status": "ok", "result": {"points": points, "next_page_offset": None}},
+    )
+    qd.register(spark)
+    cfg = qd.build_qdrant_read_config(mock_server.url, "docs", predicate_pushdown=True)
+    df = spark.read.format(qd.FORMAT_NAME).option(qd.CONFIG_OPTION, cfg).load()
+    from pyspark.sql import functions as F
+
+    out = df.filter((F.col("payload.lang") == "en") & (F.col("id") < 100)).collect()
+    # Spark re-evaluates: the mock ignored the filter and returned both
+    # points, yet only the matching row survives.
+    assert [(r["id"], r["payload"]["lang"]) for r in out] == [(1, "en")]
+    # the READ scroll (inference scrolls first, without pushdown) carried
+    # the translated predicate server-side; id<100 stayed Spark-only
+    filters = [
+        json.dumps((body or {}).get("filter"))
+        for method, path, body in mock_server.requests
+        if path.endswith("/points/scroll")
+    ]
+    assert any('{"key": "lang", "match": {"value": "en"}}' in f for f in filters)
+    assert all("100" not in f for f in filters)
+
+
+def test_qdrant_pushdown_merges_with_static_filter(spark, mock_server):
+    mock_server.route(
+        "POST",
+        "/collections/docs/points/scroll",
+        {
+            "status": "ok",
+            "result": {
+                "points": [{"id": 7, "payload": {"lang": "en"}}],
+                "next_page_offset": None,
+            },
+        },
+    )
+    qd.register(spark)
+    static = {"must": [{"key": "tenant", "match": {"value": "acme"}}]}
+    cfg = qd.build_qdrant_read_config(
+        mock_server.url, "docs", filter=static, predicate_pushdown=True
+    )
+    df = spark.read.format(qd.FORMAT_NAME).option(qd.CONFIG_OPTION, cfg).load()
+    assert df.filter(df.id.isin(7, 8)).count() == 1
+    read_filters = [
+        (body or {}).get("filter")
+        for method, path, body in mock_server.requests
+        if path.endswith("/points/scroll") and (body or {}).get("filter")
+    ]
+    # the read request nests BOTH the static config filter and the pushed
+    # has_id condition under one AND
+    merged = [f for f in read_filters if "has_id" in json.dumps(f)]
+    assert merged, f"no scroll carried the pushed has_id: {read_filters}"
+    blob = json.dumps(merged[-1])
+    assert '"tenant"' in blob and '"has_id": [7, 8]' in blob
+
+
+def test_qdrant_condition_translation_unit():
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        In,
+        IsNull,
+        LessThanOrEqual,
+        StringStartsWith,
+    )
+
+    cond = qd._qdrant_condition
+    assert cond(EqualTo(("payload", "lang"), "en")) == {
+        "key": "lang",
+        "match": {"value": "en"},
+    }
+    assert cond(EqualTo(("payload", "meta", "k"), 3)) == {
+        "key": "meta.k",
+        "match": {"value": 3},
+    }
+    assert cond(EqualTo(("id",), 5)) == {"has_id": [5]}
+    assert cond(In(("id",), (1, 2))) == {"has_id": [1, 2]}
+    assert cond(In(("payload", "lang"), ("en", "de"))) == {
+        "key": "lang",
+        "match": {"any": ["en", "de"]},
+    }
+    assert cond(GreaterThan(("payload", "score"), 3)) == {
+        "key": "score",
+        "range": {"gt": 3},
+    }
+    assert cond(LessThanOrEqual(("payload", "score"), 2.5)) == {
+        "key": "score",
+        "range": {"lte": 2.5},
+    }
+    assert cond(IsNull(("payload", "score"))) == {"is_null": {"key": "score"}}
+    # unpushable: float equality, string range, non-payload column,
+    # id range, unsupported operator class
+    assert cond(EqualTo(("payload", "score"), 1.5)) is None
+    assert cond(GreaterThan(("payload", "lang"), "a")) is None
+    assert cond(EqualTo(("vector",), "x")) is None
+    assert cond(EqualTo(("other_col",), "x")) is None
+    assert cond(GreaterThan(("id",), 3)) is None
+    assert cond(StringStartsWith(("payload", "lang"), "e")) is None
 
 
 def test_qdrant_write_upsert_and_autocreate(spark, mock_server, tmp_path):
