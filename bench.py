@@ -181,6 +181,18 @@ HEADLINE = [
     "g_point_in_polygon",
     "q_price_index",
     "e_weibull_fit",
+    # round-6 new queries: JL-projection ANN + its in-engine eval,
+    # winnowing fingerprint dedup, attribution / sequence / keyword /
+    # calibration / causal / ranking-audit analytics
+    "v_rp_topk",
+    "v_rank_metrics",
+    "d_winnowing",
+    "e_attribution_credit",
+    "e_seq_patterns",
+    "t_keyword_rake",
+    "q_isotonic_calibration",
+    "e_diff_in_diff",
+    "q_gains_table",
 ]
 
 

@@ -6166,3 +6166,440 @@ def e_attribution_credit(spark: SparkSession, sf: str) -> DataFrame:
         "last_touch",
         F.round(linear, 6).alias("linear_credit"),
     ).orderBy("channel")
+
+
+# ------------------------------------------------ sequential pattern mining
+@register(
+    "e_seq_patterns",
+    oracle="""
+WITH l AS (
+  SELECT user_id, event_type AS a,
+         LEAD(event_type, 1) OVER w AS b1,
+         LEAD(event_type, 2) OVER w AS b2,
+         LEAD(event_type, 3) OVER w AS b3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+p AS (
+  SELECT user_id, a, b1 AS b FROM l WHERE b1 IS NOT NULL
+  UNION ALL SELECT user_id, a, b2 FROM l WHERE b2 IS NOT NULL
+  UNION ALL SELECT user_id, a, b3 FROM l WHERE b3 IS NOT NULL)
+SELECT a AS antecedent, b AS consequent,
+       CAST(COUNT(*) AS BIGINT) AS occurrences,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS user_support
+FROM p GROUP BY 1, 2
+ORDER BY user_support DESC, occurrences DESC, antecedent, consequent
+""",
+    doc="gap-constrained sequential pattern mining (the length-2 "
+    "GSP/PrefixSpan counting step): ordered event-type pairs 'a then b "
+    "within the next 3 events' per user, with occurrence counts and "
+    "distinct-user support — the sequence-rule complement of "
+    "q_market_basket's unordered co-occurrence and e_markov_transitions' "
+    "adjacent-only transitions.  The gap bound is the scale contract: "
+    "pairs come from 3 LEAD columns in ONE user-keyed window pass "
+    "(work O(gap x events), never the quadratic all-ordered-pairs "
+    "blowup), then one pair-keyed aggregate; support is exact "
+    "count-distinct.  All integers — no float determinism surface.",
+)
+def e_seq_patterns(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    l = ev.select(
+        "user_id",
+        F.col("event_type").alias("a"),
+        *[F.lead("event_type", d).over(w).alias(f"b{d}") for d in (1, 2, 3)],
+    )
+    p = None
+    for d in (1, 2, 3):
+        part = l.where(F.col(f"b{d}").isNotNull()).select(
+            "user_id", "a", F.col(f"b{d}").alias("b")
+        )
+        p = part if p is None else p.unionAll(part)
+    return (
+        p.groupBy(F.col("a").alias("antecedent"), F.col("b").alias("consequent"))
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.countDistinct("user_id").alias("user_support"),
+        )
+        .orderBy(
+            F.col("user_support").desc(),
+            F.col("occurrences").desc(),
+            "antecedent",
+            "consequent",
+        )
+    )
+
+
+# ------------------------------------------------- isotonic regression (PAVA)
+@register(
+    "q_isotonic_calibration",
+    oracle="""
+WITH bins AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+  FROM lineitem GROUP BY 1),
+panel AS (SELECT list({'q': q, 'n': n, 'pos': pos} ORDER BY q) AS l,
+                 CAST(len(list(q)) AS BIGINT) AS b
+          FROM bins),
+pre AS (
+  SELECT l, b,
+         list_transform(range(1, b + 1), i ->
+           list_reduce(list_transform(list_slice(l, 1, i), x -> x.n),
+                       (p, s) -> p + s)) AS pn,
+         list_transform(range(1, b + 1), i ->
+           list_reduce(list_transform(list_slice(l, 1, i), x -> x.pos),
+                       (p, s) -> p + s)) AS pp
+  FROM panel),
+iso AS (
+  SELECT l, b, pn, pp,
+         list_transform(range(1, b + 1), i ->
+           list_aggregate(list_transform(range(1, i + 1), j ->
+             list_aggregate(list_transform(range(i, b + 1), k ->
+               CAST(pp[k] - CASE WHEN j > 1 THEN pp[j - 1] ELSE 0 END AS DOUBLE)
+               / (pn[k] - CASE WHEN j > 1 THEN pn[j - 1] ELSE 0 END)),
+             'min')),
+           'max')) AS fit
+  FROM pre),
+out AS (
+  SELECT UNNEST(l) AS s, UNNEST(fit) AS iso_rate FROM iso)
+SELECT s.q AS quantity, s.n, s.pos,
+       ROUND(CAST(s.pos AS DOUBLE) / s.n, 6) AS raw_rate,
+       ROUND(iso_rate, 6) AS iso_rate
+FROM out ORDER BY quantity
+""",
+    doc="isotonic regression (pool-adjacent-violators fit) of the return "
+    "rate against quantity: the monotone recalibration map behind "
+    "score-calibration (Zadrozny & Elkan 2002) and monotone-constraint "
+    "audits, computed through the minimax characterization "
+    "iso(i) = max_{j<=i} min_{k>=i} mean(y[j..k]) — closed form, no "
+    "iterative pooling loop, so both engines replay it exactly.  "
+    "Determinism: prefix sums are exact integers, each block mean is "
+    "ONE integer/integer IEEE division, min/max over doubles are "
+    "exact.  Scale: one quantity-keyed partial-agg shuffle builds the "
+    "bounded bin panel (50 distinct quantities); the O(B^3) minimax "
+    "fold runs in a SINGLE row — the corpus never sees the cubic term.  "
+    "The raw reliability curve (raw_rate) rides along for the "
+    "monotonicity-violation readout.",
+)
+def q_isotonic_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    bins = li.groupBy(F.col("l_quantity").cast("long").alias("q")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("pos"),
+    )
+    panel = bins.agg(
+        F.sort_array(F.collect_list(F.struct("q", "n", "pos"))).alias("l")
+    ).select("l", F.size("l").cast("long").alias("b"))
+
+    def prefix(field: str):
+        return F.transform(
+            F.sequence(F.lit(1), F.col("b")),
+            lambda i: F.aggregate(
+                F.slice(F.col("l"), F.lit(1), i),
+                F.lit(0).cast("long"),
+                lambda p, s: p + s[field],
+            ),
+        )
+
+    pre = panel.select(
+        "l", "b", prefix("n").alias("pn"), prefix("pos").alias("pp")
+    )
+
+    def block_mean(j, k):
+        ji, ki = j.cast("int"), k.cast("int")
+        top = F.element_at(F.col("pp"), ki) - F.when(
+            j > 1, F.element_at(F.col("pp"), ji - 1)
+        ).otherwise(F.lit(0).cast("long"))
+        bot = F.element_at(F.col("pn"), ki) - F.when(
+            j > 1, F.element_at(F.col("pn"), ji - 1)
+        ).otherwise(F.lit(0).cast("long"))
+        return top.cast("double") / bot
+
+    fit = F.transform(
+        F.sequence(F.lit(1), F.col("b")),
+        lambda i: F.array_max(
+            F.transform(
+                F.sequence(F.lit(1), i),
+                lambda j: F.array_min(
+                    F.transform(
+                        F.sequence(i, F.col("b")),
+                        lambda k: block_mean(j, k),
+                    )
+                ),
+            )
+        ),
+    )
+    iso = pre.select("l", fit.alias("fit"))
+    out = iso.select(F.arrays_zip("l", "fit").alias("z")).select(
+        F.explode("z").alias("r")
+    )
+    return out.select(
+        F.col("r.l.q").alias("quantity"),
+        F.col("r.l.n").alias("n"),
+        F.col("r.l.pos").alias("pos"),
+        F.round(F.col("r.l.pos").cast("double") / F.col("r.l.n"), 6).alias(
+            "raw_rate"
+        ),
+        F.round(F.col("r.fit"), 6).alias("iso_rate"),
+    ).orderBy("quantity")
+
+
+# ----------------------------------------------- difference-in-differences
+@register(
+    "e_diff_in_diff",
+    oracle=f"""
+WITH span AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid
+              FROM events),
+treated AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'),
+p AS (
+  SELECT e.user_id,
+         CASE WHEN t.user_id IS NOT NULL THEN 1 ELSE 0 END AS treated,
+         CASE WHEN epoch_us(e.ts) >= span.mid THEN 1 ELSE 0 END AS post,
+         CAST(ROUND(e.value * 100) AS BIGINT) AS cents
+  FROM events e
+  LEFT JOIN treated t ON e.user_id = t.user_id
+  CROSS JOIN span
+  WHERE e.event_type = 'purchase'),
+cells AS (
+  SELECT treated, post,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS total_cents
+  FROM p GROUP BY 1, 2),
+wide AS (
+  SELECT
+    MAX(CASE WHEN treated = 1 AND post = 0 THEN CAST(total_cents AS DOUBLE) / n END) AS t_pre,
+    MAX(CASE WHEN treated = 1 AND post = 1 THEN CAST(total_cents AS DOUBLE) / n END) AS t_post,
+    MAX(CASE WHEN treated = 0 AND post = 0 THEN CAST(total_cents AS DOUBLE) / n END) AS c_pre,
+    MAX(CASE WHEN treated = 0 AND post = 1 THEN CAST(total_cents AS DOUBLE) / n END) AS c_post,
+    CAST(SUM(n) AS BIGINT) AS n_purchases
+  FROM cells)
+SELECT n_purchases,
+       ROUND(t_pre, 6) AS treated_pre,
+       ROUND(t_post, 6) AS treated_post,
+       ROUND(c_pre, 6) AS control_pre,
+       ROUND(c_post, 6) AS control_post,
+       ROUND((t_post - t_pre) - (c_post - c_pre), 6) AS did_cents
+FROM wide
+""",
+    doc="difference-in-differences estimator: treated = users who ever "
+    "signed up, periods split at the corpus time midpoint, outcome = "
+    "mean purchase value (exact integer cents) — DiD = (treated_post - "
+    "treated_pre) - (control_post - control_pre), the parallel-trends "
+    "causal-effect workhorse (Card & Krueger 1994) that e_event_study "
+    "(around-event windows) and e_cuped_adjust (variance reduction) "
+    "bracket.  Determinism: every cell is an exact bigint (count, "
+    "cent-sum); the four means are single integer/integer IEEE "
+    "divisions folded into one closed-form expression.  Scale: one "
+    "broadcast semi-join for treatment status (the signup key set is "
+    "tiny), one 1-row time-span panel, one 4-cell aggregate — "
+    "map-side-combined end to end, output is ONE row.",
+)
+def e_diff_in_diff(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.panels import attach_scalar_panel
+
+    ev = load_table(spark, sf, "events")
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    span = ev.agg(((F.min(us) + F.max(us)) / F.lit(2)).cast("long").alias("mid"))
+    treated = ev.where(F.col("event_type") == "signup").select("user_id").distinct()
+    purchases = ev.where(F.col("event_type") == "purchase")
+    p = (
+        attach_scalar_panel(purchases, span)
+        .join(
+            F.broadcast(treated.withColumn("__t", F.lit(1))), "user_id", "left"
+        )
+        .select(
+            F.coalesce("__t", F.lit(0)).alias("treated"),
+            F.when(us >= F.col("mid"), 1).otherwise(0).alias("post"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    cells = p.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total_cents")
+    )
+
+    def cell(tr, po):
+        return F.max(
+            F.when(
+                (F.col("treated") == tr) & (F.col("post") == po),
+                F.col("total_cents").cast("double") / F.col("n"),
+            )
+        )
+
+    wide = cells.agg(
+        cell(1, 0).alias("t_pre"),
+        cell(1, 1).alias("t_post"),
+        cell(0, 0).alias("c_pre"),
+        cell(0, 1).alias("c_post"),
+        F.sum("n").alias("n_purchases"),
+    )
+    return wide.select(
+        "n_purchases",
+        F.round("t_pre", 6).alias("treated_pre"),
+        F.round("t_post", 6).alias("treated_post"),
+        F.round("c_pre", 6).alias("control_pre"),
+        F.round("c_post", 6).alias("control_post"),
+        F.round(
+            (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre")),
+            6,
+        ).alias("did_cents"),
+    )
+
+
+# --------------------------------------------------------- gains/lift table
+@register(
+    "q_gains_table",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END)
+              AS BIGINT) AS browse,
+         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS converted
+  FROM events GROUP BY user_id),
+d AS (SELECT user_id, browse, converted,
+             NTILE(10) OVER (ORDER BY browse DESC, user_id) AS decile
+      FROM u),
+per AS (SELECT CAST(decile AS BIGINT) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(converted) AS BIGINT) AS n_converted
+        FROM d GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_users) AS BIGINT) AS all_users,
+               CAST(SUM(n_converted) AS BIGINT) AS all_converted
+        FROM per),
+cum AS (SELECT decile, n_users, n_converted,
+               CAST(SUM(n_converted) OVER (ORDER BY decile) AS BIGINT) AS cum_converted,
+               CAST(SUM(n_users) OVER (ORDER BY decile) AS BIGINT) AS cum_users
+        FROM per)
+SELECT c.decile, c.n_users, c.n_converted,
+       ROUND(CAST(c.cum_converted AS DOUBLE) / t.all_converted, 6) AS cum_capture,
+       ROUND((CAST(c.n_converted AS DOUBLE) / c.n_users)
+             / (CAST(t.all_converted AS DOUBLE) / t.all_users), 6) AS lift,
+       ROUND((CAST(c.cum_converted AS DOUBLE) / c.cum_users)
+             / (CAST(t.all_converted AS DOUBLE) / t.all_users), 6) AS cum_lift
+FROM cum c CROSS JOIN tot t
+ORDER BY c.decile
+""",
+    doc="gains/lift table — the decile ranking-quality readout of "
+    "targeting and propensity models: users ranked by browse activity "
+    "(views + clicks), split into 10 deciles, and each decile reports "
+    "its conversion lift over the base rate plus the cumulative capture "
+    "curve ('top 2 deciles hold X% of all converters').  Complements "
+    "q_calibration_bins (are scores calibrated?) and v_rank_metrics "
+    "(retrieval NDCG) with the marketing/risk ranking audit.  The Spark "
+    "side computes the EXACT NTILE(10) assignment without a global "
+    "sort: rank = (users with larger score, from a bounded per-value "
+    "offset panel folded in one row) + row_number within the value "
+    "(partitioned window), then the closed-form NTILE tile formula — "
+    "while the oracle keeps the natural NTILE window, so agreement is "
+    "a two-formulation differential proof.  Determinism: ranks and "
+    "counts are exact bigints; ratios are single IEEE divisions "
+    "rounded at the end.  Scale: one user-keyed aggregate, one "
+    "partitioned window, broadcast offset/total panels, 10-row "
+    "cumulative fold — no unpartitioned window anywhere.",
+)
+def q_gains_table(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type").isin("view", "click"), 1).otherwise(0)
+        ).alias("browse"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        ),
+    )
+    # exact NTILE(10) over (browse DESC, user_id) WITHOUT a global sort:
+    # rank(user) = (#users with a larger browse value) + row_number within
+    # the user's own value (partitioned window).  The offsets come from a
+    # bounded per-VALUE panel folded in one row — the two-phase prefix
+    # pattern — so no task ever sees the whole user list.  The oracle
+    # keeps the natural NTILE formulation: agreement is a two-formulation
+    # differential proof of the rank identity.
+    vp = u.groupBy("browse").agg(F.count(F.lit(1)).alias("cnt"))
+    pan = vp.agg(F.sort_array(F.collect_list(F.struct("browse", "cnt"))).alias("l"))
+    total = F.aggregate(
+        F.col("l"), F.lit(0).cast("long"), lambda a, x: a + x["cnt"]
+    )
+    # users with browse STRICTLY GREATER = total - inclusive prefix (asc)
+    offsets = pan.select(F.col("l"), total.alias("n_total")).select(
+        "n_total",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("l")),
+                lambda i: F.struct(
+                    F.element_at(F.col("l"), i)["browse"].alias("browse"),
+                    (
+                        F.col("n_total")
+                        - F.aggregate(
+                            F.slice(F.col("l"), F.lit(1), i),
+                            F.lit(0).cast("long"),
+                            lambda a, x: a + x["cnt"],
+                        )
+                    ).alias("before"),
+                ),
+            )
+        ).alias("o"),
+    ).select("n_total", F.col("o.browse").alias("browse"), F.col("o.before").alias("before"))
+    wv = Window.partitionBy("browse").orderBy("user_id")
+    ranked = u.join(F.broadcast(offsets), "browse").select(
+        "converted",
+        "n_total",
+        (F.col("before") + F.row_number().over(wv)).alias("rank"),
+    )
+    # NTILE(k): the first N%k tiles get N//k+1 rows, the rest N//k
+    base = (F.col("n_total") / F.lit(10)).cast("long")
+    rem = F.col("n_total") % 10
+    cut = rem * (base + 1)
+    decile = F.when(
+        F.col("rank") <= cut, (F.col("rank") - 1) / (base + 1)
+    ).otherwise(rem + (F.col("rank") - 1 - cut) / base).cast("long") + 1
+    per = ranked.groupBy(decile.alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("converted").alias("n_converted")
+    )
+    # cumulative capture/lift via the 10-row panel fold (no global window)
+    dp = per.agg(
+        F.sort_array(
+            F.collect_list(F.struct("decile", "n_users", "n_converted"))
+        ).alias("l")
+    )
+
+    def fold(field, i=None):
+        src = F.col("l") if i is None else F.slice(F.col("l"), F.lit(1), i)
+        return F.aggregate(
+            src, F.lit(0).cast("long"), lambda a, x: a + x[field]
+        )
+
+    rows = dp.select(
+        fold("n_users").alias("all_users"),
+        fold("n_converted").alias("all_converted"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("l")),
+                lambda i: F.struct(
+                    F.element_at(F.col("l"), i)["decile"].alias("decile"),
+                    F.element_at(F.col("l"), i)["n_users"].alias("n_users"),
+                    F.element_at(F.col("l"), i)["n_converted"].alias("n_converted"),
+                    fold("n_converted", i).alias("cum_converted"),
+                    fold("n_users", i).alias("cum_users"),
+                ),
+            )
+        ).alias("r"),
+    )
+    base_rate = F.col("all_converted").cast("double") / F.col("all_users")
+    return rows.select(
+        F.col("r.decile").alias("decile"),
+        F.col("r.n_users").alias("n_users"),
+        F.col("r.n_converted").alias("n_converted"),
+        F.round(
+            F.col("r.cum_converted").cast("double") / F.col("all_converted"), 6
+        ).alias("cum_capture"),
+        F.round(
+            (F.col("r.n_converted").cast("double") / F.col("r.n_users"))
+            / base_rate,
+            6,
+        ).alias("lift"),
+        F.round(
+            (F.col("r.cum_converted").cast("double") / F.col("r.cum_users"))
+            / base_rate,
+            6,
+        ).alias("cum_lift"),
+    ).orderBy("decile")

@@ -2035,3 +2035,126 @@ def d_winnowing(spark: SparkSession, sf: str) -> DataFrame:
         max_df=_WINNOW_MAXDF, min_shared=2,
     )
     return pairs.orderBy(F.col("jaccard").desc(), "id_a", "id_b")
+
+
+# ----------------------------------------------------------------- RAKE
+_RAKE_DOCS = 100   # bounded output: first N english docs
+_RAKE_TOPK = 3
+
+
+def _rake_oracle() -> str:
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+WITH d AS (SELECT doc_id, {_TOKS.format(col="text")} AS t
+           FROM documents WHERE lang = 'en' AND doc_id < {_RAKE_DOCS}),
+marked AS (SELECT doc_id,
+                  list_transform(t, w -> CASE WHEN w IN ({stops})
+                                              THEN chr(167) ELSE w END) AS mt
+           FROM d),
+phl AS (SELECT doc_id,
+               list_filter(list_transform(
+                 string_split(array_to_string(mt, ' '), chr(167)),
+                 p -> trim(p)), p -> p <> '') AS phs
+        FROM marked),
+p1 AS (SELECT doc_id, UNNEST(phs) AS phrase,
+              generate_subscripts(phs, 1) AS pidx FROM phl),
+w1 AS (SELECT doc_id, pidx, phrase,
+              UNNEST(string_split(phrase, ' ')) AS word,
+              generate_subscripts(string_split(phrase, ' '), 1) AS wpos,
+              len(string_split(phrase, ' ')) AS plen
+       FROM p1),
+stats AS (SELECT doc_id, word,
+                 CAST(COUNT(*) AS BIGINT) AS freq,
+                 CAST(SUM(plen) AS BIGINT) AS deg
+          FROM w1 GROUP BY 1, 2),
+sw AS (SELECT w1.doc_id, w1.pidx, w1.phrase, w1.wpos,
+              CAST(s.deg AS DOUBLE) / s.freq AS wscore
+       FROM w1 JOIN stats s ON w1.doc_id = s.doc_id AND w1.word = s.word),
+phsc AS (SELECT doc_id, pidx, phrase, list(wscore ORDER BY wpos) AS l
+         FROM sw GROUP BY 1, 2, 3),
+uniq AS (SELECT DISTINCT doc_id, phrase,
+                ROUND(list_reduce(l, (x, y) -> x + y), 6) AS score
+         FROM phsc),
+top AS (SELECT doc_id, phrase, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, phrase) AS rk
+        FROM uniq)
+SELECT doc_id, phrase, score, CAST(rk AS INT) AS rank
+FROM top WHERE rk <= {_RAKE_TOPK}
+ORDER BY doc_id, rank
+"""
+
+
+@register(
+    "t_keyword_rake",
+    oracle=_rake_oracle(),
+    doc="RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010): "
+    "candidate phrases are maximal token runs between stopwords; each "
+    "word scores degree/frequency (degree = sum of host-phrase lengths "
+    "over its occurrences — rewards words living in long collocations); "
+    "a phrase scores the sum of its member word scores; top-3 phrases "
+    "per document.  The unsupervised keyword tagger for corpus "
+    "indexing/labeling — no model, no IDF table, per-document only.  "
+    "Determinism: degree/freq are exact integers, the single division "
+    "is one IEEE op, and the phrase score folds LEFT-TO-RIGHT over "
+    "words in phrase order (F.aggregate vs list_reduce) — never a "
+    "float sum in engine-chosen row order.  Scale: everything is "
+    "per-document (two explodes, two doc-keyed aggregates, one top-k "
+    "window); no corpus-wide state at all, so it maps over 100 TB "
+    "embarrassingly.  Output bounded to the first 100 english docs.",
+)
+def t_keyword_rake(spark: SparkSession, sf: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf, "documents")
+        .where((F.col("lang") == "en") & (F.col("doc_id") < _RAKE_DOCS))
+    )
+    stops = list(STOPWORDS["en"])
+    t = tokens("text")
+    marked = F.transform(
+        t, lambda w: F.when(w.isin(stops), F.lit("§")).otherwise(w)
+    )
+    phrases = F.filter(
+        F.transform(
+            F.split(F.concat_ws(" ", marked), "§"), lambda p: F.trim(p)
+        ),
+        lambda p: p != "",
+    )
+    p1 = docs.select("doc_id", phrases.alias("phs")).select(
+        "doc_id", F.posexplode("phs").alias("pidx", "phrase")
+    )
+    words = F.split(F.col("phrase"), " ")
+    w1 = p1.select(
+        "doc_id",
+        "pidx",
+        "phrase",
+        F.size(words).alias("plen"),
+        F.posexplode(words).alias("wpos", "word"),
+    )
+    stats = w1.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    )
+    sw = w1.join(stats, ["doc_id", "word"]).select(
+        "doc_id",
+        "pidx",
+        "phrase",
+        "wpos",
+        (F.col("deg").cast("double") / F.col("freq")).alias("wscore"),
+    )
+    phsc = sw.groupBy("doc_id", "pidx", "phrase").agg(
+        F.sort_array(F.collect_list(F.struct("wpos", "wscore"))).alias("l")
+    )
+    score = F.round(
+        F.aggregate(
+            F.transform(F.col("l"), lambda x: x["wscore"]),
+            F.lit(0.0),
+            lambda x, y: x + y,
+        ),
+        6,
+    )
+    uniq = phsc.select("doc_id", "phrase", score.alias("score")).distinct()
+    wtop = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "phrase")
+    return (
+        uniq.withColumn("rank", F.row_number().over(wtop))
+        .where(F.col("rank") <= _RAKE_TOPK)
+        .orderBy("doc_id", "rank")
+    )

@@ -545,6 +545,7 @@ NESTED_LOOP_OK = {
     "x_triangle_count": "1-row node/edge/wedge/triangle count panels crossed into the audit row",
     "x_bloom_join_prune": "1-row count panels crossed into the single pruning-audit row",
     "e_survival_curve": "1-row censoring-cutoff panel broadcast into the per-user lifetimes",
+    "e_diff_in_diff": "1-row time-midpoint panel broadcast into the purchase scan (attach_scalar_panel)",
     "e_weibull_fit": "inherits e_survival_curve's 1-row cutoff panel; the fit itself is a 1-row fold",
     "m_payload_neardup": "1-row corpus-total panel crossed into the signature quantization",
     "x_histogram_quantiles": "1-row min/max span panel + 2-row quantile panel crossed into binning",
