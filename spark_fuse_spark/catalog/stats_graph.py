@@ -6329,7 +6329,10 @@ def q_isotonic_calibration(spark: SparkSession, sf: str) -> DataFrame:
             )
         ),
     )
-    iso = pre.select("l", fit.alias("fit"))
+    # lazy barrier: fused with the explode, the O(B^3) minimax fold would
+    # re-evaluate once per OUTPUT row (B x B^3) — the Generate
+    # re-evaluation class; the checkpoint materializes the 1-row panel once
+    iso = pre.select("l", fit.alias("fit")).localCheckpoint(eager=False)
     out = iso.select(F.arrays_zip("l", "fit").alias("z")).select(
         F.explode("z").alias("r")
     )

@@ -511,10 +511,6 @@ def rp_signs(dims: int, m: int, seed: int = 42) -> "list[list[float]]":
     ]
 
 
-def _signs_literal(signs: "list[list[float]]"):
-    return F.array(*[F.array(*[F.lit(x) for x in row]) for row in signs])
-
-
 def rp_project(
     df: DataFrame,
     signs: "list[list[float]]",
@@ -522,24 +518,31 @@ def rp_project(
     out_col: str = "rp_proj",
 ) -> DataFrame:
     """Append the m-dim signed projection of the L2-normalized vector:
-    ``proj[j] = Σᵢ û[i] · sign[j][i]`` — a narrow whole-stage-codegen map
-    (one ``transform``/``aggregate`` fold per row, no shuffle, no Python).
+    ``proj[j] = Σᵢ û[i] · sign[j][i]`` — a narrow per-row map (one
+    ``transform``/``aggregate`` fold per row, no shuffle, no Python).
     At 100 TB this is the dimensionality-reduction pass you run ONCE and
     persist: downstream scoring touches m doubles per row instead of
-    dims (4× fewer for 64→16), with JL-lemma distance distortion bounds.
+    dims (2× fewer for 64→32), with JL-lemma distance distortion bounds.
+
+    The sign matrix rides in as a 1-row broadcast DataFrame, NOT as
+    expression literals: an m × dims literal tree (2048 nodes at 32×64)
+    costs ~15 s of Catalyst analysis/optimization PER PLAN — as data it
+    is a few KB broadcast and the plan stays constant-size.
     """
-    proj = F.transform(
-        _signs_literal(signs),
-        lambda row: F.aggregate(
-            F.zip_with(row, F.col("__unit"), lambda s, x: s * x),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        ),
+    spark = df.sparkSession
+    sm = spark.createDataFrame(
+        [([list(map(float, row)) for row in signs],)],
+        "__signs array<array<double>>",
+    )
+    proj = F.expr(
+        "transform(__signs, row -> "
+        "aggregate(zip_with(row, __unit, (s, x) -> s * x), 0.0D, (a, v) -> a + v))"
     )
     return (
         df.withColumn("__unit", l2_normalize(vec_col))
+        .crossJoin(F.broadcast(sm))
         .withColumn(out_col, proj)
-        .drop("__unit")
+        .drop("__unit", "__signs")
     )
 
 
@@ -570,12 +573,17 @@ def rp_topk(
     Output: ``query_id, neighbor_id, cosine, rank``.
     """
     signs = rp_signs(dims, m, seed)
+    # lazy localCheckpoint barrier: fused with the broadcast cross join,
+    # the m x dims projection fold would re-evaluate once per (corpus row
+    # x query) pair instead of once per corpus row (measured ~10x on the
+    # bench corpus) — the same Generate/Join re-evaluation class as
+    # winnowing_fingerprints' explode
     enc = rp_project(
         corpus.select(F.col(corpus_id).alias("neighbor_id"), corpus_vec),
         signs,
         corpus_vec,
         "__pc",
-    ).select("neighbor_id", "__pc")
+    ).select("neighbor_id", "__pc").localCheckpoint(eager=False)
     q = rp_project(
         queries.select(query_id, query_vec), signs, query_vec, "__pq"
     ).select(query_id, "__pq")

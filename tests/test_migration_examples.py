@@ -20,6 +20,13 @@ def test_source_mappings_exist():
         assert mod.FORMAT_NAME and mod.CONFIG_OPTION and callable(mod.register)
     cfg = rest.build_rest_config("http://h/x", records_field="results")
     assert isinstance(cfg, str) and "results" in cfg
+    # round-6 pushdown knobs documented in MIGRATION.md
+    assert "filter_param_map" in rest.build_rest_config(
+        "http://h/x", filter_param_map={"status": "status"}
+    )
+    assert '"predicate_pushdown": true' in qdrant.build_qdrant_read_config(
+        "http://h", "c", predicate_pushdown=True
+    )
     assert isinstance(sparql.build_sparql_config("http://h/q", "ASK WHERE {}"), str)
     assert isinstance(
         qdrant.build_qdrant_write_config(
