@@ -177,16 +177,40 @@ def language_id(col: "str | Column") -> Column:
     plain SQL for differential testing.
     """
     def argmax(toks: Column) -> Column:
-        best_lang = F.lit("und")
-        best_hits = F.lit(-1).cast("bigint")
-        # iterate in fixed order; strictly-greater keeps earlier lang on ties
-        for code in sorted(STOPWORDS):
-            sw = F.array([F.lit(w) for w in STOPWORDS[code]])
-            hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("bigint")
-            is_better = hits > best_hits
-            best_lang = F.when(is_better, F.lit(code)).otherwise(best_lang)
-            best_hits = F.when(is_better, hits).otherwise(best_hits)
-        return F.when(best_hits <= 0, F.lit("und")).otherwise(best_lang)
+        # flat argmax over a per-language hits array: array_position finds
+        # the FIRST maximum, so earlier language codes win ties — the same
+        # semantics as the previous accumulated when-chain, whose tree
+        # doubled per language (the chain re-embedded itself at every
+        # step; measured several seconds of Catalyst compile per plan)
+        codes = sorted(STOPWORDS)
+
+        def contains(sw: Column):
+            # closure factory: a default-arg lambda would make PySpark
+            # treat the captured array as a second lambda VARIABLE
+            return lambda t: F.array_contains(sw, t)
+
+        hits = F.array(
+            *[
+                F.size(
+                    F.filter(
+                        toks, contains(F.array([F.lit(w) for w in STOPWORDS[c]]))
+                    )
+                ).cast("bigint")
+                for c in codes
+            ]
+        )
+        def pick(h: Column) -> Column:
+            best = F.array_max(h)
+            lang = F.element_at(
+                F.array([F.lit(c) for c in codes]),
+                F.array_position(h, best).cast("int"),
+            )
+            return F.when(best <= 0, F.lit("und")).otherwise(lang)
+
+        # bind the hits array too: it is consulted three times (max,
+        # position, guard) and each reference would otherwise re-embed
+        # all five filter subtrees
+        return _bind(hits, pick)
 
     return _bind(tokens(col), argmax)
 
