@@ -6606,3 +6606,65 @@ def q_gains_table(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("cum_lift"),
     ).orderBy("decile")
+
+
+# ------------------------------------------------------- Pareto frontier
+@register(
+    "q_pareto_frontier",
+    oracle="""
+WITH cells AS (
+  SELECT p_brand, p_retailprice AS price, CAST(p_size AS BIGINT) AS size,
+         CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(MIN(p_partkey) AS BIGINT) AS min_partkey
+  FROM part GROUP BY 1, 2, 3),
+flagged AS (
+  SELECT *,
+         MAX(size) OVER (PARTITION BY p_brand ORDER BY price, size DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS best_prev_size
+  FROM cells)
+SELECT p_brand, price, size, n_parts, min_partkey
+FROM flagged
+WHERE best_prev_size IS NULL OR best_prev_size < size
+ORDER BY p_brand, price, size
+""",
+    doc="per-brand Pareto frontier (skyline query, Borzsony-Kossmann-"
+    "Stocker 2001): the parts not dominated on (lower price, larger "
+    "size) by any same-brand part — the multi-objective shortlist "
+    "behind supplier selection and model-config sweeps.  The classic "
+    "quadratic dominance self-join is replaced by the sort-based "
+    "sweep: dedupe to distinct (price, size) cells, order cells by "
+    "(price ASC, size DESC), and a cell is dominated iff the running "
+    "MAX(size) over strictly-preceding cells reaches it — preceding "
+    "cells have strictly lower price, or equal price with strictly "
+    "larger size, so the single window test is EXACTLY the dominance "
+    "predicate (equal-price-equal-size duplicates collapse into one "
+    "cell and survive together).  Determinism: all integers/decimals, "
+    "no floats.  Scale: one cell-keyed aggregate + one window "
+    "PARTITIONED BY brand — never a global sort, never an all-pairs "
+    "join; cells bound the window input regardless of part count.",
+)
+def q_pareto_frontier(spark: SparkSession, sf: str) -> DataFrame:
+    part = load_table(spark, sf, "part")
+    cells = part.groupBy(
+        "p_brand",
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").cast("long").alias("size"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("p_partkey").alias("min_partkey"),
+    )
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.col("price").asc(), F.col("size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = cells.withColumn("best_prev_size", F.max("size").over(w))
+    return (
+        flagged.where(
+            F.col("best_prev_size").isNull()
+            | (F.col("best_prev_size") < F.col("size"))
+        )
+        .select("p_brand", "price", "size", "n_parts", "min_partkey")
+        .orderBy("p_brand", "price", "size")
+    )
