@@ -190,8 +190,11 @@ def ranking_metrics(
     every index build instead of sampling offline.  log2 is computed as
     ``ln(x)/ln(2)`` on both engines; metrics round to 6 dp.
     """
+    # distinct: duplicate (query, neighbor) rows in a caller's truth set
+    # would otherwise multiply system rows through the join and inflate
+    # every metric
     rel_flag = (
-        truth.select(query_id, neighbor_id).withColumn("__rel", F.lit(1))
+        truth.select(query_id, neighbor_id).distinct().withColumn("__rel", F.lit(1))
     )
     rel = system.select(query_id, neighbor_id, rank_col).join(
         rel_flag, [query_id, neighbor_id], "left"

@@ -446,3 +446,15 @@ class TestRankingMetrics:
         assert rows[1].ndcg == expect_ndcg
         assert (rows[2].n_relevant, rows[2].precision_at_k, rows[2].mrr,
                 rows[2].ndcg) == (0, 0.0, 0.0, 0.0)
+
+    def test_duplicate_truth_rows_do_not_inflate(self, spark):
+        from spark_fuse_spark.operators.retrieval import ranking_metrics
+
+        system = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2)], ["query_id", "neighbor_id", "rank"]
+        )
+        truth = spark.createDataFrame(
+            [(1, 10), (1, 10), (1, 10)], ["query_id", "neighbor_id"]
+        )
+        row = ranking_metrics(system, truth, k=2).collect()[0]
+        assert row.n_relevant == 1 and row.mrr == 1.0
