@@ -248,7 +248,11 @@ SELECT query_id,
        CAST(SUM(rel) AS BIGINT) AS n_relevant,
        ROUND(SUM(rel) / {float(k)}, 6) AS precision_at_k,
        ROUND(COALESCE(1.0 / MIN(CASE WHEN rel = 1 THEN rank END), 0.0), 6) AS mrr,
-       ROUND(SUM(rel / (ln(rank + 1.0) / ln(2.0))) / {ideal_dcg(k)!r}, 6) AS ndcg
+       ROUND(list_reduce(
+               list_prepend(0.0,
+                 list_transform(list({{'r': rank, 'rel': rel}} ORDER BY rank),
+                                x -> x.rel / (ln(x.r + 1.0) / ln(2.0)))),
+               (a, b) -> a + b) / {ideal_dcg(k)!r}, 6) AS ndcg
 FROM rel GROUP BY query_id ORDER BY query_id
 """
 

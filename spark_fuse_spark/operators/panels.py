@@ -19,6 +19,8 @@ code complies by construction.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["scalar_panel", "attach_scalar_panel"]
@@ -56,6 +58,11 @@ def _yields_at_most_one_row(jplan) -> bool:
     return False
 
 
+def _plan_handle(panel: DataFrame):
+    """The JVM DataFrame handle, or None where none exists (Spark Connect)."""
+    return getattr(panel, "_jdf", None)
+
+
 def scalar_panel(df: DataFrame, *aggs: Column) -> DataFrame:
     """One-row panel of corpus-wide scalars: ``df.agg(*aggs)``, named so
     call sites read as intent (*this is a panel, not a reduction step*)."""
@@ -68,21 +75,37 @@ def attach_scalar_panel(
     """Broadcast-attach a one-row scalar panel to every row of ``df``.
 
     Raises ``ValueError`` at plan time when ``panel``'s logical plan is
-    not provably <=1 row (global aggregate, ``limit(1)``, 1-row literal
-    relation, or joins/projections thereof).  ``validate=False`` skips
-    the structural check for panel shapes the walker cannot classify —
-    the caller then owns the 1-row guarantee.
+    inspectable and provably NOT <=1 row (global aggregate, ``limit(1)``,
+    1-row literal relation, or joins/projections thereof all pass).
+    ``validate=False`` skips the structural check for panel shapes the
+    walker cannot classify — the caller then owns the 1-row guarantee.
+
+    On sessions where plan inspection is unavailable — Spark Connect has
+    no ``_jdf`` JVM handle, and py4j surface drift can break the walker —
+    the check degrades to a ``RuntimeWarning`` instead of failing: the
+    validation is a guard rail for developers, and a query that was
+    correct as a plain broadcast crossJoin must not start hard-failing
+    because the runtime cannot prove what the author already knows.
     """
     if validate:
-        try:
-            ok = _yields_at_most_one_row(panel._jdf.queryExecution().analyzed())
-        except Exception as exc:  # py4j surface drift — fail closed, loudly
-            raise ValueError(
-                "attach_scalar_panel could not inspect the panel plan "
-                f"({exc!r}); pass validate=False if the panel is known to "
-                "be a single row"
-            ) from exc
-        if not ok:
+        problem = None
+        jdf = _plan_handle(panel)
+        if jdf is None:  # Spark Connect: no JVM plan handle exists
+            problem = "no _jdf plan handle on this session (Spark Connect?)"
+        else:
+            try:
+                ok = _yields_at_most_one_row(jdf.queryExecution().analyzed())
+            except Exception as exc:  # py4j surface drift — degrade, loudly
+                problem = f"could not inspect the panel plan ({exc!r})"
+        if problem is not None:
+            warnings.warn(
+                f"attach_scalar_panel cannot validate the 1-row panel "
+                f"precondition: {problem}; proceeding unvalidated — the "
+                "caller owns the 1-row guarantee",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        elif not ok:
             raise ValueError(
                 "attach_scalar_panel requires a provably single-row panel "
                 "(global aggregate / limit(1) / 1-row literal relation); "

@@ -199,8 +199,26 @@ def ranking_metrics(
     rel = system.select(query_id, neighbor_id, rank_col).join(
         rel_flag, [query_id, neighbor_id], "left"
     ).withColumn("__rel", F.coalesce("__rel", F.lit(0)))
-    log2_pos = F.log(F.col(rank_col) + F.lit(1.0)) / F.log(F.lit(2.0))
     idcg = ideal_dcg(k)
+    # DCG folds LEFT-TO-RIGHT over rank order (sort_array + F.aggregate),
+    # not a plain F.sum: float addition isn't associative, the engine picks
+    # the row order for sum(), and the repo's determinism contract (see
+    # km_survival / t_keyword_rake) requires the 6-dp rounding to match the
+    # DuckDB oracle bit-for-bit even on near-ties.
+    rank_rel = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col(rank_col).cast("int").alias("r"), F.col("__rel").alias("rel")
+            )
+        )
+    )
+    dcg = F.aggregate(
+        rank_rel,
+        F.lit(0.0),
+        lambda a, x: a
+        + x["rel"].cast("double")
+        / (F.log(x["r"].cast("double") + F.lit(1.0)) / F.log(F.lit(2.0))),
+    )
     return (
         rel.groupBy(query_id)
         .agg(
@@ -214,9 +232,7 @@ def ranking_metrics(
                 ),
                 6,
             ).alias("mrr"),
-            F.round(
-                F.sum(F.col("__rel") / log2_pos) / F.lit(idcg), 6
-            ).alias("ndcg"),
+            F.round(dcg / F.lit(idcg), 6).alias("ndcg"),
         )
         .orderBy(query_id)
     )

@@ -335,9 +335,17 @@ def _qdrant_condition(f: Filter) -> "dict | None":
         }[type(f)]
         return {"key": col, "range": {op: f.value}}
     if isinstance(f, IsNull):
-        return {"is_null": {"key": col}}
+        # NOT pushable: Qdrant's ``is_null`` matches only points where the
+        # payload key EXISTS with a null value, while Spark's IsNull is also
+        # true for points missing the key entirely.  Server-side filtering is
+        # subtractive — rows the server drops can never be restored by Spark's
+        # post-scan re-evaluation — so pushing this would silently lose every
+        # key-absent point.  Keep IsNull Spark-side.
+        return None
     if isinstance(f, IsNotNull):
-        # a nested filter clause is a valid condition in Qdrant's grammar
+        # Safe SUPERSET: must_not(is_null) keeps key-absent points (is_null is
+        # false for them), which Spark's re-evaluation then filters out.  A
+        # superset can only cost post-filter CPU, never drop a matching row.
         return {"must_not": [{"is_null": {"key": col}}]}
     return None
 

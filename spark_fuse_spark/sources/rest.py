@@ -83,7 +83,7 @@ def build_rest_config(
     infer_schema: bool = True,
     infer_sample_records: int = 100,
     stream: "Mapping[str, Any] | None" = None,
-    filter_param_map: "Mapping[str, str] | None" = None,
+    filter_param_map: "Mapping[str, str | Mapping[str, str]] | None" = None,
 ) -> str:
     """Validate + normalize connector options into the JSON config string.
 
@@ -97,13 +97,17 @@ def build_rest_config(
     (default 0) is the initial position.
 
     ``filter_param_map`` maps result-column names to server-side query
-    parameters the endpoint natively filters by (e.g. ``{"status":
-    "status"}`` for ``GET /items?status=open``).  When Catalyst pushes an
-    equality/IN predicate on a mapped column, the value is appended to
-    every request's query string so the server prunes records before they
-    cross the wire; Spark still re-evaluates the predicate post-scan, so
-    an endpoint that ignores the parameter stays correct (see
-    ``_RestPushdownReader.pushFilters``; requires
+    parameters the endpoint natively filters by.  A plain-string value
+    (``{"status": "status"}`` for ``GET /items?status=open``) pushes
+    equality only; to additionally push IN predicates the endpoint's
+    list convention must be declared explicitly with a dict spec —
+    ``{"kind": {"param": "kind", "in_delimiter": ","}}`` renders
+    ``kind=a,b,c`` (operands containing the delimiter are skipped).
+    When Catalyst pushes a predicate on a mapped column, the value is
+    appended to every request's query string so the server prunes records
+    before they cross the wire; Spark still re-evaluates the predicate
+    post-scan, so an endpoint that ignores the parameter stays correct
+    (see ``_RestPushdownReader.pushFilters``; requires
     ``spark.sql.python.filterPushdown.enabled=true``, set by
     ``create_session``)."""
     sources = [url] if isinstance(url, str) else list(url)
@@ -127,6 +131,15 @@ def build_rest_config(
                 raise ValueError("query pagination requires stop, max_pages, or values")
         elif mode not in ("response", "link"):
             raise ValueError(f"unsupported pagination mode {mode!r}")
+    if filter_param_map:
+        for col_name, spec in filter_param_map.items():
+            if isinstance(spec, str):
+                continue
+            if not isinstance(spec, Mapping) or not spec.get("param"):
+                raise ValueError(
+                    f"filter_param_map[{col_name!r}] must be a parameter name "
+                    "or a dict with 'param' (and optional 'in_delimiter')"
+                )
     if stream is not None:
         for key in ("offset_param", "limit_param", "total_field"):
             if not stream.get(key):
@@ -151,7 +164,14 @@ def build_rest_config(
         "infer_schema": infer_schema,
         "infer_sample_records": infer_sample_records,
         "stream": dict(stream) if stream else None,
-        "filter_param_map": dict(filter_param_map) if filter_param_map else None,
+        "filter_param_map": (
+            {
+                k: (dict(v) if isinstance(v, Mapping) else v)
+                for k, v in filter_param_map.items()
+            }
+            if filter_param_map
+            else None
+        ),
     }
     return json.dumps(cfg)
 
@@ -333,10 +353,16 @@ class _RestPartition(InputPartition):
 
 
 def _rest_param_value(value: Any) -> "str | None":
-    """Render one predicate operand as a query-string value (None = unpushable)."""
+    """Render one predicate operand as a query-string value (None = unpushable).
+
+    Floats are deliberately unpushable: ``str(1.0)`` renders ``"1.0"`` while
+    the endpoint may store/compare ``"1"`` — and because server-side filtering
+    is subtractive, a textual mismatch silently drops matching rows that
+    Spark's re-evaluation can never restore.
+    """
     if isinstance(value, bool):
         return "true" if value else "false"
-    if isinstance(value, (str, int, float)):
+    if isinstance(value, (str, int)):
         return str(value)
     return None
 
@@ -385,11 +411,18 @@ class _RestPushdownReader(_RestReader):
         pushed (the connector can't know which parameters an arbitrary
         endpoint filters by — the reference's config-static ``params``,
         ``rest_api.py:557-605``, is the same contract minus Catalyst
-        integration).  Equality renders as ``param=value``; IN renders as
-        the comma-joined ``param=a,b,c`` convention.  Every filter is
-        returned for Spark-side re-evaluation, so endpoints that ignore
-        unknown parameters still yield correct results — pushdown is a
-        transfer-volume optimization, never a correctness dependency.
+        integration).  By default only equality pushes (``param=value``):
+        IN would have to assume a server-side list convention (e.g.
+        comma-joined), and an endpoint that instead matches the literal
+        string ``"a,b,c"`` returns a subset Spark cannot recover — server
+        filtering is subtractive.  IN therefore requires an explicit
+        per-param opt-in declaring the endpoint's convention: a dict spec
+        ``{"param": "status", "in_delimiter": ","}``.  Operands containing
+        the declared delimiter are never pushed (they would be re-split
+        server-side).  Every filter is returned for Spark-side
+        re-evaluation, so endpoints that ignore unknown parameters still
+        yield correct results — pushdown is a transfer-volume
+        optimization, never a correctness dependency.
         """
         fmap = self.cfg.get("filter_param_map") or {}
         pushed: dict[str, str] = {}
@@ -397,14 +430,22 @@ class _RestPushdownReader(_RestReader):
             attr = getattr(f, "attribute", None)
             if not attr or len(attr) != 1 or attr[0] not in fmap:
                 continue
+            spec = fmap[attr[0]]
+            if isinstance(spec, str):
+                param, delim = spec, None
+            else:
+                param = spec.get("param")
+                delim = spec.get("in_delimiter")
+                if not param:
+                    continue
             if isinstance(f, EqualTo):
                 value = _rest_param_value(f.value)
-                if value is not None:
-                    pushed[fmap[attr[0]]] = value
-            elif isinstance(f, In):
+                if value is not None and (delim is None or delim not in value):
+                    pushed[param] = value
+            elif isinstance(f, In) and delim:
                 values = [_rest_param_value(v) for v in f.value]
-                if values and all(v is not None for v in values):
-                    pushed[fmap[attr[0]]] = ",".join(values)  # type: ignore[arg-type]
+                if values and all(v is not None and delim not in v for v in values):
+                    pushed[param] = delim.join(values)  # type: ignore[arg-type]
         if pushed:
             cfg = dict(self.cfg)
             cfg["params"] = {**(cfg.get("params") or {}), **pushed}

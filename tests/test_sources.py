@@ -197,7 +197,12 @@ def test_rest_filter_pushdown_appends_query_params(spark, mock_server):
     cfg = rest.build_rest_config(
         f"{mock_server.url}/items",
         records_field="data",
-        filter_param_map={"status": "status", "kind": "kind"},
+        # IN pushdown needs the endpoint's list convention declared
+        # explicitly; a plain-string spec pushes equality only
+        filter_param_map={
+            "status": "status",
+            "kind": {"param": "kind", "in_delimiter": ","},
+        },
     )
     df = spark.read.format(rest.FORMAT_NAME).option(rest.CONFIG_OPTION, cfg).load()
     from pyspark.sql import functions as F
@@ -214,6 +219,45 @@ def test_rest_filter_pushdown_appends_query_params(spark, mock_server):
     paths = [path for method, path, _ in mock_server.requests]
     assert any("status=open" in p and "kind=a%2Cc" in p for p in paths), paths
     assert all("id" not in p for p in paths)
+
+
+def test_rest_filter_pushdown_in_requires_optin_and_skips_hazards(spark, mock_server):
+    """IN without a declared delimiter must NOT reach the wire (an endpoint
+    matching the literal 'a,c' would subtractively drop rows); operands
+    containing the delimiter and float equality are likewise unpushable."""
+    records = [{"id": 1, "status": "open", "kind": "a,b", "score": 1.0}]
+    mock_server.route("GET", "/items", {"data": records})
+    rest.register(spark)
+    cfg = rest.build_rest_config(
+        f"{mock_server.url}/items",
+        records_field="data",
+        filter_param_map={
+            "status": "status",  # equality-only spec
+            "kind": {"param": "kind", "in_delimiter": ","},
+            "score": "score",
+        },
+    )
+    df = spark.read.format(rest.FORMAT_NAME).option(rest.CONFIG_OPTION, cfg).load()
+    from pyspark.sql import functions as F
+
+    out = df.filter(
+        F.col("status").isin("open", "held")  # IN on equality-only spec
+        & F.col("kind").isin("a,b", "x")  # operand contains the delimiter
+        & (F.col("score") == 1.0)  # float equality: str() mismatch hazard
+    ).collect()
+    assert [r["id"] for r in out] == [1]
+    paths = [path for method, path, _ in mock_server.requests]
+    assert all("status=" not in p for p in paths), paths
+    assert all("kind=" not in p for p in paths), paths
+    assert all("score=" not in p for p in paths), paths
+
+
+def test_rest_filter_param_map_rejects_bad_spec():
+    with pytest.raises(ValueError, match="filter_param_map"):
+        rest.build_rest_config(
+            "http://example.com/items",
+            filter_param_map={"kind": {"in_delimiter": ","}},  # missing 'param'
+        )
 
 
 def test_rest_filter_pushdown_requires_declared_map(spark, mock_server):
@@ -467,7 +511,15 @@ def test_qdrant_condition_translation_unit():
         "key": "score",
         "range": {"lte": 2.5},
     }
-    assert cond(IsNull(("payload", "score"))) == {"is_null": {"key": "score"}}
+    from pyspark.sql.datasource import IsNotNull
+
+    # IsNotNull pushes as a safe superset (must_not is_null keeps key-absent
+    # points for Spark's re-filter); IsNull must NOT push — Qdrant's is_null
+    # misses key-absent points and server filtering is subtractive.
+    assert cond(IsNotNull(("payload", "score"))) == {
+        "must_not": [{"is_null": {"key": "score"}}]
+    }
+    assert cond(IsNull(("payload", "score"))) is None
     # unpushable: float equality, string range, non-payload column,
     # id range, unsupported operator class
     assert cond(EqualTo(("payload", "score"), 1.5)) is None

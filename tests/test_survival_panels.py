@@ -98,3 +98,34 @@ def test_attach_scalar_panel_rejects_multi_row(spark):
         attach_scalar_panel(df, df.groupBy("id").count())  # grouped agg: N rows
     # explicit opt-out still works (caller owns the guarantee)
     assert attach_scalar_panel(df, spark.range(1), validate=False).count() == 5
+
+
+def test_attach_scalar_panel_degrades_when_uninspectable(spark, monkeypatch):
+    """Spark Connect has no _jdf handle, and py4j drift can break the plan
+    walker — validation must degrade to a RuntimeWarning, not fail a query
+    that is correct as a plain broadcast crossJoin (round-6 ADVICE)."""
+    from spark_fuse_spark.operators import panels
+
+    df = spark.range(5)
+    # even a MULTI-row panel passes when inspection is unavailable — the
+    # caller owns the guarantee, exactly like validate=False
+    panel = df.agg(F.max("id").alias("mx"))
+
+    monkeypatch.setattr(panels, "_plan_handle", lambda _p: None)
+    with pytest.warns(RuntimeWarning, match="Spark Connect"):
+        out = attach_scalar_panel(df, panel)
+    assert out.count() == 5
+    monkeypatch.undo()
+
+    def _boom(_jplan):
+        raise RuntimeError("py4j drift")
+
+    monkeypatch.setattr(panels, "_yields_at_most_one_row", _boom)
+    with pytest.warns(RuntimeWarning, match="could not inspect"):
+        out = attach_scalar_panel(df, panel)
+    assert out.count() == 5
+    monkeypatch.undo()
+
+    # with inspection intact, the multi-row rejection still hard-fails
+    with pytest.raises(ValueError, match="single-row panel"):
+        attach_scalar_panel(df, spark.range(3))
