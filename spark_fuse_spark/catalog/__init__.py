@@ -184,7 +184,10 @@ def load_all() -> dict[str, QuerySpec]:
         pipeline,
         curation,
         scale_ops,
-        stats_graph,
+        stats_tests,
+        graph_queries,
+        experimentation,
+        econometrics,
         geo,
     )
 

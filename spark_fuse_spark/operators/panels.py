@@ -20,10 +20,11 @@ code complies by construction.
 from __future__ import annotations
 
 import warnings
+from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["scalar_panel", "attach_scalar_panel"]
+__all__ = ["scalar_panel", "attach_scalar_panel", "prefix_panel"]
 
 # unary nodes that preserve "at most one row" from their child
 _PASSTHROUGH = {"Project", "SubqueryAlias", "Filter", "Sort", "ResolvedHint"}
@@ -114,3 +115,67 @@ def attach_scalar_panel(
                 "or pass validate=False if you own the 1-row guarantee."
             )
     return df.crossJoin(F.broadcast(panel))
+
+
+def prefix_panel(
+    df: DataFrame, cols: Sequence[str], sums: Sequence[str], *, list_col: str = "l"
+) -> DataFrame:
+    """One-row panel: sorted cell list + exact inclusive prefix-sum arrays.
+
+    The stats/econometrics catalog's recurring two-phase prefix idiom
+    (``q_gains_table``, ``q_isotonic_calibration``,
+    ``q_revenue_concentration``, ``q_weighted_deciles``): collapse a
+    BOUNDED set of cells into one row, sort it, and fold running sums so
+    downstream closed-form math (NTILE tiles, PAVA blocks, Lorenz/Gini
+    shares) reads prefix totals by index instead of re-scanning the
+    corpus or opening an unpartitioned window.
+
+    ``cols`` are the cell fields — ``sort_array`` orders by struct-field
+    position, so list ``cols`` with the sort key(s) first.  ``sums``
+    names the integer fields to prefix-fold.  Output columns:
+
+    * ``list_col``  — ``array<struct<cols...>>``, ascending;
+    * ``pre_<f>``   — ``array<long>``, the INCLUSIVE left-to-right
+      prefix sums of field ``f`` (``pre_f[i] = Σ_{j<=i} l[j].f``);
+    * ``tot_<f>``   — ``long``, the grand total (last prefix, 0 when
+      the frame is empty).
+
+    Determinism/overflow discipline, pinned here once for every call
+    site: the fold accumulator initializes as ``long`` so int cells
+    widen BEFORE any addition, and the fold is a single left-to-right
+    O(B) pass — exact integer arithmetic, no float order sensitivity,
+    no O(B^2) slice-re-aggregation.  The result is a 1-row panel in the
+    :func:`attach_scalar_panel` sense; the panel never sees corpus rows,
+    only the pre-aggregated cells (keep B bounded — a few hundred cells,
+    not a per-row list).
+    """
+    panel = df.agg(F.sort_array(F.collect_list(F.struct(*cols))).alias(list_col))
+
+    def _merge(f: str):
+        # closure factory, NOT a default-arg capture: a third parameter
+        # would make pyspark bind this as a 3-arg (value, index) lambda
+        return lambda acc, x: F.struct(
+            F.concat(acc["arr"], F.array(acc["run"] + x[f])).alias("arr"),
+            (acc["run"] + x[f]).alias("run"),
+        )
+
+    pre_cols = [
+        F.aggregate(
+            F.col(list_col),
+            F.struct(
+                F.array().cast("array<long>").alias("arr"),
+                F.lit(0).cast("long").alias("run"),
+            ),
+            _merge(f),
+            lambda acc: acc["arr"],
+        ).alias(f"pre_{f}")
+        for f in sums
+    ]
+    panel = panel.select(F.col(list_col), *pre_cols)
+    tot_cols = [
+        F.coalesce(
+            F.try_element_at(F.col(f"pre_{f}"), F.lit(-1)), F.lit(0).cast("long")
+        ).alias(f"tot_{f}")
+        for f in sums
+    ]
+    return panel.select("*", *tot_cols)

@@ -19,7 +19,7 @@ stream state at ``depth*width`` counters per open window.
 
 Used by the ``x_count_min_sketch`` catalog query (reference-free
 extension; the sketch family sibling of the portable HLL in
-``catalog/stats_graph.py``) and its streaming twin.
+``catalog/graph_queries.py``) and its streaming twin.
 """
 
 from __future__ import annotations

@@ -2,7 +2,7 @@
 closed-form parametric (Weibull) fits over them.
 
 Promoted from the catalog (``e_survival_curve`` / ``e_weibull_fit``,
-``catalog/stats_graph.py``) so pipelines can run churn/retention/
+``catalog/experimentation.py``) so pipelines can run churn/retention/
 reliability analysis on their own subject tables; the catalog queries are
 now thin wrappers and their DuckDB-oracle hashes pin these
 implementations bit-for-bit.

@@ -366,11 +366,13 @@ CONTRACTS = {
     # only sort the checkpointed scored pairs
     "d_minhash_bbit": PlanExpectation(max_exchanges=1),
     # Lorenz deciles: two-phase prefix rank (range partition + local
-    # windows + bounded offsets broadcast) + 10-row triangular self-join;
-    # static explain re-counts the spend rollup under the rank/panel/
-    # decile branches (runtime exchange reuse collapses them)
+    # windows + bounded offsets broadcast); the cumulative step is now the
+    # 10-cell prefix_panel fold (round 7) — the triangular decile
+    # self-join and its BroadcastHashJoin are gone; static explain
+    # re-counts the spend rollup under the rank/panel/decile branches
+    # (runtime exchange reuse collapses them)
     "q_revenue_concentration": PlanExpectation(
-        min_broadcast_joins=2, require_partial_agg=True, max_exchanges=58
+        min_broadcast_joins=1, require_partial_agg=True, max_exchanges=58
     ),
     # Poisson bootstrap: x32 posexplode partial-aggregates map-side into
     # the (priority, replicate) shuffle; point-estimate branch + broadcast

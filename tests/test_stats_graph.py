@@ -179,7 +179,7 @@ def test_bq_topk_recall_floor_vs_exact(spark):
 
 def test_bootstrap_thresholds_are_poisson_cdf():
     """The integer weight thresholds are exactly floor(CDF_Poisson(1)(k) * 2^60)."""
-    from spark_fuse_spark.catalog.stats_graph import _POIS_T
+    from spark_fuse_spark.catalog.experimentation import _POIS_T
 
     e, cdf, fact = math.exp(-1), 0.0, 1
     for k, t in enumerate(_POIS_T):
@@ -709,7 +709,7 @@ def test_adamic_adar_matches_python_brute_force(spark):
     degree cap and the micro-unit quantization)."""
     from collections import defaultdict
 
-    from spark_fuse_spark.catalog.stats_graph import (
+    from spark_fuse_spark.catalog.graph_queries import (
         _AA_DEG_CAP,
         _AA_TOPK,
         _copurchase_edges,

@@ -220,3 +220,56 @@ def test_mutual_knn_graph_equals_python_bruteforce(spark, data):
             mutual = any(jj == i for jj, _ in knn.get(j, []))
             expected[(i, j)] = (c, rank, mutual)
     assert got == expected
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    parts=hst.lists(
+        hst.tuples(
+            hst.sampled_from(["B1", "B2"]),  # brand
+            hst.integers(1, 6),  # price half-units (exact doubles)
+            hst.integers(1, 5),  # size
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_pareto_frontier_equals_bruteforce_dominance(spark, parts):
+    """The brand-partitioned running-MAX(size) sweep in q_pareto_frontier
+    equals the quadratic NOT-EXISTS dominance definition (Borzsony-
+    Kossmann-Stocker 2001) on random frames — the DuckDB oracle replays
+    the same sweep formulation, so cross-engine parity alone proves the
+    rewrite on both engines, not the rewrite against the definition
+    (round-6 verdict #3; precedent: triangle-count brute force above).
+    Duplicate (brand, price, size) cells are generated on purpose: they
+    must collapse into one cell and survive or fall together."""
+    rows = [
+        (b, float(p) / 2.0, s, 1000 + i) for i, (b, p, s) in enumerate(parts)
+    ]
+    df = spark.createDataFrame(
+        rows, "p_brand string, p_retailprice double, p_size int, p_partkey long"
+    )
+    # quadratic dominance brute force over distinct (brand, price, size) cells
+    cells = {}
+    for b, p, s, pk in rows:
+        n, mpk = cells.get((b, p, s), (0, pk))
+        cells[(b, p, s)] = (n + 1, min(mpk, pk))
+    expected = set()
+    for (b, p, s), (n, mpk) in cells.items():
+        dominated = any(
+            b2 == b and p2 <= p and s2 >= s and (p2 < p or s2 > s)
+            for (b2, p2, s2) in cells
+        )
+        if not dominated:
+            expected.add((b, p, s, n, mpk))
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/part.parquet")
+        got = {
+            (r.p_brand, r.price, r.size, r.n_parts, r.min_partkey)
+            for r in load_all()["q_pareto_frontier"].spark(spark, d).collect()
+        }
+    assert got == expected

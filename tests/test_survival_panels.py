@@ -129,3 +129,35 @@ def test_attach_scalar_panel_degrades_when_uninspectable(spark, monkeypatch):
     # with inspection intact, the multi-row rejection still hard-fails
     with pytest.raises(ValueError, match="single-row panel"):
         attach_scalar_panel(df, spark.range(3))
+
+
+# ------------------------------------------------------------ prefix_panel
+def test_prefix_panel_values_and_types(spark):
+    from spark_fuse_spark.operators.panels import prefix_panel
+
+    df = spark.createDataFrame(
+        [(3, 10, 1), (1, 5, 0), (2, 7, 2)], "k int, n int, pos int"
+    )
+    row = prefix_panel(df, ["k", "n", "pos"], ["n", "pos"]).collect()[0]
+    assert [c["k"] for c in row.l] == [1, 2, 3]  # sorted by first field
+    assert row.pre_n == [5, 12, 22]  # inclusive left-to-right prefixes
+    assert row.pre_pos == [0, 2, 3]
+    assert row.tot_n == 22 and row.tot_pos == 3
+    # overflow-widening discipline: int cells fold in long space
+    schema = prefix_panel(df, ["k", "n"], ["n"]).schema
+    assert schema["pre_n"].dataType.simpleString() == "array<bigint>"
+    assert schema["tot_n"].dataType.simpleString() == "bigint"
+
+
+def test_prefix_panel_empty_and_long_overflow(spark):
+    from spark_fuse_spark.operators.panels import prefix_panel
+
+    empty = spark.createDataFrame([], "k int, n int")
+    row = prefix_panel(empty, ["k", "n"], ["n"]).collect()[0]
+    assert row.l == [] and row.pre_n == [] and row.tot_n == 0
+    # int cells that sum past 2^31 must not wrap (the widening pin)
+    big = spark.createDataFrame(
+        [(i, 2_000_000_000) for i in range(3)], "k int, n int"
+    )
+    row = prefix_panel(big, ["k", "n"], ["n"]).collect()[0]
+    assert row.tot_n == 6_000_000_000
