@@ -193,6 +193,19 @@ HEADLINE = [
     "q_isotonic_calibration",
     "e_diff_in_diff",
     "q_gains_table",
+    # round-7 additions: the Pareto skyline sweep (floored per verdict #2)
+    # plus the eight new queries — agreement/association/rate tests,
+    # market concentration, readability, embedding drift, VAD islands,
+    # and the k-truss peel
+    "q_pareto_frontier",
+    "q_cohens_kappa",
+    "q_kendall_tau",
+    "q_poisson_rate_test",
+    "q_hhi_concentration",
+    "t_readability",
+    "v_embedding_drift",
+    "m_vad_segments",
+    "x_ktruss",
 ]
 
 

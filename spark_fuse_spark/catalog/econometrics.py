@@ -1070,3 +1070,83 @@ def q_pareto_frontier(spark: SparkSession, sf: str) -> DataFrame:
         .select("p_brand", "price", "size", "n_parts", "min_partkey")
         .orderBy("p_brand", "price", "size")
     )
+
+
+# --------------------------------------------- market concentration (HHI)
+@register(
+    "q_hhi_concentration",
+    oracle="""
+WITH spend AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey AS firm,
+         CAST(SUM(ROUND(o.o_totalprice * 100)) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT segment, cents,
+         ROW_NUMBER() OVER (PARTITION BY segment
+                            ORDER BY cents DESC, firm) AS rk
+  FROM spend),
+agg AS (
+  SELECT segment,
+         CAST(COUNT(*) AS BIGINT) AS n_firms,
+         CAST(SUM(cents) AS BIGINT) AS total_cents,
+         SUM(CAST(cents AS HUGEINT) * cents) AS sumsq,
+         CAST(SUM(CASE WHEN rk <= 4 THEN cents ELSE 0 END) AS BIGINT) AS top4_cents
+  FROM ranked GROUP BY segment)
+SELECT segment, n_firms, total_cents,
+       ROUND(CAST(sumsq AS DOUBLE)
+             / CAST(CAST(total_cents AS HUGEINT) * total_cents AS DOUBLE), 6) AS hhi,
+       ROUND(CAST(CAST(total_cents AS HUGEINT) * total_cents AS DOUBLE)
+             / CAST(sumsq AS DOUBLE), 4) AS effective_n,
+       ROUND(top4_cents * 1.0 / total_cents, 6) AS cr4
+FROM agg
+ORDER BY segment
+""",
+    doc="market-concentration panel per market segment: Herfindahl-"
+    "Hirschman index, effective competitor count (1/HHI, the "
+    "'numbers-equivalent' of Adelman 1969), and the CR4 top-4 "
+    "concentration ratio — the antitrust/marketplace-health readout "
+    "over customer spend shares.  Exactness: HHI's Σ share² is NOT "
+    "computed as a float sum of squared shares (order-dependent); both "
+    "engines compute Σ cents² / (Σ cents)² with the numerator summed "
+    "in decimal/HUGEINT space (a firm's squared cents already "
+    "overflows int64 at scale), then ONE double division rounded at "
+    "the end.  Scale: one (segment, firm) partial-agg'd shuffle, a "
+    "segment-partitioned rank window for CR4, then a segment-keyed "
+    "reduce — no global sort, no self-join.",
+)
+def q_hhi_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    spend = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            o.o_custkey == c.c_custkey,
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"), F.col("o_custkey").alias("firm")
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("cents"))
+    )
+    w = Window.partitionBy("segment").orderBy(F.col("cents").desc(), "firm")
+    ranked = spend.select("segment", "cents", F.row_number().over(w).alias("rk"))
+    dec = F.col("cents").cast("decimal(38,0)")
+    agg = ranked.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_firms"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum(dec * F.col("cents")).alias("sumsq"),
+        F.sum(F.when(F.col("rk") <= 4, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("top4_cents"),
+    )
+    totsq = (F.col("total_cents").cast("decimal(38,0)") * F.col("total_cents")).cast(
+        "double"
+    )
+    return agg.select(
+        "segment",
+        "n_firms",
+        "total_cents",
+        F.round(F.col("sumsq").cast("double") / totsq, 6).alias("hhi"),
+        F.round(totsq / F.col("sumsq").cast("double"), 4).alias("effective_n"),
+        F.round(F.col("top4_cents") * 1.0 / F.col("total_cents"), 6).alias("cr4"),
+    ).orderBy("segment")

@@ -1627,3 +1627,99 @@ def x_hll_portable(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------- k-truss peel
+_KTRUSS_K = 4  # every surviving edge sits in >= k-2 = 2 triangles
+_KTRUSS_ROUNDS = 3
+
+
+def _ktruss_round_sql(prev: str, cur: str) -> str:
+    # AS MATERIALIZED for the same exponential-inlining reason as
+    # _kcore_round_sql: each round reads the previous alive set three
+    # times (the edge stream + both wedge arms)
+    return (
+        f"und_{cur} AS MATERIALIZED (SELECT u AS a, v AS b FROM {prev} "
+        f"UNION ALL SELECT v AS a, u AS b FROM {prev}), "
+        f"{cur} AS MATERIALIZED (SELECT e.u, e.v FROM {prev} e "
+        f"JOIN und_{cur} n1 ON n1.a = e.u "
+        f"JOIN und_{cur} n2 ON n2.a = e.v AND n2.b = n1.b "
+        f"GROUP BY e.u, e.v HAVING COUNT(*) >= {_KTRUSS_K - 2})"
+    )
+
+
+@register(
+    "x_ktruss",
+    oracle=f"""
+WITH {_EDGES_CTE},
+t0 AS MATERIALIZED (SELECT u, v FROM edges),
+{_ktruss_round_sql('t0', 't1')},
+{_ktruss_round_sql('t1', 't2')},
+{_ktruss_round_sql('t2', 't3')}
+SELECT CAST((SELECT COUNT(*) FROM t3) AS BIGINT) AS n_edges,
+       CAST((SELECT COALESCE(SUM(u * 31 + v), 0) FROM t3) AS BIGINT)
+         AS edge_checksum,
+       CAST((SELECT COUNT(DISTINCT node) FROM
+              (SELECT u AS node FROM t3 UNION SELECT v FROM t3) __n) AS BIGINT)
+         AS n_nodes,
+       (SELECT COUNT(*) FROM t3) = (SELECT COUNT(*) FROM t2) AS converged
+""",
+    doc=f"{_KTRUSS_K}-truss of the co-purchase graph by "
+    f"{_KTRUSS_ROUNDS}-round support peeling (Cohen 2008): each round "
+    "keeps edges whose endpoints share >= k-2 common neighbors among "
+    "the SURVIVING edges — the cohesive-subgraph mining step denser "
+    "than k-core (every k-truss edge set is inside the (k-1)-core, "
+    "but not vice versa).  Support is the wedge-closing join (edge "
+    "(u,v) x undirected adjacency at u x adjacency at v on a shared "
+    "third endpoint), the same shape as x_triangle_count's closing "
+    "join; both engines run the identical FIXED round count with the "
+    "chained-MATERIALIZED oracle replaying each peel, and `converged` "
+    "certifies whether the last round was a fixpoint — honest "
+    "bounded-round semantics like x_kcore.  Scale: per round, one "
+    "equi-join-driven support count over the alive edge list with "
+    "localCheckpoint lineage truncation; at 100x you'd add degree "
+    "orientation to the wedge arms (the x_triangle_count trick) — the "
+    "round structure is unchanged.",
+)
+def x_ktruss(spark: SparkSession, sf: str) -> DataFrame:
+    alive = _copurchase_edges(spark, sf)  # (u, v), u < v, checkpointed
+    prev_df = None
+    for _ in range(_KTRUSS_ROUNDS):
+        prev_df = alive
+        und = (
+            alive.select(F.col("u").alias("a"), F.col("v").alias("b"))
+            .unionAll(alive.select(F.col("v").alias("a"), F.col("u").alias("b")))
+            .localCheckpoint()
+        )
+        n1 = und.select(F.col("a").alias("a1"), F.col("b").alias("w"))
+        n2 = und.select(F.col("a").alias("a2"), F.col("b").alias("w"))
+        alive = (
+            alive.join(n1, alive.u == n1.a1)
+            .join(n2, (alive.v == n2.a2) & (n1.w == n2.w))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("supp"))
+            .where(F.col("supp") >= _KTRUSS_K - 2)
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    nodes = alive.select(F.col("u").alias("node")).union(
+        alive.select(F.col("v").alias("node"))
+    )
+    stat = alive.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.coalesce(F.sum(F.col("u") * 31 + F.col("v")), F.lit(0))
+        .cast("long")
+        .alias("edge_checksum"),
+    )
+    nn = nodes.agg(F.countDistinct("node").cast("long").alias("n_nodes"))
+    prev_count = prev_df.agg(F.count(F.lit(1)).alias("n_prev"))
+    return (
+        stat.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(prev_count))
+        .select(
+            "n_edges",
+            "edge_checksum",
+            "n_nodes",
+            (F.col("n_edges") == F.col("n_prev")).alias("converged"),
+        )
+    )

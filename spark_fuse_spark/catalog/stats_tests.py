@@ -2212,3 +2212,277 @@ def q_isotonic_calibration(spark: SparkSession, sf: str) -> DataFrame:
         ),
         F.round(F.col("r.fit"), 6).alias("iso_rate"),
     ).orderBy("quantity")
+
+
+# --------------------------------------------- Cohen's kappa agreement
+@register(
+    "q_cohens_kappa",
+    oracle="""
+WITH r AS (
+  SELECT CASE WHEN n_chars < 250 THEN 'short'
+              WHEN n_chars < 400 THEN 'mid' ELSE 'long' END AS ra,
+         CASE WHEN length(text) - length(replace(text, ' ', '')) + 1 < 42 THEN 'short'
+              WHEN length(text) - length(replace(text, ' ', '')) + 1 < 66 THEN 'mid'
+              ELSE 'long' END AS rb
+  FROM documents),
+cells AS (SELECT ra, rb, CAST(COUNT(*) AS BIGINT) AS c FROM r GROUP BY ra, rb),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN ra = rb THEN c ELSE 0 END) AS BIGINT) AS agree
+        FROM cells),
+ma AS (SELECT ra AS cls, CAST(SUM(c) AS BIGINT) AS na FROM cells GROUP BY ra),
+mb AS (SELECT rb AS cls, CAST(SUM(c) AS BIGINT) AS nb FROM cells GROUP BY rb),
+pe AS (SELECT CAST(SUM(ma.na * mb.nb) AS BIGINT) AS chance_pairs
+       FROM ma JOIN mb ON ma.cls = mb.cls)
+SELECT t.n, t.agree,
+       ROUND(t.agree * 1.0 / t.n, 6) AS po,
+       ROUND(p.chance_pairs * 1.0 / (t.n * t.n), 6) AS pe,
+       ROUND((t.agree * 1.0 / t.n - p.chance_pairs * 1.0 / (t.n * t.n))
+             / (1.0 - p.chance_pairs * 1.0 / (t.n * t.n)), 6) AS kappa
+FROM tot t CROSS JOIN pe p
+""",
+    doc="Cohen's kappa inter-rater agreement (Cohen 1960) between two "
+    "deterministic document labelers — the chars-based length bucket vs "
+    "the whitespace-token bucket (the label-QA shape: how much do two "
+    "heuristic annotators agree beyond chance before you trust either "
+    "for training labels?).  All contingency machinery is exact "
+    "bigints (diagonal count, marginal products); po/pe/kappa are "
+    "single IEEE divisions rounded at the end, so both engines agree "
+    "bit-for-bit.  Scale: one corpus-keyed aggregate to <=9 cells, "
+    "then 3-row broadcast marginal joins — corpus never re-scanned.",
+)
+def q_cohens_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    words = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    r = d.select(
+        F.when(F.col("n_chars") < 250, "short")
+        .when(F.col("n_chars") < 400, "mid")
+        .otherwise("long")
+        .alias("ra"),
+        F.when(words < 42, "short").when(words < 66, "mid").otherwise("long").alias("rb"),
+    )
+    cells = r.groupBy("ra", "rb").agg(F.count(F.lit(1)).alias("c"))
+    tot = cells.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("ra") == F.col("rb"), F.col("c")).otherwise(0)).alias(
+            "agree"
+        ),
+    )
+    ma = cells.groupBy(F.col("ra").alias("cls")).agg(F.sum("c").alias("na"))
+    mb = cells.groupBy(F.col("rb").alias("cls")).agg(F.sum("c").alias("nb"))
+    pe = (
+        ma.join(F.broadcast(mb), "cls")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("chance_pairs"))
+    )
+    po_c = F.col("agree") * 1.0 / F.col("n")
+    pe_c = F.col("chance_pairs") * 1.0 / (F.col("n") * F.col("n"))
+    return (
+        tot.crossJoin(F.broadcast(pe))
+        .select(
+            "n",
+            "agree",
+            F.round(po_c, 6).alias("po"),
+            F.round(pe_c, 6).alias("pe"),
+            F.round((po_c - pe_c) / (F.lit(1.0) - pe_c), 6).alias("kappa"),
+        )
+    )
+
+
+# --------------------------------------------- Kendall tau-b rank correlation
+@register(
+    "q_kendall_tau",
+    oracle="""
+WITH cells AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS m,
+         CAST(SUM(ROUND(o_totalprice * 100)) AS BIGINT) AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM orders GROUP BY 1),
+pairs AS (
+  SELECT CAST(SUM(CASE WHEN (a.x < b.x AND a.y < b.y)
+                         OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN (a.x < b.x AND a.y > b.y)
+                         OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+         CAST(SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+         CAST(COUNT(*) AS BIGINT) AS n0
+  FROM cells a JOIN cells b ON a.m < b.m)
+SELECT n0, c AS concordant, d AS discordant, tx AS ties_x, ty AS ties_y,
+       ROUND((c - d) / (SQRT(CAST(n0 - tx AS DOUBLE)) * SQRT(CAST(n0 - ty AS DOUBLE))), 6)
+         AS tau_b
+FROM pairs
+""",
+    doc="Kendall tau-b rank correlation (Kendall 1938; tau-b tie "
+    "correction) between monthly revenue and monthly order count — the "
+    "monotone-association test you reach for when Pearson (q_corr_matrix) "
+    "is distorted by outliers and Theil-Sen (q_theil_sen) answers slope, "
+    "not association strength.  The orders table reduces to <=B monthly "
+    "cells (one partial-agg'd shuffle); the O(B^2) pair sweep then runs "
+    "as a LEFT-TO-RIGHT nested fold inside a 1-row panel — exact integer "
+    "concordant/discordant/tie counts, one IEEE sqrt at the end — while "
+    "the DuckDB oracle keeps the natural quadratic self-join "
+    "formulation, so agreement is a genuine two-formulation proof.  "
+    "Scale: the corpus never sees the quadratic term; B months bound "
+    "the panel regardless of order count (B=80 at sf0.1 -> 3160 pairs "
+    "in one row).",
+)
+def q_kendall_tau(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.panels import prefix_panel
+
+    o = load_table(spark, sf, "orders")
+    cells = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("m")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("x"),
+        F.count(F.lit(1)).alias("y"),
+    )
+    pan = prefix_panel(cells, ["m", "x", "y"], [])
+
+    def pair_count(cond):
+        # Σ_{i<j} [cond(l[i], l[j])] — left-to-right over the sorted cells
+        return F.aggregate(
+            F.sequence(F.lit(1), F.size("l") - 1),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.aggregate(
+                F.sequence(i + 1, F.size("l")),
+                F.lit(0).cast("long"),
+                lambda a, j: a
+                + F.when(
+                    cond(F.element_at(F.col("l"), i), F.element_at(F.col("l"), j)),
+                    F.lit(1),
+                ).otherwise(F.lit(0)),
+            ),
+        )
+
+    stat = pan.select(
+        (F.size("l").cast("long") * (F.size("l") - 1) / 2).cast("long").alias("n0"),
+        pair_count(
+            lambda a, b: ((a["x"] < b["x"]) & (a["y"] < b["y"]))
+            | ((a["x"] > b["x"]) & (a["y"] > b["y"]))
+        ).alias("concordant"),
+        pair_count(
+            lambda a, b: ((a["x"] < b["x"]) & (a["y"] > b["y"]))
+            | ((a["x"] > b["x"]) & (a["y"] < b["y"]))
+        ).alias("discordant"),
+        pair_count(lambda a, b: a["x"] == b["x"]).alias("ties_x"),
+        pair_count(lambda a, b: a["y"] == b["y"]).alias("ties_y"),
+    )
+    return stat.select(
+        "n0",
+        "concordant",
+        "discordant",
+        "ties_x",
+        "ties_y",
+        F.round(
+            (F.col("concordant") - F.col("discordant"))
+            / (
+                F.sqrt((F.col("n0") - F.col("ties_x")).cast("double"))
+                * F.sqrt((F.col("n0") - F.col("ties_y")).cast("double"))
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+# --------------------------------------------- two-sample Poisson rate test
+@register(
+    "q_poisson_rate_test",
+    oracle=f"""
+WITH b AS (
+  SELECT CASE WHEN ISODOW(ts) <= 5 THEN 'weekday' ELSE 'weekend' END AS bucket,
+         CAST(ts AS DATE) AS d,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+  FROM events),
+agg AS (
+  SELECT bucket, CAST(SUM(hit) AS BIGINT) AS k,
+         CAST(COUNT(DISTINCT d) AS BIGINT) AS days
+  FROM b GROUP BY bucket),
+w AS (SELECT
+        MAX(CASE WHEN bucket = 'weekday' THEN k END) AS k1,
+        MAX(CASE WHEN bucket = 'weekday' THEN days END) AS t1,
+        MAX(CASE WHEN bucket = 'weekend' THEN k END) AS k2,
+        MAX(CASE WHEN bucket = 'weekend' THEN days END) AS t2
+      FROM agg),
+z AS (SELECT k1, t1, k2, t2,
+             (k1 * 1.0 / t1 - k2 * 1.0 / t2)
+             / SQRT(k1 * 1.0 / (t1 * t1) + k2 * 1.0 / (t2 * t2)) AS z_raw
+      FROM w)
+SELECT k1, t1, k2, t2,
+       FLOOR((k1 * 1.0 / t1) * 10000 + 0.5) / 10000 AS rate_weekday,
+       FLOOR((k2 * 1.0 / t2) * 10000 + 0.5) / 10000 AS rate_weekend,
+       FLOOR(z_raw * 10000 + 0.5) / 10000 AS z_score,
+       FLOOR({{erfc}} * 1000000 + 0.5) / 1000000 AS p_two_sided
+FROM z
+""".replace("{erfc}", _ERFC_SQL.format(az="ABS(z_raw)")),
+    doc="two-sample Poisson rate z-test (the unconditional Wald form, "
+    "e.g. Krishnamoorthy & Thomson 2004): do purchases arrive at a "
+    "different per-day rate on weekdays vs weekends?  Exposure is the "
+    "observed distinct-day count per bucket (no calendar assumption), "
+    "counts are exact bigints, and the two-sided p reuses the A&S "
+    "7.1.25 rational erfc — the SAME documented approximation, written "
+    "in the same fold order, as q_mann_whitney/q_fdr_bh, so both "
+    "engines produce identical IEEE doubles.  Scale: one event-scan "
+    "partial aggregate to two (bucket) cells; everything after is "
+    "1-row arithmetic.",
+)
+def q_poisson_rate_test(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    b = ev.select(
+        F.when(F.dayofweek("ts").isin(2, 3, 4, 5, 6), "weekday")
+        .otherwise("weekend")
+        .alias("bucket"),
+        F.to_date("ts").alias("d"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("hit"),
+    )
+    agg = b.groupBy("bucket").agg(
+        F.sum("hit").cast("long").alias("k"),
+        F.countDistinct("d").cast("long").alias("days"),
+    )
+    w = agg.agg(
+        F.max(F.when(F.col("bucket") == "weekday", F.col("k"))).alias("k1"),
+        F.max(F.when(F.col("bucket") == "weekday", F.col("days"))).alias("t1"),
+        F.max(F.when(F.col("bucket") == "weekend", F.col("k"))).alias("k2"),
+        F.max(F.when(F.col("bucket") == "weekend", F.col("days"))).alias("t2"),
+    )
+    r1 = F.col("k1") * 1.0 / F.col("t1")
+    r2 = F.col("k2") * 1.0 / F.col("t2")
+    z = w.select(
+        "k1",
+        "t1",
+        "k2",
+        "t2",
+        (
+            (r1 - r2)
+            / F.sqrt(
+                F.col("k1") * 1.0 / (F.col("t1") * F.col("t1"))
+                + F.col("k2") * 1.0 / (F.col("t2") * F.col("t2"))
+            )
+        ).alias("z_raw"),
+    )
+    az = F.abs(F.col("z_raw"))
+    s2 = F.sqrt(F.lit(2.0))
+    denom = (
+        1
+        + 0.278393 * az / s2
+        + 0.230389 * az * az / 2
+        + 0.000972 * F.pow(az / s2, 3)
+        + 0.078108 * F.pow(az / s2, 4)
+    )
+    return z.select(
+        "k1",
+        "t1",
+        "k2",
+        "t2",
+        (F.floor((F.col("k1") * 1.0 / F.col("t1")) * 10000 + 0.5) / 10000).alias(
+            "rate_weekday"
+        ),
+        (F.floor((F.col("k2") * 1.0 / F.col("t2")) * 10000 + 0.5) / 10000).alias(
+            "rate_weekend"
+        ),
+        (F.floor(F.col("z_raw") * 10000 + 0.5) / 10000).alias("z_score"),
+        (F.floor((1 / F.pow(denom, 4)) * 1000000 + 0.5) / 1000000).alias(
+            "p_two_sided"
+        ),
+    )

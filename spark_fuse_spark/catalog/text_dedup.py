@@ -2158,3 +2158,72 @@ def t_keyword_rake(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("rank") <= _RAKE_TOPK)
         .orderBy("doc_id", "rank")
     )
+
+
+# --------------------------------------------- readability (Flesch family)
+@register(
+    "t_readability",
+    oracle="""
+WITH d AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS w,
+         CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS s,
+         CAST(GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')),
+                       len(regexp_extract_all(text, '[^ ]+'))) AS BIGINT) AS sy
+  FROM documents),
+agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(w) AS BIGINT) AS words,
+         CAST(SUM(s) AS BIGINT) AS sentences,
+         CAST(SUM(sy) AS BIGINT) AS syllables
+  FROM d GROUP BY source)
+SELECT source, n_docs, words, sentences, syllables,
+       ROUND(206.835 - 1.015 * (words * 1.0 / sentences)
+             - 84.6 * (syllables * 1.0 / words), 4) AS flesch_ease,
+       ROUND(0.39 * (words * 1.0 / sentences)
+             + 11.8 * (syllables * 1.0 / words) - 15.59, 4) AS fk_grade
+FROM agg
+ORDER BY source
+""",
+    doc="readability scoring per corpus source (Flesch 1948 reading "
+    "ease + Flesch-Kincaid grade, Kincaid et al. 1975) with the "
+    "classic deterministic syllable heuristic: a syllable is a maximal "
+    "vowel group ([aeiouy]+), clamped to >= the word count (every word "
+    "carries at least one syllable) — the quality-binning signal "
+    "training-data pipelines use to stratify corpora by difficulty.  "
+    "All three counters are per-doc exact bigints (regexp match "
+    "counts, identical RE classes on both engines) summed per source; "
+    "the two formulas are single IEEE expressions rounded at the end.  "
+    "Scale: one document scan, one source-keyed partial aggregate — "
+    "no UDF, the regexp machinery runs in whole-stage codegen.",
+)
+def t_readability(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    w = F.regexp_count(F.col("text"), F.lit(r"[^ ]+")).cast("long")
+    s = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")).cast("long"), F.lit(1).cast("long")
+    )
+    sy = F.greatest(
+        F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiouy]+")).cast("long"), w
+    )
+    agg = (
+        d.select("source", w.alias("w"), s.alias("s"), sy.alias("sy"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("w").cast("long").alias("words"),
+            F.sum("s").cast("long").alias("sentences"),
+            F.sum("sy").cast("long").alias("syllables"),
+        )
+    )
+    wps = F.col("words") * 1.0 / F.col("sentences")
+    spw = F.col("syllables") * 1.0 / F.col("words")
+    return agg.select(
+        "source",
+        "n_docs",
+        "words",
+        "sentences",
+        "syllables",
+        F.round(F.lit(206.835) - 1.015 * wps - 84.6 * spw, 4).alias("flesch_ease"),
+        F.round(0.39 * wps + 11.8 * spw - F.lit(15.59), 4).alias("fk_grade"),
+    ).orderBy("source")

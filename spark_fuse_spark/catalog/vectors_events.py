@@ -2188,3 +2188,185 @@ def m_goertzel_tone(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id", "frame_index")
     )
+
+
+# --------------------------------------------- embedding distribution drift
+_DRIFT_SCALE = 1_000_000  # micro-unit quantization -> exact integer moments
+
+
+@register(
+    "v_embedding_drift",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, vec_id % 2 = 0 AS ref,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(FLOOR(x * {_DRIFT_SCALE} + 0.5) AS BIGINT)) AS v
+  FROM embeddings),
+ex AS (SELECT vec_id, ref, unnest(v) AS x,
+              unnest(generate_series(1, len(v))) AS dim FROM e),
+m AS (SELECT dim,
+             CAST(SUM(CASE WHEN ref THEN x ELSE 0 END) AS BIGINT) AS sx_ref,
+             CAST(SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             SUM(CASE WHEN ref THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS sxx_ref,
+             CAST(SUM(CASE WHEN ref THEN 0 ELSE x END) AS BIGINT) AS sx_cur,
+             CAST(SUM(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+      FROM ex GROUP BY dim),
+z AS (SELECT dim, n_ref, n_cur,
+             sx_ref * 1.0 / n_ref / {_DRIFT_SCALE} AS mean_ref,
+             sx_cur * 1.0 / n_cur / {_DRIFT_SCALE} AS mean_cur,
+             sqrt(GREATEST(CAST(sxx_ref AS DOUBLE) / n_ref
+                           - (sx_ref * 1.0 / n_ref) * (sx_ref * 1.0 / n_ref),
+                           0.0)) / {_DRIFT_SCALE} AS sd_ref
+      FROM m)
+SELECT CAST(dim AS INT) AS dim, n_ref, n_cur,
+       FLOOR(mean_ref * 1000000 + 0.5) / 1000000 AS mean_ref,
+       FLOOR(mean_cur * 1000000 + 0.5) / 1000000 AS mean_cur,
+       FLOOR((mean_cur - mean_ref) / (CASE WHEN sd_ref > 0 THEN sd_ref ELSE 1.0 END)
+             * 1000000 + 0.5) / 1000000 AS z_shift
+FROM z
+ORDER BY dim
+""",
+    doc="per-dimension embedding drift monitor: split the corpus into a "
+    "reference and a current half (vec_id parity — in production, "
+    "yesterday's snapshot vs today's), and report each dimension's "
+    "mean under both plus the standardized mean shift "
+    "(mean_cur - mean_ref)/sd_ref — the embedding-space analog of "
+    "q_psi_drift's scalar-feature monitor, catching encoder or corpus "
+    "regressions before they silently rot a vector index.  "
+    "Determinism: components quantize to micro-unit BIGINTs up front "
+    "(the v_kmeans_step discipline), so every per-dim sum and "
+    "sum-of-squares is an exact integer on both engines; means, one "
+    "sqrt and one division happen once per dim at the end.  Scale: one "
+    "posexplode scan partial-aggregated straight to 64 (dim) cells — "
+    "state is three integers per dimension, no window, no join, no "
+    "second pass over the corpus.",
+)
+def v_embedding_drift(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    ex = emb.select(
+        (F.col("vec_id") % 2 == 0).alias("ref"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "xd"),
+    ).select(
+        "ref",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("xd") * _DRIFT_SCALE + 0.5).cast("long").alias("x"),
+    )
+    m = ex.groupBy("dim").agg(
+        F.sum(F.when(F.col("ref"), F.col("x")).otherwise(0)).cast("long").alias("sx_ref"),
+        F.sum(F.when(F.col("ref"), 1).otherwise(0)).cast("long").alias("n_ref"),
+        F.sum(
+            F.when(F.col("ref"), F.col("x").cast("decimal(38,0)") * F.col("x")).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("sxx_ref"),
+        F.sum(F.when(F.col("ref"), 0).otherwise(F.col("x"))).cast("long").alias("sx_cur"),
+        F.sum(F.when(F.col("ref"), 0).otherwise(1)).cast("long").alias("n_cur"),
+    )
+    mean_ref = F.col("sx_ref") * 1.0 / F.col("n_ref") / _DRIFT_SCALE
+    mean_cur = F.col("sx_cur") * 1.0 / F.col("n_cur") / _DRIFT_SCALE
+    sd_ref = (
+        F.sqrt(
+            F.greatest(
+                F.col("sxx_ref").cast("double") / F.col("n_ref")
+                - (F.col("sx_ref") * 1.0 / F.col("n_ref"))
+                * (F.col("sx_ref") * 1.0 / F.col("n_ref")),
+                F.lit(0.0),
+            )
+        )
+        / _DRIFT_SCALE
+    )
+    return m.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n_ref",
+        "n_cur",
+        (F.floor(mean_ref * 1000000 + 0.5) / 1000000).alias("mean_ref"),
+        (F.floor(mean_cur * 1000000 + 0.5) / 1000000).alias("mean_cur"),
+        (
+            F.floor(
+                (mean_cur - mean_ref)
+                / F.when(sd_ref > 0, sd_ref).otherwise(F.lit(1.0))
+                * 1000000
+                + 0.5
+            )
+            / 1000000
+        ).alias("z_shift"),
+    ).orderBy("dim")
+
+
+# --------------------------------------------- energy-threshold VAD islands
+_VAD_MEAN_BYTE = 100  # active frame: mean byte value > 100 (exact integers)
+
+
+@register(
+    "m_vad_segments",
+    oracle=f"""
+WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+p AS (SELECT doc_id, text, n, GREATEST(1, n // 8) AS step FROM t WHERE n > 0),
+f AS (SELECT doc_id, text, step,
+             UNNEST(generate_series(0, CAST(LEAST(n, 8 * step) // step AS BIGINT) - 1))
+               AS frame_index
+      FROM p),
+ix AS (SELECT doc_id, frame_index, step, text,
+              UNNEST(generate_series(1, step)) AS j
+       FROM f),
+e AS (SELECT doc_id, frame_index, CAST(step AS BIGINT) AS frame_len,
+             CAST(SUM(ascii(substring(text, CAST(frame_index * step + j AS INT), 1)))
+                  AS BIGINT) AS energy
+      FROM ix GROUP BY 1, 2, 3),
+act AS (SELECT *, frame_index - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                                   ORDER BY frame_index) AS grp
+        FROM e WHERE energy > {_VAD_MEAN_BYTE} * frame_len)
+SELECT doc_id,
+       CAST(MIN(frame_index) AS BIGINT) AS seg_start,
+       CAST(MAX(frame_index) AS BIGINT) AS seg_end,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(energy) AS BIGINT) AS energy_sum
+FROM act GROUP BY doc_id, grp
+ORDER BY doc_id, seg_start
+""",
+    doc="voice-activity-detection segments (the classic energy-gate VAD, "
+    "e.g. the G.729B/webrtc-vad shape): decode payloads to frames "
+    "(deterministic fake codec — equal byte windows via the SAME "
+    "Arrow-batched mapInPandas plumbing as m_frame_energy), gate each "
+    "frame on exact integer energy (> mean-byte threshold x frame_len, "
+    "no float RMS needed for the gate), then stitch consecutive active "
+    "frames into segments with the gaps-and-islands idiom "
+    "(frame_index - row_number over a doc-partitioned window).  The "
+    "real-codec version swaps the decoder and gates on PCM RMS with "
+    "the identical schema and island logic.  Scale: decode is 1-to-8 "
+    "rows per doc, the island window is partitioned per doc (<=8 rows "
+    "per partition — never global), and the segment rollup is one "
+    "partial-agg'd groupBy.",
+)
+def m_vad_segments(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.multimodal import attach_binary_payload, decode_media
+
+    d = load_table(spark, sf, "documents")
+    frames = decode_media(
+        attach_binary_payload(d, "text", "payload"), frames_per_doc=8, use_fake=True
+    )
+    e = frames.select(
+        "doc_id",
+        F.col("frame_index").cast("long").alias("frame_index"),
+        F.octet_length("frame").cast("long").alias("frame_len"),
+        F.expr(
+            "aggregate(sequence(1, char_length(cast(frame as string))), 0L,"
+            " (acc, i) -> acc + ascii(substring(cast(frame as string), i, 1)))"
+        ).alias("energy"),
+    )
+    act = e.where(F.col("energy") > _VAD_MEAN_BYTE * F.col("frame_len")).withColumn(
+        "grp",
+        F.col("frame_index")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("frame_index")),
+    )
+    return (
+        act.groupBy("doc_id", "grp")
+        .agg(
+            F.min("frame_index").alias("seg_start"),
+            F.max("frame_index").alias("seg_end"),
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("energy").cast("long").alias("energy_sum"),
+        )
+        .select("doc_id", "seg_start", "seg_end", "n_frames", "energy_sum")
+        .orderBy("doc_id", "seg_start")
+    )
