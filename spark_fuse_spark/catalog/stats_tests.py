@@ -2309,8 +2309,9 @@ pairs AS (
          CAST(COUNT(*) AS BIGINT) AS n0
   FROM cells a JOIN cells b ON a.m < b.m)
 SELECT n0, c AS concordant, d AS discordant, tx AS ties_x, ty AS ties_y,
-       ROUND((c - d) / (SQRT(CAST(n0 - tx AS DOUBLE)) * SQRT(CAST(n0 - ty AS DOUBLE))), 6)
-         AS tau_b
+       CASE WHEN n0 > tx AND n0 > ty THEN
+         ROUND((c - d) / (SQRT(CAST(n0 - tx AS DOUBLE)) * SQRT(CAST(n0 - ty AS DOUBLE))), 6)
+       END AS tau_b
 FROM pairs
 """,
     doc="Kendall tau-b rank correlation (Kendall 1938; tau-b tie "
@@ -2375,14 +2376,17 @@ def q_kendall_tau(spark: SparkSession, sf: str) -> DataFrame:
         "discordant",
         "ties_x",
         "ties_y",
-        F.round(
-            (F.col("concordant") - F.col("discordant"))
-            / (
-                F.sqrt((F.col("n0") - F.col("ties_x")).cast("double"))
-                * F.sqrt((F.col("n0") - F.col("ties_y")).cast("double"))
+        F.when(
+            (F.col("n0") > F.col("ties_x")) & (F.col("n0") > F.col("ties_y")),
+            F.round(
+                (F.col("concordant") - F.col("discordant"))
+                / (
+                    F.sqrt((F.col("n0") - F.col("ties_x")).cast("double"))
+                    * F.sqrt((F.col("n0") - F.col("ties_y")).cast("double"))
+                ),
+                6,
             ),
-            6,
-        ).alias("tau_b"),
+        ).alias("tau_b"),  # NULL when a variable is constant (tau undefined)
     )
 
 

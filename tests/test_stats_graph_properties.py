@@ -273,3 +273,111 @@ def test_pareto_frontier_equals_bruteforce_dominance(spark, parts):
             for r in load_all()["q_pareto_frontier"].spark(spark, d).collect()
         }
     assert got == expected
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cells=hst.lists(
+        hst.tuples(hst.integers(1, 9), hst.integers(0, 4), hst.integers(0, 4)),
+        min_size=2,
+        max_size=10,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_kendall_tau_equals_bruteforce(spark, cells, tmp_path_factory):
+    """The panel nested fold in q_kendall_tau equals the textbook pairwise
+    tau-b definition on random monthly frames (ties generated on purpose).
+    Each synthetic month gets `n` orders of equal price so the rollup
+    produces exactly the (x=revenue cents, y=count) cells we control."""
+    import itertools
+    import math
+
+    rows = []
+    for m, price_units, n_orders in cells:
+        for k in range(n_orders + 1):  # >=1 order per month
+            rows.append((f"2024-{m:02d}-01", float(price_units)))
+    df_rows = [(i, d, p) for i, (d, p) in enumerate(rows)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            df_rows, "o_orderkey long, o_orderdate string, o_totalprice double"
+        ).selectExpr(
+            "o_orderkey", "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate",
+            "o_totalprice"
+        ).write.parquet(f"{d}/orders.parquet")
+        got = load_all()["q_kendall_tau"].spark(spark, d).collect()[0]
+    # brute force over the aggregated cells
+    agg = {}
+    for _, dt, p in df_rows:
+        m = dt[:7]
+        x, y = agg.get(m, (0, 0))
+        agg[m] = (x + round(p * 100), y + 1)
+    pts = [agg[m] for m in sorted(agg)]
+    c = d_ = tx = ty = 0
+    for (x1, y1), (x2, y2) in itertools.combinations(pts, 2):
+        if (x1 < x2 and y1 < y2) or (x1 > x2 and y1 > y2):
+            c += 1
+        elif (x1 < x2 and y1 > y2) or (x1 > x2 and y1 < y2):
+            d_ += 1
+        if x1 == x2:
+            tx += 1
+        if y1 == y2:
+            ty += 1
+    n0 = len(pts) * (len(pts) - 1) // 2
+    assert (got.n0, got.concordant, got.discordant, got.ties_x, got.ties_y) == (
+        n0, c, d_, tx, ty,
+    )
+    if n0 > tx and n0 > ty:
+        expect_tau = round((c - d_) / (math.sqrt(n0 - tx) * math.sqrt(n0 - ty)), 6)
+        assert got.tau_b == pytest.approx(expect_tau, abs=2e-6)
+    else:
+        assert got.tau_b is None  # constant variable: tau undefined
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=hst.sets(
+        hst.tuples(hst.integers(1, 8), hst.integers(1, 8)).filter(lambda p: p[0] < p[1]),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_ktruss_equals_bruteforce_peel(spark, edges):
+    """The wedge-join support peel in x_ktruss equals a set-intersection
+    brute force running the same fixed round count on random graphs."""
+    from spark_fuse_spark.catalog.graph_queries import _KTRUSS_K, _KTRUSS_ROUNDS
+
+    rows = []
+    order = 500
+    for u, v in sorted(edges):  # encode each edge as two co-purchase orders
+        for _ in range(2):
+            rows.append((order, u)); rows.append((order, v)); order += 1
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    alive = set(edges)
+    prev_n = None
+    for _ in range(_KTRUSS_ROUNDS):
+        prev_n = len(alive)
+        nbrs = {}
+        for u, v in alive:
+            nbrs.setdefault(u, set()).add(v)
+            nbrs.setdefault(v, set()).add(u)
+        alive = {
+            (u, v)
+            for u, v in alive
+            if len(nbrs[u] & nbrs[v]) >= _KTRUSS_K - 2
+        }
+    nodes = {n for e in alive for n in e}
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/lineitem.parquet")
+        got = load_all()["x_ktruss"].spark(spark, d).collect()[0]
+    assert got.n_edges == len(alive)
+    assert got.edge_checksum == sum(u * 31 + v for u, v in alive)
+    assert got.n_nodes == len(nodes)
+    assert got.converged == (len(alive) == prev_n)
