@@ -206,6 +206,13 @@ HEADLINE = [
     "v_embedding_drift",
     "m_vad_segments",
     "x_ktruss",
+    # round-7 batch 2: ordered-trend + variance-homogeneity + count-model
+    # screens, frequency-domain seasonality, vocabulary governance
+    "q_cochran_armitage",
+    "q_levene_test",
+    "q_overdispersion_nb",
+    "e_fourier_harmonics",
+    "t_vocab_overlap",
 ]
 
 

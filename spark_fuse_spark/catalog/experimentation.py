@@ -1561,3 +1561,95 @@ def e_diff_in_diff(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("did_cents"),
     )
+
+
+# ------------------------------------------ daily-revenue Fourier panel
+_FOURIER_HARMONICS = 3
+
+
+@register(
+    "e_fourier_harmonics",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(ROUND(o_totalprice * 100)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+p AS (SELECT list({{'day': day, 'cents': cents}} ORDER BY day) AS l,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS total
+      FROM d),
+h AS (SELECT n, unnest(generate_series(1, {_FOURIER_HARMONICS})) AS k, l, total FROM p),
+c AS (SELECT n, k,
+             list_reduce(list_prepend(0.0,
+               list_transform(generate_series(1, CAST(n AS INT)), i ->
+                 (l[i].cents - total * 1.0 / n) * COS(2 * PI() * k * (i - 1) / n))),
+               (a, b) -> a + b) AS re,
+             list_reduce(list_prepend(0.0,
+               list_transform(generate_series(1, CAST(n AS INT)), i ->
+                 (l[i].cents - total * 1.0 / n) * SIN(2 * PI() * k * (i - 1) / n))),
+               (a, b) -> a + b) AS im
+      FROM h)
+SELECT CAST(k AS INT) AS harmonic,
+       FLOOR(SQRT(re * re + im * im) * 2 / n / 100 * 100 + 0.5) / 100
+         AS amplitude_dollars,
+       FLOOR((ATAN2(im, re)) * 10000 + 0.5) / 10000 AS phase
+FROM c
+ORDER BY harmonic
+""",
+    doc="discrete-Fourier harmonic panel of the mean-centered daily "
+    "revenue series: amplitude (in dollars) and phase of the first 3 "
+    "harmonics over the observed day span — the frequency-domain "
+    "companion to e_acf_daily/e_dow_seasonality (a strong weekly cycle "
+    "surfaces as energy at k ≈ n_days/7).  Determinism: daily cents "
+    "are exact bigints; each DFT coefficient is a LEFT-TO-RIGHT fold "
+    "over the day-sorted cell panel (sort_array + F.aggregate vs "
+    "list(ORDER BY) + list_reduce with a prepended 0.0 — identical "
+    "fold trees), so the float cos/sin accumulation is bit-identical "
+    "on both engines.  Scale: the corpus reduces to <=n_days cells in "
+    "one partial-agg'd shuffle; the O(K*n_days) fold runs in a 1-row "
+    "panel — K and the day count bound it regardless of order volume.",
+)
+def e_fourier_harmonics(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.panels import prefix_panel
+
+    o = load_table(spark, sf, "orders")
+    d = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("cents")
+    )
+    pan = prefix_panel(d, ["day", "cents"], ["cents"])
+    base = pan.select(
+        "l", F.size("l").cast("long").alias("n"), F.col("tot_cents").alias("total")
+    )
+    h = base.select(
+        "l",
+        "n",
+        "total",
+        F.explode(F.sequence(F.lit(1), F.lit(_FOURIER_HARMONICS))).alias("k"),
+    )
+    mean = F.col("total") * 1.0 / F.col("n")
+    two_pi = 2 * 3.141592653589793
+
+    def fold(trig):
+        return F.aggregate(
+            F.sequence(F.lit(1), F.size("l")),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + (F.element_at(F.col("l"), i)["cents"] - mean)
+            * trig(F.lit(two_pi) * F.col("k") * (i - 1) / F.col("n")),
+        )
+
+    c = h.select("n", "k", fold(F.cos).alias("re"), fold(F.sin).alias("im"))
+    return c.select(
+        F.col("k").cast("int").alias("harmonic"),
+        (
+            F.floor(
+                F.sqrt(F.col("re") * F.col("re") + F.col("im") * F.col("im"))
+                * 2 / F.col("n") / 100 * 100
+                + 0.5
+            )
+            / 100
+        ).alias("amplitude_dollars"),
+        (F.floor(F.atan2(F.col("im"), F.col("re")) * 10000 + 0.5) / 10000).alias(
+            "phase"
+        ),
+    ).orderBy("harmonic")

@@ -2490,3 +2490,270 @@ def q_poisson_rate_test(spark: SparkSession, sf: str) -> DataFrame:
             "p_two_sided"
         ),
     )
+
+
+# ------------------------------------------ Cochran-Armitage trend test
+@register(
+    "q_cochran_armitage",
+    oracle=f"""
+WITH c AS (
+  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS w,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM orders GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(k) AS BIGINT) AS kk,
+             CAST(SUM(w * k) AS BIGINT) AS swk,
+             CAST(SUM(w * n) AS BIGINT) AS swn,
+             CAST(SUM(w * w * n) AS BIGINT) AS swwn
+      FROM c),
+z AS (SELECT nn, kk,
+             (swk - kk * 1.0 / nn * swn)
+             / SQRT((kk * 1.0 / nn) * (1.0 - kk * 1.0 / nn)
+                    * (swwn - swn * 1.0 * swn / nn)) AS z_raw
+      FROM t)
+SELECT nn AS n, kk AS successes,
+       FLOOR(z_raw * 10000 + 0.5) / 10000 AS z_score,
+       FLOOR({{erfc}} * 1000000 + 0.5) / 1000000 AS p_two_sided
+FROM z
+""".replace("{erfc}", _ERFC_SQL.format(az="ABS(z_raw)")),
+    doc="Cochran-Armitage trend test (Cochran 1954, Armitage 1955): is "
+    "the fulfilled-order proportion monotonically associated with the "
+    "ORDERED priority level (scores 1..5 parsed from the label)?  The "
+    "categorical-trend companion to q_chi2_independence, which ignores "
+    "category order.  Every moment (Σwn, Σwk, Σw²n) is an exact bigint "
+    "from <=5 cells; the z statistic is one closed-form float "
+    "expression and the two-sided p reuses the repo-standard A&S "
+    "7.1.25 erfc, so both engines emit identical IEEE doubles.  "
+    "Scale: one order-scan partial aggregate to 5 cells; everything "
+    "after is 1-row arithmetic.",
+)
+def q_cochran_armitage(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    c = o.groupBy(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("k"),
+    )
+    t = c.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("k").cast("long").alias("kk"),
+        F.sum(F.col("w") * F.col("k")).cast("long").alias("swk"),
+        F.sum(F.col("w") * F.col("n")).cast("long").alias("swn"),
+        F.sum(F.col("w") * F.col("w") * F.col("n")).cast("long").alias("swwn"),
+    )
+    pbar = F.col("kk") * 1.0 / F.col("nn")
+    z = t.select(
+        "nn",
+        "kk",
+        (
+            (F.col("swk") - pbar * F.col("swn"))
+            / F.sqrt(
+                pbar
+                * (F.lit(1.0) - pbar)
+                * (F.col("swwn") - F.col("swn") * 1.0 * F.col("swn") / F.col("nn"))
+            )
+        ).alias("z_raw"),
+    )
+    az = F.abs(F.col("z_raw"))
+    s2 = F.sqrt(F.lit(2.0))
+    denom = (
+        1
+        + 0.278393 * az / s2
+        + 0.230389 * az * az / 2
+        + 0.000972 * F.pow(az / s2, 3)
+        + 0.078108 * F.pow(az / s2, 4)
+    )
+    return z.select(
+        F.col("nn").alias("n"),
+        F.col("kk").alias("successes"),
+        (F.floor(F.col("z_raw") * 10000 + 0.5) / 10000).alias("z_score"),
+        (F.floor((1 / F.pow(denom, 4)) * 1000000 + 0.5) / 1000000).alias(
+            "p_two_sided"
+        ),
+    )
+
+
+# ------------------------------------------ Levene homogeneity screen
+@register(
+    "q_levene_test",
+    oracle="""
+WITH v AS (
+  SELECT o_orderpriority AS grp, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x
+  FROM orders),
+s AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+      FROM v GROUP BY grp),
+z AS (SELECT v.grp, s.n, ABS(CAST(v.x AS HUGEINT) * s.n - s.sx) AS znum
+      FROM v JOIN s ON v.grp = s.grp),
+g AS (SELECT grp, MAX(n) AS n,
+             SUM(znum) AS a,
+             SUM(CAST(znum AS HUGEINT) * znum) AS b
+      FROM z GROUP BY grp),
+p AS (SELECT list({'grp': grp, 'n': n, 'a': a, 'b': b} ORDER BY grp) AS l FROM g),
+m AS (SELECT l,
+             len(l) AS k,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(l, c -> c.n)), (p, q) -> p + q) AS nn,
+             list_reduce(list_prepend(0.0,
+               list_transform(l, c -> CAST(c.a AS DOUBLE) / c.n / c.n)),
+               (p, q) -> p + q) AS zsum
+      FROM p),
+w AS (SELECT k, nn,
+             list_reduce(list_prepend(0.0,
+               list_transform(l, c -> c.n * POW(CAST(c.a AS DOUBLE) / c.n / c.n
+                                                - zsum / k, 2))),
+               (p, q) -> p + q) AS num,
+             list_reduce(list_prepend(0.0,
+               list_transform(l, c -> CAST(c.b AS DOUBLE) / POW(CAST(c.n AS DOUBLE), 2)
+                                      - POW(CAST(c.a AS DOUBLE), 2)
+                                        / POW(CAST(c.n AS DOUBLE), 3))),
+               (p, q) -> p + q) AS den
+      FROM m)
+SELECT CAST(k AS BIGINT) AS k_groups, nn AS n,
+       FLOOR((nn - k) * 1.0 / (k - 1) * num / den * 1000000 + 0.5) / 1000000
+         AS levene_w
+FROM w
+""",
+    doc="Levene homogeneity-of-variance screen (Levene 1960, "
+    "mean-centered form) across order-priority groups — the check you "
+    "run BEFORE trusting q_anova_oneway, whose F-test assumes equal "
+    "group variances.  Exactness trick: per-row absolute deviations "
+    "|x - mean_i| are scaled by n_i into |n_i*x - S_i| — exact "
+    "HUGEINT/decimal integers (a cents value times a group count "
+    "already clears int64 when squared) — so the per-group Σz and Σz² "
+    "moments are exact; the W statistic assembles from the <=5-cell "
+    "sorted panel with LEFT-TO-RIGHT float folds, identical trees on "
+    "both engines.  Scale: one broadcast of the 5-row group-stats "
+    "panel back onto the order scan, one partial-agg'd regroup, then "
+    "1-row panel math — the corpus is read twice and shuffled to 5 "
+    "cells, never sorted.",
+)
+def q_levene_test(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    v = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    )
+    s = v.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").cast("long").alias("sx")
+    )
+    z = v.join(F.broadcast(s), "grp").select(
+        "grp",
+        "n",
+        F.abs(F.col("x").cast("decimal(38,0)") * F.col("n") - F.col("sx")).alias(
+            "znum"
+        ),
+    )
+    g = z.groupBy("grp").agg(
+        F.max("n").alias("n"),
+        F.sum("znum").alias("a"),
+        F.sum(F.col("znum") * F.col("znum")).alias("b"),
+    )
+    pan = g.agg(F.sort_array(F.collect_list(F.struct("grp", "n", "a", "b"))).alias("l"))
+    k = F.size("l")
+    nn = F.aggregate(F.col("l"), F.lit(0).cast("long"), lambda p, c: p + c["n"])
+    zsum = F.aggregate(
+        F.col("l"),
+        F.lit(0.0),
+        lambda p, c: p + c["a"].cast("double") / c["n"] / c["n"],
+    )
+    m = pan.select("l", k.alias("k"), nn.alias("nn"), zsum.alias("zsum"))
+    num = F.aggregate(
+        F.col("l"),
+        F.lit(0.0),
+        lambda p, c: p
+        + c["n"]
+        * F.pow(
+            c["a"].cast("double") / c["n"] / c["n"] - F.col("zsum") / F.col("k"), 2
+        ),
+    )
+    den = F.aggregate(
+        F.col("l"),
+        F.lit(0.0),
+        lambda p, c: p
+        + c["b"].cast("double") / F.pow(c["n"].cast("double"), 2)
+        - F.pow(c["a"].cast("double"), 2) / F.pow(c["n"].cast("double"), 3),
+    )
+    w = m.select("k", "nn", num.alias("num"), den.alias("den"))
+    return w.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("nn").alias("n"),
+        (
+            F.floor(
+                (F.col("nn") - F.col("k")) * 1.0 / (F.col("k") - 1)
+                * F.col("num")
+                / F.col("den")
+                * 1000000
+                + 0.5
+            )
+            / 1000000
+        ).alias("levene_w"),
+    )
+
+
+# ------------------------------------------ overdispersion / NB moment fit
+@register(
+    "q_overdispersion_nb",
+    oracle="""
+WITH c AS (
+  SELECT user_id, CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM events GROUP BY user_id),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(k) AS BIGINT) AS s1,
+             SUM(CAST(k AS HUGEINT) * k) AS s2
+      FROM c),
+d AS (SELECT n, s1,
+             s1 * 1.0 / n AS mean,
+             CAST(s2 AS DOUBLE) / n - (s1 * 1.0 / n) * (s1 * 1.0 / n) AS varp
+      FROM m)
+SELECT n, s1 AS total_events,
+       FLOOR(mean * 1000000 + 0.5) / 1000000 AS mean,
+       FLOOR(varp * 1000000 + 0.5) / 1000000 AS var_pop,
+       FLOOR(varp / mean * 1000000 + 0.5) / 1000000 AS dispersion_index,
+       CASE WHEN varp > mean THEN
+         FLOOR(mean * mean / (varp - mean) * 1000000 + 0.5) / 1000000
+       END AS nb_r,
+       CASE WHEN varp > mean THEN
+         FLOOR(mean / varp * 1000000 + 0.5) / 1000000
+       END AS nb_p
+FROM d
+""",
+    doc="overdispersion audit + negative-binomial method-of-moments fit "
+    "over per-user click counts: dispersion index Var/mean (the "
+    "Poisson-adequacy check every count model starts with), and when "
+    "genuinely overdispersed the NB(r, p) moment estimates "
+    "r = μ²/(σ²-μ), p = μ/σ² — NULL otherwise, because fitting NB to "
+    "equi/underdispersed counts is statistically meaningless and a "
+    "silent negative r would be a wrong answer.  Moments are exact "
+    "integers (Σk, Σk² in HUGEINT/decimal); the estimates are closed-"
+    "form float expressions evaluated once.  Scale: one user-keyed "
+    "partial aggregate, one 1-row reduce.",
+)
+def q_overdispersion_nb(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    c = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("k")
+    )
+    m = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("long").alias("s1"),
+        F.sum(F.col("k").cast("decimal(38,0)") * F.col("k")).alias("s2"),
+    )
+    mean = F.col("s1") * 1.0 / F.col("n")
+    varp = F.col("s2").cast("double") / F.col("n") - mean * mean
+    d = m.select("n", "s1", mean.alias("mean"), varp.alias("varp"))
+    mu, vp = F.col("mean"), F.col("varp")
+    return d.select(
+        "n",
+        F.col("s1").alias("total_events"),
+        (F.floor(mu * 1000000 + 0.5) / 1000000).alias("mean"),
+        (F.floor(vp * 1000000 + 0.5) / 1000000).alias("var_pop"),
+        (F.floor(vp / mu * 1000000 + 0.5) / 1000000).alias("dispersion_index"),
+        F.when(vp > mu, F.floor(mu * mu / (vp - mu) * 1000000 + 0.5) / 1000000).alias(
+            "nb_r"
+        ),
+        F.when(vp > mu, F.floor(mu / vp * 1000000 + 0.5) / 1000000).alias("nb_p"),
+    )

@@ -2227,3 +2227,78 @@ def t_readability(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.lit(206.835) - 1.015 * wps - 84.6 * spw, 4).alias("flesch_ease"),
         F.round(0.39 * wps + 11.8 * spw - F.lit(15.59), 4).alias("fk_grade"),
     ).orderBy("source")
+
+
+# ------------------------------------------ pairwise source vocab overlap
+@register(
+    "t_vocab_overlap",
+    oracle=f"""
+WITH tok AS (
+  SELECT DISTINCT source, unnest({_TOKS.format(col="text")}) AS tk
+  FROM documents),
+vsz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab FROM tok GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM tok a JOIN tok b ON a.tk = b.tk AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT i.src_a, i.src_b, va.vocab AS vocab_a, vb.vocab AS vocab_b, i.inter,
+       ROUND(i.inter * 1.0 / (va.vocab + vb.vocab - i.inter), 6) AS jaccard,
+       ROUND(i.inter * 1.0 / LEAST(va.vocab, vb.vocab), 6) AS containment
+FROM inter i
+JOIN vsz va ON i.src_a = va.source
+JOIN vsz vb ON i.src_b = vb.source
+ORDER BY jaccard DESC, src_a, src_b
+LIMIT 25
+""",
+    doc="pairwise source-vocabulary overlap: exact Jaccard and "
+    "containment of the DISTINCT token sets of every source pair, top "
+    "25 by Jaccard — the corpus-governance readout for mixture design "
+    "(near-identical sources waste mixture weight; d_cross_source_"
+    "leakage finds duplicated DOCUMENTS, this finds homogeneous "
+    "VOCABULARIES).  Computed as an inverted-index equi-join on token "
+    "(tokens appearing in both sources pair up; never a source x "
+    "source cross join), so the pair work is O(shared-token "
+    "postings), the same scale shape as the shingle dedup family.  "
+    "Counts exact bigints; two divisions rounded at the end; total "
+    "order (jaccard DESC, pair) under the LIMIT.  Scale: distinct "
+    "(source, token) is one partial-agg'd shuffle; sources are "
+    "bounded (20 here), so the vocab panels broadcast.",
+)
+def t_vocab_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf, "documents")
+    tok = d.select("source", F.explode(tokens("text")).alias("tk")).distinct()
+    vsz = tok.groupBy("source").agg(F.count(F.lit(1)).alias("vocab"))
+    a = tok.select(F.col("source").alias("src_a"), "tk")
+    b = tok.select(F.col("source").alias("src_b"), "tk")
+    inter = (
+        a.join(b, ["tk"])
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    va = vsz.select(F.col("source").alias("src_a"), F.col("vocab").alias("vocab_a"))
+    vb = vsz.select(F.col("source").alias("src_b"), F.col("vocab").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(va), "src_a")
+        .join(F.broadcast(vb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "vocab_a",
+            "vocab_b",
+            "inter",
+            F.round(
+                F.col("inter")
+                * 1.0
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+            F.round(F.col("inter") * 1.0 / F.least("vocab_a", "vocab_b"), 6).alias(
+                "containment"
+            ),
+        )
+        .orderBy(F.col("jaccard").desc(), "src_a", "src_b")
+        .limit(25)
+    )
