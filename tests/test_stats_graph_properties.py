@@ -381,3 +381,119 @@ def test_ktruss_equals_bruteforce_peel(spark, edges):
     assert got.edge_checksum == sum(u * 31 + v for u, v in alive)
     assert got.n_nodes == len(nodes)
     assert got.converged == (len(alive) == prev_n)
+
+
+def test_fourier_harmonics_match_numpy_fft(spark):
+    """e_fourier_harmonics equals numpy's FFT of the same mean-centered
+    daily series at sf0.001 — a fully independent DFT implementation."""
+    import duckdb
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    days = duckdb.sql(
+        f"SELECT CAST(o_orderdate AS DATE) d, "
+        f"CAST(SUM(ROUND(o_totalprice * 100)) AS BIGINT) c "
+        f"FROM read_parquet('{sf}/orders.parquet') GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    x = np.array([c for _, c in days], dtype=float)
+    x = x - x.mean()
+    n = len(x)
+    spec = np.fft.fft(x)
+    rows = load_all()["e_fourier_harmonics"].spark(spark, sf).collect()
+    assert [r.harmonic for r in rows] == [1, 2, 3]
+    for r in rows:
+        coef = spec[r.harmonic]
+        # numpy's sign convention: X_k = sum x_t * exp(-2pi i k t / n)
+        re, im = coef.real, -coef.imag
+        amp = np.floor(np.hypot(re, im) * 2 / n / 100 * 100 + 0.5) / 100
+        ph = np.floor(np.arctan2(im, re) * 10000 + 0.5) / 10000
+        assert r.amplitude_dollars == pytest.approx(amp, abs=0.02)
+        assert r.phase == pytest.approx(ph, abs=2e-4)
+
+
+def test_levene_w_matches_python_bruteforce(spark):
+    """q_levene_test's exact-integer deviation assembly equals the
+    textbook float Levene W computed directly in python at sf0.001."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"SELECT o_orderpriority, CAST(ROUND(o_totalprice * 100) AS BIGINT) "
+        f"FROM read_parquet('{sf}/orders.parquet')"
+    ).fetchall()
+    groups = {}
+    for g, x in rows:
+        groups.setdefault(g, []).append(x)
+    zbars, zs = {}, {}
+    for g, xs in groups.items():
+        mean = sum(xs) / len(xs)
+        z = [abs(x - mean) for x in xs]
+        zs[g] = z
+        zbars[g] = sum(z) / len(z)
+    n = sum(len(v) for v in groups.values())
+    k = len(groups)
+    zbar = sum(sum(v) for v in zs.values()) / n
+    num = sum(len(zs[g]) * (zbars[g] - zbar) ** 2 for g in groups)
+    den = sum(sum((z - zbars[g]) ** 2 for z in zs[g]) for g in groups)
+    w = (n - k) / (k - 1) * num / den
+    got = load_all()["q_levene_test"].spark(spark, sf).collect()[0]
+    assert got.k_groups == k and got.n == n
+    assert got.levene_w == pytest.approx(w, rel=1e-6)
+
+
+def test_cochran_armitage_matches_python_bruteforce(spark):
+    """q_cochran_armitage's z equals the direct CA formula in python."""
+    import math
+
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    cells = duckdb.sql(
+        f"SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) w, COUNT(*) n, "
+        f"SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) k "
+        f"FROM read_parquet('{sf}/orders.parquet') GROUP BY 1"
+    ).fetchall()
+    nn = sum(n for _, n, _ in cells)
+    kk = sum(k for _, _, k in cells)
+    pbar = kk / nn
+    num = sum(w * k for w, _, k in cells) - pbar * sum(w * n for w, n, _ in cells)
+    swn = sum(w * n for w, n, _ in cells)
+    var = pbar * (1 - pbar) * (sum(w * w * n for w, n, _ in cells) - swn * swn / nn)
+    z = num / math.sqrt(var)
+    got = load_all()["q_cochran_armitage"].spark(spark, sf).collect()[0]
+    assert (got.n, got.successes) == (nn, kk)
+    assert got.z_score == pytest.approx(math.floor(z * 10000 + 0.5) / 10000, abs=2e-4)
+
+
+def test_vocab_overlap_matches_python_sets(spark):
+    """t_vocab_overlap's top pairs equal python set arithmetic over the
+    same whitespace-lowercase token sets at sf0.001."""
+    import duckdb
+    import re as _re
+
+    sf = "/root/testdata/sf0.001"
+    docs = duckdb.sql(
+        f"SELECT source, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    vocab = {}
+    for src, text in docs:
+        toks = _re.sub(r"\s+", " ", text).strip().lower().split(" ")
+        vocab.setdefault(src, set()).update(toks)
+    pairs = []
+    for a in sorted(vocab):
+        for b in sorted(vocab):
+            if a >= b:
+                continue
+            inter = len(vocab[a] & vocab[b])
+            if inter == 0:
+                continue
+            j = round(inter / len(vocab[a] | vocab[b]), 6)
+            c = round(inter / min(len(vocab[a]), len(vocab[b])), 6)
+            pairs.append((-j, a, b, len(vocab[a]), len(vocab[b]), inter, j, c))
+    pairs.sort()
+    expect = [(p[1], p[2], p[3], p[4], p[5], p[6], p[7]) for p in pairs[:25]]
+    got = [
+        (r.src_a, r.src_b, r.vocab_a, r.vocab_b, r.inter, r.jaccard, r.containment)
+        for r in load_all()["t_vocab_overlap"].spark(spark, sf).collect()
+    ]
+    assert got == expect
