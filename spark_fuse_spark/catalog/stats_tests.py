@@ -2597,13 +2597,13 @@ m AS (SELECT l,
              list_reduce(list_prepend(CAST(0 AS BIGINT),
                list_transform(l, c -> c.n)), (p, q) -> p + q) AS nn,
              list_reduce(list_prepend(0.0,
-               list_transform(l, c -> CAST(c.a AS DOUBLE) / c.n / c.n)),
+               list_transform(l, c -> CAST(c.a AS DOUBLE) / c.n)),
                (p, q) -> p + q) AS zsum
       FROM p),
 w AS (SELECT k, nn,
              list_reduce(list_prepend(0.0,
                list_transform(l, c -> c.n * POW(CAST(c.a AS DOUBLE) / c.n / c.n
-                                                - zsum / k, 2))),
+                                                - zsum / nn, 2))),
                (p, q) -> p + q) AS num,
              list_reduce(list_prepend(0.0,
                list_transform(l, c -> CAST(c.b AS DOUBLE) / POW(CAST(c.n AS DOUBLE), 2)
@@ -2654,10 +2654,14 @@ def q_levene_test(spark: SparkSession, sf: str) -> DataFrame:
     pan = g.agg(F.sort_array(F.collect_list(F.struct("grp", "n", "a", "b"))).alias("l"))
     k = F.size("l")
     nn = F.aggregate(F.col("l"), F.lit(0).cast("long"), lambda p, c: p + c["n"])
+    # grand z-mean is the POOLED mean Σz / N (c.a / n sums the group's z
+    # values exactly), not the unweighted mean of group means — with
+    # unequal group sizes the two differ (caught by the brute-force
+    # property test)
     zsum = F.aggregate(
         F.col("l"),
         F.lit(0.0),
-        lambda p, c: p + c["a"].cast("double") / c["n"] / c["n"],
+        lambda p, c: p + c["a"].cast("double") / c["n"],
     )
     m = pan.select("l", k.alias("k"), nn.alias("nn"), zsum.alias("zsum"))
     num = F.aggregate(
@@ -2666,7 +2670,7 @@ def q_levene_test(spark: SparkSession, sf: str) -> DataFrame:
         lambda p, c: p
         + c["n"]
         * F.pow(
-            c["a"].cast("double") / c["n"] / c["n"] - F.col("zsum") / F.col("k"), 2
+            c["a"].cast("double") / c["n"] / c["n"] - F.col("zsum") / F.col("nn"), 2
         ),
     )
     den = F.aggregate(
