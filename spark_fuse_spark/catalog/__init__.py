@@ -183,6 +183,7 @@ def load_all() -> dict[str, QuerySpec]:
         relational,
         pipeline,
         curation,
+        curation_events,
         scale_ops,
         stats_tests,
         graph_queries,

@@ -310,7 +310,7 @@ def test_path_to_conversion_matches_python_brute_force(spark):
     import duckdb
 
     from spark_fuse_spark.catalog import load_all
-    from spark_fuse_spark.catalog.curation import _PATH_CAP, _PATH_TOPK
+    from spark_fuse_spark.catalog.curation_events import _PATH_CAP, _PATH_TOPK
 
     sf = "/root/testdata/sf0.001"
     ev = duckdb.sql(
