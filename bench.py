@@ -213,6 +213,9 @@ HEADLINE = [
     "q_overdispersion_nb",
     "e_fourier_harmonics",
     "t_vocab_overlap",
+    # round-7 batch 3: diffusion-curve fitting and population estimation
+    "e_bass_diffusion",
+    "q_capture_recapture",
 ]
 
 

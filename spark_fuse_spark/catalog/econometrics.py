@@ -1150,3 +1150,226 @@ def q_hhi_concentration(spark: SparkSession, sf: str) -> DataFrame:
         F.round(totsq / F.col("sumsq").cast("double"), 4).alias("effective_n"),
         F.round(F.col("top4_cents") * 1.0 / F.col("total_cents"), 6).alias("cr4"),
     ).orderBy("segment")
+
+
+# ------------------------------------------ Bass diffusion moment fit
+@register(
+    "e_bass_diffusion",
+    oracle="""
+WITH fo AS (
+  SELECT o_custkey, MIN(strftime(o_orderdate, '%Y-%m')) AS m
+  FROM orders GROUP BY o_custkey),
+cells AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS a FROM fo GROUP BY m),
+pan AS (SELECT list({'m': m, 'a': a} ORDER BY m) AS l FROM cells),
+rows_ AS (
+  SELECT l[i].a AS a,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(generate_series(1, i - 1), j -> l[j].a)),
+           (p, q) -> p + q) AS nprev
+  FROM pan, UNNEST(generate_series(1, len(l))) AS t(i)),
+mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+               SUM(CAST(nprev AS HUGEINT)) AS s1,
+               SUM(CAST(nprev AS HUGEINT) * nprev) AS s2,
+               SUM(CAST(nprev AS HUGEINT) * nprev * nprev) AS s3,
+               SUM(CAST(nprev AS HUGEINT) * nprev * nprev * nprev) AS s4,
+               SUM(CAST(a AS HUGEINT)) AS t0,
+               SUM(CAST(a AS HUGEINT) * nprev) AS t1,
+               SUM(CAST(a AS HUGEINT) * nprev * nprev) AS t2
+        FROM rows_),
+d AS (SELECT CAST(s0 AS DOUBLE) AS s0, CAST(s1 AS DOUBLE) AS s1,
+             CAST(s2 AS DOUBLE) AS s2, CAST(s3 AS DOUBLE) AS s3,
+             CAST(s4 AS DOUBLE) AS s4, CAST(t0 AS DOUBLE) AS t0,
+             CAST(t1 AS DOUBLE) AS t1, CAST(t2 AS DOUBLE) AS t2
+      FROM mom),
+c AS (SELECT s0,
+             (s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2)) AS det,
+             (t0*(s2*s4 - s3*s3) - s1*(t1*s4 - s3*t2) + s2*(t1*s3 - s2*t2)) AS d0,
+             (s0*(t1*s4 - t2*s3) - t0*(s1*s4 - s3*s2) + s2*(s1*t2 - t1*s2)) AS d1,
+             (s0*(s2*t2 - s3*t1) - s1*(s1*t2 - t1*s2) + t0*(s1*s3 - s2*s2)) AS d2
+      FROM d),
+coef AS (SELECT s0, d0 / det AS c0, d1 / det AS c1, d2 / det AS c2 FROM c),
+fit AS (SELECT s0, c0, c1, c2,
+               CASE WHEN c2 < 0 AND c1 * c1 - 4 * c2 * c0 >= 0 THEN
+                 (-c1 - SQRT(c1 * c1 - 4 * c2 * c0)) / (2 * c2)
+               END AS m_hat
+        FROM coef)
+SELECT CAST(s0 AS BIGINT) AS n_periods,
+       FLOOR(c0 * 1000000 + 0.5) / 1000000 AS c0,
+       FLOOR(c1 * 1000000 + 0.5) / 1000000 AS c1,
+       FLOOR(c2 * 1000000000 + 0.5) / 1000000000 AS c2,
+       FLOOR(m_hat * 100 + 0.5) / 100 AS m_hat,
+       CASE WHEN m_hat IS NOT NULL THEN
+         FLOOR(c0 / m_hat * 1000000 + 0.5) / 1000000 END AS p_innovation,
+       CASE WHEN m_hat IS NOT NULL THEN
+         FLOOR((c0 / m_hat + c1) * 1000000 + 0.5) / 1000000 END AS q_imitation
+FROM fit
+""",
+    doc="Bass diffusion model fit (Bass 1969) by the standard discrete "
+    "OLS analogy: monthly first-purchase adopters a_t regressed on "
+    "cumulative prior adopters N and N² (a = pM + (q-p)N - (q/M)N²), "
+    "then market potential M, innovation p and imitation q recovered "
+    "from the quadratic's roots — the product-growth forecasting "
+    "readout.  Determinism: adoption cells and exclusive prefix "
+    "cumulatives are exact integers (prefix_panel); ALL seven moment "
+    "sums (ΣN..ΣN⁴, Σa..ΣaN²) accumulate in decimal/HUGEINT space "
+    "(N⁴ clears int64 far below production scale), and only the final "
+    "3x3 Cramer solve runs in doubles — identical expression trees on "
+    "both engines.  NULL fit when the quadratic has no admissible "
+    "root (c2 >= 0): a non-diffusion-shaped curve must not yield a "
+    "fake market size.  Scale: one customer-keyed first-order "
+    "aggregate, <=B monthly cells in a 1-row panel, one global "
+    "moment reduce — order volume never touches the cubic machinery.",
+)
+def e_bass_diffusion(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.panels import prefix_panel
+
+    o = load_table(spark, sf, "orders")
+    fo = o.groupBy("o_custkey").agg(
+        F.min(F.date_format("o_orderdate", "yyyy-MM")).alias("m")
+    )
+    cells = fo.groupBy("m").agg(F.count(F.lit(1)).alias("a"))
+    pan = prefix_panel(cells, ["m", "a"], ["a"])
+    rows = pan.select(
+        F.explode(
+            F.zip_with(
+                F.col("l"),
+                F.col("pre_a"),
+                lambda c, pre: F.struct(
+                    c["a"].alias("a"), (pre - c["a"]).alias("nprev")
+                ),
+            )
+        ).alias("r")
+    ).select(F.col("r.a").alias("a"), F.col("r.nprev").alias("nprev"))
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    mom = rows.agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.sum(dec(F.col("nprev"))).alias("s1"),
+        F.sum(dec(F.col("nprev")) * F.col("nprev")).alias("s2"),
+        F.sum(dec(F.col("nprev")) * F.col("nprev") * F.col("nprev")).alias("s3"),
+        F.sum(
+            dec(F.col("nprev")) * F.col("nprev") * F.col("nprev") * F.col("nprev")
+        ).alias("s4"),
+        F.sum(dec(F.col("a"))).alias("t0"),
+        F.sum(dec(F.col("a")) * F.col("nprev")).alias("t1"),
+        F.sum(dec(F.col("a")) * F.col("nprev") * F.col("nprev")).alias("t2"),
+    )
+    d = mom.select(
+        *[
+            F.col(c).cast("double").alias(c)
+            for c in ("s0", "s1", "s2", "s3", "s4", "t0", "t1", "t2")
+        ]
+    )
+    s0, s1, s2, s3, s4 = [F.col(c) for c in ("s0", "s1", "s2", "s3", "s4")]
+    t0, t1, t2 = F.col("t0"), F.col("t1"), F.col("t2")
+    c = d.select(
+        "s0",
+        (
+            s0 * (s2 * s4 - s3 * s3)
+            - s1 * (s1 * s4 - s3 * s2)
+            + s2 * (s1 * s3 - s2 * s2)
+        ).alias("det"),
+        (
+            t0 * (s2 * s4 - s3 * s3)
+            - s1 * (t1 * s4 - s3 * t2)
+            + s2 * (t1 * s3 - s2 * t2)
+        ).alias("d0"),
+        (
+            s0 * (t1 * s4 - t2 * s3)
+            - t0 * (s1 * s4 - s3 * s2)
+            + s2 * (s1 * t2 - t1 * s2)
+        ).alias("d1"),
+        (
+            s0 * (s2 * t2 - s3 * t1)
+            - s1 * (s1 * t2 - t1 * s2)
+            + t0 * (s1 * s3 - s2 * s2)
+        ).alias("d2"),
+    )
+    coef = c.select(
+        "s0",
+        (F.col("d0") / F.col("det")).alias("c0"),
+        (F.col("d1") / F.col("det")).alias("c1"),
+        (F.col("d2") / F.col("det")).alias("c2"),
+    )
+    c0, c1, c2 = F.col("c0"), F.col("c1"), F.col("c2")
+    disc = c1 * c1 - 4 * c2 * c0
+    fit = coef.select(
+        "s0",
+        "c0",
+        "c1",
+        "c2",
+        F.when((c2 < 0) & (disc >= 0), (-c1 - F.sqrt(disc)) / (2 * c2)).alias(
+            "m_hat"
+        ),
+    )
+    mh = F.col("m_hat")
+    return fit.select(
+        F.col("s0").cast("long").alias("n_periods"),
+        (F.floor(c0 * 1000000 + 0.5) / 1000000).alias("c0"),
+        (F.floor(c1 * 1000000 + 0.5) / 1000000).alias("c1"),
+        (F.floor(c2 * 1000000000 + 0.5) / 1000000000).alias("c2"),
+        (F.floor(mh * 100 + 0.5) / 100).alias("m_hat"),
+        F.when(mh.isNotNull(), F.floor(c0 / mh * 1000000 + 0.5) / 1000000).alias(
+            "p_innovation"
+        ),
+        F.when(
+            mh.isNotNull(), F.floor((c0 / mh + c1) * 1000000 + 0.5) / 1000000
+        ).alias("q_imitation"),
+    )
+
+
+# ------------------------------------------ capture-recapture estimate
+@register(
+    "q_capture_recapture",
+    oracle="""
+WITH a AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE strftime(o_orderdate, '%Y') = '1995'),
+b AS (SELECT DISTINCT o_custkey FROM orders
+      WHERE strftime(o_orderdate, '%Y') = '1996'),
+s AS (SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n1,
+             CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n2,
+             CAST((SELECT COUNT(*) FROM a JOIN b USING (o_custkey)) AS BIGINT) AS m)
+SELECT n1, n2, m,
+       FLOOR(n1 * 1.0 * n2 / m * 100 + 0.5) / 100 AS n_lincoln_petersen,
+       FLOOR(((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0) * 100 + 0.5) / 100
+         AS n_chapman,
+       FLOOR(m * 1.0 / n1 * 1000000 + 0.5) / 1000000 AS recapture_rate
+FROM s
+""",
+    doc="capture-recapture population estimate: customers active in 1995 "
+    "(capture) vs 1996 (recapture) give the Lincoln-Petersen and the "
+    "bias-corrected Chapman (1951) estimators of the total reachable "
+    "customer base — the marketing/ecology answer to 'how many "
+    "customers exist that we have not seen yet', and a useful "
+    "completeness check on any entity-resolution pipeline (two "
+    "independent match passes -> estimated true entity count).  "
+    "Exact distinct counts and one closed-form division each; the "
+    "Chapman +1 correction keeps the estimator finite even at m=0.  "
+    "Scale: two distinct-aggregates and one key equi-join — the "
+    "customer dimension never broadcasts anything data-sized.",
+)
+def q_capture_recapture(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    yr = F.date_format("o_orderdate", "yyyy")
+    a = o.where(yr == "1995").select("o_custkey").distinct()
+    b = o.where(yr == "1996").select("o_custkey").distinct()
+    s = (
+        a.agg(F.count(F.lit(1)).alias("n1"))
+        .crossJoin(F.broadcast(b.agg(F.count(F.lit(1)).alias("n2"))))
+        .crossJoin(
+            F.broadcast(a.join(b, "o_custkey").agg(F.count(F.lit(1)).alias("m")))
+        )
+    )
+    n1, n2, m = F.col("n1"), F.col("n2"), F.col("m")
+    return s.select(
+        "n1",
+        "n2",
+        "m",
+        (F.floor(n1 * 1.0 * n2 / m * 100 + 0.5) / 100).alias("n_lincoln_petersen"),
+        (
+            F.floor(((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0) * 100 + 0.5) / 100
+        ).alias("n_chapman"),
+        (F.floor(m * 1.0 / n1 * 1000000 + 0.5) / 1000000).alias("recapture_rate"),
+    )
