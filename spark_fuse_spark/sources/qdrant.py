@@ -101,6 +101,7 @@ def build_qdrant_read_config(
     infer_schema: bool = True,
     infer_sample_records: int = 100,
     predicate_pushdown: bool = False,
+    arrow_batches: bool = True,
 ) -> str:
     """Validate + serialize a scroll-read config for the ``fuse-qdrant`` format.
 
@@ -110,6 +111,12 @@ def build_qdrant_read_config(
     predicate post-scan, so this is purely a transfer-volume optimization.
     Requires ``spark.sql.python.filterPushdown.enabled=true`` (set by
     ``create_session``) — hence opt-in.
+
+    ``arrow_batches=True`` (default) emits ``pyarrow.RecordBatch``es from
+    the reader instead of per-row pickled tuples — columnar bulk transfer
+    across the Python↔JVM boundary (one batch per scroll page).  Falls
+    back to tuples automatically when the schema or the first page does
+    not convert cleanly to Arrow; set False to force the row path.
     """
     validate_http_url(endpoint)
     if not collection.strip():
@@ -139,6 +146,7 @@ def build_qdrant_read_config(
         "infer_schema": infer_schema,
         "infer_sample_records": infer_sample_records,
         "predicate_pushdown": predicate_pushdown,
+        "arrow_batches": arrow_batches,
     }
     return json.dumps(cfg)
 
@@ -366,10 +374,18 @@ class _QdrantReader(DataSourceReader):
             return [_QdrantPartition(json.dumps(s)) for s in shards]
         return [_QdrantPartition(None)]
 
-    def read(self, partition: _QdrantPartition) -> Iterator[tuple]:
+    def read(self, partition: _QdrantPartition) -> Iterator:
         shard = json.loads(partition.shard_json) if partition.shard_json else None
+        records = _scroll_points(self.cfg, shard)
+        if self.cfg.get("arrow_batches", True):
+            from .arrowbatch import arrow_batch_iterator
+
+            yield from arrow_batch_iterator(
+                records, self.schema, batch_size=int(self.cfg.get("page_size", 128))
+            )
+            return
         names = self.schema.fieldNames()
-        for record in _scroll_points(self.cfg, shard):
+        for record in records:
             yield tuple(record.get(n) for n in names)
 
 

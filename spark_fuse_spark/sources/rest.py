@@ -84,6 +84,7 @@ def build_rest_config(
     infer_sample_records: int = 100,
     stream: "Mapping[str, Any] | None" = None,
     filter_param_map: "Mapping[str, str | Mapping[str, str]] | None" = None,
+    arrow_batches: bool = True,
 ) -> str:
     """Validate + normalize connector options into the JSON config string.
 
@@ -109,7 +110,13 @@ def build_rest_config(
     post-scan, so an endpoint that ignores the parameter stays correct
     (see ``_RestPushdownReader.pushFilters``; requires
     ``spark.sql.python.filterPushdown.enabled=true``, set by
-    ``create_session``)."""
+    ``create_session``).
+
+    ``arrow_batches=True`` (default) emits ``pyarrow.RecordBatch``es from
+    the reader instead of per-row pickled tuples — columnar bulk transfer
+    across the Python↔JVM boundary.  Falls back to tuples automatically
+    when the schema or the first batch does not convert cleanly to
+    Arrow; set False to force the row path."""
     sources = [url] if isinstance(url, str) else list(url)
     for u in sources:
         validate_http_url(u)
@@ -164,6 +171,7 @@ def build_rest_config(
         "infer_schema": infer_schema,
         "infer_sample_records": infer_sample_records,
         "stream": dict(stream) if stream else None,
+        "arrow_batches": arrow_batches,
         "filter_param_map": (
             {
                 k: (dict(v) if isinstance(v, Mapping) else v)
@@ -381,17 +389,26 @@ class _RestReader(DataSourceReader):
             for i in range(0, len(items), chunk)
         ] or [_RestPartition("[]")]
 
-    def read(self, partition: _RestPartition) -> Iterator[tuple]:
+    def read(self, partition: _RestPartition) -> Iterator:
         client = HttpClient(
             timeout=self.cfg.get("timeout", 30.0),
             max_retries=self.cfg.get("max_retries", 3),
             backoff_factor=self.cfg.get("backoff_factor", 0.5),
             headers=self.cfg.get("headers") or {},
         )
+
+        def records() -> Iterator[dict]:
+            for item in json.loads(partition.items_json):
+                yield from _iter_item_records(client, item, self.cfg)
+
+        if self.cfg.get("arrow_batches", True):
+            from .arrowbatch import arrow_batch_iterator
+
+            yield from arrow_batch_iterator(records(), self.schema)
+            return
         names = self.schema.fieldNames()
-        for item in json.loads(partition.items_json):
-            for row in _iter_item_records(client, item, self.cfg):
-                yield tuple(row.get(n) for n in names)
+        for row in records():
+            yield tuple(row.get(n) for n in names)
 
 
 class _RestPushdownReader(_RestReader):

@@ -1034,3 +1034,102 @@ class TestFilesSource:
             == spark.read.parquet(frag).count()
             == 2000
         )
+
+
+# ------------------------------------------------------ arrow-batched reads
+
+
+def test_arrow_batch_iterator_yields_record_batches():
+    import pyarrow as pa
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from spark_fuse_spark.sources.arrowbatch import arrow_batch_iterator
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("vec", ArrayType(FloatType())),
+        ]
+    )
+    records = iter(
+        [{"id": i, "name": f"n{i}", "vec": [0.1 * i], "extra": "dropped"} for i in range(5)]
+    )
+    out = list(arrow_batch_iterator(records, schema, batch_size=2))
+    assert all(isinstance(b, pa.RecordBatch) for b in out)
+    assert [b.num_rows for b in out] == [2, 2, 1]
+    assert out[0].schema.names == ["id", "name", "vec"]
+    # missing keys become nulls (same projection semantics as the tuple path)
+    row = list(arrow_batch_iterator(iter([{"id": 9}]), schema, batch_size=8))[0]
+    assert row.to_pylist() == [{"id": 9, "name": None, "vec": None}]
+
+
+def test_arrow_batch_iterator_falls_back_to_tuples_on_bad_first_batch():
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from spark_fuse_spark.sources.arrowbatch import arrow_batch_iterator
+
+    schema = StructType([StructField("id", LongType())])
+    # a string in a long column: first batch fails to convert -> whole
+    # stream degrades to tuples, nothing is lost
+    records = iter([{"id": "not-a-long"}, {"id": 2}, {"id": 3}])
+    out = list(arrow_batch_iterator(records, schema, batch_size=2))
+    assert out == [("not-a-long",), (2,), (3,)]
+
+
+def test_arrow_batch_iterator_raises_on_midstream_type_drift():
+    import pyarrow as pa
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from spark_fuse_spark.sources.arrowbatch import arrow_batch_iterator
+
+    schema = StructType([StructField("id", LongType())])
+    records = iter([{"id": 1}, {"id": 2}, {"id": "drift"}, {"id": 4}])
+    it = arrow_batch_iterator(records, schema, batch_size=2)
+    first = next(it)
+    assert isinstance(first, pa.RecordBatch)
+    with pytest.raises(RuntimeError, match="mid-stream"):
+        list(it)
+
+
+def test_qdrant_read_arrow_and_tuple_paths_agree(spark, mock_server):
+    points = [
+        {"id": i, "payload": {"name": f"p{i}", "score": i * 1.5}} for i in range(7)
+    ]
+    mock_server.route(
+        "POST",
+        "/collections/vecs/points/scroll",
+        {"status": "ok", "result": {"points": points, "next_page_offset": None}},
+    )
+    qd.register(spark)
+
+    def read(arrow):
+        cfg = qd.build_qdrant_read_config(
+            mock_server.url, "vecs", page_size=3, arrow_batches=arrow
+        )
+        df = spark.read.format(qd.FORMAT_NAME).option(qd.CONFIG_OPTION, cfg).load()
+        return sorted(tuple(r) for r in df.collect())
+
+    assert read(True) == read(False)
+
+
+def test_rest_read_arrow_and_tuple_paths_agree(spark, mock_server):
+    records = [{"id": i, "name": f"r{i}", "score": i / 2} for i in range(6)]
+    mock_server.route("GET", "/items", {"data": records})
+    rest.register(spark)
+
+    def read(arrow):
+        cfg = rest.build_rest_config(
+            f"{mock_server.url}/items", records_field="data", arrow_batches=arrow
+        )
+        df = spark.read.format(rest.FORMAT_NAME).option(rest.CONFIG_OPTION, cfg).load()
+        return sorted(tuple(r) for r in df.collect())
+
+    assert read(True) == read(False)
