@@ -380,6 +380,25 @@ CONTRACTS = {
     "e_bootstrap_ci": PlanExpectation(
         min_broadcast_joins=1, require_partial_agg=True, max_exchanges=4
     ),
+    # round-7 query pins — shuffle/exchange budgets at the probed shape
+    # (the checkpointed truss rounds keep the final plan to the stats
+    # panels; the vocab inverted-index join hashes, never nested-loops)
+    "x_ktruss": PlanExpectation(max_shuffle_joins=0, max_exchanges=6),
+    "t_vocab_overlap": PlanExpectation(
+        min_broadcast_joins=2, require_partial_agg=True, max_exchanges=9
+    ),
+    "q_hhi_concentration": PlanExpectation(
+        min_broadcast_joins=1, require_partial_agg=True, max_exchanges=4
+    ),
+    "m_vad_segments": PlanExpectation(require_partial_agg=True, max_exchanges=3),
+    "v_embedding_drift": PlanExpectation(require_partial_agg=True, max_exchanges=3),
+    "e_bass_diffusion": PlanExpectation(require_partial_agg=True, max_exchanges=4),
+    "q_kendall_tau": PlanExpectation(require_partial_agg=True, max_exchanges=3),
+    "t_readability": PlanExpectation(require_partial_agg=True, max_exchanges=3),
+    "e_fourier_harmonics": PlanExpectation(require_partial_agg=True, max_exchanges=3),
+    "q_levene_test": PlanExpectation(
+        min_broadcast_joins=1, require_partial_agg=True, max_exchanges=4
+    ),
     # chi-square: ONE fact reduce to the contingency cells
     # (localCheckpointed), everything downstream is panel joins
     "q_chi2_independence": PlanExpectation(
