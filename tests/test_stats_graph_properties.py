@@ -497,3 +497,36 @@ def test_vocab_overlap_matches_python_sets(spark):
         for r in load_all()["t_vocab_overlap"].spark(spark, sf).collect()
     ]
     assert got == expect
+
+
+def test_bass_diffusion_matches_numpy_lstsq(spark):
+    """e_bass_diffusion's exact-moment Cramer solve equals numpy's
+    least-squares fit of a on [1, N, N^2] at sf0.001 — an independent
+    solver over independently assembled design matrices."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    cells = duckdb.sql(
+        f"""WITH fo AS (SELECT o_custkey, MIN(strftime(o_orderdate, '%Y-%m')) m
+                        FROM read_parquet('{sf}/orders.parquet') GROUP BY 1)
+            SELECT m, COUNT(*) a FROM fo GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    a = np.array([c for _, c in cells], dtype=float)
+    nprev = np.concatenate([[0.0], np.cumsum(a)[:-1]])
+    X = np.column_stack([np.ones_like(nprev), nprev, nprev**2])
+    c0, c1, c2 = np.linalg.lstsq(X, a, rcond=None)[0]
+    got = load_all()["e_bass_diffusion"].spark(spark, sf).collect()[0]
+    assert got.n_periods == len(cells)
+    assert got.c0 == pytest.approx(c0, rel=1e-5)
+    assert got.c1 == pytest.approx(c1, rel=1e-5)
+    assert got.c2 == pytest.approx(c2, rel=1e-4, abs=1e-8)
+    if c2 < 0 and c1 * c1 - 4 * c2 * c0 >= 0:
+        m_hat = (-c1 - math.sqrt(c1 * c1 - 4 * c2 * c0)) / (2 * c2)
+        assert got.m_hat == pytest.approx(m_hat, rel=1e-4)
+        assert got.p_innovation == pytest.approx(c0 / m_hat, rel=1e-4)
+        assert got.q_imitation == pytest.approx(c0 / m_hat + c1, rel=1e-3)
+    else:
+        assert got.m_hat is None
