@@ -1653,3 +1653,93 @@ def e_fourier_harmonics(spark: SparkSession, sf: str) -> DataFrame:
             "phase"
         ),
     ).orderBy("harmonic")
+
+
+# ------------------------------------------ retention half-life fit
+@register(
+    "e_retention_halflife",
+    oracle="""
+WITH u AS (
+  SELECT user_id, CAST(ts AS DATE) AS d FROM events GROUP BY user_id, CAST(ts AS DATE)),
+f AS (SELECT user_id, MIN(d) AS first_d FROM u GROUP BY user_id),
+o AS (SELECT u.user_id, CAST((u.d - f.first_d) // 7 AS BIGINT) AS wk
+      FROM u JOIN f ON u.user_id = f.user_id),
+c AS (SELECT wk, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM o GROUP BY wk),
+base AS (SELECT MAX(CASE WHEN wk = 0 THEN n END) AS n0 FROM c),
+pts AS (SELECT wk, n, n * 1.0 / b.n0 AS rate
+        FROM c CROSS JOIN base b WHERE wk >= 1 AND n > 0),
+p AS (SELECT list({'wk': wk, 'n': n, 'rate': rate} ORDER BY wk) AS l FROM pts),
+m AS (SELECT len(l) AS k, l,
+             list_reduce(list_prepend(0.0, list_transform(l, c -> CAST(c.wk AS DOUBLE))), (a, b) -> a + b) AS sx,
+             list_reduce(list_prepend(0.0, list_transform(l, c -> LN(c.rate))), (a, b) -> a + b) AS sy,
+             list_reduce(list_prepend(0.0, list_transform(l, c -> CAST(c.wk AS DOUBLE) * c.wk)), (a, b) -> a + b) AS sxx,
+             list_reduce(list_prepend(0.0, list_transform(l, c -> CAST(c.wk AS DOUBLE) * LN(c.rate))), (a, b) -> a + b) AS sxy
+      FROM p),
+fit AS (SELECT k, (k * sxy - sx * sy) / (k * sxx - sx * sx) AS beta,
+               (sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k AS alpha
+        FROM m WHERE k >= 2 AND k * sxx - sx * sx > 0)
+SELECT CAST(k AS BIGINT) AS n_points,
+       FLOOR(beta * 1000000 + 0.5) / 1000000 AS decay_per_week,
+       FLOOR(EXP(alpha) * 1000000 + 0.5) / 1000000 AS week1_level,
+       CASE WHEN beta < 0 THEN FLOOR(-LN(2) / beta * 10000 + 0.5) / 10000 END
+         AS half_life_weeks
+FROM fit
+""",
+    doc="retention half-life: collapse the cohort matrix over cohorts "
+    "(distinct active users per week-offset from each user's first "
+    "week), fit ln(retention rate) ~ offset by closed-form OLS, and "
+    "report the exponential decay rate and its half-life in weeks — "
+    "the single-number summary product teams quote from e_retention's "
+    "full matrix.  Refuses (no row) with fewer than 2 usable offsets "
+    "or zero x-variance, and half-life is NULL unless the fitted decay "
+    "is actually negative — a growing 'retention' curve has no "
+    "half-life and inventing one would be a wrong answer.  "
+    "Determinism: user/week counts are exact; the four OLS moments "
+    "fold LEFT-TO-RIGHT over the offset-sorted panel (ln once per "
+    "cell, bounded cells).  Scale: one (user, day) dedup shuffle, one "
+    "user-keyed first-week join, one offset rollup — the log-linear "
+    "fit sees <= observed-weeks rows.",
+)
+def e_retention_halflife(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    u = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    f = u.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    o = u.join(f, "user_id").select(
+        "user_id", (F.datediff("d", "first_d") / 7).cast("long").alias("wk")
+    )
+    c = o.groupBy("wk").agg(F.countDistinct("user_id").alias("n"))
+    base = c.agg(F.max(F.when(F.col("wk") == 0, F.col("n"))).alias("n0"))
+    pts = (
+        c.crossJoin(F.broadcast(base))
+        .where((F.col("wk") >= 1) & (F.col("n") > 0))
+        .select("wk", "n", (F.col("n") * 1.0 / F.col("n0")).alias("rate"))
+    )
+    pan = pts.agg(F.sort_array(F.collect_list(F.struct("wk", "n", "rate"))).alias("l"))
+
+    def fold(expr):
+        return F.aggregate(F.col("l"), F.lit(0.0), lambda a, c: a + expr(c))
+
+    m = pan.select(
+        F.size("l").alias("k"),
+        fold(lambda c: c["wk"].cast("double")).alias("sx"),
+        fold(lambda c: F.log(c["rate"])).alias("sy"),
+        fold(lambda c: c["wk"].cast("double") * c["wk"]).alias("sxx"),
+        fold(lambda c: c["wk"].cast("double") * F.log(c["rate"])).alias("sxy"),
+    )
+    k, sx, sy, sxx, sxy = [F.col(col) for col in ("k", "sx", "sy", "sxx", "sxy")]
+    beta = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    alpha = (sy - beta * sx) / k
+    fit = m.where((k >= 2) & (k * sxx - sx * sx > 0)).select(
+        k.alias("k"), beta.alias("beta"), alpha.alias("alpha")
+    )
+    b = F.col("beta")
+    return fit.select(
+        F.col("k").cast("long").alias("n_points"),
+        (F.floor(b * 1000000 + 0.5) / 1000000).alias("decay_per_week"),
+        (F.floor(F.exp(F.col("alpha")) * 1000000 + 0.5) / 1000000).alias(
+            "week1_level"
+        ),
+        F.when(b < 0, F.floor(-F.log(F.lit(2.0)) / b * 10000 + 0.5) / 10000).alias(
+            "half_life_weeks"
+        ),
+    )

@@ -550,6 +550,7 @@ NESTED_LOOP_OK = {
     "q_cohens_kappa": "1-row chance-agreement panel crossed into the 1-row totals panel",
     "x_ktruss": "1-row n_nodes and prev-round-count panels crossed into the 1-row truss stats",
     "q_capture_recapture": "1-row n2 and m count panels crossed into the 1-row n1 panel",
+    "e_retention_halflife": "1-row week-0 cohort-size panel crossed into the week cells",
     "t_dsir_weights": "1-row broadcast target/source token totals",
     "v_pq_topk": "broadcast ADC lookup-table panel x corpus code scan",
     "t_vocab_coverage": "1-row broadcast corpus token total",
