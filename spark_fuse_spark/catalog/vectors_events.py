@@ -2331,9 +2331,15 @@ ORDER BY doc_id, seg_start
     "frame on exact integer energy (> mean-byte threshold x frame_len, "
     "no float RMS needed for the gate), then stitch consecutive active "
     "frames into segments with the gaps-and-islands idiom "
-    "(frame_index - row_number over a doc-partitioned window).  The "
-    "real-codec version swaps the decoder and gates on PCM RMS with "
-    "the identical schema and island logic.  Scale: decode is 1-to-8 "
+    "(frame_index - row_number over a doc-partitioned window).  "
+    "PRECONDITION (pinned, both engines): payloads are ASCII — the "
+    "energy sum is character-indexed ascii() while the frame gate "
+    "uses byte length, and the two indexings only coincide for "
+    "single-byte text (the generated corpus is ASCII; the oracle "
+    "below makes the same assumption, so parity is by construction). "
+    "The real-codec version swaps the decoder, gates on PCM RMS over "
+    "raw bytes with the identical schema and island logic, and has "
+    "no such aliasing.  Scale: decode is 1-to-8 "
     "rows per doc, the island window is partitioned per doc (<=8 rows "
     "per partition — never global), and the segment rollup is one "
     "partial-agg'd groupBy.",

@@ -29,6 +29,11 @@ __all__ = ["scalar_panel", "attach_scalar_panel", "prefix_panel"]
 # unary nodes that preserve "at most one row" from their child
 _PASSTHROUGH = {"Project", "SubqueryAlias", "Filter", "Sort", "ResolvedHint"}
 
+# one warning per process per degradation reason class — a Connect-style
+# session calls attach_scalar_panel hundreds of times per catalog run and
+# the guidance doesn't change between calls
+_UNVALIDATED_WARNED: set = set()
+
 
 def _yields_at_most_one_row(jplan) -> bool:
     name = jplan.getClass().getSimpleName()
@@ -87,6 +92,12 @@ def attach_scalar_panel(
     validation is a guard rail for developers, and a query that was
     correct as a plain broadcast crossJoin must not start hard-failing
     because the runtime cannot prove what the author already knows.
+
+    **Spark Connect gets NO 1-row enforcement**: without a JVM plan
+    handle a genuinely multi-row panel will silently multiply every row
+    of ``df`` via the crossJoin.  The degradation warns ONCE per process
+    per reason (not per call) so catalog-scale runs aren't drowned in
+    repeats; where a handle exists, ``validate=True`` still hard-fails.
     """
     if validate:
         problem = None
@@ -99,13 +110,17 @@ def attach_scalar_panel(
             except Exception as exc:  # py4j surface drift — degrade, loudly
                 problem = f"could not inspect the panel plan ({exc!r})"
         if problem is not None:
-            warnings.warn(
-                f"attach_scalar_panel cannot validate the 1-row panel "
-                f"precondition: {problem}; proceeding unvalidated — the "
-                "caller owns the 1-row guarantee",
-                RuntimeWarning,
-                stacklevel=2,
-            )
+            reason_class = problem.split("(")[0]
+            if reason_class not in _UNVALIDATED_WARNED:
+                _UNVALIDATED_WARNED.add(reason_class)
+                warnings.warn(
+                    f"attach_scalar_panel cannot validate the 1-row panel "
+                    f"precondition: {problem}; proceeding unvalidated — the "
+                    "caller owns the 1-row guarantee (warned once per "
+                    "process; this session gets no cartesian enforcement)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
         elif not ok:
             raise ValueError(
                 "attach_scalar_panel requires a provably single-row panel "
@@ -143,8 +158,13 @@ def prefix_panel(
     Determinism/overflow discipline, pinned here once for every call
     site: the fold accumulator initializes as ``long`` so int cells
     widen BEFORE any addition, and the fold is a single left-to-right
-    O(B) pass — exact integer arithmetic, no float order sensitivity,
-    no O(B^2) slice-re-aggregation.  The result is a 1-row panel in the
+    pass — exact integer arithmetic, no float order sensitivity.  (The
+    fold appends via ``concat(acc.arr, array(...))``, which copies the
+    accumulator per element, so total copy work is O(B²) — harmless for
+    the bounded few-hundred-cell panels this serves, and still one
+    ADDITION per cell; what it avoids is per-index slice
+    re-AGGREGATION, which would be O(B²) additions.)  The result is a
+    1-row panel in the
     :func:`attach_scalar_panel` sense; the panel never sees corpus rows,
     only the pre-aggregated cells (keep B bounded — a few hundred cells,
     not a per-row list).

@@ -83,10 +83,44 @@ def _convert(pa, buf: list, arrow_schema):
     except Exception as exc:
         raise RuntimeError(
             "source records stopped converting to the declared Arrow schema "
-            f"mid-stream ({exc!r}); the reader already committed to Arrow "
-            "batches — disable the fast path (arrow_batches=False) or declare "
-            "a schema matching every record"
+            f"mid-stream ({exc!r}){_culprit(pa, buf, arrow_schema)}; the "
+            "reader already committed to Arrow batches — disable the fast "
+            "path (arrow_batches=False) or declare a schema matching every "
+            "record"
         ) from exc
+
+
+def _culprit(pa, buf: list, arrow_schema) -> str:
+    """Best-effort ': field X rejected value V' suffix for _convert errors.
+
+    Re-converts column-by-column to name the first field whose values no
+    longer coerce, and quotes one offending value — the diagnosis the
+    operator actually needs when a source drifts types mid-stream."""
+    try:
+        for field in arrow_schema:
+            vals = [rec.get(field.name) for rec in buf]
+            try:
+                pa.array(vals, type=field.type)
+            except Exception:
+                bad = next(
+                    (v for v in vals if v is not None and not _coerces(pa, v, field.type)),
+                    None,
+                )
+                return (
+                    f"; first failing field: {field.name!r} (declared "
+                    f"{field.type}), sample offending value: {bad!r}"
+                )
+    except Exception:
+        pass
+    return ""
+
+
+def _coerces(pa, value, arrow_type) -> bool:
+    try:
+        pa.array([value], type=arrow_type)
+        return True
+    except Exception:
+        return False
 
 
 def _drain_as_tuples(buf: list, records, names) -> Iterator[tuple]:
