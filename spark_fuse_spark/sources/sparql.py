@@ -14,6 +14,12 @@ an injected ``LIMIT`` sample (the reference executes every query fully
 on the driver and throws the rows away, ``sparql.py:398-406``).
 Partitioning: one partition per query in ``queries`` — shard a large
 extraction by writing range-sliced queries.
+
+Like fuse-rest and fuse-qdrant, the reader emits ``pyarrow.RecordBatch``
+objects by default (columnar Python↔JVM transfer, one batch per result
+chunk) with the whole-stream tuple fallback from
+:mod:`spark_fuse_spark.sources.arrowbatch`; ``arrow_batches=False`` pins
+the row path.
 """
 
 from __future__ import annotations
@@ -75,6 +81,7 @@ def build_sparql_config(
     max_retries: int = 3,
     backoff_factor: float = 0.5,
     infer_sample_limit: int = 100,
+    arrow_batches: bool = True,
 ) -> str:
     validate_http_url(endpoint)
     if payload_mode not in ("form", "json", "raw"):
@@ -100,6 +107,7 @@ def build_sparql_config(
             "max_retries": max_retries,
             "backoff_factor": backoff_factor,
             "infer_sample_limit": infer_sample_limit,
+            "arrow_batches": arrow_batches,
         }
     )
 
@@ -239,7 +247,7 @@ class _SparqlReader(DataSourceReader):
     def partitions(self) -> list[InputPartition]:
         return [_SparqlPartition(q) for q in self.cfg["queries"]]
 
-    def read(self, partition: _SparqlPartition) -> Iterator[tuple]:
+    def read(self, partition: _SparqlPartition) -> Iterator:
         client = _client(self.cfg)
         payload = _execute(client, self.cfg, partition.query)
         if payload is None:
@@ -252,14 +260,28 @@ class _SparqlReader(DataSourceReader):
         )
         names = self.schema.fieldNames()
         types = {f.name: f.dataType for f in self.schema.fields}
-        for row in rows:
-            out = []
-            for n in names:
-                v = row.get(n)
-                if v is not None and isinstance(types[n], StringType):
-                    v = str(v)
-                out.append(v)
-            yield tuple(out)
+
+        def records() -> Iterator[dict]:
+            # string-typed fields stringify non-null values BEFORE the
+            # representation split, so arrow and tuple paths see the same
+            # normalized records (URIs stay str; stray ints under a
+            # StringType schema don't poison an Arrow column)
+            for row in rows:
+                rec = {}
+                for n in names:
+                    v = row.get(n)
+                    if v is not None and isinstance(types[n], StringType):
+                        v = str(v)
+                    rec[n] = v
+                yield rec
+
+        if self.cfg.get("arrow_batches", True):
+            from .arrowbatch import arrow_batch_iterator
+
+            yield from arrow_batch_iterator(records(), self.schema)
+            return
+        for rec in records():
+            yield tuple(rec[n] for n in names)
 
 
 class SparqlDataSource(DataSource):

@@ -1095,7 +1095,8 @@ def test_arrow_batch_iterator_raises_on_midstream_type_drift():
     it = arrow_batch_iterator(records, schema, batch_size=2)
     first = next(it)
     assert isinstance(first, pa.RecordBatch)
-    with pytest.raises(RuntimeError, match="mid-stream"):
+    # the error names the drifting field and quotes the offending value
+    with pytest.raises(RuntimeError, match=r"mid-stream.*'id'.*'drift'"):
         list(it)
 
 
@@ -1131,5 +1132,27 @@ def test_rest_read_arrow_and_tuple_paths_agree(spark, mock_server):
         )
         df = spark.read.format(rest.FORMAT_NAME).option(rest.CONFIG_OPTION, cfg).load()
         return sorted(tuple(r) for r in df.collect())
+
+    assert read(True) == read(False)
+
+
+def test_sparql_read_arrow_and_tuple_paths_agree(spark, mock_server):
+    # mixed-type SELECT (string URI, typed double, null cell) + metadata
+    # columns — exactly the value shapes that must normalize identically
+    # on both representations
+    mock_server.route("POST", "/sparql", _sparql_select_payload())
+    sq.register(spark)
+
+    def read(arrow):
+        cfg = sq.build_sparql_config(
+            f"{mock_server.url}/sparql",
+            "SELECT ?name ?age WHERE {}",
+            include_metadata=True,
+            arrow_batches=arrow,
+        )
+        df = spark.read.format(sq.FORMAT_NAME).option(sq.CONFIG_OPTION, cfg).load()
+        return df.columns, sorted(
+            tuple(r) for r in df.collect()
+        )
 
     assert read(True) == read(False)
