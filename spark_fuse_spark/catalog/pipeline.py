@@ -11,6 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.bpe import (
+    bpe_encode,
+    bpe_encode_sql,
+    with_bpe_token_count,
+    word_frequency,
+)
 from ..functions.text import token_count
 from ..operators.dedup import ngram_jaccard_pairs
 from ..operators.graph import dedup_clusters
@@ -95,6 +101,146 @@ def t_pack(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         pack_sequences(d, "doc_id", "n_tokens", budget=512)
+        .select("doc_id", "n_tokens", "start_offset", "seq_first", "seq_last", "n_seqs")
+        .orderBy("doc_id")
+    )
+
+
+# Frozen BPE merge table: 24 rounds of functions.bpe.train_bpe over the
+# sf0.01 documents word-frequency table (pair freqs at training time in
+# the trailing comments).  Frozen-as-literal is the production shape — a
+# tokenizer is trained ONCE and then applied as a fixed artifact to
+# every later corpus — and it is what lets DuckDB replay the exact fold
+# (bpe_encode_sql) for full oracle pairing at any SF.
+_BPE_MERGES: "list[tuple[str, str]]" = [
+    ("e", "r"),      # 4568
+    ("i", "n"),      # 2760
+    ("o", "w"),      # 2747
+    ("o", "r"),      # 2696
+    ("s", "t"),      # 2676
+    ("m", "er"),     # 1852
+    ("a", "t"),      # 1845
+    ("l", "u"),      # 1831
+    ("a", "r"),      # 1758
+    ("p", "ar"),     # 1758
+    ("j", "o"),      # 964
+    ("jo", "in"),    # 964
+    ("a", "s"),      # 947
+    ("as", "h"),     # 947
+    ("h", "ash"),    # 947
+    ("r", "ow"),     # 943
+    ("at", "c"),     # 937
+    ("atc", "h"),    # 937
+    ("b", "atch"),   # 937
+    ("a", "n"),      # 936
+    ("c", "an"),     # 936
+    ("s", "can"),    # 936
+    ("c", "o"),      # 934
+    ("c", "u"),      # 934
+]
+
+
+@register(
+    "t_bpe_apply",
+    oracle=f"""
+WITH toks AS (SELECT {_TOKS.format(col="text")} AS t FROM documents),
+words AS (SELECT unnest(t) AS w FROM toks),
+wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM words GROUP BY w),
+enc AS (SELECT w, freq, {bpe_encode_sql('w', _BPE_MERGES)} AS syms FROM wf),
+tok AS (SELECT w, freq, unnest(syms) AS token FROM enc)
+SELECT token,
+       CAST(length(token) AS BIGINT) AS token_len,
+       CAST(SUM(freq) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words
+FROM tok GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT 40
+""",
+    doc="APPLY a trained BPE tokenizer corpus-wide (the other half of "
+    "t_bpe_first_merges, which trains): fold the frozen 24-rule merge "
+    "table over every DISTINCT word (rank-ordered left-to-right merge "
+    "passes as one nested Catalyst aggregate — JVM-side, no Python), "
+    "weight by word frequency, and roll up the resulting subword "
+    "vocabulary — top tokens by corpus occurrences with their lengths "
+    "and distinct-word reach.  The oracle replays the IDENTICAL fold "
+    "via nested list_reduce, so the whole approximate-free encode path "
+    "is hash-checked.  Scale: encode cost is O(|vocab|), not O(corpus) "
+    "— the distinct-first rewrite (SURVEY §4.3.4); the corpus pays one "
+    "word-count shuffle and the rollup is partial-agg'd on subword "
+    "tokens.",
+)
+def t_bpe_apply(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    wf = word_frequency(docs, "text")
+    tok = wf.select(
+        "w", "freq", F.explode(bpe_encode("w", _BPE_MERGES)).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.sum("freq").alias("n_occurrences"),
+            F.countDistinct("w").alias("n_words"),
+        )
+        .select(
+            "token",
+            F.length("token").cast("long").alias("token_len"),
+            "n_occurrences",
+            "n_words",
+        )
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(40)
+    )
+
+
+@register(
+    "t_pack_sequences_bpe",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS.format(col="text")} AS t FROM documents),
+w AS (SELECT doc_id, unnest(t) AS w FROM toks),
+wc AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY doc_id, w),
+vocab AS (SELECT DISTINCT w FROM wc),
+enc AS (SELECT w, CAST(len({bpe_encode_sql('w', _BPE_MERGES)}) AS BIGINT) AS n_syms
+        FROM vocab),
+dt AS (SELECT doc_id, CAST(SUM(cnt * n_syms) AS BIGINT) AS n_tokens
+       FROM wc JOIN enc USING (w) GROUP BY doc_id),
+t AS (SELECT d.doc_id, COALESCE(dt.n_tokens, 0) AS n_tokens
+      FROM documents d LEFT JOIN dt ON d.doc_id = dt.doc_id),
+p AS (SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+      FROM t)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(start_offset // 256 AS BIGINT) AS seq_first,
+       CAST(CASE WHEN n_tokens <= 0 THEN start_offset // 256
+                 ELSE (start_offset + n_tokens - 1) // 256 END AS BIGINT)
+         AS seq_last,
+       CAST(CASE WHEN n_tokens <= 0 THEN 1
+                 ELSE (start_offset + n_tokens - 1) // 256 - start_offset // 256 + 1
+            END AS BIGINT) AS n_seqs
+FROM p
+ORDER BY doc_id
+""",
+    doc="sequence packing on EXACT tokenizer counts: t_pack_sequences "
+    "re-parameterized from the whitespace approximation to the token "
+    "count the model actually sees — per-document BPE subword counts "
+    "from the frozen merge table (distinct-word encode, broadcast "
+    "(word -> n_subtokens) map, weighted per-doc sum), then the same "
+    "two-phase distributed prefix sum chops the stream into 256-token "
+    "context windows.  This is the count/packing loop a real "
+    "pre-training pipeline runs; the whitespace variant stays as the "
+    "cheap screening pass.  Scale: encode O(|vocab|); corpus side adds "
+    "one explode + two key-local aggregations and a broadcast join on "
+    "top of t_pack_sequences' bounded prefix-sum plan — still no "
+    "data-sized single-partition stage.",
+)
+def t_pack_bpe(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    counts = with_bpe_token_count(
+        d, "doc_id", "text", _BPE_MERGES, out_col="n_tokens"
+    ).select("doc_id", "n_tokens")
+    return (
+        pack_sequences(counts, "doc_id", "n_tokens", budget=256)
         .select("doc_id", "n_tokens", "start_offset", "seq_first", "seq_last", "n_seqs")
         .orderBy("doc_id")
     )

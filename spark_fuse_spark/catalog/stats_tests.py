@@ -2761,3 +2761,204 @@ def q_overdispersion_nb(spark: SparkSession, sf: str) -> DataFrame:
         ),
         F.when(vp > mu, F.floor(mu / vp * 1000000 + 0.5) / 1000000).alias("nb_p"),
     )
+
+
+# ------------------------------------------------- Jarque-Bera normality test
+@register(
+    "q_jarque_bera",
+    oracle="""
+WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x FROM orders),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS s1,
+             SUM(CAST(x AS HUGEINT) * x) AS s2,
+             SUM(CAST(x AS HUGEINT) * x * x) AS s3,
+             SUM(CAST(x AS HUGEINT) * x * x * x) AS s4
+      FROM c),
+d AS (SELECT n,
+             CAST(s1 AS DOUBLE) / n AS mu,
+             CAST(s2 AS DOUBLE) / n AS r2,
+             CAST(s3 AS DOUBLE) / n AS r3,
+             CAST(s4 AS DOUBLE) / n AS r4
+      FROM m),
+cm AS (SELECT n, mu,
+              r2 - mu * mu AS m2,
+              r3 - 3 * mu * r2 + 2 * mu * mu * mu AS m3,
+              r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu AS m4
+       FROM d),
+s AS (SELECT n, m3 / POWER(m2, 1.5) AS skew, m4 / (m2 * m2) - 3.0 AS exkurt
+      FROM cm)
+SELECT n,
+       FLOOR(skew * 1000000 + 0.5) / 1000000 AS skewness,
+       FLOOR(exkurt * 1000000 + 0.5) / 1000000 AS kurtosis_excess,
+       FLOOR(n / 6.0 * (skew * skew + exkurt * exkurt / 4.0) * 1000000 + 0.5)
+         / 1000000 AS jb_stat
+FROM s
+""",
+    doc="Jarque-Bera normality test (Jarque & Bera 1980) on order totals: "
+    "skewness and excess kurtosis from EXACT raw moment sums "
+    "(Sigma x..Sigma x^4 in decimal(38)/HUGEINT cents — a total's 4th "
+    "power is ~1e30, far past int64), central moments and the JB "
+    "statistic as one closed-form double expression evaluated once per "
+    "engine with mirrored trees.  This is the pre-flight check before "
+    "any z-test/CI in the suite assumes normal-ish tails.  Scale: one "
+    "map-side-combined 1-row aggregate; nothing downstream of the four "
+    "scalars touches the corpus.",
+)
+def q_jarque_bera(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    c = o.select(F.round(F.col("o_totalprice") * 100).cast("long").alias("x"))
+    m = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("s1"),
+        F.sum(dec(F.col("x")) * F.col("x")).alias("s2"),
+        F.sum(dec(F.col("x")) * F.col("x") * F.col("x")).alias("s3"),
+        F.sum(dec(F.col("x")) * F.col("x") * F.col("x") * F.col("x")).alias("s4"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    r2 = F.col("s2").cast("double") / F.col("n")
+    r3 = F.col("s3").cast("double") / F.col("n")
+    r4 = F.col("s4").cast("double") / F.col("n")
+    d = m.select("n", mu.alias("mu"), r2.alias("r2"), r3.alias("r3"), r4.alias("r4"))
+    mu_, r2_, r3_, r4_ = F.col("mu"), F.col("r2"), F.col("r3"), F.col("r4")
+    cm = d.select(
+        "n",
+        "mu",
+        (r2_ - mu_ * mu_).alias("m2"),
+        (r3_ - F.lit(3) * mu_ * r2_ + F.lit(2) * mu_ * mu_ * mu_).alias("m3"),
+        (
+            r4_
+            - F.lit(4) * mu_ * r3_
+            + F.lit(6) * mu_ * mu_ * r2_
+            - F.lit(3) * mu_ * mu_ * mu_ * mu_
+        ).alias("m4"),
+    )
+    s = cm.select(
+        "n",
+        (F.col("m3") / F.pow(F.col("m2"), F.lit(1.5))).alias("skew"),
+        (F.col("m4") / (F.col("m2") * F.col("m2")) - F.lit(3.0)).alias("exkurt"),
+    )
+    r6 = lambda c: F.floor(c * 1000000 + 0.5) / 1000000  # noqa: E731
+    return s.select(
+        "n",
+        r6(F.col("skew")).alias("skewness"),
+        r6(F.col("exkurt")).alias("kurtosis_excess"),
+        r6(
+            F.col("n")
+            / F.lit(6.0)
+            * (
+                F.col("skew") * F.col("skew")
+                + F.col("exkurt") * F.col("exkurt") / F.lit(4.0)
+            )
+        ).alias("jb_stat"),
+    )
+
+
+# --------------------------------------------- Spearman rank correlation
+@register(
+    "q_spearman_corr",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey AS ck,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sp
+  FROM orders GROUP BY o_custkey),
+base AS (
+  SELECT c.c_custkey AS ck,
+         CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS bal,
+         COALESCE(s.sp, 0) AS sp
+  FROM customer c LEFT JOIN spend s ON c.c_custkey = s.ck),
+va AS (SELECT bal AS v, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY bal),
+ra AS (SELECT v,
+              2 * CAST(COALESCE(SUM(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                + c + 1 AS r2
+       FROM va),
+vb AS (SELECT sp AS v, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY sp),
+rb AS (SELECT v,
+              2 * CAST(COALESCE(SUM(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                + c + 1 AS r2
+       FROM vb),
+rr AS (SELECT ra.r2 AS x, rb.r2 AS y
+       FROM base JOIN ra ON base.bal = ra.v JOIN rb ON base.sp = rb.v),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM rr)
+SELECT n,
+       FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+             / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000 + 0.5)
+         / 1000000 AS rho_spearman
+FROM m
+""",
+    doc="Spearman rank correlation (Spearman 1904) between customer "
+    "account balance and lifetime spend — the monotone-association "
+    "complement to Kendall tau-b (q_kendall_tau) that survives on "
+    "row-scale inputs: tau-b's pair sweep needs a bounded cell panel, "
+    "Spearman just needs RANKS.  Average ranks with tie handling are "
+    "computed in HALF-UNITS as exact integers (2*rank = 2*count_below "
+    "+ ties + 1) from per-distinct-value counts run through the "
+    "two-phase distributed prefix sum (operators/packing "
+    ".with_prefix_sum — NEVER a single-partition global window; the "
+    "oracle replays it with a plain window over distinct values), then "
+    "Pearson on the integer ranks from decimal/HUGEINT moment sums — "
+    "one IEEE sqrt at the end.  Customers without orders tie at spend "
+    "0, exercising the tie path.  Scale: two distinct-value prefix "
+    "passes + two value-keyed joins; no data-sized single task "
+    "anywhere.",
+)
+def q_spearman_corr(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.packing import with_prefix_sum
+
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    spend = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sp")
+    )
+    base = (
+        c.select(
+            F.col("c_custkey").alias("ck"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+        )
+        .join(spend, "ck", "left")
+        .select("ck", "bal", F.coalesce("sp", F.lit(0)).alias("sp"))
+    )
+
+    def rank2(col: str):
+        vals = base.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        pref = with_prefix_sum(vals, "v", "c", out_col="below")
+        return pref.select(
+            "v", (2 * F.col("below") + F.col("c") + 1).cast("long").alias("r2")
+        )
+
+    ra, rb = rank2("bal"), rank2("sp")
+    rr = (
+        base.join(ra.withColumnRenamed("v", "bal"), "bal")
+        .withColumnRenamed("r2", "x")
+        .join(rb.withColumnRenamed("v", "sp"), "sp")
+        .withColumnRenamed("r2", "y")
+    )
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    m = rr.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return m.select(
+        "n",
+        (F.floor(num / den * 1000000 + 0.5) / 1000000).alias("rho_spearman"),
+    )

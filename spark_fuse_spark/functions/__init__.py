@@ -1,1 +1,1 @@
-from . import dates, hashing, text, vectors  # noqa: F401
+from . import bpe, dates, hashing, text, vectors  # noqa: F401

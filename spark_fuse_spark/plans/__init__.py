@@ -23,12 +23,22 @@ hint (``notebooks/tutorials/05_spark_dataframe_joins.ipynb`` cell 12,
 ``F.broadcast`` + ``explain(mode='formatted')``) — this module turns that
 notebook practice into an enforced contract.
 
-Works on classic (py4j) PySpark sessions; plan text is taken from
-``QueryExecution.explainString`` so nothing here triggers execution.
+Session compatibility: on classic (py4j) sessions plan text comes from
+``QueryExecution.explainString`` and tree checks walk the JVM plan —
+full fidelity, nothing executes.  On sessions without a JVM handle
+(Spark Connect, or py4j surface drift) every TEXT-based helper — and
+therefore the core catalog gates: no-cartesian, broadcast-join
+presence, exchange budgets, pushdown/pruning — still works by
+capturing ``df.explain`` output; :func:`unbounded_global_windows`
+degrades to a documented reduced-fidelity text parse, and only the
+post-execution metrics readers (:func:`executed_metrics`,
+:func:`shuffle_summary`) require py4j and raise with guidance.
 """
 
 from __future__ import annotations
 
+import contextlib
+import io
 import re
 from dataclasses import dataclass, field
 
@@ -50,10 +60,27 @@ __all__ = [
 
 def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
     """Return the explain string without printing (modes: simple, extended,
-    codegen, cost, formatted)."""
-    jqe = df._jdf.queryExecution()
-    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
-    return jqe.explainString(jmode)
+    codegen, cost, formatted).
+
+    Prefers the JVM ``QueryExecution.explainString`` handle; where none
+    exists (Spark Connect) or the py4j surface drifted, falls back to
+    capturing ``df.explain`` output — same text, protocol-agnostic, so
+    every downstream text parser keeps working on Connect sessions.
+    """
+    jdf = getattr(df, "_jdf", None)
+    if jdf is not None:
+        try:
+            jqe = jdf.queryExecution()
+            jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                mode
+            )
+            return jqe.explainString(jmode)
+        except Exception:
+            pass
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
 
 
 @dataclass
@@ -239,9 +266,19 @@ def unbounded_global_windows(df: DataFrame) -> list[str]:
 
     Anything else is returned as a violation string.  Static check only —
     reads the pre-execution ``sparkPlan``, nothing executes.
+
+    Without a JVM handle (Spark Connect) the check degrades to
+    :func:`_unbounded_global_windows_from_text` — same window detection
+    from the formatted explain text, but boundedness becomes PLAN-WIDE
+    (a limit anywhere counts) instead of subtree-scoped, so it can
+    under-report violations when an unrelated branch carries the limit.
+    Reduced fidelity beats no gate; run the py4j path in CI.
     """
     out: list[str] = []
-    root = df._jdf.queryExecution().sparkPlan()
+    jdf = getattr(df, "_jdf", None)
+    if jdf is None:
+        return _unbounded_global_windows_from_text(physical_plan(df))
+    root = jdf.queryExecution().sparkPlan()
     for n in _walk_plan(root):
         if n.nodeName() != "Window" or not n.partitionSpec().isEmpty():
             continue
@@ -256,6 +293,54 @@ def unbounded_global_windows(df: DataFrame) -> list[str]:
                     bounded = True
         if not bounded:
             out.append(n.simpleString(10))
+    return out
+
+
+def _top_level_bracket_groups(s: str) -> "list[str]":
+    """Split ``[a], [b, [c]], [d]`` into its top-level ``[...]`` groups."""
+    groups, depth, start = [], 0, -1
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0 and start >= 0:
+                groups.append(s[start + 1 : i])
+                start = -1
+    return groups
+
+
+_WINDOW_BLOCK_RE = re.compile(
+    r"\(\d+\) (Window(?:GroupLimit)?)\b.*?\nArguments: (.*?)(?:\n[A-Z(]|\Z)",
+    re.DOTALL,
+)
+
+
+def _unbounded_global_windows_from_text(plan_text: str) -> "list[str]":
+    """Text-parse fallback for :func:`unbounded_global_windows` (Connect).
+
+    A formatted ``Window`` block's Arguments line carries 3 top-level
+    bracket groups when partitioned — [exprs], [partitionSpec],
+    [orderSpec] — and 2 when the partition spec is empty.  Boundedness
+    is plan-wide here: any TakeOrderedAndProject/GlobalLimit/
+    CollectLimit node, or a ``__pid``-keyed aggregate (the two-phase
+    prefix-scan offsets table), marks every global window bounded.
+    """
+    bounded = any(
+        re.search(rf"\(\d+\) {b}\b", plan_text) for b in _WINDOW_BOUNDING_NODES
+    ) or bool(re.search(r"\(\d+\) \w*Aggregate\b[^(]*?\n(?:[^\n]*\n){0,4}?[^\n]*__pid", plan_text))
+    if bounded:
+        return []
+    out = []
+    for m in _WINDOW_BLOCK_RE.finditer(plan_text):
+        node, args = m.group(1), m.group(2)
+        if node != "Window":
+            continue
+        args_line = args.split("\n", 1)[0]
+        if len(_top_level_bracket_groups(args_line)) <= 2:
+            out.append(f"Window (global, text-detected): {args_line[:160]}")
     return out
 
 
@@ -286,6 +371,15 @@ def executed_metrics(df: DataFrame) -> "list[dict]":
     information).
     """
     out: list[dict] = []
+    jdf = getattr(df, "_jdf", None)
+    if jdf is None:
+        raise RuntimeError(
+            "executed_metrics requires a JVM plan handle (classic py4j "
+            "session); Spark Connect exposes no per-node SQL metrics — use "
+            "df.observe()/progress.observe_rows for Connect-safe counters, "
+            "and the text-based plan gates (physical_plan/check_plan/"
+            "unbounded_global_windows) for shape contracts"
+        )
 
     def walk(n, depth: int) -> None:
         n = _unwrap_exec_node(n)
@@ -299,7 +393,7 @@ def executed_metrics(df: DataFrame) -> "list[dict]":
         while cit.hasNext():
             walk(cit.next(), depth + 1)
 
-    walk(df._jdf.queryExecution().executedPlan(), 0)
+    walk(jdf.queryExecution().executedPlan(), 0)
     return out
 
 
