@@ -1373,3 +1373,145 @@ def q_capture_recapture(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("n_chapman"),
         (F.floor(m * 1.0 / n1 * 1000000 + 0.5) / 1000000).alias("recapture_rate"),
     )
+
+
+# ------------------------------------- interrupted time series (segmented OLS)
+_ITS_ORIGIN = "1995-01-01"
+_ITS_BREAK_T = 1096  # days from origin to the 1998-01-01 intervention
+
+
+@register(
+    "q_interrupted_ts",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(DATEDIFF('day', DATE '{_ITS_ORIGIN}', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS t,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1),
+seg AS (
+  SELECT CASE WHEN t < {_ITS_BREAK_T} THEN 'pre' ELSE 'post' END AS s,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(t AS HUGEINT)) AS st, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(t AS HUGEINT) * t) AS stt, SUM(CAST(t AS HUGEINT) * y) AS sty
+  FROM daily GROUP BY 1),
+w AS (SELECT
+        MAX(CASE WHEN s = 'pre' THEN n END) AS n1,
+        MAX(CASE WHEN s = 'pre' THEN st END) AS st1,
+        MAX(CASE WHEN s = 'pre' THEN sy END) AS sy1,
+        MAX(CASE WHEN s = 'pre' THEN stt END) AS stt1,
+        MAX(CASE WHEN s = 'pre' THEN sty END) AS sty1,
+        MAX(CASE WHEN s = 'post' THEN n END) AS n2,
+        MAX(CASE WHEN s = 'post' THEN st END) AS st2,
+        MAX(CASE WHEN s = 'post' THEN sy END) AS sy2,
+        MAX(CASE WHEN s = 'post' THEN stt END) AS stt2,
+        MAX(CASE WHEN s = 'post' THEN sty END) AS sty2
+      FROM seg),
+fit AS (SELECT n1, n2,
+               CAST(n1 * sty1 - st1 * sy1 AS DOUBLE)
+                 / CAST(n1 * stt1 - st1 * st1 AS DOUBLE) AS b1,
+               CAST(n2 * sty2 - st2 * sy2 AS DOUBLE)
+                 / CAST(n2 * stt2 - st2 * st2 AS DOUBLE) AS b2,
+               CAST(st1 AS DOUBLE) AS st1d, CAST(sy1 AS DOUBLE) AS sy1d,
+               CAST(st2 AS DOUBLE) AS st2d, CAST(sy2 AS DOUBLE) AS sy2d
+        FROM w),
+lvl AS (SELECT n1, n2, b1, b2,
+               (sy1d - b1 * st1d) / n1 + b1 * {_ITS_BREAK_T} AS y1_at_t0,
+               (sy2d - b2 * st2d) / n2 + b2 * {_ITS_BREAK_T} AS y2_at_t0
+        FROM fit)
+SELECT n1 AS n_days_pre, n2 AS n_days_post,
+       FLOOR(b1 / 100 * 10000 + 0.5) / 10000 AS slope_pre,
+       FLOOR(b2 / 100 * 10000 + 0.5) / 10000 AS slope_post,
+       FLOOR(y1_at_t0 / 100 * 100 + 0.5) / 100 AS level_pre_t0,
+       FLOOR(y2_at_t0 / 100 * 100 + 0.5) / 100 AS level_post_t0,
+       FLOOR((y2_at_t0 - y1_at_t0) / 100 * 100 + 0.5) / 100 AS level_change,
+       FLOOR((b2 - b1) / 100 * 10000 + 0.5) / 10000 AS slope_change
+FROM lvl
+""",
+    doc="interrupted time series / segmented regression (the single-"
+    "series causal readout; e.g. Wagner et al. 2002): separate OLS "
+    "trend lines for daily revenue BEFORE and AFTER a fixed "
+    "intervention day, both extrapolated TO the break point — "
+    "level_change is the immediate jump, slope_change the trend break. "
+    "Complements e_did_estimate/q_event_study (which need a control "
+    "arm; ITS is what you run when there isn't one).  Exactness: day "
+    "index and daily cents are exact ints, per-segment moment sums "
+    "accumulate in HUGEINT/decimal, each slope/intercept/projection is "
+    "one mirrored float tree.  The honest TPC-H readout is ~no break — "
+    "uniform synthetic demand — which the near-zero deltas show.  "
+    "Scale: one date-keyed partial agg to calendar-bounded daily "
+    "cells, then a 2-cell conditional rollup; nothing re-scans the "
+    "fact table.",
+)
+def q_interrupted_ts(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    daily = o.groupBy(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit(_ITS_ORIGIN).cast("date"))
+        .cast("long")
+        .alias("t")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y"))
+    seg = daily.groupBy(
+        F.when(F.col("t") < _ITS_BREAK_T, "pre").otherwise("post").alias("s")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("t"))).alias("st"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("t")) * F.col("t")).alias("stt"),
+        F.sum(dec(F.col("t")) * F.col("y")).alias("sty"),
+    )
+    pick = lambda sv, c: F.max(F.when(F.col("s") == sv, F.col(c)))  # noqa: E731
+    w = seg.agg(
+        pick("pre", "n").alias("n1"),
+        pick("pre", "st").alias("st1"),
+        pick("pre", "sy").alias("sy1"),
+        pick("pre", "stt").alias("stt1"),
+        pick("pre", "sty").alias("sty1"),
+        pick("post", "n").alias("n2"),
+        pick("post", "st").alias("st2"),
+        pick("post", "sy").alias("sy2"),
+        pick("post", "stt").alias("stt2"),
+        pick("post", "sty").alias("sty2"),
+    )
+    n1d, n2d = F.col("n1").cast("decimal(38,0)"), F.col("n2").cast("decimal(38,0)")
+    fit = w.select(
+        "n1",
+        "n2",
+        (
+            (n1d * F.col("sty1") - F.col("st1") * F.col("sy1")).cast("double")
+            / (n1d * F.col("stt1") - F.col("st1") * F.col("st1")).cast("double")
+        ).alias("b1"),
+        (
+            (n2d * F.col("sty2") - F.col("st2") * F.col("sy2")).cast("double")
+            / (n2d * F.col("stt2") - F.col("st2") * F.col("st2")).cast("double")
+        ).alias("b2"),
+        F.col("st1").cast("double").alias("st1d"),
+        F.col("sy1").cast("double").alias("sy1d"),
+        F.col("st2").cast("double").alias("st2d"),
+        F.col("sy2").cast("double").alias("sy2d"),
+    )
+    lvl = fit.select(
+        "n1",
+        "n2",
+        "b1",
+        "b2",
+        (
+            (F.col("sy1d") - F.col("b1") * F.col("st1d")) / F.col("n1")
+            + F.col("b1") * _ITS_BREAK_T
+        ).alias("y1_at_t0"),
+        (
+            (F.col("sy2d") - F.col("b2") * F.col("st2d")) / F.col("n2")
+            + F.col("b2") * _ITS_BREAK_T
+        ).alias("y2_at_t0"),
+    )
+    r4 = lambda c: F.floor(c / 100 * 10000 + 0.5) / 10000  # noqa: E731
+    r2 = lambda c: F.floor(c / 100 * 100 + 0.5) / 100  # noqa: E731
+    return lvl.select(
+        F.col("n1").alias("n_days_pre"),
+        F.col("n2").alias("n_days_post"),
+        r4(F.col("b1")).alias("slope_pre"),
+        r4(F.col("b2")).alias("slope_post"),
+        r2(F.col("y1_at_t0")).alias("level_pre_t0"),
+        r2(F.col("y2_at_t0")).alias("level_post_t0"),
+        r2(F.col("y2_at_t0") - F.col("y1_at_t0")).alias("level_change"),
+        r4(F.col("b2") - F.col("b1")).alias("slope_change"),
+    )

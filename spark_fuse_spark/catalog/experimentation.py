@@ -1743,3 +1743,144 @@ def e_retention_halflife(spark: SparkSession, sf: str) -> DataFrame:
             "half_life_weeks"
         ),
     )
+
+
+# ------------------------------------------------------ Welch's t-test
+@register(
+    "e_welch_ttest",
+    oracle="""
+WITH v AS (
+  SELECT CASE WHEN ISODOW(ts) <= 5 THEN 'weekday' ELSE 'weekend' END AS bucket,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'),
+agg AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(cents AS HUGEINT)) AS s1,
+         SUM(CAST(cents AS HUGEINT) * cents) AS s2
+  FROM v GROUP BY bucket),
+w AS (SELECT
+        MAX(CASE WHEN bucket = 'weekday' THEN n END) AS n1,
+        MAX(CASE WHEN bucket = 'weekday' THEN s1 END) AS a1,
+        MAX(CASE WHEN bucket = 'weekday' THEN s2 END) AS a2,
+        MAX(CASE WHEN bucket = 'weekend' THEN n END) AS n2,
+        MAX(CASE WHEN bucket = 'weekend' THEN s1 END) AS b1,
+        MAX(CASE WHEN bucket = 'weekend' THEN s2 END) AS b2
+      FROM agg),
+d AS (SELECT n1, n2,
+             CAST(a1 AS DOUBLE) / n1 AS m1, CAST(b1 AS DOUBLE) / n2 AS m2,
+             (CAST(a2 AS DOUBLE) - CAST(a1 AS DOUBLE) * a1 / n1) / (n1 - 1) AS v1,
+             (CAST(b2 AS DOUBLE) - CAST(b1 AS DOUBLE) * b1 / n2) / (n2 - 1) AS v2
+      FROM w),
+t AS (SELECT n1, n2, m1, m2, v1, v2,
+             v1 / n1 + v2 / n2 AS se2,
+             (m1 - m2) / SQRT(v1 / n1 + v2 / n2) AS t_raw
+      FROM d)
+SELECT n1 AS n_weekday, n2 AS n_weekend,
+       FLOOR(m1 / 100 * 10000 + 0.5) / 10000 AS mean_weekday,
+       FLOOR(m2 / 100 * 10000 + 0.5) / 10000 AS mean_weekend,
+       FLOOR(t_raw * 10000 + 0.5) / 10000 AS t_stat,
+       FLOOR(se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                          + (v2 / n2) * (v2 / n2) / (n2 - 1)) * 100 + 0.5) / 100
+         AS dof_welch,
+       FLOOR({erfc} * 1000000 + 0.5) / 1000000 AS p_normal_approx
+FROM t
+""".replace("{erfc}", _ERFC_SQL.format(az="ABS(t_raw)")),
+    doc="Welch's unequal-variance t-test (Welch 1947) on purchase value, "
+    "weekday vs weekend — the 2-group continuous-metric companion to "
+    "e_ab_conversion_test (proportions) and q_anova_oneway (k groups, "
+    "pooled variance): Welch never assumes equal variances, which is "
+    "the safe default for skewed spend metrics.  Means/variances come "
+    "from exact HUGEINT/decimal cent moment sums; t, the Welch-"
+    "Satterthwaite dof, and the large-dof normal-approximation p (A&S "
+    "7.1.25 erfc — the suite's shared, documented approximation) are "
+    "mirrored float trees evaluated once per engine.  Scale: one "
+    "event-scan partial aggregate to two cells; 1-row arithmetic "
+    "after.",
+)
+def e_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    v = ev.where(F.col("event_type") == "purchase").select(
+        F.when(F.dayofweek("ts").isin(2, 3, 4, 5, 6), "weekday")
+        .otherwise("weekend")
+        .alias("bucket"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    agg = v.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("cents"))).alias("s1"),
+        F.sum(dec(F.col("cents")) * F.col("cents")).alias("s2"),
+    )
+    pick = lambda b, c: F.max(F.when(F.col("bucket") == b, F.col(c)))  # noqa: E731
+    w = agg.agg(
+        pick("weekday", "n").alias("n1"),
+        pick("weekday", "s1").alias("a1"),
+        pick("weekday", "s2").alias("a2"),
+        pick("weekend", "n").alias("n2"),
+        pick("weekend", "s1").alias("b1"),
+        pick("weekend", "s2").alias("b2"),
+    )
+    d = w.select(
+        "n1",
+        "n2",
+        (F.col("a1").cast("double") / F.col("n1")).alias("m1"),
+        (F.col("b1").cast("double") / F.col("n2")).alias("m2"),
+        (
+            (
+                F.col("a2").cast("double")
+                - F.col("a1").cast("double") * F.col("a1") / F.col("n1")
+            )
+            / (F.col("n1") - 1)
+        ).alias("v1"),
+        (
+            (
+                F.col("b2").cast("double")
+                - F.col("b1").cast("double") * F.col("b1") / F.col("n2")
+            )
+            / (F.col("n2") - 1)
+        ).alias("v2"),
+    )
+    t = d.select(
+        "n1",
+        "n2",
+        "m1",
+        "m2",
+        "v1",
+        "v2",
+        (F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")).alias("se2"),
+        (
+            (F.col("m1") - F.col("m2"))
+            / F.sqrt(F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2"))
+        ).alias("t_raw"),
+    )
+    az = F.abs(F.col("t_raw"))
+    s2r = F.sqrt(F.lit(2.0))
+    denom = (
+        1
+        + 0.278393 * az / s2r
+        + 0.230389 * az * az / 2
+        + 0.000972 * F.pow(az / s2r, 3)
+        + 0.078108 * F.pow(az / s2r, 4)
+    )
+    vn1 = F.col("v1") / F.col("n1")
+    vn2 = F.col("v2") / F.col("n2")
+    return t.select(
+        F.col("n1").alias("n_weekday"),
+        F.col("n2").alias("n_weekend"),
+        (F.floor(F.col("m1") / 100 * 10000 + 0.5) / 10000).alias("mean_weekday"),
+        (F.floor(F.col("m2") / 100 * 10000 + 0.5) / 10000).alias("mean_weekend"),
+        (F.floor(F.col("t_raw") * 10000 + 0.5) / 10000).alias("t_stat"),
+        (
+            F.floor(
+                F.col("se2")
+                * F.col("se2")
+                / (vn1 * vn1 / (F.col("n1") - 1) + vn2 * vn2 / (F.col("n2") - 1))
+                * 100
+                + 0.5
+            )
+            / 100
+        ).alias("dof_welch"),
+        (F.floor((1 / F.pow(denom, 4)) * 1000000 + 0.5) / 1000000).alias(
+            "p_normal_approx"
+        ),
+    )

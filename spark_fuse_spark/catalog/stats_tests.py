@@ -2962,3 +2962,81 @@ def q_spearman_corr(spark: SparkSession, sf: str) -> DataFrame:
         "n",
         (F.floor(num / den * 1000000 + 0.5) / 1000000).alias("rho_spearman"),
     )
+
+
+# --------------------------------------------------- McNemar paired test
+@register(
+    "q_mcnemar",
+    oracle="""
+WITH r AS (
+  SELECT n_chars >= 325 AS a,
+         length(text) - length(replace(text, ' ', '')) + 1 >= 60 AS b
+  FROM documents),
+cells AS (
+  SELECT CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS both_pos,
+         CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS only_a,
+         CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS only_b,
+         CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS both_neg
+  FROM r)
+SELECT both_pos, only_a, only_b, both_neg,
+       both_pos + only_a + only_b + both_neg AS n,
+       CASE WHEN only_a + only_b > 0 THEN
+         FLOOR(CAST((only_a - only_b) * (only_a - only_b) AS DOUBLE)
+               / (only_a + only_b) * 1000000 + 0.5) / 1000000 END AS mcnemar_chi2,
+       CASE WHEN only_a + only_b > 0 THEN
+         FLOOR(POWER(ABS(CAST(only_a - only_b AS DOUBLE)) - 1.0, 2)
+               / (only_a + only_b) * 1000000 + 0.5) / 1000000 END AS mcnemar_cc
+FROM cells
+""",
+    doc="McNemar's paired test (McNemar 1947) between two binary "
+    "document gates on the SAME rows — long-by-chars vs long-by-words "
+    "— the marginal-homogeneity check for replacing one production "
+    "filter with another: only the DISCORDANT cells carry evidence, so "
+    "the chi2 is (b-c)^2/(b+c) with Edwards' continuity-corrected "
+    "variant alongside (the kappa query answers agreement STRENGTH; "
+    "this answers whether the swap shifts the accept rate).  The 2x2 "
+    "cells are exact bigints from one corpus aggregate; the two "
+    "statistics are single mirrored float expressions, NULL when no "
+    "discordant pairs exist.  Scale: one map-side-combined 1-row "
+    "reduce; nothing else touches the corpus.",
+)
+def q_mcnemar(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    words = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    r = d.select(
+        (F.col("n_chars") >= 325).alias("a"), (words >= 60).alias("b")
+    )
+    one = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")  # noqa: E731
+    cells = r.agg(
+        one(F.col("a") & F.col("b")).alias("both_pos"),
+        one(F.col("a") & ~F.col("b")).alias("only_a"),
+        one(~F.col("a") & F.col("b")).alias("only_b"),
+        one(~F.col("a") & ~F.col("b")).alias("both_neg"),
+    )
+    oa, ob = F.col("only_a"), F.col("only_b")
+    disc = oa + ob
+    return cells.select(
+        "both_pos",
+        "only_a",
+        "only_b",
+        "both_neg",
+        (F.col("both_pos") + oa + ob + F.col("both_neg")).alias("n"),
+        F.when(
+            disc > 0,
+            F.floor(((oa - ob) * (oa - ob)).cast("double") / disc * 1000000 + 0.5)
+            / 1000000,
+        ).alias("mcnemar_chi2"),
+        F.when(
+            disc > 0,
+            F.floor(
+                F.pow(F.abs((oa - ob).cast("double")) - F.lit(1.0), F.lit(2))
+                / disc
+                * 1000000
+                + 0.5
+            )
+            / 1000000,
+        ).alias("mcnemar_cc"),
+    )

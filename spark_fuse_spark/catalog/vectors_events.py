@@ -2376,3 +2376,107 @@ def m_vad_segments(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "seg_start", "seg_end", "n_frames", "energy_sum")
         .orderBy("doc_id", "seg_start")
     )
+
+
+# --------------------------------------------- centroid silhouette score
+_SIL_SCALE = 1_000_000  # micro-unit quantization -> exact integer geometry
+
+
+@register(
+    "v_silhouette",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(FLOOR(x * {_SIL_SCALE} + 0.5) AS BIGINT)) AS v
+  FROM embeddings),
+ex AS (SELECT vec_id, label, unnest(v) AS x,
+              unnest(generate_series(1, len(v))) AS pos FROM e),
+sums AS (SELECT label AS lb, pos, CAST(SUM(x) AS BIGINT) AS s,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM ex GROUP BY label, pos),
+d2 AS (SELECT ex.vec_id, ex.label, sums.lb, MAX(sums.n) AS n_lb,
+              SUM(CAST(sums.n * ex.x - sums.s AS HUGEINT)
+                  * (sums.n * ex.x - sums.s)) AS dd
+       FROM ex JOIN sums ON ex.pos = sums.pos
+       GROUP BY ex.vec_id, ex.label, sums.lb),
+dist AS (SELECT vec_id, label, lb,
+                SQRT(CAST(dd AS DOUBLE)) / n_lb AS d
+         FROM d2),
+ab AS (SELECT vec_id, label,
+              MAX(CASE WHEN lb = label THEN d END) AS a,
+              MIN(CASE WHEN lb <> label THEN d END) AS b
+       FROM dist GROUP BY vec_id, label),
+s AS (SELECT vec_id, label,
+             CAST(FLOOR((b - a) / GREATEST(a, b) * 1000000 + 0.5) AS BIGINT)
+               AS s_micro
+      FROM ab)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       FLOOR(SUM(s_micro) * 1.0 / COUNT(*) + 0.5) / 1000000 AS mean_silhouette
+FROM s GROUP BY label ORDER BY label
+""",
+    doc="simplified (centroid) silhouette score per label (Rousseeuw "
+    "1987; the medoid-free variant every clustering dashboard ships): "
+    "a = distance to the OWN label centroid, b = distance to the "
+    "nearest OTHER centroid, s = (b-a)/max(a,b), averaged per label — "
+    "the normalized [-1,1] companion to v_embedding_separation's raw "
+    "intra/inter gap and v_cluster_nmi's label agreement.  Exactness: "
+    "components quantize to micro-unit BIGINTs; the point-to-centroid "
+    "distance is computed n_c-SCALED (sum((n_c*x - S)^2), HUGEINT/"
+    "decimal — the centroid mean is never a float mid-plan), b is a "
+    "MIN over doubles (order-free), and per-point s quantizes to "
+    "micro-units before the per-label mean so aggregation order "
+    "cannot move it.  Full silhouette is O(n^2); the centroid form is "
+    "O(n * dims * k) — the one that scales.  Scale: the k x dims "
+    "centroid panel broadcasts against the skinny exploded stream; "
+    "every groupBy is partial-agg'd.",
+)
+def v_silhouette(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * _SIL_SCALE + 0.5).cast("long"),
+        ).alias("v"),
+    )
+    ex = e.select("vec_id", "label", F.posexplode("v").alias("pos", "x"))
+    sums = ex.groupBy(F.col("label").alias("lb"), "pos").agg(
+        F.sum("x").cast("long").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    diff = (F.col("n") * F.col("x") - F.col("s")).cast("decimal(38,0)")
+    d2 = (
+        ex.join(F.broadcast(sums), "pos")
+        .groupBy("vec_id", "label", "lb")
+        .agg(F.max("n").alias("n_lb"), F.sum(diff * diff).alias("dd"))
+    )
+    dist = d2.select(
+        "vec_id",
+        "label",
+        "lb",
+        (F.sqrt(F.col("dd").cast("double")) / F.col("n_lb")).alias("d"),
+    )
+    ab = dist.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("lb") == F.col("label"), F.col("d"))).alias("a"),
+        F.min(F.when(F.col("lb") != F.col("label"), F.col("d"))).alias("b"),
+    )
+    s = ab.select(
+        "label",
+        F.floor(
+            (F.col("b") - F.col("a")) / F.greatest("a", "b") * 1000000 + 0.5
+        )
+        .cast("long")
+        .alias("s_micro"),
+    )
+    return (
+        s.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum("s_micro").alias("sm"))
+        .select(
+            "label",
+            "n_vecs",
+            (F.floor(F.col("sm") * 1.0 / F.col("n_vecs") + 0.5) / 1000000).alias(
+                "mean_silhouette"
+            ),
+        )
+        .orderBy("label")
+    )
