@@ -216,6 +216,18 @@ HEADLINE = [
     # round-7 batch 3: diffusion-curve fitting and population estimation
     "e_bass_diffusion",
     "q_capture_recapture",
+    # round-8 additions: the retention half-life fit (queued from round 7
+    # per verdict #4), the BPE tokenizer loop (apply + exact-count
+    # packing), and the round-8 stats/vector batch
+    "e_retention_halflife",
+    "t_bpe_apply",
+    "t_pack_sequences_bpe",
+    "q_jarque_bera",
+    "q_spearman_corr",
+    "q_mcnemar",
+    "e_welch_ttest",
+    "v_silhouette",
+    "q_interrupted_ts",
 ]
 
 
