@@ -6,7 +6,10 @@ container ships no typer/rich) and extended with catalog commands:
 * ``datasources`` — list the registered Python Data Source formats;
 * ``read --format rest|sparql|qdrant --config '<json>' [--show N]``;
 * ``queries`` — list the analytic query catalog;
-* ``run --query NAME [--sf DIR]`` — execute a catalog query and show it.
+* ``run --query NAME [--sf DIR]`` — execute a catalog query and show it;
+* ``parity [NAMES...]`` — differential-oracle sweep vs DuckDB;
+* ``tokenize train|apply`` — BPE merge-table training / application;
+* ``table history|show|rollback|vacuum`` — versioned-table maintenance.
 """
 
 from __future__ import annotations
@@ -61,6 +64,22 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parity.add_argument("names", nargs="*", help="queries to check (default: every oracle-paired query)")
     parity.add_argument("--sf", default=None, help="scale-factor directory (default $SPARK_GRAFT_SF_DIR)")
+
+    tok = sub.add_parser(
+        "tokenize", help="train or apply a BPE merge table (functions/bpe)"
+    )
+    tok.add_argument("action", choices=["train", "apply"])
+    tok.add_argument("--sf", default=None, help="scale-factor directory (default $SPARK_GRAFT_SF_DIR)")
+    tok.add_argument("--table", default="documents", help="source table name")
+    tok.add_argument("--text-col", default="text")
+    tok.add_argument("--n-merges", type=int, default=24, help="train: merge rounds")
+    tok.add_argument(
+        "--merge-table",
+        default=None,
+        help="apply: merge table JSON [[l, r], ...] (string or @file); "
+        "trains --n-merges rounds first when omitted",
+    )
+    tok.add_argument("--show", type=int, default=10)
 
     table = sub.add_parser(
         "table", help="inspect/maintain a versioned parquet table (cdc.versioned)"
@@ -176,6 +195,47 @@ def _cmd_parity(args: argparse.Namespace) -> int:
     return 0 if not failures else 1
 
 
+def _cmd_tokenize(args: argparse.Namespace) -> int:
+    from spark_fuse_spark.functions.bpe import (
+        train_bpe,
+        with_bpe_token_count,
+        with_bpe_tokens,
+        word_frequency,
+    )
+    from spark_fuse_spark.session import create_session
+    from spark_fuse_spark.tables import default_sf_dir, load_table
+
+    spark = create_session(app_name=f"cli-tokenize-{args.action}")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = args.sf or default_sf_dir()
+    df = load_table(spark, sf_dir, args.table)
+
+    if args.action == "train":
+        merges = train_bpe(word_frequency(df, args.text_col), args.n_merges)
+        # one JSON line: [[left, right, pair_freq], ...] — pipe to @file
+        # and feed back through `tokenize apply --merge-table @file`
+        print(json.dumps([[l, r, f] for l, r, f in merges]))
+        return 0
+
+    if args.merge_table:
+        rows = json.loads(_config_blob(args.merge_table))
+        merges = [(r[0], r[1]) for r in rows]
+    else:
+        merges = [
+            (l, r) for l, r, _ in train_bpe(word_frequency(df, args.text_col), args.n_merges)
+        ]
+    key = df.columns[0]
+    out = with_bpe_token_count(
+        with_bpe_tokens(df, args.text_col, merges, out_col="bpe_tokens"),
+        key,
+        args.text_col,
+        merges,
+        out_col="n_bpe_tokens",
+    ).select(key, "n_bpe_tokens", "bpe_tokens")
+    out.show(args.show, truncate=80)
+    return 0
+
+
 def _cmd_table(args: argparse.Namespace) -> int:
     from spark_fuse_spark.cdc import VersionedParquetStore
 
@@ -220,6 +280,8 @@ def main(argv: "list[str] | None" = None) -> int:
         return _cmd_run(args)
     if args.command == "parity":
         return _cmd_parity(args)
+    if args.command == "tokenize":
+        return _cmd_tokenize(args)
     if args.command == "table":
         return _cmd_table(args)
     return 2

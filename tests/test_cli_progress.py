@@ -53,6 +53,26 @@ def test_cli_run_metrics_drives_plan_without_driver_collect(spark, capsys):
     assert "shuffle_records" in out and "rows_scanned" in out
 
 
+def test_cli_tokenize_train_and_apply(spark, capsys, tmp_path):
+    # train on the tiny sf dir, round-trip the merge table through @file,
+    # and apply it — exercises both actions end-to-end
+    sf = "/root/testdata/sf0.001"
+    assert main(["tokenize", "train", "--sf", sf, "--n-merges", "4"]) == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    merges = json.loads(line)
+    assert len(merges) == 4 and all(len(m) == 3 for m in merges)
+    path = tmp_path / "merges.json"
+    path.write_text(json.dumps(merges))
+    assert (
+        main(
+            ["tokenize", "apply", "--sf", sf, "--merge-table", f"@{path}", "--show", "3"]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "n_bpe_tokens" in out and "bpe_tokens" in out
+
+
 def test_record_validation():
     with pytest.raises(ValueError):
         LogEventRecord(event="").validate()
