@@ -1515,3 +1515,134 @@ def q_interrupted_ts(spark: SparkSession, sf: str) -> DataFrame:
         r2(F.col("y2_at_t0") - F.col("y1_at_t0")).alias("level_change"),
         r4(F.col("b2") - F.col("b1")).alias("slope_change"),
     )
+
+
+# ------------------------------------------------ Granger causality (lag-1)
+@register(
+    "e_granger_causality",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1),
+pairs AS (
+  SELECT cur.y AS yt, prev.y AS z1, prev.x AS z2
+  FROM daily cur JOIN daily prev ON cur.d = prev.d + INTERVAL 1 DAY),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(z1 AS HUGEINT)) AS s1, SUM(CAST(z2 AS HUGEINT)) AS s2,
+             SUM(CAST(yt AS HUGEINT)) AS sy,
+             SUM(CAST(z1 AS HUGEINT) * z1) AS s11,
+             SUM(CAST(z2 AS HUGEINT) * z2) AS s22,
+             SUM(CAST(z1 AS HUGEINT) * z2) AS s12,
+             SUM(CAST(z1 AS HUGEINT) * yt) AS s1y,
+             SUM(CAST(z2 AS HUGEINT) * yt) AS s2y,
+             SUM(CAST(yt AS HUGEINT) * yt) AS syy
+      FROM pairs),
+c AS (SELECT n,
+             CAST(n * s11 - s1 * s1 AS DOUBLE) AS c11,
+             CAST(n * s22 - s2 * s2 AS DOUBLE) AS c22,
+             CAST(n * s12 - s1 * s2 AS DOUBLE) AS c12,
+             CAST(n * s1y - s1 * sy AS DOUBLE) AS c1y,
+             CAST(n * s2y - s2 * sy AS DOUBLE) AS c2y,
+             CAST(n * syy - sy * sy AS DOUBLE) AS cyy
+      FROM m),
+fit AS (SELECT n, c1y, c2y, cyy,
+               (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
+               (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2,
+               c1y * c1y / c11 AS expl_r
+        FROM c),
+rss AS (SELECT n, b1, b2,
+               cyy - expl_r AS rss_r,
+               cyy - (b1 * c1y + b2 * c2y) AS rss_u
+        FROM fit)
+SELECT n AS n_samples,
+       FLOOR(b1 * 1000000 + 0.5) / 1000000 AS coef_y_lag1,
+       FLOOR(b2 * 1000000 + 0.5) / 1000000 AS coef_x_lag1,
+       CAST(1 AS BIGINT) AS dof_num, n - 3 AS dof_den,
+       FLOOR((rss_r - rss_u) * (n - 3) / rss_u * 1000000 + 0.5) / 1000000
+         AS f_stat
+FROM rss
+""",
+    doc="lag-1 Granger causality screen (Granger 1969): do yesterday's "
+    "CLICKS improve today's PURCHASE forecast beyond yesterday's "
+    "purchases alone?  Restricted (AR-1) vs unrestricted (AR-1 + "
+    "exogenous lag) OLS on the daily panel, F = ((RSS_r - RSS_u)/1) / "
+    "(RSS_u/(n-3)) — the time-series causality companion to "
+    "e_cross_correlation (association only) and q_interrupted_ts/"
+    "e_did_estimate (designed interventions).  The lag pairs come from "
+    "a calendar self-join on d = prev_d + 1 (no global window "
+    "anywhere); all moment sums are exact HUGEINT/decimal ints, "
+    "centered second moments lift n-scaled, and the 2x2 normal "
+    "equations solve in closed form with mirrored float trees.  "
+    "Scale: one event-scan partial agg to calendar-bounded daily "
+    "cells; the self-join and everything after run on that tiny "
+    "relation.",
+)
+def e_granger_causality(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    prev = daily.select(
+        F.date_add("d", 1).alias("d"), F.col("y").alias("z1"), F.col("x").alias("z2")
+    )
+    pairs = daily.select("d", F.col("y").alias("yt")).join(prev, "d")
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("z1"))).alias("s1"),
+        F.sum(dec(F.col("z2"))).alias("s2"),
+        F.sum(dec(F.col("yt"))).alias("sy"),
+        F.sum(dec(F.col("z1")) * F.col("z1")).alias("s11"),
+        F.sum(dec(F.col("z2")) * F.col("z2")).alias("s22"),
+        F.sum(dec(F.col("z1")) * F.col("z2")).alias("s12"),
+        F.sum(dec(F.col("z1")) * F.col("yt")).alias("s1y"),
+        F.sum(dec(F.col("z2")) * F.col("yt")).alias("s2y"),
+        F.sum(dec(F.col("yt")) * F.col("yt")).alias("syy"),
+    )
+    nD = F.col("n").cast("decimal(38,0)")
+    c = m.select(
+        "n",
+        (nD * F.col("s11") - F.col("s1") * F.col("s1")).cast("double").alias("c11"),
+        (nD * F.col("s22") - F.col("s2") * F.col("s2")).cast("double").alias("c22"),
+        (nD * F.col("s12") - F.col("s1") * F.col("s2")).cast("double").alias("c12"),
+        (nD * F.col("s1y") - F.col("s1") * F.col("sy")).cast("double").alias("c1y"),
+        (nD * F.col("s2y") - F.col("s2") * F.col("sy")).cast("double").alias("c2y"),
+        (nD * F.col("syy") - F.col("sy") * F.col("sy")).cast("double").alias("cyy"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    fit = c.select(
+        "n",
+        "c1y",
+        "c2y",
+        "cyy",
+        ((F.col("c1y") * F.col("c22") - F.col("c2y") * F.col("c12")) / det).alias("b1"),
+        ((F.col("c2y") * F.col("c11") - F.col("c1y") * F.col("c12")) / det).alias("b2"),
+        (F.col("c1y") * F.col("c1y") / F.col("c11")).alias("expl_r"),
+    )
+    rss = fit.select(
+        "n",
+        "b1",
+        "b2",
+        (F.col("cyy") - F.col("expl_r")).alias("rss_r"),
+        (F.col("cyy") - (F.col("b1") * F.col("c1y") + F.col("b2") * F.col("c2y"))).alias(
+            "rss_u"
+        ),
+    )
+    r6 = lambda col: F.floor(col * 1000000 + 0.5) / 1000000  # noqa: E731
+    return rss.select(
+        F.col("n").alias("n_samples"),
+        r6(F.col("b1")).alias("coef_y_lag1"),
+        r6(F.col("b2")).alias("coef_x_lag1"),
+        F.lit(1).cast("long").alias("dof_num"),
+        (F.col("n") - 3).alias("dof_den"),
+        r6((F.col("rss_r") - F.col("rss_u")) * (F.col("n") - 3) / F.col("rss_u")).alias(
+            "f_stat"
+        ),
+    )

@@ -3040,3 +3040,119 @@ def q_mcnemar(spark: SparkSession, sf: str) -> DataFrame:
             / 1000000,
         ).alias("mcnemar_cc"),
     )
+
+
+# ------------------------------------------- Mahalanobis outlier screen
+@register(
+    "q_mahalanobis_outliers",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey AS ck,
+         CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM orders GROUP BY o_custkey),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM cust),
+c AS (SELECT n,
+             n * sxx - sx * sx AS cxx,
+             n * syy - sy * sy AS cyy,
+             n * sxy - sx * sy AS cxy,
+             sx, sy
+      FROM m),
+d AS (SELECT cust.ck, cust.x, cust.y, c.n, c.cxx, c.cyy, c.cxy,
+             c.n * cust.x - c.sx AS dx,
+             c.n * cust.y - c.sy AS dy
+      FROM cust CROSS JOIN c),
+md AS (SELECT ck, x, y, n, cxx, cyy, cxy,
+              cyy * (dx * dx) - 2 * ((dx * dy) * cxy) + cxx * (dy * dy) AS mnum
+       FROM d)
+SELECT ck AS custkey, x AS spend_dollars, y AS n_orders,
+       FLOOR(CAST(n - 1 AS DOUBLE) / n * (CAST(mnum AS DOUBLE)
+             / CAST(cxx * cyy - cxy * cxy AS DOUBLE)) * 1000000 + 0.5) / 1000000
+         AS mahalanobis_d2
+FROM md
+ORDER BY mnum DESC, ck
+LIMIT 20
+""",
+    doc="Mahalanobis-distance outlier screen (Mahalanobis 1936) over the "
+    "per-customer (lifetime spend, order count) plane — the correlation-"
+    "aware multivariate complement to e_anomaly_mad (univariate) and "
+    "v_centroid_outliers (embedding-space): a customer can be "
+    "unremarkable on each margin yet far off the joint spend-frequency "
+    "ridge.  The 2x2 covariance inverts in closed form, and the WHOLE "
+    "ranking stays exact: spend quantizes to whole dollars, Dx = n*x - "
+    "Sx and the quadratic form cyy*Dx^2 - 2*cxy*Dx*Dy + cxx*Dy^2 "
+    "accumulate in decimal(38)/HUGEINT (cents would clear 1e38 at "
+    "sf1 — the quantization IS the overflow headroom), ties break on "
+    "custkey, and the one float division per row happens only for the "
+    "displayed d2.  Scale: one fact-table groupBy, a 1-row broadcast "
+    "moment panel, per-row integer arithmetic, TakeOrdered top-20 — "
+    "no global sort.",
+)
+def q_mahalanobis_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.panels import attach_scalar_panel
+
+    o = load_table(spark, sf, "orders")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cust = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(F.round(F.col("o_totalprice")).cast("long")).alias("x"),
+        F.count(F.lit(1)).alias("y"),
+    )
+    m = cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x")) * F.col("x")).alias("sxx"),
+        F.sum(dec(F.col("y")) * F.col("y")).alias("syy"),
+        F.sum(dec(F.col("x")) * F.col("y")).alias("sxy"),
+    )
+    nD = F.col("n").cast("decimal(38,0)")
+    c = m.select(
+        "n",
+        "sx",
+        "sy",
+        (nD * F.col("sxx") - F.col("sx") * F.col("sx")).alias("cxx"),
+        (nD * F.col("syy") - F.col("sy") * F.col("sy")).alias("cyy"),
+        (nD * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cxy"),
+    )
+    d = attach_scalar_panel(cust, c).select(
+        "ck",
+        "x",
+        "y",
+        "n",
+        "cxx",
+        "cyy",
+        "cxy",
+        (F.col("n").cast("decimal(38,0)") * F.col("x") - F.col("sx")).alias("dx"),
+        (F.col("n").cast("decimal(38,0)") * F.col("y") - F.col("sy")).alias("dy"),
+    )
+    mnum = (
+        F.col("cyy") * (F.col("dx") * F.col("dx"))
+        - 2 * ((F.col("dx") * F.col("dy")) * F.col("cxy"))
+        + F.col("cxx") * (F.col("dy") * F.col("dy"))
+    )
+    md = d.select("ck", "x", "y", "n", "cxx", "cyy", "cxy", mnum.alias("mnum"))
+    det = (F.col("cxx") * F.col("cyy") - F.col("cxy") * F.col("cxy")).cast("double")
+    return (
+        md.orderBy(F.col("mnum").desc(), "ck")
+        .limit(20)
+        .select(
+            F.col("ck").alias("custkey"),
+            F.col("x").alias("spend_dollars"),
+            F.col("y").alias("n_orders"),
+            (
+                F.floor(
+                    (F.col("n") - 1).cast("double")
+                    / F.col("n")
+                    * (F.col("mnum").cast("double") / det)
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000
+            ).alias("mahalanobis_d2"),
+        )
+    )

@@ -2480,3 +2480,118 @@ def v_silhouette(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ------------------------------------------ autocorrelation pitch detection
+_PITCH_MIN_LAG, _PITCH_MAX_LAG = 2, 12
+_PITCH_MIN_LEN = 24  # need n > 2 * max_lag for a meaningful peak
+
+
+@register(
+    "m_pitch_autocorr",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+  WHERE length(text) >= {_PITCH_MIN_LEN}),
+ex AS (SELECT doc_id, n, UNNEST(generate_series(1, n)) AS i, text FROM t),
+b AS (SELECT doc_id, n, i, ascii(substring(text, CAST(i AS INT), 1)) AS x
+      FROM ex),
+r0 AS (SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_samples,
+              CAST(SUM(CAST(x AS BIGINT) * x) AS BIGINT) AS r_zero
+       FROM b GROUP BY doc_id),
+lags AS (SELECT UNNEST(generate_series({_PITCH_MIN_LAG}, {_PITCH_MAX_LAG}))
+           AS lag),
+rl AS (SELECT a.doc_id, l.lag,
+              CAST(SUM(CAST(a.x AS BIGINT) * c.x) AS BIGINT) AS r
+       FROM b a JOIN lags l ON TRUE
+                JOIN b c ON c.doc_id = a.doc_id AND c.i = a.i + l.lag
+       GROUP BY a.doc_id, l.lag),
+best AS (SELECT doc_id, lag, r FROM (
+           SELECT doc_id, lag, r,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY r DESC, lag) AS rk
+           FROM rl) __r WHERE rk = 1)
+SELECT r0.doc_id AS doc_id, r0.n_samples,
+       CAST(best.lag AS BIGINT) AS best_lag, best.r AS r_best,
+       FLOOR(CAST(best.r AS DOUBLE) / r0.r_zero * 1000000 + 0.5) / 1000000
+         AS acf_peak
+FROM r0 JOIN best ON r0.doc_id = best.doc_id
+ORDER BY r0.doc_id
+""",
+    doc="autocorrelation pitch detection per payload (the classic "
+    "time-domain F0 estimator — what a speech pipeline runs before "
+    "anything spectral; complements m_goertzel_tone's single-bin "
+    "energy): R(lag) = sum(x_i * x_(i+lag)) over byte samples for lags "
+    f"{_PITCH_MIN_LAG}..{_PITCH_MAX_LAG}, the arg-max lag IS the "
+    "dominant period, reported with its normalized peak R(best)/R(0). "
+    "PRECONDITION (pinned, both engines): payloads are ASCII — byte "
+    "samples read through character-indexed ascii(), same as "
+    "m_vad_segments; the real-codec version swaps PCM samples over "
+    "the identical lag machinery.  Exactness: every R is an exact "
+    "int64 (bytes <= 127, products bounded), the arg-max tie-breaks "
+    "to the smallest lag, and only the final normalization divides.  "
+    "Two-formulation proof: Spark folds the lag sums INSIDE one "
+    "let-bound per-row expression (zero joins, zero extra shuffles — "
+    "embarrassingly parallel); the oracle builds the same sums "
+    "relationally via a positional self-join.  Scale: per-row JVM "
+    "arithmetic, O(n_bytes x n_lags) per document, nothing global but "
+    "the presentation sort.",
+)
+def m_pitch_autocorr(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import _bind
+
+    d = (
+        load_table(spark, sf, "documents")
+        .where(F.length("text") >= _PITCH_MIN_LEN)
+        .select("doc_id", F.col("text").alias("s"), F.length("text").alias("n"))
+    )
+    bytes_arr = F.expr(
+        "transform(sequence(1, char_length(s)), i -> ascii(substring(s, i, 1)))"
+    )
+
+    def per_doc(bs):
+        r_zero = F.aggregate(
+            F.transform(bs, lambda x: x.cast("long") * x),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        lag_sums = F.transform(
+            F.sequence(F.lit(_PITCH_MIN_LAG), F.lit(_PITCH_MAX_LAG)),
+            lambda lag: F.struct(
+                lag.cast("long").alias("lag"),
+                F.aggregate(
+                    F.sequence(F.lit(1), F.size(bs) - lag),
+                    F.lit(0).cast("long"),
+                    lambda acc, i: acc
+                    + F.element_at(bs, i).cast("long")
+                    * F.element_at(bs, (i + lag).cast("int")),
+                ).alias("r"),
+            ),
+        )
+        # arg-max fold: highest r, ties to the SMALLEST lag (array order)
+        best = F.aggregate(
+            lag_sums,
+            F.struct(
+                F.lit(-1).cast("long").alias("lag"), F.lit(-1).cast("long").alias("r")
+            ),
+            lambda acc, x: F.when(x["r"] > acc["r"], x).otherwise(acc),
+        )
+        return F.struct(r_zero.alias("r_zero"), best.alias("best"))
+
+    out = d.select(
+        "doc_id",
+        F.col("n").alias("n_samples"),
+        _bind(bytes_arr, per_doc).alias("p"),
+    )
+    return out.select(
+        "doc_id",
+        "n_samples",
+        F.col("p.best.lag").alias("best_lag"),
+        F.col("p.best.r").alias("r_best"),
+        (
+            F.floor(
+                F.col("p.best.r").cast("double") / F.col("p.r_zero") * 1000000 + 0.5
+            )
+            / 1000000
+        ).alias("acf_peak"),
+    ).orderBy("doc_id")
