@@ -617,6 +617,7 @@ NESTED_LOOP_OK = {
     "q_logistic_gd": "1-row weight panel broadcast over each GD-pass scan + the accuracy scan",
     "q_woe_iv": "1-row total panel crossed over the |bins|-row cell table",
     "q_abc_xyz": "25-brand panel: rank-cumsum theta-self-join + 1-row revenue-total panel",
+    "q_mahalanobis_outliers": "1-row covariance-moment panel (attach_scalar_panel) broadcast over the per-customer rollup",
 }
 
 
