@@ -228,6 +228,10 @@ HEADLINE = [
     "e_welch_ttest",
     "v_silhouette",
     "q_interrupted_ts",
+    # round-8 batch 2: time-domain pitch, joint-outlier screen, causality
+    "m_pitch_autocorr",
+    "q_mahalanobis_outliers",
+    "e_granger_causality",
 ]
 
 
