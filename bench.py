@@ -23,9 +23,24 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+
+from floors import load_floors  # noqa: E402
 
 from spark_fuse_spark.catalog import load_all  # noqa: E402
 from spark_fuse_spark.session import create_session  # noqa: E402
+
+# Single-sample noise guard (round-9, per the round-8 verdict): a
+# sub-second query on a shared host can eat a one-off 0.5-1 s scheduler
+# hiccup and read as >2x its consolidated floor even though the same
+# code hits the floor minutes later.  Any query whose min(warm, steady)
+# exceeds NOISE_RETRY_RATIO x its consolidated floor gets up to
+# NOISE_MAX_RETRIES extra steady passes, reporting the min of all
+# samples — worst-case added wall is 2 x sum(tripped runtimes), in
+# practice a few seconds, and a genuine plan regression still reports
+# >ratio because re-running cannot fix a wrong plan.
+NOISE_RETRY_RATIO = 1.5
+NOISE_MAX_RETRIES = 2
 
 # Headline set: scan-agg, multi-join, window, dedup (shuffle-heavy),
 # minhash (expression-heavy), vector search, session windows.
@@ -232,6 +247,8 @@ HEADLINE = [
     "m_pitch_autocorr",
     "q_mahalanobis_outliers",
     "e_granger_causality",
+    # round-9 addition: tokenizer fertility/compression audit (verdict #3)
+    "t_bpe_fertility",
 ]
 
 
@@ -291,6 +308,23 @@ def main() -> None:
         timings[name] = round(min(steady[name], warm[name]), 3)
         _ = n
 
+    # noise-retry pass: re-measure only queries that tripped their
+    # consolidated floor ratio (see NOISE_RETRY_RATIO note above)
+    floors = load_floors()
+    retries: dict[str, list[float]] = {}
+    for name in HEADLINE:
+        floor = floors.get(name)
+        if not floor:
+            continue  # new this round — its floor session covers it
+        for _ in range(NOISE_MAX_RETRIES):
+            if timings[name] <= NOISE_RETRY_RATIO * floor:
+                break
+            t0 = time.perf_counter()
+            registry[name].spark(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            retries.setdefault(name, []).append(round(dt, 3))
+            timings[name] = round(min(timings[name], dt), 3)
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -309,6 +343,7 @@ def main() -> None:
                 "sf": sf_val,
                 "queries": timings,
                 "samples": {name: {"warm": round(warm[name], 3), "steady": round(steady[name], 3)} for name in HEADLINE},
+                "noise_retries": retries,
             },
             fh,
             indent=1,

@@ -79,6 +79,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="apply: merge table JSON [[l, r], ...] (string or @file); "
         "trains --n-merges rounds first when omitted",
     )
+    tok.add_argument(
+        "--key-col",
+        default=None,
+        help="apply: unique-per-row key column for the token-count re-join "
+        "(default: first column; uniqueness is validated — a non-unique key "
+        "would fan the join out and silently duplicate rows)",
+    )
     tok.add_argument("--show", type=int, default=10)
 
     table = sub.add_parser(
@@ -202,6 +209,8 @@ def _cmd_tokenize(args: argparse.Namespace) -> int:
         with_bpe_tokens,
         word_frequency,
     )
+    from pyspark.sql import functions as F
+
     from spark_fuse_spark.session import create_session
     from spark_fuse_spark.tables import default_sf_dir, load_table
 
@@ -224,7 +233,23 @@ def _cmd_tokenize(args: argparse.Namespace) -> int:
         merges = [
             (l, r) for l, r, _ in train_bpe(word_frequency(df, args.text_col), args.n_merges)
         ]
-    key = df.columns[0]
+    key = args.key_col or df.columns[0]
+    if key not in df.columns:
+        print(f"--key-col {key!r} not in table columns {df.columns}", file=sys.stderr)
+        return 2
+    # with_bpe_token_count re-joins on the key, so a non-unique key fans
+    # the join out and silently duplicates rows — validate up front
+    uniq = df.agg(
+        F.count(key).alias("n"), F.count_distinct(key).alias("d")
+    ).first()
+    if uniq["n"] != uniq["d"]:
+        print(
+            f"key column {key!r} is not unique per row "
+            f"({uniq['n']} rows, {uniq['d']} distinct) — pass --key-col "
+            "with a unique key for this table",
+            file=sys.stderr,
+        )
+        return 2
     out = with_bpe_token_count(
         with_bpe_tokens(df, args.text_col, merges, out_col="bpe_tokens"),
         key,

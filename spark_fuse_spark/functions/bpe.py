@@ -67,11 +67,18 @@ def _c(col: "str | Column") -> Column:
 
 
 def bpe_merge_step(
-    syms: "str | Column", left: "str | Column", right: "str | Column"
+    syms: "str | Column", left_lit: "str | Column", right_lit: "str | Column"
 ) -> Column:
     """Apply ONE merge rule to a symbol array: replace adjacent
     (left, right) pairs with their concatenation, left-to-right,
     non-overlapping — a single O(len) fold.
+
+    Argument conventions differ deliberately from the module's ``_c``
+    rule: ``syms`` as a str names a COLUMN, while ``left_lit`` /
+    ``right_lit`` as str are LITERAL symbols (merge-rule operands are
+    data values, not columns — the trainer passes collected strings,
+    the encoder passes struct fields).  Pass a ``Column`` explicitly if
+    a rule operand genuinely lives in a column.
 
     The fold appends each symbol unless the accumulator's last element
     is ``left`` and the incoming symbol is ``right``, in which case the
@@ -79,9 +86,8 @@ def bpe_merge_step(
     false-trigger as the next pair's left operand: that would require
     ``left + right == left``.
     """
-    l, r = _c(left) if not isinstance(left, str) else F.lit(left), (
-        _c(right) if not isinstance(right, str) else F.lit(right)
-    )
+    l = left_lit if isinstance(left_lit, Column) else F.lit(left_lit)
+    r = right_lit if isinstance(right_lit, Column) else F.lit(right_lit)
     return F.aggregate(
         _c(syms),
         F.array().cast("array<string>"),

@@ -30,9 +30,10 @@ full fidelity, nothing executes.  On sessions without a JVM handle
 therefore the core catalog gates: no-cartesian, broadcast-join
 presence, exchange budgets, pushdown/pruning — still works by
 capturing ``df.explain`` output; :func:`unbounded_global_windows`
-degrades to a documented reduced-fidelity text parse, and only the
-post-execution metrics readers (:func:`executed_metrics`,
-:func:`shuffle_summary`) require py4j and raise with guidance.
+re-derives the same subtree-scoped verdict from the formatted tree
+diagram, and only the post-execution metrics readers
+(:func:`executed_metrics`, :func:`shuffle_summary`) require py4j and
+raise with guidance.
 """
 
 from __future__ import annotations
@@ -40,9 +41,20 @@ from __future__ import annotations
 import contextlib
 import io
 import re
+import warnings
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
+
+try:  # pragma: no cover - py4j ships with classic pyspark
+    from py4j.protocol import Py4JError
+except ImportError:  # Connect-only installs have no py4j
+
+    class Py4JError(Exception):
+        pass
+
+
+_warned_explain_fallback = False
 
 __all__ = [
     "physical_plan",
@@ -69,14 +81,26 @@ def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
     """
     jdf = getattr(df, "_jdf", None)
     if jdf is not None:
+        # Only surface-drift errors fall through to the capture path; a
+        # genuine plan failure (analysis error, py4j crash mid-explain)
+        # must not be silently re-raised as different text downstream.
         try:
             jqe = jdf.queryExecution()
             jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 mode
             )
             return jqe.explainString(jmode)
-        except Exception:
-            pass
+        except (AttributeError, Py4JError) as exc:
+            global _warned_explain_fallback
+            if not _warned_explain_fallback:  # once per process, not per query
+                _warned_explain_fallback = True
+                warnings.warn(
+                    f"physical_plan: JVM explainString path failed despite a "
+                    f"present _jdf ({type(exc).__name__}: {exc}); falling back "
+                    f"to df.explain capture",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain(mode=mode)
@@ -267,12 +291,12 @@ def unbounded_global_windows(df: DataFrame) -> list[str]:
     Anything else is returned as a violation string.  Static check only —
     reads the pre-execution ``sparkPlan``, nothing executes.
 
-    Without a JVM handle (Spark Connect) the check degrades to
-    :func:`_unbounded_global_windows_from_text` — same window detection
-    from the formatted explain text, but boundedness becomes PLAN-WIDE
-    (a limit anywhere counts) instead of subtree-scoped, so it can
-    under-report violations when an unrelated branch carries the limit.
-    Reduced fidelity beats no gate; run the py4j path in CI.
+    Without a JVM handle (Spark Connect) the check runs
+    :func:`_unbounded_global_windows_from_text` — the same subtree-scoped
+    verdict recovered from the formatted explain's tree diagram (a limit
+    on an unrelated branch does NOT mask a violation).  The one fidelity
+    gap is ``ReusedExchange`` subtree references, which the text parse
+    treats conservatively; run the py4j path in CI.
     """
     out: list[str] = []
     jdf = getattr(df, "_jdf", None)
@@ -312,35 +336,88 @@ def _top_level_bracket_groups(s: str) -> "list[str]":
     return groups
 
 
-_WINDOW_BLOCK_RE = re.compile(
-    r"\(\d+\) (Window(?:GroupLimit)?)\b.*?\nArguments: (.*?)(?:\n[A-Z(]|\Z)",
-    re.DOTALL,
+# formatted-explain tree line: indentation art, then `NodeName (id)`.
+# Names can carry suffix words (`BroadcastNestedLoopJoin Cross BuildRight`).
+_TREE_NODE_RE = re.compile(
+    r"^([\s:+*\-]*)([A-Za-z]\w*(?: [A-Za-z]\w*)*) \((\d+)\)\s*$"
 )
+
+
+def _formatted_tree_nodes(plan_text: str) -> "tuple[list[tuple[int, str, str]], dict[str, str]]":
+    """Parse a formatted explain into ``(tree, details)``:
+
+    * ``tree`` — ``[(indent, first_name_token, node_id), ...]`` in
+      pre-order (the indented diagram at the top; indent is the column
+      the node name starts at, children sit 3 columns deeper);
+    * ``details`` — ``node_id -> detail block text`` (the numbered
+      ``(N) NodeName`` sections below the diagram).
+
+    When AQE prints both ``== Final Plan ==`` and ``== Initial Plan ==``
+    only the final tree is kept (the initial one is the pre-adaptive
+    duplicate of the same query).
+    """
+    detail_start = re.search(r"^\(\d+\) ", plan_text, re.M)
+    tree_text = plan_text[: detail_start.start()] if detail_start else plan_text
+    init = tree_text.find("== Initial Plan ==")
+    if init != -1:
+        tree_text = tree_text[:init]
+    tree: list[tuple[int, str, str]] = []
+    for line in tree_text.splitlines():
+        m = _TREE_NODE_RE.match(line)
+        if m:
+            tree.append((len(m.group(1)), m.group(2).split(" ", 1)[0], m.group(3)))
+    details: dict[str, str] = {}
+    if detail_start:
+        for m in re.finditer(
+            r"^\((\d+)\) ([^\n]+)\n(.*?)(?=\n\(\d+\) |\Z)",
+            plan_text[detail_start.start() :],
+            re.M | re.DOTALL,
+        ):
+            details[m.group(1)] = m.group(2) + "\n" + m.group(3)
+    return tree, details
 
 
 def _unbounded_global_windows_from_text(plan_text: str) -> "list[str]":
     """Text-parse fallback for :func:`unbounded_global_windows` (Connect).
 
-    A formatted ``Window`` block's Arguments line carries 3 top-level
-    bracket groups when partitioned — [exprs], [partitionSpec],
-    [orderSpec] — and 2 when the partition spec is empty.  Boundedness
-    is plan-wide here: any TakeOrderedAndProject/GlobalLimit/
-    CollectLimit node, or a ``__pid``-keyed aggregate (the two-phase
-    prefix-scan offsets table), marks every global window bounded.
+    Same subtree scoping as the JVM walker, recovered from the formatted
+    explain's tree diagram: a ``Window`` node's input subtree is the run
+    of tree lines below it with strictly greater indentation.  A window
+    is global when its detail block's Arguments line carries ≤ 2
+    top-level bracket groups (partitioned windows carry 3 — [exprs],
+    [partitionSpec], [orderSpec]); it is bounded only when a
+    TakeOrderedAndProject/GlobalLimit/CollectLimit node or a
+    ``__pid``-keyed aggregate (the two-phase prefix-scan offsets table)
+    appears INSIDE that subtree — a limit on an unrelated plan branch no
+    longer masks a violation.  Remaining fidelity gap vs the JVM walker:
+    a ``ReusedExchange`` leaf refers to a subtree printed elsewhere,
+    which this parse does not chase (conservative: such a window is
+    reported unless its own subtree carries the bounding node).
     """
-    bounded = any(
-        re.search(rf"\(\d+\) {b}\b", plan_text) for b in _WINDOW_BOUNDING_NODES
-    ) or bool(re.search(r"\(\d+\) \w*Aggregate\b[^(]*?\n(?:[^\n]*\n){0,4}?[^\n]*__pid", plan_text))
-    if bounded:
-        return []
-    out = []
-    for m in _WINDOW_BLOCK_RE.finditer(plan_text):
-        node, args = m.group(1), m.group(2)
-        if node != "Window":
+    tree, details = _formatted_tree_nodes(plan_text)
+    out: list[str] = []
+    for i, (indent, name, nid) in enumerate(tree):
+        if name != "Window":
             continue
-        args_line = args.split("\n", 1)[0]
-        if len(_top_level_bracket_groups(args_line)) <= 2:
-            out.append(f"Window (global, text-detected): {args_line[:160]}")
+        block = details.get(nid, "")
+        am = re.search(r"^Arguments: (.*)$", block, re.M)
+        args_line = am.group(1) if am else ""
+        if len(_top_level_bracket_groups(args_line)) > 2:
+            continue  # partitioned window — fine at any scale
+        bounded = False
+        for sub_indent, sub_name, sub_id in tree[i + 1 :]:
+            if sub_indent <= indent:
+                break  # left the window's input subtree
+            if any(sub_name.startswith(b) for b in _WINDOW_BOUNDING_NODES):
+                bounded = True
+                break
+            if sub_name in _AGG_NODES and "__pid" in details.get(sub_id, ""):
+                bounded = True
+                break
+        if not bounded:
+            out.append(
+                f"Window (global, text-detected, node {nid}): {args_line[:160]}"
+            )
     return out
 
 

@@ -215,3 +215,24 @@ def test_word_frequency(spark):
     df = spark.createDataFrame([("a b  a",), ("b",)], ["text"])
     got = {r["w"]: r["freq"] for r in word_frequency(df).collect()}
     assert got == {"a": 2, "b": 2}
+
+
+def test_fertility_audit_invariants(spark):
+    """t_bpe_fertility's ratios obey the tokenizer algebra: every word is
+    >= 1 subtoken (fertility_micro >= 1e6) and every subtoken spans >= 1
+    byte of raw text (bytes_per_token_micro >= 1e6 — whitespace bytes
+    only push it higher)."""
+    from spark_fuse_spark.catalog import load_all
+
+    rows = load_all()["t_bpe_fertility"].spark(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "no (source, lang) cells"
+    for r in rows:
+        assert r["n_words"] > 0 and r["n_bpe_tokens"] >= r["n_words"]
+        assert r["fertility_micro"] >= 1_000_000
+        assert r["bytes_per_token_micro"] >= 1_000_000
+        # exact-integer definition, recomputed driver-side
+        assert r["fertility_micro"] == r["n_bpe_tokens"] * 1_000_000 // r["n_words"]
+        assert (
+            r["bytes_per_token_micro"]
+            == r["n_bytes"] * 1_000_000 // r["n_bpe_tokens"]
+        )

@@ -87,6 +87,25 @@ def test_global_window_gate_text_fallback_agrees_with_jvm_walker(spark):
         assert bool(unbounded_global_windows(_stub(df))) == expect_violation
 
 
+def test_global_window_gate_text_fallback_is_subtree_scoped(spark):
+    """A limit on an UNRELATED plan branch must not mask an unbounded
+    global window elsewhere — the round-8 text fallback's plan-wide
+    blind spot, now scoped per Window subtree via the tree diagram."""
+    base = spark.range(64).withColumn("g", F.col("id") % 4)
+    unbounded = base.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    limited_branch = base.orderBy("id").limit(3).select(F.col("id").alias("lid"))
+    mixed = unbounded.join(F.broadcast(limited_branch), F.col("id") == F.col("lid"), "left")
+    # JVM walker flags it; the text parse must agree instead of passing
+    assert unbounded_global_windows(mixed)
+    assert _unbounded_global_windows_from_text(physical_plan(mixed, "formatted"))
+    # and the bounded window's OWN subtree limit still passes both paths
+    bounded = base.orderBy("id").limit(5).withColumn(
+        "rn", F.row_number().over(Window.orderBy("id"))
+    )
+    assert unbounded_global_windows(bounded) == []
+    assert _unbounded_global_windows_from_text(physical_plan(bounded, "formatted")) == []
+
+
 def test_global_window_gate_accepts_pid_offsets_table(spark):
     from spark_fuse_spark.operators.packing import with_prefix_sum
 
