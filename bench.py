@@ -35,11 +35,16 @@ from spark_fuse_spark.session import create_session  # noqa: E402
 # hiccup and read as >2x its consolidated floor even though the same
 # code hits the floor minutes later.  Any query whose min(warm, steady)
 # exceeds NOISE_RETRY_RATIO x its consolidated floor gets up to
-# NOISE_MAX_RETRIES extra steady passes, reporting the min of all
-# samples — worst-case added wall is 2 x sum(tripped runtimes), in
-# practice a few seconds, and a genuine plan regression still reports
-# >ratio because re-running cannot fix a wrong plan.
-NOISE_RETRY_RATIO = 1.5
+# NOISE_MAX_RETRIES extra steady passes IMMEDIATELY (inline, in the
+# same host state as the tripped sample — an end-of-suite retry pass
+# measured in a dirtier JVM than the original and made things WORSE),
+# reporting the min of all samples.  The ratio sits just under the 2x
+# contract line: in-suite samples routinely land 1.3-1.7x above their
+# min-of-3-suites floors on this shared host (45/151 queries in one
+# measured window), so a lower trigger mostly re-measures ordinary
+# noise; a genuine plan regression still reports >2x because re-running
+# cannot fix a wrong plan.
+NOISE_RETRY_RATIO = 1.8
 NOISE_MAX_RETRIES = 2
 
 # Headline set: scan-agg, multi-join, window, dedup (shuffle-heavy),
@@ -252,6 +257,34 @@ HEADLINE = [
 ]
 
 
+def _cpu_ticks() -> "tuple[int, int]":
+    """(steal_ticks, total_ticks) from /proc/stat — cross-VM contention
+    on a shared physical host shows up as steal even while our own load
+    average reads idle."""
+    try:
+        vals = [int(v) for v in open("/proc/stat").readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
+def _calibrate_host() -> float:
+    """Single-thread pure-Python loop, seconds — a hardware-speed probe
+    measured per run so floor-vs-bench ratios can be adjudicated against
+    the HOST WINDOW they ran in, not just against each other.  New in
+    round 9 (no earlier-window readings exist): the round-9 floor
+    session measured 2.7 s here while UNTOUCHED queries ran 2-4x their
+    recorded floors even solo on an idle-loadavg VM — evidence of
+    cross-VM contention (steal / memory bandwidth) that this number and
+    ``steal_frac`` now quantify per run."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(20_000_000):
+        x += i
+    _ = x
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -297,8 +330,13 @@ def main() -> None:
     spark.sparkContext._jvm.System.gc()
     time.sleep(2)
 
+    calib = _calibrate_host()
+    steal0, total0 = _cpu_ticks()
+
+    floors = load_floors()
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}
+    retries: dict[str, list[float]] = {}
     for name in HEADLINE:
         spec = registry[name]
         t0 = time.perf_counter()
@@ -307,23 +345,24 @@ def main() -> None:
         steady[name] = time.perf_counter() - t0
         timings[name] = round(min(steady[name], warm[name]), 3)
         _ = n
-
-    # noise-retry pass: re-measure only queries that tripped their
-    # consolidated floor ratio (see NOISE_RETRY_RATIO note above)
-    floors = load_floors()
-    retries: dict[str, list[float]] = {}
-    for name in HEADLINE:
+        # inline noise retry (see NOISE_RETRY_RATIO note above); queries
+        # new to HEADLINE have no floor yet — their floor session covers
+        # them the same session that HEADLINEs them
         floor = floors.get(name)
-        if not floor:
-            continue  # new this round — its floor session covers it
-        for _ in range(NOISE_MAX_RETRIES):
-            if timings[name] <= NOISE_RETRY_RATIO * floor:
-                break
-            t0 = time.perf_counter()
-            registry[name].spark(spark, sf_dir).count()
-            dt = time.perf_counter() - t0
-            retries.setdefault(name, []).append(round(dt, 3))
-            timings[name] = round(min(timings[name], dt), 3)
+        if floor:
+            for _ in range(NOISE_MAX_RETRIES):
+                if timings[name] <= NOISE_RETRY_RATIO * floor:
+                    break
+                t0 = time.perf_counter()
+                spec.spark(spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                retries.setdefault(name, []).append(round(dt, 3))
+                timings[name] = round(min(timings[name], dt), 3)
+
+    steal1, total1 = _cpu_ticks()
+    steal_frac = (
+        round((steal1 - steal0) / (total1 - total0), 4) if total1 > total0 else None
+    )
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -344,6 +383,8 @@ def main() -> None:
                 "queries": timings,
                 "samples": {name: {"warm": round(warm[name], 3), "steady": round(steady[name], 3)} for name in HEADLINE},
                 "noise_retries": retries,
+                "host_calib_sec": calib,
+                "steal_frac": steal_frac,
             },
             fh,
             indent=1,
@@ -358,6 +399,8 @@ def main() -> None:
                 "n_queries": len(timings),
                 "queries": {},
                 "detail": "BENCH_DETAIL.json",
+                "host_calib_sec": calib,
+                "steal_frac": steal_frac,
             }
         )
     )

@@ -119,6 +119,13 @@ def main() -> None:
             "spark.driver.memory": os.environ.get("SPARK_GRAFT_MEM", "20g"),
             "spark.ui.enabled": "true",
             "spark.ui.port": str(UI_PORT),
+            # the status store evicts old stages at its retention limit
+            # (default 1000), which silently corrupts before/after stage
+            # deltas over a multi-query session — retain everything the
+            # probe can produce (measured: ~23 queries x 3 SFs x 2 passes
+            # ≈ 6k stages)
+            "spark.ui.retainedStages": "200000",
+            "spark.ui.retainedJobs": "200000",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
