@@ -252,8 +252,11 @@ HEADLINE = [
     "m_pitch_autocorr",
     "q_mahalanobis_outliers",
     "e_granger_causality",
-    # round-9 addition: tokenizer fertility/compression audit (verdict #3)
+    # round-9 additions: tokenizer fertility/compression audit (verdict
+    # #3) and the exact-integer full-PageRank twin (oracle-pairs the
+    # last rows-only iterative graph class)
     "t_bpe_fertility",
+    "x_pagerank_exact",
 ]
 
 

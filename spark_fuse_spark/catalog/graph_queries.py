@@ -1116,6 +1116,95 @@ def x_ppr_segment(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy(F.col("score_micro").desc(), "suppkey")
     )
+# ------------------------------------------------ exact-integer pagerank
+_PREXACT_ROUNDS = 6
+_PREXACT_TOPK = 20
+_PREXACT_TELEPORT = (100 - 85) * 1_000_000 // 100
+
+
+def _prexact_round_sql(i: int) -> str:
+    """One unrolled full-PageRank round: 1-row (dangling, N) panel,
+    per-edge floor-division push, inflow groupBy, teleport + dangling
+    share per node — the exact integer recurrence of
+    operators/graph.pagerank_exact."""
+    return f""",
+d{i} AS (
+  SELECT CAST(85 * COALESCE(SUM(CASE WHEN deg = 0 THEN p END), 0) AS HUGEINT) AS dnum,
+         CAST(100 * COUNT(*) AS HUGEINT) AS dden
+  FROM p{i - 1}),
+in{i} AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(SUM((p.p * 85) // (100 * e.d)) AS HUGEINT) AS infl
+  FROM eddeg e JOIN p{i - 1} p ON e.src = p.node GROUP BY 1),
+p{i} AS MATERIALIZED (
+  SELECT nd.node, nd.deg,
+         CAST({_PREXACT_TELEPORT} + d.dnum // d.dden
+              + COALESCE(i.infl, 0) AS HUGEINT) AS p
+  FROM nd CROSS JOIN d{i} d LEFT JOIN in{i} i ON nd.node = i.node)"""
+
+
+@register(
+    "x_pagerank_exact",
+    oracle=f"""
+WITH base AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+deg AS MATERIALIZED (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM base GROUP BY src),
+nd AS MATERIALIZED (
+  SELECT n.node, CAST(COALESCE(deg.d, 0) AS BIGINT) AS deg
+  FROM (SELECT DISTINCT node FROM
+        (SELECT src AS node FROM base UNION ALL SELECT dst FROM base) __u) n
+  LEFT JOIN deg ON n.node = deg.src),
+eddeg AS MATERIALIZED (
+  SELECT b.src, b.dst, deg.d FROM base b JOIN deg ON b.src = deg.src),
+p0 AS (SELECT node, deg, CAST(1000000 AS HUGEINT) AS p FROM nd)
+{"".join(_prexact_round_sql(i) for i in range(1, _PREXACT_ROUNDS + 1))}
+SELECT CAST(node - 1000000 AS BIGINT) AS suppkey, CAST(p AS BIGINT) AS score_micro
+FROM p{_PREXACT_ROUNDS} WHERE node > 1000000
+ORDER BY p DESC, node LIMIT {_PREXACT_TOPK}
+""",
+    doc="Full-semantics PageRank (Brin & Page 1998: uniform teleport + "
+    "dangling-mass redistribution) over the distinct customer->supplier "
+    "order graph, in EXACT integer micro-units — the hash-checked twin "
+    "of the float x_pagerank_suppliers showcase.  Every term is integer "
+    "floor division (per-edge push floor(p*85/(100*d)), constant "
+    "teleport floor(15*scale/100), dangling share floor(85*dang/"
+    f"(100*N))), so the {_PREXACT_ROUNDS}-round recurrence replays "
+    "bit-identically as unrolled HUGEINT SQL and the whole iterative "
+    "path — not just its row count — is value-hash-verified.  The float "
+    "variant remains the probability-semantics operator (numpy-pinned); "
+    "this one is the differential-testing form.  Scale: per round one "
+    "score-onto-edges join + one partial-agg'd inflow groupBy + a 1-row "
+    "(dangling, N) broadcast panel folded into the same plan, "
+    "localCheckpoint per round; the top-k cut is distributed "
+    "TakeOrdered.  (operators/graph.pagerank_exact)",
+)
+def x_pagerank_exact(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import pagerank_exact
+
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    scores = pagerank_exact(edges, iterations=_PREXACT_ROUNDS)
+    return (
+        scores.where(F.col("node") > 1_000_000)
+        .orderBy(F.col("score_micro").desc(), "node")
+        .limit(_PREXACT_TOPK)
+        .select(
+            (F.col("node") - 1_000_000).cast("long").alias("suppkey"),
+            "score_micro",
+        )
+        .orderBy(F.col("score_micro").desc(), "suppkey")
+    )
+
+
 # -------------------------------------------- local clustering coefficient
 _CLUST_TOPK = 10
 

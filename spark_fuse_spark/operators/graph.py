@@ -32,6 +32,7 @@ __all__ = [
     "hits",
     "label_propagation",
     "pagerank",
+    "pagerank_exact",
     "personalized_pagerank",
 ]
 
@@ -472,3 +473,107 @@ def personalized_pagerank(
     ewd.unpersist()
     seed_panel.unpersist()
     return state.select("node", F.col("p").alias("score_micro"))
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    iterations: int = 6,
+    scale: int = 1_000_000,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Full-semantics PageRank (uniform teleport + dangling-mass
+    redistribution, like :func:`pagerank`) in EXACT integer arithmetic,
+    so the k-round recurrence replays bit-identically on any engine —
+    the discipline :func:`hits` and :func:`personalized_pagerank`
+    established, applied to the flagship float iteration.
+
+    Semantics (documented, deterministic, engine-portable; total mass
+    starts at ``N * scale`` micro-units, one ``scale`` per node):
+
+    * per round, node ``u`` with out-degree ``d`` pushes
+      ``floor(p[u] * damp_num / (damp_den * d))`` micro-units along
+      EACH out-edge;
+    * every node receives a constant teleport of
+      ``floor((damp_den - damp_num) * scale / damp_den)`` micro-units
+      (the (1-d)/N share of total mass — N cancels);
+    * dangling mass (sum of ``p`` over zero-out-degree nodes) is
+      redistributed uniformly: each node adds
+      ``floor(damp_num * dangling / (damp_den * N))``.
+
+    Floor division leaks a few micro-units of mass per round —
+    deterministically, identically on every engine, which is the trade
+    that buys bit-exact differential testability (float PageRank's
+    reduction order is not reproducible across engines; keep
+    :func:`pagerank` when probability semantics matter more than
+    replayability).
+
+    Scale shape (same as :func:`pagerank`): per round one score-onto-
+    edges join + one partial-agg'd inflow ``groupBy`` — two shuffles —
+    plus a single 1-row (dangling, N) aggregate panel folded back
+    broadcast in the same plan; state is ``localCheckpoint``-ed every
+    round so lineage stays bounded.  Sums ride in decimal(38,0).
+
+    Returns ``(node, deg, score_micro)`` over the full node set.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    dec = "decimal(38,0)"
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    nd = (
+        nodes.join(deg, nodes.node == deg.u, "left")
+        .select("node", F.coalesce("d", F.lit(0)).cast("long").alias("deg"))
+        .persist()
+    )
+    ewd = e.join(deg, "u").persist()  # (u, v, d) — dangling srcs absent
+    teleport = (damp_den - damp_num) * scale // damp_den
+
+    state = nd.select("node", "deg", F.lit(scale).cast(dec).alias("p"))
+    for _ in range(iterations):
+        # 1-row (dangling mass, node count) panel — folded back
+        # broadcast inside the same plan, never a driver action
+        panel = state.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("deg") == 0, F.col("p"))), F.lit(0).cast(dec)
+            ).alias("dang"),
+            F.count(F.lit(1)).cast(dec).alias("n"),
+        )
+        num = F.col("p") * F.lit(damp_num).cast(dec)
+        den = (F.col("d") * F.lit(damp_den)).cast(dec)
+        infl = (
+            ewd.join(state, ewd.u == state.node)
+            .select(
+                F.col("v").alias("inode"),
+                ((num - num % den) / den).cast(dec).alias("sh"),
+            )
+            .groupBy("inode")
+            .agg(F.sum("sh").alias("infl"))
+        )
+        dnum = F.col("dang") * F.lit(damp_num).cast(dec)
+        dden = F.col("n") * F.lit(damp_den).cast(dec)
+        state = (
+            nd.join(infl, nd.node == infl.inode, "left")
+            .crossJoin(F.broadcast(panel))
+            .select(
+                "node",
+                "deg",
+                (
+                    F.lit(teleport).cast(dec)
+                    + ((dnum - dnum % dden) / dden).cast(dec)
+                    + F.coalesce("infl", F.lit(0).cast(dec))
+                ).cast(dec).alias("p"),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    nd.unpersist()
+    ewd.unpersist()
+    return state.select("node", "deg", F.col("p").cast("long").alias("score_micro"))

@@ -547,6 +547,7 @@ NESTED_LOOP_OK = {
     "t_tfidf_keywords": "1-row broadcast doc-count for the idf numerator",
     "t_length_buckets": "1-row broadcast decile-cutoff panel",
     "x_pagerank_suppliers": "1-row broadcast dangling-mass panel per iteration",
+    "x_pagerank_exact": "1-row broadcast (dangling, N) panel per iteration (exact-integer twin of x_pagerank_suppliers)",
     "q_cohens_kappa": "1-row chance-agreement panel crossed into the 1-row totals panel",
     "x_ktruss": "1-row n_nodes and prev-round-count panels crossed into the 1-row truss stats",
     "q_capture_recapture": "1-row n2 and m count panels crossed into the 1-row n1 panel",
