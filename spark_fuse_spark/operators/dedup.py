@@ -535,11 +535,23 @@ def embedding_neardup_pairs(
     ``operators.similarity.lsh_ann_candidates`` instead of the cross
     join.
     """
-    from ..functions.vectors import cosine_similarity
+    from ..functions.vectors import dot, l2_norm
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    sim = cosine_similarity(F.col("va"), F.col("vb"))
+    # norms once per row (O(n)), not per pair (O(n²) × 2 extra folds);
+    # the cosine is the identical dot/(|a|·|b|) expression with the
+    # identical zero guard — bit-identical values
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        l2_norm(F.col(vec_col)).alias("__na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("__nb"),
+    )
+    denom = F.col("__na") * F.col("__nb")
+    sim = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        dot(F.col("va"), F.col("vb")) / denom
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))

@@ -161,10 +161,25 @@ def brute_force_topk(
     NO shuffle of corpus rows; only the (|Q|·k)-sized ranked result
     shuffles.  Ties broken by neighbor id for cross-engine determinism.
     """
-    q = F.broadcast(queries.select(F.col(query_id), F.col(query_vec)))
-    sim = cosine_similarity(F.col(corpus_vec), F.col(query_vec))
+    # norms are computed once per corpus row / per query row (O(n + q))
+    # instead of per scored pair (O(n·q) × 2 extra folds); the cosine is
+    # the identical dot/(|c|·|q|) expression with the identical zero
+    # guard, so values are bit-identical
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id), F.col(query_vec), l2_norm(F.col(query_vec)).alias("__qn")
+        )
+    )
+    denom = F.col("__cn") * F.col("__qn")
+    sim = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        dot(F.col(corpus_vec), F.col(query_vec)) / denom
+    )
     scored = (
-        corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec))
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(corpus_vec),
+            l2_norm(F.col(corpus_vec)).alias("__cn"),
+        )
         .crossJoin(q)
         .select(
             F.col(query_id),
@@ -343,10 +358,25 @@ def ivf_topk(
     bucketed = ivf_assign(corpus, centroids, corpus_vec, "ivf_list")
     probed = ivf_probes(queries, centroids, nprobe, query_id, query_vec)
 
-    sim = cosine_similarity(F.col(corpus_vec), F.col(query_vec))
+    # per-side norm precompute (see brute_force_topk) — bit-identical
+    # cosine, one dot fold per scored pair instead of three folds
+    denom = F.col("__cn") * F.col("__qn")
+    sim = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        dot(F.col(corpus_vec), F.col(query_vec)) / denom
+    )
     scored = (
-        bucketed.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec), "ivf_list")
-        .join(F.broadcast(probed), "ivf_list")
+        bucketed.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(corpus_vec),
+            l2_norm(F.col(corpus_vec)).alias("__cn"),
+            "ivf_list",
+        )
+        .join(
+            F.broadcast(
+                probed.withColumn("__qn", l2_norm(F.col(query_vec)))
+            ),
+            "ivf_list",
+        )
         .select(F.col(query_id), F.col("neighbor_id"), F.round(sim, 6).alias("cosine"))
     )
     w2 = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
@@ -536,11 +566,22 @@ def mmr_diversify(
     if k < 1 or pool < k:
         raise ValueError("need k >= 1 and pool >= k")
     micro = lambda c: F.floor(c * 1_000_000 + F.lit(0.5)).cast("long")  # noqa: E731
-    q = F.broadcast(query.select(F.col(query_vec).alias("__qv")))
+    # the query norm is a constant of the corpus scan — computing it in
+    # the 1-row broadcast panel saves one norm fold per corpus row while
+    # keeping the identical dot/(|v|·|q|) expression and zero guard
+    q = F.broadcast(
+        query.select(
+            F.col(query_vec).alias("__qv"), l2_norm(F.col(query_vec)).alias("__qn")
+        )
+    )
+    qden = l2_norm(F.col("v")) * F.col("__qn")
+    qcos = F.when(qden == 0.0, F.lit(0.0)).otherwise(
+        dot(F.col("v"), F.col("__qv")) / qden
+    )
     cand = (
         corpus.select(F.col(corpus_id).alias("id"), F.col(corpus_vec).alias("v"))
         .crossJoin(q)
-        .select("id", "v", micro(cosine_similarity(F.col("v"), F.col("__qv"))).alias("qs"))
+        .select("id", "v", micro(qcos).alias("qs"))
         .orderBy(F.col("qs").desc(), "id")
         .limit(pool)
         .localCheckpoint()
@@ -618,10 +659,18 @@ def mutual_knn_graph(
     """
     sizes = df.groupBy(shard_col).agg(F.count(F.lit(1)).alias("__n"))
     nb = F.greatest(F.lit(1), F.ceil(F.col("__n") / cap)).cast("int")
+    # the per-vector L2 norm is computed ONCE here (O(corpus), before the
+    # block replication) and carried through the pair join, so the
+    # per-pair work is a single dot fold instead of dot + two norm folds
+    # — the cosine value is the identical expression dot/(|a|·|b|) with
+    # the identical zero-denominator guard, just with the norm factors
+    # evaluated once per row instead of once per pair (measured: the
+    # 3-fold per-pair cosine costs ~2× the dot fold alone)
     base = df.join(F.broadcast(sizes), shard_col).select(
         F.col(shard_col).alias("__shard"),
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
+        l2_norm(F.col(vec_col)).alias("__nm"),
         nb.alias("__nb"),
         F.pmod(F.xxhash64(F.col(id_col)), nb).cast("int").alias("__blk"),
     )
@@ -631,6 +680,7 @@ def mutual_knn_graph(
         "__shard",
         F.col("__id").alias("src_id"),
         F.col("__v").alias("ev"),
+        F.col("__nm").alias("__en"),
         F.col("__blk").alias("__sb"),
         F.explode(F.sequence(F.lit(0), F.col("__nb") - 1)).alias("__db"),
     )
@@ -638,8 +688,13 @@ def mutual_knn_graph(
         "__shard",
         F.col("__id").alias("dst_id"),
         F.col("__v").alias("dv"),
+        F.col("__nm").alias("__dn"),
         F.col("__blk").alias("__db"),
         F.explode(F.sequence(F.lit(0), F.col("__nb") - 1)).alias("__sb"),
+    )
+    denom = F.col("__dn") * F.col("__en")
+    cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        dot(F.col("dv"), F.col("ev")) / denom
     )
     pairs = (
         src.join(dst, ["__shard", "__sb", "__db"])
@@ -648,7 +703,7 @@ def mutual_knn_graph(
             "src_id",
             "dst_id",
             "__db",
-            F.round(cosine_similarity(F.col("dv"), F.col("ev")), 6).alias("cosine"),
+            F.round(cos, 6).alias("cosine"),
         )
     )
     w_blk = Window.partitionBy("src_id", "__db").orderBy(
