@@ -88,6 +88,11 @@ def x_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
+        # deg has FOUR consumers (both orientation legs, the dst_deg
+        # join, the nodes count) and alias-renamed legs get no exchange
+        # reuse — lazy checkpoint computes the degree agg once; the
+        # first consumer materializes it, the rest read the blocks.
+        .localCheckpoint(eager=False)
     )
     du = deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du")
     dv = deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv")
@@ -102,8 +107,9 @@ def x_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
     )
-    # oriented is likewise read three times (both wedge arms + closing).
-    oriented = oriented.localCheckpoint()
+    # oriented is likewise read three times (both wedge arms + closing);
+    # lazy for the same reason — no separate blocking job to build it.
+    oriented = oriented.localCheckpoint(eager=False)
     okey = oriented.join(
         deg.withColumnRenamed("node", "dst").withColumnRenamed("deg", "dst_deg"), "dst"
     )
@@ -267,7 +273,10 @@ def x_bfs_levels(spark: SparkSession, sf: str) -> DataFrame:
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited, "node", "left_anti")
-            .localCheckpoint()
+            # LAZY: the final level aggregate is the only action — it
+            # materializes every level's checkpoint in one job instead
+            # of one blocking job per level (lineage still truncated).
+            .localCheckpoint(eager=False)
         )
         # visited is a union of already-checkpointed frontiers — its
         # lineage stays depth-bounded without another materialization
@@ -783,7 +792,11 @@ def x_kcore(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.count("*").alias("deg"))
             .where(F.col("deg") >= _KCORE_K)
             .select("node")
-            .localCheckpoint()
+            # LAZY: no in-loop action or broadcast panel reads this, so
+            # the caller's single action materializes every round's
+            # checkpoint in ONE job instead of one blocking job per
+            # round; both next-round join legs share the stored blocks.
+            .localCheckpoint(eager=False)
         )
         prev_n = prev
     core = alive.agg(
@@ -1096,6 +1109,9 @@ def x_ppr_segment(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("l_suppkey") + 1_000_000).alias("s"),
         )
         .distinct()
+        # both symmetrization halves read this — lazy checkpoint runs
+        # the orders x lineitem distinct join once, not twice
+        .localCheckpoint(eager=False)
     )
     edges = base.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
         base.select(F.col("s").alias("src"), F.col("c").alias("dst"))
@@ -1778,7 +1794,11 @@ def x_ktruss(spark: SparkSession, sf: str) -> DataFrame:
         und = (
             alive.select(F.col("u").alias("a"), F.col("v").alias("b"))
             .unionAll(alive.select(F.col("v").alias("a"), F.col("u").alias("b")))
-            .localCheckpoint()
+            # LAZY (here and for the support-filtered edge set below):
+            # no in-loop action, so the caller's single action
+            # materializes the whole bounded peel — two fewer blocking
+            # jobs per round; shared consumers read the stored blocks.
+            .localCheckpoint(eager=False)
         )
         n1 = und.select(F.col("a").alias("a1"), F.col("b").alias("w"))
         n2 = und.select(F.col("a").alias("a2"), F.col("b").alias("w"))
@@ -1789,7 +1809,7 @@ def x_ktruss(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("supp"))
             .where(F.col("supp") >= _KTRUSS_K - 2)
             .select("u", "v")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     nodes = alive.select(F.col("u").alias("node")).union(
         alive.select(F.col("v").alias("node"))

@@ -1610,6 +1610,14 @@ ORDER BY anchor_id
 def t_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.dedup import _exploded_shingles
 
+    # the pair table feeds BOTH halves of the sym union and alias-renamed
+    # subtrees get no exchange reuse, so without sharing the whole
+    # inverted-index join ran twice (verified on the final AQE plan).
+    # The LAZY checkpoint stores only the doc-pair table (bounded by
+    # pairs sharing >= 1 shingle — far smaller than the shingle explode,
+    # which deliberately stays UNshared: retaining a corpus-scale block
+    # set across suite queries measurably thrashed the shared storage
+    # pool, and re-running the explode once per join leg is cheaper).
     e = _exploded_shingles(load_table(spark, sf, "documents"), "text", "doc_id", 3)
     a = e.select(
         F.col("__id").alias("id_a"), F.col("__n").alias("na"), "__h"
@@ -1622,6 +1630,7 @@ def t_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("shared"))
+        .localCheckpoint(eager=False)
     )
     sym = pairs.select(
         F.col("id_a").alias("anchor_id"),

@@ -115,7 +115,18 @@ def association_rules(
     basket total to ONE row — both broadcast onto the pair relation, so
     after the single basket shuffle only pair/frequency rows move.
     """
-    sets_ = basket_item_sets(df, basket_col, item_col, max_basket_size)
+    # persist-share-release: the basket-set aggregation has four
+    # consumers (pair expansion, BOTH broadcast item-count legs, the
+    # basket total) and the item-count agg two (ca/cb) — alias-renamed /
+    # broadcast subtrees get no exchange reuse, so without sharing the
+    # basket shuffle ran ~4x.  The small rule table is eagerly
+    # checkpointed at the end so the basket-scale blocks release
+    # immediately instead of squatting in the shared storage pool.
+    from pyspark import StorageLevel
+
+    sets_ = basket_item_sets(df, basket_col, item_col, max_basket_size).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     pairs = basket_pairs(
         df, basket_col, item_col, min_support, max_basket_size, _item_sets=sets_
     )
@@ -125,9 +136,10 @@ def association_rules(
         .agg(F.count("*").alias("__n"))
     )
     totals = sets_.select(F.count("*").alias("__n_baskets"))
+    item_counts = item_counts.persist(StorageLevel.MEMORY_AND_DISK)
     ca = item_counts.select(F.col("__item").alias("item_a"), F.col("__n").alias("count_a"))
     cb = item_counts.select(F.col("__item").alias("item_b"), F.col("__n").alias("count_b"))
-    return (
+    out = (
         pairs.join(F.broadcast(ca), "item_a")
         .join(F.broadcast(cb), "item_b")
         .crossJoin(F.broadcast(totals))
@@ -145,4 +157,8 @@ def association_rules(
                 6,
             ).alias("lift"),
         )
+        .localCheckpoint(eager=True)
     )
+    sets_.unpersist()
+    item_counts.unpersist()
+    return out

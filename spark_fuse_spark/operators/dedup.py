@@ -491,7 +491,12 @@ def simhash_pairs(
     """
     blocks = max_hamming + 1
     width = 60 // blocks
-    sigs = simhash_signatures(df, text_col, id_col, k)
+    # LAZY checkpoint: both self-join legs below read the signature
+    # table, and alias-renamed legs never get exchange reuse (different
+    # expression IDs), so without this the per-doc shingle+bit-vote fold
+    # runs TWICE.  The checkpoint stores the tiny (id, long) table once;
+    # the first leg's stage materializes it, the second reads the blocks.
+    sigs = simhash_signatures(df, text_col, id_col, k).localCheckpoint(eager=False)
     block_rows = sigs.select(
         F.col(id_col),
         F.col("simhash"),
@@ -869,10 +874,15 @@ def bbit_minhash_pairs(
     perms = minhash_permutations(F.col("__h"), num_hashes, seed)
     # b-bit keeps the low bits OF THE MINIMUM, so the min is taken over
     # the full permuted values: `min(p) % 4`, never `min(p % 4)`.
+    # three consumers (band explode + both sides of the estimate join)
+    # and no exchange reuse across alias-renamed legs: persist so the
+    # 30-permutation min-aggregation over the exploded shingles runs
+    # once, not three times
     sigs = (
         e.withColumnRenamed("__id", id_col)
         .groupBy(id_col)
         .agg(*[(F.min(p) % 4).alias(f"__b{i}") for i, p in enumerate(perms)])
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     band_rows = sigs.select(
         F.col(id_col),
@@ -942,6 +952,7 @@ def bbit_minhash_pairs(
         "id_a", "id_b", "bbit_estimate", "jaccard"
     ).localCheckpoint(eager=True)
     scored.unpersist()
+    sigs.unpersist()
     return out
 
 

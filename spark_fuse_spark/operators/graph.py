@@ -474,7 +474,10 @@ def personalized_pagerank(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # e is consumed twice building ewd (the degree agg and the join
+    # probe); persisting it keeps the caller's edge subtree from
+    # executing twice when ewd first materializes
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     ewd = e.join(deg, "u").persist()
 
@@ -506,6 +509,7 @@ def personalized_pagerank(
             )
             .localCheckpoint()
         )
+    e.unpersist()
     ewd.unpersist()
     seed_panel.unpersist()
     return state.select("node", F.col("p").alias("score_micro"))
