@@ -1062,13 +1062,27 @@ FROM nx CROSS JOIN nc CROSS JOIN tp
     "audit adds only count aggregates and a pair equi-join.",
 )
 def d_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
-    from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from pyspark import StorageLevel
+
+    from ..operators.dedup import (
+        _exploded_shingles,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
 
     docs = load_table(spark, sf, "documents")
-    exact = ngram_jaccard_pairs(docs, k=3, threshold=0.5)
-    cands = minhash_lsh_pairs(
-        docs, k=3, num_hashes=32, bands=8, threshold=0.0, seed=42
+    # both pipelines consume the SAME exploded-shingle frame — build and
+    # persist it once here instead of once per pipeline (each used to
+    # tokenize+hash the corpus independently); both pipelines eagerly
+    # materialize at construction, so the release below is immediate
+    e = _exploded_shingles(docs, "text", "doc_id", 3).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    exact = ngram_jaccard_pairs(docs, k=3, threshold=0.5, _exploded=e)
+    cands = minhash_lsh_pairs(
+        docs, k=3, num_hashes=32, bands=8, threshold=0.0, seed=42, _exploded=e
+    )
+    e.unpersist()
     nx = exact.agg(F.count("*").alias("n_exact_pairs"))
     # ONE aggregate over the candidate pipeline: counting candidates and
     # true positives in separate aggregates would re-run the whole

@@ -91,6 +91,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
     prefix_filter: bool = True,
+    _exploded: "DataFrame | None" = None,
 ) -> DataFrame:
     """EXACT Jaccard-over-k-shingles pairs with similarity ≥ threshold.
     Output: (id_a, id_b, jaccard) with id_a < id_b.
@@ -110,8 +111,8 @@ def ngram_jaccard_pairs(
     differential-testing escape hatch.
     """
     if prefix_filter and threshold > 0.0:
-        return jaccard_prefix_pairs(df, text_col, id_col, k, threshold)
-    e = _exploded_shingles(df, text_col, id_col, k)
+        return jaccard_prefix_pairs(df, text_col, id_col, k, threshold, _exploded=_exploded)
+    e = _exploded if _exploded is not None else _exploded_shingles(df, text_col, id_col, k)
     a = e.select(
         F.col("__id").alias("id_a"), F.col("__n").alias("na"), F.col("__h").alias("__h")
     )
@@ -320,6 +321,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     verify: bool = True,
+    _exploded: "DataFrame | None" = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs.
 
@@ -337,8 +339,15 @@ def minhash_lsh_pairs(
     r = num_hashes // bands
     # the exploded shingles feed the signature aggregate AND both sides of
     # the verify self-join; without a persist Spark recomputes the
-    # tokenize+md5 subtree once per consumer (measured 4× at sf0.1)
-    e = _exploded_shingles(df, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    # tokenize+md5 subtree once per consumer (measured 4× at sf0.1).
+    # ``_exploded`` lets an audit caller share ONE persisted frame across
+    # the exact and banded pipelines instead of computing it per pipeline.
+    if _exploded is not None:
+        e = _exploded
+    else:
+        e = _exploded_shingles(df, text_col, id_col, k).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     perms = minhash_permutations(F.col("__h"), num_hashes, seed)
     sigs = (
         e.withColumnRenamed("__id", id_col)
@@ -391,13 +400,16 @@ def minhash_lsh_pairs(
     )
     if not verify:
         out = candidates.localCheckpoint(eager=True)
-        e.unpersist()
+        if _exploded is None:
+            e.unpersist()
         return out
     candidates = candidates.persist(StorageLevel.MEMORY_AND_DISK)
-    return _verify_candidate_pairs(e, candidates, threshold)
+    return _verify_candidate_pairs(e, candidates, threshold, release_e=_exploded is None)
 
 
-def _verify_candidate_pairs(e: DataFrame, candidates: DataFrame, threshold: float) -> DataFrame:
+def _verify_candidate_pairs(
+    e: DataFrame, candidates: DataFrame, threshold: float, release_e: bool = True
+) -> DataFrame:
     """Exact-Jaccard verification over the CANDIDATE SET ONLY — the point
     of candidate generation (LSH bands, prefixes) is to never pay the
     all-pairs cost.  Restricting the inverted-index join to ids appearing
@@ -433,8 +445,11 @@ def _verify_candidate_pairs(e: DataFrame, candidates: DataFrame, threshold: floa
     )
     # materialize (lineage-truncated) so the persisted inputs can be
     # released eagerly instead of leaking for the session lifetime
+    # (``release_e=False`` when the caller shares ``e`` across pipelines
+    # and releases it itself)
     out = result.localCheckpoint(eager=True)
-    e.unpersist()
+    if release_e:
+        e.unpersist()
     candidates.unpersist()
     return out
 
@@ -724,6 +739,7 @@ def jaccard_prefix_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.8,
+    _exploded: "DataFrame | None" = None,
 ) -> DataFrame:
     """EXACT Jaccard pairs ≥ threshold via prefix filtering (the
     AllPairs/PPJoin family, Bayardo et al. WWW'07 / Xiao et al.
@@ -748,13 +764,18 @@ def jaccard_prefix_pairs(
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError("threshold must be in (0, 1]")
-    e = _exploded_shingles(df, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    if _exploded is not None:
+        e = _exploded  # caller-owned persisted frame, shared across pipelines
+    else:
+        e = _exploded_shingles(df, text_col, id_col, k).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     candidates = _jaccard_prefix_candidates(e, threshold).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     # verify: true intersection counts over candidate ids only (shared
     # with the MinHash-LSH path)
-    return _verify_candidate_pairs(e, candidates, threshold)
+    return _verify_candidate_pairs(e, candidates, threshold, release_e=_exploded is None)
 
 
 def _rarest_first_prefix(e: DataFrame, threshold: float) -> DataFrame:

@@ -94,6 +94,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    eager_rounds: bool = False,
 ) -> DataFrame:
     """Component labels for every node appearing in ``pairs``.
 
@@ -126,7 +127,9 @@ def connected_components(
         # (eager-materialize + diff; measured 6.0 s for 6 rounds over
         # 823 edges at sf0.1, i.e. pure per-job overhead).  Next round's
         # consumers then read the already-materialized checkpoint.
-        new_edges = _small_star(ls).localCheckpoint(eager=False)
+        # ``eager_rounds=True`` restores the old two-job cadence (A/B
+        # instrument; results identical either way).
+        new_edges = _small_star(ls).localCheckpoint(eager=eager_rounds)
         # fixpoint when the directed edge sets match.  Both sides are
         # deduped, so tag each side ±1 and group: any (u, v) whose tag
         # sum is nonzero is in exactly one side — ONE job decides set
