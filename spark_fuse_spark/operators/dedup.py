@@ -640,31 +640,34 @@ def embedding_lsh_pairs(
         f"CAST(t * {planes_per_table} + i + 1 AS INT)), (x, y) -> x * y), 0.0D, "
         "(a, p) -> a + p) >= 0, shiftleft(1L, CAST(i AS INT)), 0L))))"
     )
-    rows = v.select("__id", F.explode(F.expr(bkt_sql)).alias("b")).select(
-        "__id", F.col("b.t").alias("t"), F.col("b.bkt").alias("bkt")
+    # LAZY checkpoint: the bucket-id table feeds BOTH legs of the
+    # candidate self-join below, and alias-renamed legs never share an
+    # exchange — without this the (tables × planes × dims) projection
+    # fold runs twice.  The stored table is (id, t, bkt) — ~20 bytes/row
+    # × ``tables`` per vector, a small fraction of the input vectors
+    # themselves, so retaining it briefly is far cheaper than a second
+    # pass over the fold.
+    rows = (
+        v.select("__id", F.explode(F.expr(bkt_sql)).alias("b"))
+        .select("__id", F.col("b.t").alias("t"), F.col("b.bkt").alias("bkt"))
+        .localCheckpoint(eager=False)
     )
 
-    # within-bucket pair expansion by groupBy (same shape as MinHash LSH:
-    # the quadratic step is confined to single buckets)
-    ids = F.array_sort(F.collect_list(F.col("__id")))
-    pair_structs = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("__ids"),
-                lambda x: F.transform(
-                    F.col("__ids"),
-                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                ),
-            )
-        ),
-        lambda s: s.id_a < s.id_b,
-    )
+    # within-bucket pair expansion by equi-self-join on the bucket key.
+    # Hyperplane buckets are COARSE (2^planes_per_table patterns per
+    # table), so unlike the MinHash band case the per-bucket id lists are
+    # corpus-fraction-sized: a collect_list + interpreted nested-HOF
+    # expansion builds the whole |bucket|² struct array in one task's
+    # memory (measured 3-4× slower at sf0.1), while the codegen'd join
+    # streams the same pairs AND stays AQE-skew-splittable when one
+    # bucket runs hot at scale (guide §2.5 — skew handling applies to
+    # joins, not to grouped HOFs).
+    ca = rows.select("t", "bkt", F.col("__id").alias("id_a"))
+    cb = rows.select("t", "bkt", F.col("__id").alias("id_b"))
     candidates = (
-        rows.groupBy("t", "bkt")
-        .agg(ids.alias("__ids"))
-        .filter(F.size("__ids") > 1)
-        .select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.id_a"), F.col("p.id_b"))
+        ca.join(cb, ["t", "bkt"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .distinct()
     )
 

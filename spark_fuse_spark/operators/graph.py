@@ -557,13 +557,24 @@ def pagerank_exact(
     edges join + one partial-agg'd inflow ``groupBy`` — two shuffles —
     plus a single 1-row (dangling, N) aggregate panel folded back
     broadcast in the same plan; state is ``localCheckpoint``-ed every
-    round so lineage stays bounded.  Sums ride in decimal(38,0).
+    round so lineage stays bounded.  Sums ride in 64-bit longs.
+
+    Integer-width bound (why plain longs are exact here, the same
+    discipline as :func:`hits`): total mass never exceeds its starting
+    value ``N × scale`` (floor division only leaks mass), every score
+    and every per-round sum is ≤ total mass, and the widest
+    intermediate is ``p × damp_num`` (and ``dang × damp_num``), so a
+    long overflows only when ``N × scale × damp_num ≥ 2⁶³`` — i.e.
+    N ≈ 10¹¹ nodes at the default ``scale=10⁶``; pass a smaller
+    ``scale`` for larger graphs.  (The previous decimal(38,0)
+    formulation had no such bound but paid BigDecimal aggregation on
+    every edge of every round; the integer ``DIV`` is exact, so the
+    scores are bit-identical.)
 
     Returns ``(node, deg, score_micro)`` over the full node set.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    dec = "decimal(38,0)"
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     nodes = (
@@ -579,29 +590,25 @@ def pagerank_exact(
     ewd = e.join(deg, "u").persist()  # (u, v, d) — dangling srcs absent
     teleport = (damp_den - damp_num) * scale // damp_den
 
-    state = nd.select("node", "deg", F.lit(scale).cast(dec).alias("p"))
+    state = nd.select("node", "deg", F.lit(int(scale)).cast("long").alias("p"))
     for _ in range(iterations):
         # 1-row (dangling mass, node count) panel — folded back
         # broadcast inside the same plan, never a driver action
         panel = state.agg(
             F.coalesce(
-                F.sum(F.when(F.col("deg") == 0, F.col("p"))), F.lit(0).cast(dec)
+                F.sum(F.when(F.col("deg") == 0, F.col("p"))), F.lit(0).cast("long")
             ).alias("dang"),
-            F.count(F.lit(1)).cast(dec).alias("n"),
+            F.count(F.lit(1)).alias("n"),
         )
-        num = F.col("p") * F.lit(damp_num).cast(dec)
-        den = (F.col("d") * F.lit(damp_den)).cast(dec)
         infl = (
             ewd.join(state, ewd.u == state.node)
             .select(
                 F.col("v").alias("inode"),
-                ((num - num % den) / den).cast(dec).alias("sh"),
+                F.expr(f"(p * {int(damp_num)}L) DIV (d * {int(damp_den)}L)").alias("sh"),
             )
             .groupBy("inode")
             .agg(F.sum("sh").alias("infl"))
         )
-        dnum = F.col("dang") * F.lit(damp_num).cast(dec)
-        dden = F.col("n") * F.lit(damp_den).cast(dec)
         state = (
             nd.join(infl, nd.node == infl.inode, "left")
             .crossJoin(F.broadcast(panel))
@@ -609,14 +616,16 @@ def pagerank_exact(
                 "node",
                 "deg",
                 (
-                    F.lit(teleport).cast(dec)
-                    + ((dnum - dnum % dden) / dden).cast(dec)
-                    + F.coalesce("infl", F.lit(0).cast(dec))
-                ).cast(dec).alias("p"),
+                    F.lit(int(teleport)).cast("long")
+                    + F.expr(
+                        f"(dang * {int(damp_num)}L) DIV (n * {int(damp_den)}L)"
+                    )
+                    + F.coalesce("infl", F.lit(0).cast("long"))
+                ).alias("p"),
             )
             .localCheckpoint()
         )
     e.unpersist()
     nd.unpersist()
     ewd.unpersist()
-    return state.select("node", "deg", F.col("p").cast("long").alias("score_micro"))
+    return state.select("node", "deg", F.col("p").alias("score_micro"))
