@@ -1066,45 +1066,78 @@ def d_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
 
     from ..operators.dedup import (
         _exploded_shingles,
+        _jaccard_prefix_candidates,
         minhash_lsh_pairs,
-        ngram_jaccard_pairs,
     )
 
     docs = load_table(spark, sf, "documents")
-    # both pipelines consume the SAME exploded-shingle frame — build and
-    # persist it once here instead of once per pipeline (each used to
-    # tokenize+hash the corpus independently); both pipelines eagerly
-    # materialize at construction, so the release below is immediate
+    # ONE exploded-shingle frame and ONE intersection-count verify for
+    # both pipelines.  The audit used to run the exact prefix pipeline
+    # and the banded MinHash pipeline each through their own
+    # inverted-index verify join — but every count it reports can be
+    # read off a single verify over the UNION of the two candidate
+    # sets: prefix filtering is exact (every Jaccard >= 0.5 pair is a
+    # prefix candidate — the same guarantee d_ngram_jaccard rests on),
+    # so
+    #   n_exact          = union-verified pairs with jaccard >= 0.5
+    #   n_candidate_pairs = union-verified pairs in the banded set
+    #                       (>= 1 shared shingle — the old verify
+    #                       join's inner semantics)
+    #   n_true_positives  = banded AND jaccard >= 0.5.
+    # The comparisons run on the UNROUNDED shared/(na+nb-shared), the
+    # exact value both old pipelines filtered on.
     e = _exploded_shingles(docs, "text", "doc_id", 3).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    exact = ngram_jaccard_pairs(docs, k=3, threshold=0.5, _exploded=e)
-    cands = minhash_lsh_pairs(
-        docs, k=3, num_hashes=32, bands=8, threshold=0.0, seed=42, _exploded=e
+    banded = minhash_lsh_pairs(
+        docs, k=3, num_hashes=32, bands=8, threshold=0.0, seed=42,
+        verify=False, _exploded=e,
+    )  # eagerly checkpointed inside — bands only, no verify join
+    union_cands = (
+        _jaccard_prefix_candidates(e, 0.5)
+        .unionByName(banded)
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    e.unpersist()
-    nx = exact.agg(F.count("*").alias("n_exact_pairs"))
-    # ONE aggregate over the candidate pipeline: counting candidates and
-    # true positives in separate aggregates would re-run the whole
-    # MinHash signature/banding/verify pipeline twice
-    nc_tp = cands.agg(
-        F.count("*").alias("n_candidate_pairs"),
+    cand_ids = (
+        union_cands.select(F.col("id_a").alias("__cid"))
+        .union(union_cands.select(F.col("id_b").alias("__cid")))
+        .distinct()
+    )
+    ce = e.join(F.broadcast(cand_ids), F.col("__id") == F.col("__cid"), "left_semi")
+    a = ce.select(F.col("__id").alias("id_a"), F.col("__n").alias("na"), "__h")
+    b = ce.select(F.col("__id").alias("id_b"), F.col("__n").alias("nb"), "__h")
+    shared = (
+        a.join(b, "__h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .join(F.broadcast(union_cands), ["id_a", "id_b"], "left_semi")
+    )
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    marked = shared.join(
+        F.broadcast(banded.select("id_a", "id_b", F.lit(1).alias("__b"))),
+        ["id_a", "id_b"],
+        "left",
+    )
+    counts = marked.agg(
+        F.coalesce(F.sum((jac >= 0.5).cast("long")), F.lit(0)).alias("n_exact_pairs"),
+        F.coalesce(F.sum("__b").cast("long"), F.lit(0)).alias("n_candidate_pairs"),
         F.coalesce(
-            F.sum((F.col("jaccard") >= 0.5).cast("long")), F.lit(0)
-        ).alias("n_true_positives"),
-    )
-    return (
-        nx.crossJoin(nc_tp)
-        .select(
-            "n_exact_pairs",
-            "n_candidate_pairs",
-            "n_true_positives",
-            F.round(
-                F.col("n_true_positives").cast("double")
-                / F.col("n_exact_pairs").cast("double"),
-                6,
-            ).alias("recall"),
-        )
+            F.sum(F.when((F.col("__b") == 1) & (jac >= 0.5), 1)), F.lit(0)
+        ).cast("long").alias("n_true_positives"),
+    ).localCheckpoint(eager=True)  # 1 row; releases e/union_cands eagerly
+    e.unpersist()
+    union_cands.unpersist()
+    return counts.select(
+        "n_exact_pairs",
+        "n_candidate_pairs",
+        "n_true_positives",
+        F.round(
+            F.col("n_true_positives").cast("double")
+            / F.col("n_exact_pairs").cast("double"),
+            6,
+        ).alias("recall"),
     )
 
 

