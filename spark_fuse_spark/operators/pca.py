@@ -62,6 +62,16 @@ def exact_covariance_matrix(
     in the Rayleigh quotient / normalization).  ``means``: d rows
     (i, m decimal) of column sums.  ``n_t``: 1-row count panel.  ``mat``
     and ``means`` are eagerly checkpointed — they feed every iteration.
+
+    The O(rows × d²/2) moment pass sums 64-bit longs, not decimals (a
+    measured ~2× on the corpus stage): each product ``xi·xj`` is split
+    into an exact non-negative low half ``pmod(p, 2³⁰)`` and the
+    matching floor-quotient high half, both long-summed and recombined
+    in decimal per cell — bit-identical to the direct decimal sum.
+    Width bound: |x_q| ≤ 2²⁴ at the default 2²⁰ scale ⇒ |p| ≤ 2⁴⁸,
+    |hi| ≤ 2¹⁸, lo < 2³⁰, so the long partials overflow only past
+    ~2³³ (≈8.6·10⁹) rows; shrink ``scale`` (or the split radix) past
+    that.  The d-sized column sums are long-safe to ~2³⁹ rows.
     """
     n_t = q.agg(F.count(F.lit(1)).alias("n"))
     first = q.select(F.posexplode("q").alias("i", "xi"), "q")
@@ -69,8 +79,20 @@ def exact_covariance_matrix(
         F.col("j") >= F.col("i")
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    cells = pairs.groupBy("i", "j").agg(F.sum(dec(F.col("xi")) * F.col("xj")).alias("s"))
-    means = first.groupBy("i").agg(F.sum(dec(F.col("xi"))).alias("m")).localCheckpoint()
+    radix = 1 << 30
+    p = F.col("xi") * F.col("xj")
+    cells = (
+        pairs.withColumn("__lo", F.pmod(p, F.lit(radix)))
+        .withColumn("__hi", F.expr(f"(xi * xj - pmod(xi * xj, {radix}L)) DIV {radix}L"))
+        .groupBy("i", "j")
+        .agg(F.sum("__hi").alias("__sh"), F.sum("__lo").alias("__sl"))
+        .select("i", "j", (dec(F.col("__sh")) * F.lit(radix) + F.col("__sl")).alias("s"))
+    )
+    means = (
+        first.groupBy("i")
+        .agg(dec(F.sum(F.col("xi"))).alias("m"))
+        .localCheckpoint()
+    )
     mi = means.select(F.col("i").alias("mi_i"), F.col("m").alias("mi"))
     mj = means.select(F.col("i").alias("mj_j"), F.col("m").alias("mj"))
     cn = (
