@@ -587,9 +587,14 @@ def pagerank_exact(
         .select("node", F.coalesce("d", F.lit(0)).cast("long").alias("deg"))
         .persist()
     )
-    ewd = e.join(deg, "u").persist()  # (u, v, d) — dangling srcs absent
     teleport = (damp_den - damp_num) * scale // damp_den
 
+    # the out-degree rides INSIDE the iterated state table (same design
+    # as the float :func:`pagerank`), so the per-edge push divides by
+    # state's own ``deg`` — no separate (edges ⋈ degree) relation exists
+    # at all.  The previous ``ewd = e.join(deg)`` paid a one-time
+    # edge-sized sort-merge join and cached an edge-sized table for a
+    # column the join partner already carried.
     state = nd.select("node", "deg", F.lit(int(scale)).cast("long").alias("p"))
     for _ in range(iterations):
         # 1-row (dangling mass, node count) panel — folded back
@@ -601,10 +606,12 @@ def pagerank_exact(
             F.count(F.lit(1)).alias("n"),
         )
         infl = (
-            ewd.join(state, ewd.u == state.node)
+            e.join(state, e.u == state.node)
             .select(
                 F.col("v").alias("inode"),
-                F.expr(f"(p * {int(damp_num)}L) DIV (d * {int(damp_den)}L)").alias("sh"),
+                F.expr(
+                    f"(p * {int(damp_num)}L) DIV (deg * {int(damp_den)}L)"
+                ).alias("sh"),
             )
             .groupBy("inode")
             .agg(F.sum("sh").alias("infl"))
@@ -627,5 +634,4 @@ def pagerank_exact(
         )
     e.unpersist()
     nd.unpersist()
-    ewd.unpersist()
     return state.select("node", "deg", F.col("p").alias("score_micro"))
