@@ -38,11 +38,19 @@ def main() -> None:
             passes = int(a.split("=", 1)[1])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Session-config A/B hook: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" lets an
+    # interleaved experiment flip e.g. spark.sql.join.preferSortMergeJoin
+    # without touching create_session defaults until the A/B is decided.
+    extra = {"spark.driver.memory": os.environ.get("SPARK_GRAFT_MEM", "20g")}
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            extra[k.strip()] = v.strip()
     spark = create_session(
         app_name="bench-subset",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
-        extra_configs={"spark.driver.memory": os.environ.get("SPARK_GRAFT_MEM", "20g")},
+        extra_configs=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()
