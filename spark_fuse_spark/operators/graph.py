@@ -433,6 +433,12 @@ def hits(
             .agg(F.sum("score_micro").alias("raw"))
         )
         hubs = _renorm(h_raw)
+    # every half-round is eagerly checkpointed inside _renorm, so the
+    # returned frames read only checkpoint blocks (+ broadcast panels)
+    # and never ``e`` — release it instead of leaking an edge-sized
+    # cached frame into the session's storage pool (guide §5; this was
+    # the one persist site in the repo without a matching unpersist)
+    e.unpersist()
     return hubs, auths
 
 
