@@ -400,7 +400,8 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_val,
                 "n_queries": len(timings),
-                "queries": {},
+                "queries": {name: round(sec, 3) for name, sec in timings.items()},
+                "noise_retries": retries,
                 "detail": "BENCH_DETAIL.json",
                 "host_calib_sec": calib,
                 "steal_frac": steal_frac,

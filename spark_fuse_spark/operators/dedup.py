@@ -408,7 +408,11 @@ def minhash_lsh_pairs(
 
 
 def _verify_candidate_pairs(
-    e: DataFrame, candidates: DataFrame, threshold: float, release_e: bool = True
+    e: DataFrame,
+    candidates: DataFrame,
+    threshold: float,
+    release_e: bool = True,
+    release_candidates: bool = True,
 ) -> DataFrame:
     """Exact-Jaccard verification over the CANDIDATE SET ONLY — the point
     of candidate generation (LSH bands, prefixes) is to never pay the
@@ -419,8 +423,13 @@ def _verify_candidate_pairs(
     Jaccard).
 
     ``e`` is the persisted exploded-shingle frame (``__id/__n/__h``);
-    ``candidates`` is a persisted ``(id_a, id_b)`` frame.  Both are
-    unpersisted after the checkpointed result materializes.
+    ``candidates`` is an ``(id_a, id_b)`` frame — persisted by the caller
+    unless the caller owns the release itself (``release_candidates=False``,
+    e.g. :func:`bbit_minhash_pairs`, whose candidates are a projection of
+    its persisted ``scored`` frame: unpersisting the projection here would
+    be a no-op, the real release is ``scored.unpersist()`` downstream).
+    Persisted inputs are released after the checkpointed result
+    materializes unless the matching ``release_*`` flag is False.
     """
     cand_ids = (
         candidates.select(F.col("id_a").alias("__cid"))
@@ -450,7 +459,8 @@ def _verify_candidate_pairs(
     out = result.localCheckpoint(eager=True)
     if release_e:
         e.unpersist()
-    candidates.unpersist()
+    if release_candidates:
+        candidates.unpersist()
     return out
 
 
@@ -970,7 +980,7 @@ def bbit_minhash_pairs(
     # at corpus scale the unrestricted join is exactly the cost the
     # banding exists to avoid)
     exact = _verify_candidate_pairs(
-        e, scored.select("id_a", "id_b"), threshold
+        e, scored.select("id_a", "id_b"), threshold, release_candidates=False
     )
     out = scored.join(exact, ["id_a", "id_b"]).select(
         "id_a", "id_b", "bbit_estimate", "jaccard"

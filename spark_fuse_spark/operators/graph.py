@@ -23,7 +23,7 @@ is net-new surface built for the training-data pipeline brief.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -44,17 +44,49 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
     return fwd.union(rev).where(F.col("u") != F.col("v"))
 
 
+def _round_checkpoint(df: DataFrame, checkpoint_dir: "str | None", eager: bool = True) -> DataFrame:
+    """Per-round lineage truncation for the iterative operators.
+
+    Default (``checkpoint_dir=None``): ``localCheckpoint`` — blocks live
+    on executors WITHOUT replication, so on a multi-node cluster an
+    executor loss mid-query kills the query (the truncated lineage has
+    no recompute path).  That is the right trade in local mode and for
+    restartable batch queries; for long iterative jobs on a lossy
+    cluster pass ``checkpoint_dir`` (an HDFS/object-store path) to
+    switch every round to a RELIABLE ``checkpoint`` — survives executor
+    loss at the cost of writing each round's state to the checkpoint
+    dir.  Results are identical either way; only fault-tolerance and
+    per-round I/O differ.
+    """
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=eager)
+    sc = df.sparkSession.sparkContext
+    sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=eager)
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u}).
 
-    Input must be symmetric.  Output edges are (larger, smaller).
+    Input must be symmetric.  Output edges are (larger, smaller) — a
+    MULTISET, not a set: the round's trailing :func:`_small_star`
+    ``distinct`` is the single per-round edge-set collapse, and every
+    consumer in between (a group-min and a join probe) is
+    multiplicity-insensitive, so deduplicating here bought nothing but
+    one full extra exchange per round.  The raw multiset is bounded by
+    the round's own edge count (one output row per symmetric edge with
+    ``v > u``), so there is no blow-up to collapse.
 
-    Shape: per-node min via hash aggregate, then a join back onto the
-    edge list — NEVER a ``collect_set`` of the neighborhood, so a
+    Shape: ONE exchange — the input is hash-repartitioned on ``u`` and
+    that single shuffle is shared (ReuseExchange) by the per-node-min
+    hash aggregate AND the join probe back onto the edge list; the
+    aggregate's output keeps the same partitioning, so the join itself
+    is exchange-free.  NEVER a ``collect_set`` of the neighborhood: a
     10M-document boilerplate clique costs a 10M-row group-min and a
     10M-row join probe instead of a 10M-element array in one
     aggregation buffer (the streaming formulation of the paper).
     """
+    edges = edges.repartition("u")
     m = (
         edges.groupBy("u")
         .agg(F.min("v").alias("__mv"))
@@ -65,17 +97,19 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("__m").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Direct edges high→low, then connect each low neighbor (and u) to
-    the minimum — collapsing chains into stars.  Same join-back shape
-    as :func:`_large_star` (no neighborhood arrays)."""
+    the minimum — collapsing chains into stars.  Same shared-exchange
+    join-back shape as :func:`_large_star` (one repartition on ``u``
+    feeds both the group-min and the join probe; no neighborhood
+    arrays).  Input may be a multiset (see :func:`_large_star`); the
+    trailing ``distinct`` here is the round's one edge-set collapse."""
     directed = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-    ).where(F.col("u") != F.col("v"))
+    ).where(F.col("u") != F.col("v")).repartition("u")
     m = directed.groupBy("u").agg(F.min("v").alias("__m"))  # all v < u
     neighbor_links = (
         directed.join(m, "u")
@@ -95,6 +129,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iterations: int = 20,
     eager_rounds: bool = False,
+    checkpoint_dir: "str | None" = None,
 ) -> DataFrame:
     """Component labels for every node appearing in ``pairs``.
 
@@ -110,11 +145,20 @@ def connected_components(
     checkpointed, deduped edge list — cheap because late-round edge
     lists are already near-stars).
     """
-    edges = (
-        pairs.select(F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v"))
+    # normalize high→low at entry so the per-round boundary invariant is
+    # "directed (u > v), deduped" from round 0: _symmetrize regenerates
+    # both directions anyway (the symmetric graph is identical), and the
+    # convergence diff below can then read the old edge list AS-IS
+    # instead of re-normalizing + re-deduping it every round (one fewer
+    # exchange per round; _small_star's output satisfies the same
+    # invariant by construction)
+    a = F.col(id_a).cast("long")
+    b = F.col(id_b).cast("long")
+    edges = _round_checkpoint(
+        pairs.select(F.greatest(a, b).alias("u"), F.least(a, b).alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        checkpoint_dir,
     )
     converged = False
     for _ in range(max_iterations):
@@ -129,19 +173,18 @@ def connected_components(
         # consumers then read the already-materialized checkpoint.
         # ``eager_rounds=True`` restores the old two-job cadence (A/B
         # instrument; results identical either way).
-        new_edges = _small_star(ls).localCheckpoint(eager=eager_rounds)
-        # fixpoint when the directed edge sets match.  Both sides are
-        # deduped, so tag each side ±1 and group: any (u, v) whose tag
-        # sum is nonzero is in exactly one side — ONE job decides set
-        # equality (the old count+exceptAll formulation cost 2–3 driver
-        # jobs per round, which dominates late rounds whose edge lists
-        # are already near-stars)
-        old_directed = edges.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        ).distinct()
+        new_edges = _round_checkpoint(_small_star(ls), checkpoint_dir, eager=eager_rounds)
+        # fixpoint when the directed edge sets match.  Both sides satisfy
+        # the boundary invariant (directed u > v, deduped) — the old side
+        # by entry normalization, the new by _small_star's construction —
+        # so tag each side ±1 and group: any (u, v) whose tag sum is
+        # nonzero is in exactly one side — ONE job decides set equality
+        # (the old count+exceptAll formulation cost 2–3 driver jobs per
+        # round, which dominates late rounds whose edge lists are already
+        # near-stars)
         diff = (
             new_edges.select("u", "v", F.lit(1).alias("__side"))
-            .unionByName(old_directed.select("u", "v", F.lit(-1).alias("__side")))
+            .unionByName(edges.select("u", "v", F.lit(-1).alias("__side")))
             .groupBy("u", "v")
             .agg(F.sum("__side").alias("__d"))
             .where(F.col("__d") != 0)
@@ -222,6 +265,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     checkpoint_every: int = 1,
+    checkpoint_dir: "str | None" = None,
 ) -> DataFrame:
     """Power-iteration PageRank over an edge list (Brin & Page 1998),
     with dangling-mass redistribution.
@@ -238,9 +282,10 @@ def pagerank(
       doubles per iteration and planning time, task binaries, and
       failure-replay cost grow without bound (the classic
       iterative-Spark trap).  Every-round is the right default because
-      the rank table is consumed THREE times per round (the dangling
-      1-row panel broadcast subtree, the contribution join, and the
-      next state build): with un-checkpointed lineage each consumer
+      the rank table has multiple consumers per round (the contribution
+      join and the next state build; on the ``checkpoint_every > 1``
+      panel path also the dangling 1-row broadcast subtree): with
+      un-checkpointed lineage each consumer
       re-executes the previous rounds' joins independently — the
       broadcast panel does not share work with the main plan — so a
       k-round checkpoint interval multiplies, not adds, replayed work
@@ -248,13 +293,24 @@ def pagerank(
       from ~7.7 s to ~4 s at sf0.1 with bit-identical floats, the
       checkpointed state being only O(nodes) rows);
     * dangling mass (nodes with no out-edges) is folded back uniformly
-      via ONE scalar aggregate per round on the rank table (O(nodes),
-      not O(edges));
+      via ONE scalar readout per round on the rank table (O(nodes),
+      not O(edges)) — on the default every-round-checkpoint path the
+      readout is an ``observe`` metric collected DURING the round's
+      checkpoint job, so no separate per-round panel job exists at all
+      (for ``checkpoint_every > 1`` it falls back to the broadcast
+      1-row-aggregate panel, which needs no round action);
     * ranks sum to 1 at every step (probability semantics), so
       convergence is monitorable and results comparable across graphs.
 
+    ``checkpoint_dir``: see :func:`_round_checkpoint` — pass a reliable
+    checkpoint directory to survive executor loss on a real cluster;
+    the local default truncates lineage without replication.
+
     Returns ``node, rank`` (unnormalized node set = src ∪ dst).
-    Deterministic up to float reduction order; validated against a
+    Deterministic up to float reduction order (the observe readout
+    merges per-task partials in task-completion order, the panel
+    aggregate in partition order — both are unordered float sums within
+    the operator's declared determinism contract); validated against a
     numpy power iteration in tests.
     """
     if iterations < 1:
@@ -276,39 +332,71 @@ def pagerank(
     n = nd.count()  # one job; also materializes the persisted edge set
     state = nd.withColumn("rank", F.lit(1.0 / n))
 
+    dm_agg = F.coalesce(
+        F.sum(F.when(F.col("__deg") == 0, F.col("rank"))), F.lit(0.0)
+    ).alias("__dm")
+    observe_dm = checkpoint_every == 1
+    if observe_dm:
+        # round-0 dangling mass: one O(nodes) scalar job over the
+        # persisted state (the same aggregate the panel path folds into
+        # its broadcast subtree); each subsequent round's mass then
+        # rides the round's checkpoint job as an observed metric
+        dm = state.where(F.col("__deg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0))
+        ).first()[0]
+
     for i in range(iterations):
-        # dangling mass as a 1-row aggregate folded into the SAME plan
-        # (broadcast scalar panel) — not a per-iteration driver collect
-        dangling = state.where(F.col("__deg") == 0).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
-        )
         contrib = (
             e.join(state.where(F.col("__deg") > 0), e.u == F.col("node"))
             .select(F.col("v").alias("node"), (F.col("rank") / F.col("__deg")).alias("__c"))
             .groupBy("node")
             .agg(F.sum("__c").alias("__in"))
         )
-        state = (
-            nd.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                "__deg",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (F.coalesce("__in", F.lit(0.0)) + F.col("__dm") / n)
-                ).alias("rank"),
+        if observe_dm:
+            state = (
+                nd.join(contrib, "node", "left")
+                .select(
+                    "node",
+                    "__deg",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping)
+                        * (F.coalesce("__in", F.lit(0.0)) + F.lit(dm / n))
+                    ).alias("rank"),
+                )
             )
-        )
-        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
-            state = state.localCheckpoint(eager=True)
+            obs = Observation()
+            state = _round_checkpoint(state.observe(obs, dm_agg), checkpoint_dir)
+            dm = obs.get["__dm"] or 0.0
+        else:
+            # dangling mass as a 1-row aggregate folded into the SAME
+            # plan (broadcast scalar panel) — not a per-iteration driver
+            # collect.  Required when intermediate rounds have no action
+            # to observe through.
+            dangling = state.where(F.col("__deg") == 0).agg(dm_agg)
+            state = (
+                nd.join(contrib, "node", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    "__deg",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping)
+                        * (F.coalesce("__in", F.lit(0.0)) + F.col("__dm") / n)
+                    ).alias("rank"),
+                )
+            )
+            if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+                state = _round_checkpoint(state, checkpoint_dir)
     e.unpersist()
     nd.unpersist()
     return state.select("node", "rank")
 
 
-def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, rounds: int = 3, checkpoint_dir: "str | None" = None
+) -> DataFrame:
     """Synchronous min-label propagation over an undirected edge list
     (``u``/``v`` columns) — the bounded-round community sketch.
 
@@ -333,9 +421,12 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
         F.col("u").alias("src"), F.col("v").alias("dst")
     )
     nodes = adj.select(F.col("src").alias("node")).distinct()
-    adjp = adj.unionAll(
-        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
-    ).localCheckpoint()
+    adjp = _round_checkpoint(
+        adj.unionAll(
+            nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+        ),
+        checkpoint_dir,
+    )
     labels = nodes.select("node", F.col("node").alias("lbl"))
     for _ in range(rounds):
         labels = (
@@ -347,8 +438,8 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
             # materializes the whole bounded loop — one job instead of
             # one blocking job per round — while each round's checkpoint
             # still truncates lineage as it is computed.
-            .localCheckpoint(eager=False)
         )
+        labels = _round_checkpoint(labels, checkpoint_dir, eager=False)
     return labels
 
 
@@ -358,6 +449,7 @@ def hits(
     scale: int = 1_000_000,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_dir: "str | None" = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Kleinberg's HITS (JACM 1999) hub/authority scores over a directed
     edge list, in EXACT integer arithmetic so results are engine- and
@@ -388,14 +480,19 @@ def hits(
 
     Per half-round: one join of the score table onto the edge list and
     one partial-agg'd ``groupBy`` — two shuffles, same as pagerank —
-    plus a 1-row max panel folded back broadcast (no driver action).
-    The RAW sums are ``localCheckpoint``-ed before the max panel is
-    carved off: the panel is a broadcast subtree that does NOT share
-    execution with the main plan, so an un-checkpointed ``raw`` would
-    run the join+aggregate twice per half-round (measured ~17% of the
-    whole query at sf0.1).  The checkpoint doubles as the per-round
+    plus the round's MAX read off as an ``observe`` metric DURING the
+    half-round's checkpoint job and folded back as an integer literal:
+    no separate max-panel job, no broadcast.  The metric is an exact
+    integer max (reduction-order-free), so scores are bit-identical to
+    the broadcast-panel formulation.  The RAW sums are
+    ``localCheckpoint``-ed per half-round — the renormalized frame has
+    two consumers (the next half-round's join and, for the final round,
+    the returned frame), and the checkpoint doubles as the per-round
     lineage truncation.  Multi-edges count with multiplicity —
     ``distinct()`` the input for the unweighted semantics.
+
+    ``checkpoint_dir``: see :func:`_round_checkpoint` — reliable
+    checkpoints for lossy clusters; local-mode default unchanged.
 
     Returns ``(hubs, authorities)`` as ``(node, score_micro)`` frames.
     """
@@ -404,14 +501,14 @@ def hits(
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
 
     def _renorm(raw: DataFrame) -> DataFrame:
-        raw = raw.localCheckpoint()  # the max panel below must not re-run the half-round
-        mx = raw.agg(F.max("raw").alias("m"))
-        return (
-            raw.crossJoin(F.broadcast(mx))
-            .select(
-                "node",
-                F.expr(f"(raw * {int(scale)}L) DIV m").alias("score_micro"),
-            )
+        obs = Observation()
+        raw = _round_checkpoint(raw.observe(obs, F.max("raw").alias("m")), checkpoint_dir)
+        m = obs.get["m"]
+        if m is None:  # empty graph — no rows to renormalize either way
+            m = 1
+        return raw.select(
+            "node",
+            F.expr(f"(raw * {int(scale)}L) DIV {int(m)}L").alias("score_micro"),
         )
 
     hubs = (
@@ -452,6 +549,7 @@ def personalized_pagerank(
     src: str = "src",
     dst: str = "dst",
     seed_col: str = "node",
+    checkpoint_dir: "str | None" = None,
 ) -> DataFrame:
     """Personalized PageRank / random walk with restart (Haveliwala,
     WWW 2002) from a seed set, in EXACT integer arithmetic so the
@@ -516,8 +614,8 @@ def personalized_pagerank(
                     F.coalesce("infl", F.lit(0)) + F.coalesce("restart", F.lit(0))
                 ).cast("long").alias("p"),
             )
-            .localCheckpoint()
         )
+        state = _round_checkpoint(state, checkpoint_dir)
     e.unpersist()
     ewd.unpersist()
     seed_panel.unpersist()
@@ -532,6 +630,7 @@ def pagerank_exact(
     damp_den: int = 100,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_dir: "str | None" = None,
 ) -> DataFrame:
     """Full-semantics PageRank (uniform teleport + dangling-mass
     redistribution, like :func:`pagerank`) in EXACT integer arithmetic,
@@ -560,10 +659,16 @@ def pagerank_exact(
     replayability).
 
     Scale shape (same as :func:`pagerank`): per round one score-onto-
-    edges join + one partial-agg'd inflow ``groupBy`` — two shuffles —
-    plus a single 1-row (dangling, N) aggregate panel folded back
-    broadcast in the same plan; state is ``localCheckpoint``-ed every
-    round so lineage stays bounded.  Sums ride in 64-bit longs.
+    edges join + one partial-agg'd inflow ``groupBy`` — two shuffles.
+    The dangling mass is an ``observe`` metric collected DURING each
+    round's checkpoint job (exact integer sum — reduction-order-free,
+    so scores are bit-identical to the previous broadcast-panel
+    formulation, which cost one extra panel job per round); the node
+    count N is a loop constant measured once at setup (the same job
+    that materializes the persisted degree table).  State is
+    checkpointed every round so lineage stays bounded
+    (``checkpoint_dir``: see :func:`_round_checkpoint`).  Sums ride in
+    64-bit longs.
 
     Integer-width bound (why plain longs are exact here, the same
     discipline as :func:`hits`): total mass never exceeds its starting
@@ -601,16 +706,29 @@ def pagerank_exact(
     # at all.  The previous ``ewd = e.join(deg)`` paid a one-time
     # edge-sized sort-merge join and cached an edge-sized table for a
     # column the join partner already carried.
+    # one setup job sizes the graph (N is a loop constant; the initial
+    # dangling mass is exactly n_dangling × scale because every node
+    # starts at ``scale``) and materializes the persisted nd + e
+    sizes = nd.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("deg") == 0, F.lit(1)).cast("long")), F.lit(0).cast("long")
+        ).alias("nd0"),
+    ).first()
+    n = int(sizes["n"])
+    dang = int(sizes["nd0"]) * int(scale)
+
+    dang_agg = F.coalesce(
+        F.sum(F.when(F.col("deg") == 0, F.col("p"))), F.lit(0).cast("long")
+    ).alias("dang")
     state = nd.select("node", "deg", F.lit(int(scale)).cast("long").alias("p"))
     for _ in range(iterations):
-        # 1-row (dangling mass, node count) panel — folded back
-        # broadcast inside the same plan, never a driver action
-        panel = state.agg(
-            F.coalesce(
-                F.sum(F.when(F.col("deg") == 0, F.col("p"))), F.lit(0).cast("long")
-            ).alias("dang"),
-            F.count(F.lit(1)).alias("n"),
-        )
+        # the per-node dangling share is pure integer floor division on
+        # two loop scalars — computed on the driver (Python ints, exact,
+        # identical to the previous in-plan DIV) and folded in as a
+        # literal: the former 1-row broadcast (dang, n) panel cost one
+        # extra job per round for the same two numbers
+        dang_share = (dang * int(damp_num)) // (n * int(damp_den))
         infl = (
             e.join(state, e.u == state.node)
             .select(
@@ -622,22 +740,21 @@ def pagerank_exact(
             .groupBy("inode")
             .agg(F.sum("sh").alias("infl"))
         )
+        obs = Observation()
         state = (
             nd.join(infl, nd.node == infl.inode, "left")
-            .crossJoin(F.broadcast(panel))
             .select(
                 "node",
                 "deg",
                 (
-                    F.lit(int(teleport)).cast("long")
-                    + F.expr(
-                        f"(dang * {int(damp_num)}L) DIV (n * {int(damp_den)}L)"
-                    )
+                    F.lit(int(teleport) + dang_share).cast("long")
                     + F.coalesce("infl", F.lit(0).cast("long"))
                 ).alias("p"),
             )
-            .localCheckpoint()
+            .observe(obs, dang_agg)
         )
+        state = _round_checkpoint(state, checkpoint_dir)
+        dang = int(obs.get["dang"] or 0)
     e.unpersist()
     nd.unpersist()
     return state.select("node", "deg", F.col("p").alias("score_micro"))

@@ -46,6 +46,14 @@ def main() -> None:
         if "=" in kv:
             k, v = kv.split("=", 1)
             extra[k.strip()] = v.strip()
+        elif kv.strip():
+            # a typo'd separator would silently run the DEFAULT config for
+            # this arm and make the A/B conclude "a wash" — fail loudly
+            raise SystemExit(
+                f"SPARK_GRAFT_EXTRA_CONF entry {kv!r} has no '=' — refusing "
+                "to run an A/B arm with a silently-dropped config"
+            )
+    print(f"# effective extra conf: {extra}", file=sys.stderr)
     spark = create_session(
         app_name="bench-subset",
         master=f"local[{cpus}]",
