@@ -1107,12 +1107,17 @@ def d_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
     ce = e.join(F.broadcast(cand_ids), F.col("__id") == F.col("__cid"), "left_semi")
     a = ce.select(F.col("__id").alias("id_a"), F.col("__n").alias("na"), "__h")
     b = ce.select(F.col("__id").alias("id_b"), F.col("__n").alias("nb"), "__h")
+    # candidate-PAIR semi BEFORE the intersection groupBy (the semi key
+    # is a subset of the group keys, so row- and group-level filtering
+    # are identical — same move as _verify_candidate_pairs): the
+    # aggregate only builds union-candidate groups instead of every
+    # co-occurring pair among candidate ids
     shared = (
         a.join(b, "__h")
         .filter(F.col("id_a") < F.col("id_b"))
+        .join(F.broadcast(union_cands), ["id_a", "id_b"], "left_semi")
         .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("shared"))
-        .join(F.broadcast(union_cands), ["id_a", "id_b"], "left_semi")
     )
     jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
     marked = shared.join(

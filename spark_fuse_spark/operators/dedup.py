@@ -223,12 +223,16 @@ def _containment_prefix_pairs(
     ce = e.join(F.broadcast(cand_ids), F.col("__id") == F.col("__cid"), "left_semi")
     a = ce.select(F.col("__id").alias("id_a"), F.col("__n").alias("na"), "__h")
     b = ce.select(F.col("__id").alias("id_b"), F.col("__n").alias("nb"), "__h")
+    # candidate-PAIR semi BEFORE the groupBy — same argument as
+    # _verify_candidate_pairs: the semi key is a subset of the group
+    # keys, so row-level and group-level filtering are identical, and
+    # the aggregate only builds candidate-pair groups
     shared = (
         a.join(b, "__h")
         .filter(F.col("id_a") < F.col("id_b"))
+        .join(F.broadcast(candidates), ["id_a", "id_b"], "left_semi")
         .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("shared"))
-        .join(F.broadcast(candidates), ["id_a", "id_b"], "left_semi")
     )
     cont = F.col("shared") / F.least(F.col("na"), F.col("nb"))
     a_contained = (F.col("na") < F.col("nb")) | (
@@ -439,12 +443,19 @@ def _verify_candidate_pairs(
     ce = e.join(F.broadcast(cand_ids), F.col("__id") == F.col("__cid"), "left_semi")
     a = ce.select(F.col("__id").alias("id_a"), F.col("__n").alias("na"), "__h")
     b = ce.select(F.col("__id").alias("id_b"), F.col("__n").alias("nb"), "__h")
+    # candidate-PAIR semi-join BEFORE the intersection groupBy, not after:
+    # the id restriction alone still admits every co-occurrence row among
+    # candidate documents (Σ_h dfc(h)² — measured 1.27M rows vs 310k
+    # candidate pairs at sf0.1), and since the semi key (id_a, id_b) is a
+    # subset of the group keys, filtering rows first is identical to
+    # filtering groups after — but the aggregate now only builds
+    # candidate-pair groups (verify phase 3.17 → 2.28 s at sf0.1)
     shared = (
         a.join(b, "__h")
         .filter(F.col("id_a") < F.col("id_b"))
+        .join(F.broadcast(candidates), ["id_a", "id_b"], "left_semi")
         .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("shared"))
-        .join(F.broadcast(candidates), ["id_a", "id_b"], "left_semi")
     )
     jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
     result = (
